@@ -1,13 +1,113 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator
+  * inventory each entry corresponds to. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"          -> (Analytics.pricingSummary _),
+    "q02_topk_revenue"             -> (Analytics.topkRevenue _),
+    "q03_star_join"                -> (Analytics.starJoin _),
+    "q04_representative_per_group" -> (Analytics.representativePerGroup _),
+    "q05_validated_semi_join"      -> (Analytics.validatedSemiJoin _),
+    "q06_new_records_anti_join"    -> (Analytics.newRecordsAntiJoin _),
+    "q07_full_outer_enrich"        -> (Analytics.fullOuterEnrich _),
+    "q08_rollup_facets"            -> (Analytics.rollupFacets _),
+    "q09_distinct_facets"          -> (Analytics.distinctFacets _),
+    "q10_explode_tags"             -> (Analytics.explodeTags _),
+    "q11_running_window"           -> (Analytics.runningWindow _),
+    "q12_conditional_agg"          -> (Analytics.conditionalAgg _),
+  )
+
+  /** DuckDB-equivalent SQL for each oracle-able query (same column names,
+    * same ordering, DECIMAL-exact aggregates cast to DOUBLE). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_topk_revenue" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q03_star_join" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q04_representative_per_group" ->
+      """SELECT o_custkey, first_orderkey, first_orderdate FROM (
+        | SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        | FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q05_validated_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_new_records_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_full_outer_enrich" ->
+      """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+        | COALESCE(c.n_customers, 0) AS n_customers,
+        | COALESCE(s.n_suppliers, 0) AS n_suppliers
+        |FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) s
+        |ON c.nationkey = s.nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "q08_rollup_facets" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q09_distinct_facets" ->
+      "SELECT DISTINCT c_mktsegment AS segment FROM customer ORDER BY segment",
+    "q10_explode_tags" ->
+      """SELECT word, COUNT(*) AS n
+        |FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE word <> '' GROUP BY word ORDER BY n DESC, word""".stripMargin,
+    "q11_running_window" ->
+      """SELECT user_id, ts, event_id,
+        | COUNT(*) OVER w AS running_events,
+        | CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER w AS DOUBLE) AS running_value
+        |FROM events WHERE user_id < 100
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q12_conditional_agg" ->
+      """SELECT user_id,
+        | SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+        | SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(20,4)) ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE) AS purchase_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
 }

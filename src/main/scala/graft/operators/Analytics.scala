@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational / analytics core — the join-aggregate-window surface the
+  * reference's dashboard and curated-layer queries exercise
+  * (streamlit/app/app.py:84-255, join_eu_ugc_qdrant_merge.py:191-351),
+  * expressed over the TPC-H-ish test schema.
+  *
+  * Scale notes:
+  *  - dimension tables (region/nation/supplier) are always `broadcast()` —
+  *    at 100 TB the facts shuffle once on their join key and dims ride along.
+  *  - money aggregates run in DECIMAL (exact, order-independent across
+  *    1000 executors) and only the final value is cast to double.
+  */
+object Analytics {
+
+  /** Exact decimal view of a 2-dp money column; sums of these are
+    * reassociation-safe, so distributed partial aggregation can't flip
+    * low-order bits. */
+  private def dec(c: Column): Column = c.cast("decimal(12,4)")
+
+  /** q01: filtered grouped aggregation (pricing-summary shape). */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,4)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "count_order", "avg_qty")
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** q02: 3-table join + agg + top-k (shipping-priority shape). */
+  def topkRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp(lit("1995-03-15"))
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,4)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** q03: star join over all six relational tables, dims broadcast. */
+  def starJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+              col("o_orderdate") <  to_timestamp(lit("1997-01-01")))
+    val l = Tables.lineitem(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,4)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** q04: deterministic first-row-per-group (DISTINCT ON shape,
+    * app.py:146 + representative-guid selection join_…_merge.py:90). */
+  def representativePerGroup(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"),
+        col("o_orderdate").as("first_orderdate"))
+      .orderBy("o_custkey")
+  }
+
+  /** q05: left-semi join — "guid in validated set" filter
+    * (join_…_merge.py:215). */
+  def validatedSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+    c.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** q06: left-anti join — MERGE whenNotMatchedInsertAll candidate set
+    * (eu_raw_to_cleansed_merge.py:66-69). */
+  def newRecordsAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** q07: full-outer join + coalesce (README §5.5 full outer eu×ugc). */
+  def fullOuterEnrich(s: SparkSession, dir: String): DataFrame = {
+    val custPerNation = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val suppPerNation = Tables.supplier(s, dir)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    custPerNation.join(suppPerNation, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy("nationkey")
+  }
+
+  /** q08: ROLLUP facet counts (dashboard facets shape). */
+  def rollupFacets(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec(col("c_acctbal"))).cast("double").as("sum_acctbal"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+  }
+
+  /** q09: DISTINCT facet values (app.py:94-100 filter options). */
+  def distinctFacets(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment").as("segment"))
+      .distinct()
+      .orderBy("segment")
+
+  /** q10: explode/UNNEST word arrays + count (app.py:100 UNNEST(tags)). */
+  def explodeTags(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+
+  /** q11: running windows over an event stream (temporal analysis,
+    * README §8.2). Running count is exact; running sum runs in DECIMAL so
+    * the cumulative order of double addition can't diverge. */
+  def runningWindow(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("user_id") < 100)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.select(col("user_id"), col("ts"), col("event_id"),
+        count(lit(1)).over(w).as("running_events"),
+        sum(col("value").cast("decimal(20,4)")).over(w).cast("double").as("running_value"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** q12: conditional (pivot-style) aggregation per entity. */
+  def conditionalAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("event_type") === "purchase", col("value").cast("decimal(20,4)"))
+          .otherwise(lit(0).cast("decimal(20,4)"))).cast("double").as("purchase_value"))
+      .orderBy("user_id")
+  }
+}
