@@ -25,6 +25,12 @@ object SparkEntry {
     "q10_explode_tags"             -> (Analytics.explodeTags _),
     "q11_running_window"           -> (Analytics.runningWindow _),
     "q12_conditional_agg"          -> (Analytics.conditionalAgg _),
+    "q13_cleanse_metadata"         -> (Cleanse.cleanseMetadata _),
+    "q14_cleanse_ugc"              -> (Cleanse.cleanseUgc _),
+    "q15_merge_upsert"             -> (Merge.mergeUpsert _),
+    "q16_curated_join"             -> (CuratedJoin.curatedJoin _),
+    "q17_canonical_remap"          -> (CuratedJoin.canonicalRemap _),
+    "q18_serving_export"           -> (Serving.servingExport _),
   )
 
   /** DuckDB-equivalent SQL for each oracle-able query (same column names,
@@ -109,5 +115,59 @@ object SparkEntry {
         | SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
         | CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(20,4)) ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE) AS purchase_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q13_cleanse_metadata" ->
+      """SELECT doc_id, text,
+        | CASE WHEN TRIM(lang) = '' THEN NULL ELSE lang END AS lang,
+        | CASE WHEN TRIM(source) = '' THEN NULL ELSE source END AS source,
+        | n_chars
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY n_chars DESC, source) AS rn
+        |      FROM documents
+        |      WHERE doc_id IS NOT NULL AND text IS NOT NULL AND TRIM(text) <> '') t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q14_cleanse_ugc" ->
+      """SELECT user_id, event_type, ts, event_id,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts, event_id) AS rn
+        |      FROM events WHERE ts > TIMESTAMP '2024-01-10 00:00:00') t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q15_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |batch AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |         o_totalprice + 10.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM batch
+        |UNION ALL
+        |SELECT b.* FROM base b WHERE NOT EXISTS
+        |  (SELECT 1 FROM batch x WHERE x.o_orderkey = b.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q16_curated_join" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        | COALESCE(a.n_orders, 0) AS n_orders,
+        | COALESCE(a.total_spent, 0.0) AS total_spent
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders,
+        |             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS total_spent
+        |           FROM orders GROUP BY o_custkey) a
+        |ON c_custkey = a.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q17_canonical_remap" ->
+      """SELECT vec_id, label, canonical_id, cluster_size
+        |FROM embeddings
+        |JOIN (SELECT label, MIN(vec_id) AS canonical_id, COUNT(*) AS cluster_size
+        |      FROM embeddings GROUP BY label) m USING (label)
+        |ORDER BY vec_id""".stripMargin,
+    "q18_serving_export" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d') AS event_date,
+        | UPPER(event_type) AS event_type,
+        | CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
   )
 }

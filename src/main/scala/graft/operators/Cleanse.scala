@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Bronze→silver cleansing operators, re-expressing the reference's
+  * raw→cleansed jobs (eu_raw_to_cleansed_merge.py:40-69,
+  * ugc_raw_to_cleansed.py:51-84) over the test schema.
+  *
+  * Scale notes: every step is a narrow projection/filter except the
+  * dedup, which is one hash shuffle on the dedup key; the required-field
+  * filters are Catalyst-pushed into the parquet scan.
+  */
+object Cleanse {
+
+  /** ""→NULL normalization, the reference's `normalize_empty_strings`
+    * (eu_raw_to_cleansed_merge.py:46-54 applies it to 13 string fields). */
+  def normalizeEmpty(df: DataFrame, fields: Seq[String]): DataFrame =
+    fields.foldLeft(df)((d, f) =>
+      d.withColumn(f, when(trim(col(f)) === "", lit(null)).otherwise(col(f))))
+
+  /** Drop rows with a NULL/empty required field
+    * (eu_raw_to_cleansed_merge.py:40-44 guid/image_url guard). */
+  def requireFields(df: DataFrame, fields: Seq[String]): DataFrame =
+    fields.foldLeft(df)((d, f) =>
+      d.filter(col(f).isNotNull && trim(col(f).cast("string")) =!= ""))
+
+  /** Deterministic dedup-keep-first: unlike dropDuplicates (which keeps an
+    * arbitrary row per key and is not stable across cluster runs), this
+    * keeps the row_number()=1 row under an explicit order — one shuffle on
+    * the key. (eu_raw_to_cleansed_merge.py:45 dropDuplicates(guid).) */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** q13: metadata cleanse — require doc_id+text, ""→NULL on lang/source,
+    * dedup keep-first per doc_id. */
+  def cleanseMetadata(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val kept = requireFields(docs, Seq("doc_id", "text"))
+    val normalized = normalizeEmpty(kept, Seq("lang", "source"))
+    dedupKeepFirst(normalized, Seq("doc_id"), Seq(col("n_chars").desc, col("source")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** q14: UGC cleanse — JSON-parse the props payload, incremental
+    * watermark filter (ingestion_time > cutoff, ugc_raw_to_cleansed.py:62),
+    * composite-key dedup keep-earliest. */
+  def cleanseUgc(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp(lit("2024-01-10"))
+    val e = Tables.events(s, dir)
+      .filter(col("ts") > cutoff)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+    dedupKeepFirst(e, Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_type", "ts", "event_id", "k", "value")
+      .orderBy("user_id", "event_type")
+  }
+}

@@ -1,0 +1,24 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Gold→serving export shaping (curated_to_postgres.py:27-75): JSON
+  * payload parse to typed columns, timestamp formatting, final
+  * select/cast into the serving schema. Pure narrow projection — no
+  * shuffle; at 100 TB this is bounded by JDBC sink parallelism, not the
+  * plan. */
+object Serving {
+
+  /** q18: serving export shape over the events table. */
+  def servingExport(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+        upper(col("event_type")).as("event_type"),
+        col("value").cast("decimal(12,2)").cast("double").as("value"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+}
