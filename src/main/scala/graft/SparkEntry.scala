@@ -31,6 +31,11 @@ object SparkEntry {
     "q16_curated_join"             -> (CuratedJoin.curatedJoin _),
     "q17_canonical_remap"          -> (CuratedJoin.canonicalRemap _),
     "q18_serving_export"           -> (Serving.servingExport _),
+    "q30_lang_id"                  -> (TextAnalysis.langId _),
+    "q31_quality_score"            -> (TextAnalysis.qualityScore _),
+    "q32_token_count"              -> (TextAnalysis.tokenCount _),
+    "q33_fingerprint"              -> (TextAnalysis.fingerprint _),
+    "q34_text_preprocess"          -> (TextAnalysis.preprocess _),
   )
 
   /** DuckDB-equivalent SQL for each oracle-able query (same column names,
@@ -169,5 +174,53 @@ object SparkEntry {
         | CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value,
         | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "q30_lang_id" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(list_filter(string_split(lower(text),' '), w -> list_contains(['the','a','of','and','to','in','is'], w))) AS score_en,
+        |  len(list_filter(string_split(lower(text),' '), w -> list_contains(['el','la','de','y','que','en','un'], w))) AS score_es,
+        |  len(list_filter(string_split(lower(text),' '), w -> list_contains(['der','die','das','und','ist','ein','nicht'], w))) AS score_de,
+        |  len(list_filter(string_split(lower(text),' '), w -> list_contains(['le','la','de','et','les','des','un'], w))) AS score_fr
+        | FROM documents)
+        |SELECT doc_id, score_en, score_es, score_de, score_fr,
+        | CASE WHEN score_en=0 AND score_es=0 AND score_de=0 AND score_fr=0 THEN 'unknown'
+        |      WHEN score_en>=score_es AND score_en>=score_de AND score_en>=score_fr THEN 'en'
+        |      WHEN score_es>=score_de AND score_es>=score_fr THEN 'es'
+        |      WHEN score_de>=score_fr THEN 'de'
+        |      ELSE 'fr' END AS pred_lang
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q31_quality_score" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(length(text) AS DOUBLE) AS n_chars_f,
+        |  CAST(len(list_filter(string_split(text,' '), w -> w <> '')) AS DOUBLE) AS n_words,
+        |  CAST(len(list_distinct(list_filter(string_split(text,' '), w -> w <> ''))) AS DOUBLE) AS n_uniq,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS n_punct,
+        |  CAST(len(list_filter(string_split(lower(text),' '), w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE) AS n_stop
+        | FROM documents),
+        |r AS (SELECT doc_id, n_words,
+        |  n_uniq / n_words AS uniq_ratio,
+        |  n_punct / n_chars_f AS punct_ratio,
+        |  n_stop / n_words AS stop_ratio FROM f)
+        |SELECT doc_id, n_words, uniq_ratio, punct_ratio, stop_ratio,
+        | 0.3 * least(n_words / 200.0, 1.0) + 0.3 * uniq_ratio
+        | + 0.2 * (1.0 - punct_ratio) + 0.2 * least(stop_ratio * 5.0, 1.0) AS quality
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q32_token_count" ->
+      """SELECT doc_id,
+        | len(list_filter(string_split(text,' '), w -> w <> '')) AS n_ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_re_tokens,
+        | length(text) AS n_chars_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q33_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(list_filter(string_split(text,' '), w -> w <> ''),
+        |       w -> CAST(('0x' || substring(md5(w),1,15)) AS BIGINT) % 1000000007)),
+        |   (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q34_text_preprocess" ->
+      """SELECT doc_id,
+        | lower(trim(substring(concat_ws(' ', COALESCE(source,''), COALESCE(lang,''), text), 1, 150))) AS clip_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

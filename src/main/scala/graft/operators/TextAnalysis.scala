@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table (reference analog: the CLIP text-preprocess step,
+  * extracting_embeddings.py:135-152, plus the quality/selection logic a
+  * curation pipeline needs at 100 TB).
+  *
+  * Scale notes: every operator here is a narrow, single-pass projection
+  * built from codegen'd `functions._` / higher-order array functions — no
+  * UDFs, no shuffles (except the caller's own aggregations). Hashes are
+  * md5-based (first 15 hex chars → 60-bit long) so results are identical
+  * across engines and across cluster topologies.
+  */
+object TextAnalysis {
+
+  /** 60-bit deterministic hash of a string: long value of the first 15
+    * hex chars of md5. Stable across Spark/DuckDB/any md5 impl. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Non-empty whitespace tokens. */
+  def words(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  // Tiny function-word profiles for the language-ID heuristic.
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"))
+
+  private def profileScore(ws: Column, profile: Seq[String]): Column =
+    size(filter(ws, w => array_contains(array(profile.map(lit): _*), w)))
+
+  /** q30: n-gram/function-word language ID — per-language stopword hit
+    * counts + deterministic argmax (profile order breaks ties). */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(lower(col("text")))
+    val scored = Tables.documents(s, dir).select(
+      col("doc_id") +: profiles.map { case (l, p) => profileScore(ws, p).as(s"score_$l") }: _*)
+    val Seq(en, es, de, fr) = profiles.map { case (l, _) => col(s"score_$l") }
+    scored.withColumn("pred_lang",
+        when(en === 0 && es === 0 && de === 0 && fr === 0, "unknown")
+          .when(en >= es && en >= de && en >= fr, "en")
+          .when(es >= de && es >= fr, "es")
+          .when(de >= fr, "de")
+          .otherwise("fr"))
+      .orderBy("doc_id")
+  }
+
+  /** q31: quality features + weighted score (length, vocabulary
+    * diversity, punctuation load, function-word rate — the classic
+    * heuristic filter stack for web-scale corpora). */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val enStop = array(profiles.head._2.map(lit): _*)
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("double").as("n_chars_f"),
+        size(ws).cast("double").as("n_words"),
+        size(array_distinct(ws)).cast("double").as("n_uniq"),
+        size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0))).cast("double").as("n_punct"),
+        size(filter(words(lower(col("text"))), w => array_contains(enStop, w))).cast("double").as("n_stop"))
+      .select(
+        col("doc_id"), col("n_words"),
+        (col("n_uniq") / col("n_words")).as("uniq_ratio"),
+        (col("n_punct") / col("n_chars_f")).as("punct_ratio"),
+        (col("n_stop") / col("n_words")).as("stop_ratio"))
+      .withColumn("quality",
+        lit(0.3) * least(col("n_words") / 200.0, lit(1.0)) +
+        lit(0.3) * col("uniq_ratio") +
+        lit(0.2) * (lit(1.0) - col("punct_ratio")) +
+        lit(0.2) * least(col("stop_ratio") * 5.0, lit(1.0)))
+      .orderBy("doc_id")
+  }
+
+  /** q32: token counting — whitespace tokens vs a BPE-ish regex
+    * tokenizer (alnum runs or single punctuation marks). */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(words(col("text"))).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n_re_tokens"),
+        length(col("text")).as("n_chars_text"))
+      .orderBy("doc_id")
+
+  /** q33: order-sensitive document fingerprint — polynomial rolling hash
+    * over per-word 60-bit hashes, mod 1e9+7 (so acc*31+x never overflows
+    * a long). Equal fingerprints ⇒ equal word sequences (mod collisions);
+    * unlike a set hash, reordering words changes it. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val M = lit(1000000007L)
+    val wordHashes = transform(words(col("text")), w => md5Long(w) % M)
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        aggregate(wordHashes, lit(0L), (acc, x) => (acc * 31L + x) % M).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** q34: CLIP-style text assembly — concat metadata fields + body,
+    * truncate, casefold (extracting_embeddings.py:135-152 builds
+    * title+subject+creator+type+description[:150]). */
+  def preprocess(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        lower(trim(substring(
+          concat_ws(" ", coalesce(col("source"), lit("")), coalesce(col("lang"), lit("")), col("text")),
+          1, 150))).as("clip_text"))
+      .orderBy("doc_id")
+}

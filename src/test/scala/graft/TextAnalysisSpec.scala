@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(texts: (Long, String)*) =
+    texts.toDF("doc_id", "text")
+
+  test("langId picks the profile with the most function-word hits") {
+    val df = docs(
+      1L -> "the cat is in the house and a dog",
+      2L -> "el perro y la casa que en un dia",
+      3L -> "der hund und die katze ist ein tier",
+      4L -> "le chien et les chats des le un",
+      5L -> "xxxx yyyy zzzz")
+    df.createOrReplaceTempView("planted_docs")
+    val ws = TextAnalysis.words(lower(col("text")))
+    // reuse the operator's scoring on the planted frame via the same exprs
+    val scored = df.select(col("doc_id") +: TextAnalysis.profiles.map { case (l, p) =>
+      size(filter(ws, w => array_contains(array(p.map(lit): _*), w))).as(s"score_$l")
+    }: _*)
+    val best = scored.collect().map { r =>
+      val scores = TextAnalysis.profiles.map { case (l, _) => l -> r.getAs[Int](s"score_$l") }
+      r.getAs[Long]("doc_id") -> (if (scores.forall(_._2 == 0)) "unknown" else scores.maxBy(_._2)._1)
+    }.toMap
+    assert(best(1L) === "en" && best(2L) === "es" && best(3L) === "de" && best(4L) === "fr")
+    assert(best(5L) === "unknown")
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val out = TextAnalysis.fingerprint(spark, sfDir).collect()
+    assert(out.length === Tables.documents(spark, sfDir).count())
+    // same input twice → same fingerprint
+    val again = TextAnalysis.fingerprint(spark, sfDir).collect()
+    assert(out.map(_.getLong(1)).sameElements(again.map(_.getLong(1))))
+    // order sensitivity on planted rows
+    val ab = docs(1L -> "alpha beta", 2L -> "beta alpha")
+    val M = lit(1000000007L)
+    val fp = ab.select(aggregate(
+      transform(TextAnalysis.words(col("text")), w => TextAnalysis.md5Long(w) % M),
+      lit(0L), (acc, x) => (acc * 31L + x) % M).as("fp")).collect().map(_.getLong(0))
+    assert(fp(0) !== fp(1))
+  }
+
+  test("tokenCount: regex tokens >= whitespace tokens on punctuated text") {
+    val df = docs(1L -> "hello, world! it's 42")
+    val n = df.select(
+      size(TextAnalysis.words(col("text"))).as("ws"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("re"))
+      .collect()(0)
+    assert(n.getAs[Int]("ws") === 4)
+    assert(n.getAs[Int]("re") === 8) // hello , world ! it ' s 42
+  }
+
+  test("quality score stays in [0,1] on real docs") {
+    val q = TextAnalysis.qualityScore(spark, sfDir).collect().map(_.getAs[Double]("quality"))
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("preprocess truncates to 150 chars and casefolds") {
+    val out = TextAnalysis.preprocess(spark, sfDir).collect()
+    assert(out.forall(_.getString(1).length <= 150))
+    assert(out.forall(r => r.getString(1) === r.getString(1).toLowerCase))
+  }
+}
