@@ -31,6 +31,10 @@ object SparkEntry {
     "q16_curated_join"             -> (CuratedJoin.curatedJoin _),
     "q17_canonical_remap"          -> (CuratedJoin.canonicalRemap _),
     "q18_serving_export"           -> (Serving.servingExport _),
+    "q22_dedup_exact"              -> (Dedup.exact _),
+    "q26_dedup_embedding"          -> (Dedup.embeddingThreshold _),
+    "q27_ann_bruteforce_topk"      -> (Similarity.bruteForceTopK _),
+    "q29_knn_join"                 -> (Similarity.knnJoin _),
     "q30_lang_id"                  -> (TextAnalysis.langId _),
     "q31_quality_score"            -> (TextAnalysis.qualityScore _),
     "q32_token_count"              -> (TextAnalysis.tokenCount _),
@@ -174,6 +178,60 @@ object SparkEntry {
         | CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value,
         | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "q22_dedup_exact" ->
+      """WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS content_hash FROM documents),
+        |c AS (SELECT content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS cluster_size
+        |      FROM d GROUP BY content_hash)
+        |SELECT doc_id, content_hash, canonical_id, cluster_size
+        |FROM d JOIN c USING (content_hash) ORDER BY doc_id""".stripMargin,
+    "q26_dedup_embedding" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm FROM v),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i])), (x,y) -> x+y)
+        |   / (a.nrm * b.nrm) AS sim
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id),
+        |pf AS (SELECT * FROM p WHERE sim >= 0.97),
+        |nb AS (SELECT a_id AS vec_id, b_id AS nbr FROM pf
+        |       UNION ALL SELECT b_id, a_id FROM pf),
+        |ag AS (SELECT vec_id, MIN(nbr) AS min_nbr, COUNT(*) AS n_neighbors FROM nb GROUP BY vec_id)
+        |SELECT e.vec_id,
+        |  LEAST(e.vec_id, COALESCE(ag.min_nbr, e.vec_id)) AS canonical_id,
+        |  COALESCE(ag.n_neighbors, 0) AS n_neighbors
+        |FROM embeddings e LEFT JOIN ag USING (vec_id) ORDER BY vec_id""".stripMargin,
+    "q27_ann_bruteforce_topk" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm FROM v),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(range(1, len(q.e)+1), i -> q.e[i]*c.e[i])), (x,y) -> x+y)
+        |   / (q.nrm * c.nrm) AS sim
+        |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM p)
+        |SELECT query_id, neighbor_id, rank, ROUND(sim, 9) AS sim_r
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q29_knn_join" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm FROM v),
+        |p AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i])), (x,y) -> x+y)
+        |   / (a.nrm * b.nrm) AS sim
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT src_id, nbr_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY sim DESC, nbr_id) AS rank
+        |  FROM p)
+        |SELECT src_id, nbr_id, rank, ROUND(sim, 9) AS sim_r
+        |FROM r WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin,
     "q30_lang_id" ->
       """WITH t AS (SELECT doc_id,
         |  len(list_filter(string_split(lower(text),' '), w -> list_contains(['the','a','of','and','to','in','is'], w))) AS score_en,

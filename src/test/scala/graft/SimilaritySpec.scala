@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.operators.{Dedup, Similarity}
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Planted corpus: 0/1 near-identical, 2 orthogonal-ish, 3 = -0 direction. */
+  private lazy val planted = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.999f, 0.001f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+    (4L, Array(0.0f, 0.999f, 0.001f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val v = planted.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("e"))
+    val a = v.filter(col("vec_id") === 0).select(col("e").as("ea"))
+    val sims = a.crossJoin(v)
+      .select(col("vec_id"), VectorOps.cosine(col("ea"), col("e")).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(sims(0L) - 1.0) < 1e-12)
+    assert(math.abs(sims(2L)) < 1e-12)
+    assert(math.abs(sims(3L) + 1.0) < 1e-12)
+    assert(sims(1L) > 0.97)
+  }
+
+  test("embedding near-dup clusters planted pairs, not strangers") {
+    planted.createOrReplaceTempView("planted_embeddings")
+    // run the same neighborhood-min clustering on the planted frame
+    val v = planted.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", VectorOps.norm(col("e")))
+    val a = v.select(col("vec_id").as("a_id"), col("e").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("b_id"), col("e").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        VectorOps.cosinePre(col("ea"), col("eb"), col("na"), col("nb")).as("sim"))
+      .filter(col("sim") >= 0.97)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L), (2L, 4L)))
+  }
+
+  test("q26 on test data: every vec canonicalizes to itself or a smaller id") {
+    val out = Dedup.embeddingThreshold(spark, sfDir).collect()
+    assert(out.length === Tables.embeddings(spark, sfDir).count())
+    assert(out.forall(r => r.getAs[Long]("canonical_id") <= r.getAs[Long]("vec_id")))
+  }
+
+  test("q22 exact dedup: canonical is min of cluster, sizes sum to corpus") {
+    val out = Dedup.exact(spark, sfDir).collect()
+    assert(out.forall(r => r.getAs[Long]("canonical_id") <= r.getAs[Long]("doc_id")))
+    val byHash = out.groupBy(_.getAs[String]("content_hash"))
+    byHash.foreach { case (_, rs) =>
+      assert(rs.forall(_.getAs[Long]("cluster_size") === rs.length))
+      assert(rs.map(_.getAs[Long]("canonical_id")).distinct.length === 1)
+    }
+  }
+
+  test("q27 top-k: 10 neighbors per query, sims non-increasing, no self") {
+    val out = Similarity.bruteForceTopK(spark, sfDir).collect()
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.length === 10)
+      assert(rs.forall(_.getAs[Long]("neighbor_id") !== q))
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim_r"))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("q29 knn join: exactly 3 neighbors per source vector") {
+    val out = Similarity.knnJoin(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.length === 3 * n)
+  }
+}
