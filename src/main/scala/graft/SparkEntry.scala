@@ -32,8 +32,12 @@ object SparkEntry {
     "q17_canonical_remap"          -> (CuratedJoin.canonicalRemap _),
     "q18_serving_export"           -> (Serving.servingExport _),
     "q22_dedup_exact"              -> (Dedup.exact _),
+    "q23_dedup_ngram_jaccard"      -> (ApproxDedup.ngramJaccard _),
+    "q24_dedup_minhash_lsh"        -> (ApproxDedup.minhashLsh _),
+    "q25_dedup_simhash"            -> (ApproxDedup.simhash _),
     "q26_dedup_embedding"          -> (Dedup.embeddingThreshold _),
     "q27_ann_bruteforce_topk"      -> (Similarity.bruteForceTopK _),
+    "q28_ann_lsh_topk"             -> (Similarity.lshTopK _),
     "q29_knn_join"                 -> (Similarity.knnJoin _),
     "q30_lang_id"                  -> (TextAnalysis.langId _),
     "q31_quality_score"            -> (TextAnalysis.qualityScore _),
@@ -41,6 +45,24 @@ object SparkEntry {
     "q33_fingerprint"              -> (TextAnalysis.fingerprint _),
     "q34_text_preprocess"          -> (TextAnalysis.preprocess _),
   )
+
+  /** Exact blocked 3-gram Jaccard pairs at τ=0.8 — oracle for both q23
+    * (which computes exactly this) and q24 (whose LSH candidates verify
+    * to the same set; see the banding recall note at the map entry). */
+  private val exactJaccardSql: String =
+    """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+      |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN []
+      |  ELSE list_distinct(list_transform(range(1, len(ws)-1),
+      |         i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) END AS s FROM w),
+      |e AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n FROM sh),
+      |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common,
+      |    any_value(a.n) AS na, any_value(b.n) AS nb
+      |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id, common, na, nb,
+      |  CAST(common AS DOUBLE)/(na+nb-common) AS jaccard
+      |FROM p WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.8
+      |ORDER BY a_id, b_id""".stripMargin
 
   /** DuckDB-equivalent SQL for each oracle-able query (same column names,
     * same ordering, DECIMAL-exact aggregates cast to DOUBLE). */
@@ -184,6 +206,36 @@ object SparkEntry {
         |      FROM d GROUP BY content_hash)
         |SELECT doc_id, content_hash, canonical_id, cluster_size
         |FROM d JOIN c USING (content_hash) ORDER BY doc_id""".stripMargin,
+    "q23_dedup_ngram_jaccard" -> exactJaccardSql,
+    // oracle for the LSH path is the exact blocked Jaccard: at 32x4
+    // banding a J>=0.8 pair is missed with probability < 1e-7, so the
+    // verified LSH output must equal the exact result.
+    "q24_dedup_minhash_lsh" -> exactJaccardSql,
+    "q25_dedup_simhash" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_transform(list_filter(string_split(text,' '), x -> x <> ''),
+        |    w2 -> CAST(('0x'||substring(md5(w2),1,15)) AS BIGINT)) AS hw FROM documents),
+        |sim AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0,60), j -> CASE WHEN
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(hw, h -> 2*((h >> j) & 1) - 1)), (x,y) -> x+y) > 0
+        |      THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE CAST(0 AS BIGINT) END)),
+        |    (x,y) -> x+y) AS simhash FROM w),
+        |banded AS (SELECT doc_id, simhash, t.b AS band,
+        |  (simhash >> (CAST(t.b AS INTEGER)*15)) & 32767 AS band_key
+        |  FROM sim, range(0,4) t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.simhash AS ha, b.simhash AS hb
+        |  FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id),
+        |counts AS (SELECT a_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_band_candidates,
+        |    CAST(SUM(CASE WHEN bit_count(xor(ha,hb)) <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hamming_le3
+        |  FROM cand GROUP BY 1)
+        |SELECT s.doc_id, s.simhash,
+        |  COALESCE(c.n_band_candidates, 0) AS n_band_candidates,
+        |  COALESCE(c.n_hamming_le3, 0) AS n_hamming_le3
+        |FROM sim s LEFT JOIN counts c USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q26_dedup_embedding" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
         |n AS (SELECT vec_id, e,
@@ -217,6 +269,7 @@ object SparkEntry {
         |  FROM p)
         |SELECT query_id, neighbor_id, rank, ROUND(sim, 9) AS sim_r
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q28_ann_lsh_topk" -> Similarity.lshTopKOracleSql,
     "q29_knn_join" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
         |n AS (SELECT vec_id, e,

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorOps.arraySum
+
+/** Approximate / sub-quadratic deduplication for text corpora: n-gram
+  * Jaccard with shingle blocking, MinHash+LSH banding, and SimHash with
+  * Hamming-band rotation (the scale paths the reference's single-node
+  * Qdrant scan cannot take; reference analog deduplicate_from_qdrant.py).
+  *
+  * Scale notes:
+  *  - shingle blocking turns all-pairs Jaccard into "pairs sharing ≥1
+  *    shingle" — one explode + one equi-join shuffle on the shingle.
+  *    At 100 TB add a document-frequency cap on hot shingles before the
+  *    join (drops no true near-dup pairs if the cap >> doc length).
+  *  - MinHash/LSH replaces the shingle join with a 32×(4-row band) bucket
+  *    join: candidates only, then exact-Jaccard verification. With these
+  *    parameters a J≥0.8 pair is missed with probability < 1e-7, so the
+  *    verified output equals exact blocking in practice.
+  *  - SimHash bands are exact by pigeonhole: Hamming ≤ 3 over 4 bands
+  *    forces ≥1 identical band, so banding loses nothing.
+  *  - All hashes derive from md5 (engine-portable); the 128 MinHash
+  *    permutations use constants from a fixed seed so any engine can
+  *    reproduce the signature bit-for-bit.
+  */
+object ApproxDedup {
+
+  val P: Long = 2147483647L // 2^31-1, modulus for shingle/permutation hashing
+  val NumPerms = 128
+  val Bands = 32
+  val Rows = 4 // NumPerms / Bands
+  val Tau = 0.8
+
+  /** Fixed-seed permutation constants, identical in the DuckDB oracle. */
+  val (permA, permB): (Seq[Long], Seq[Long]) = {
+    val rng = new scala.util.Random(42)
+    val a = Seq.fill(NumPerms)(1L + rng.nextInt((P - 1).toInt).toLong)
+    val b = Seq.fill(NumPerms)(rng.nextInt(P.toInt).toLong)
+    (a, b)
+  }
+
+  /** doc_id + distinct word-3-gram shingle set (empty if < 3 words). */
+  def shingleSets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), filter(split(col("text"), " "), w => w =!= "").as("ws"))
+      .select(col("doc_id"),
+        when(size(col("ws")) < 3, array().cast("array<string>"))
+          .otherwise(array_distinct(transform(
+            sequence(lit(0), size(col("ws")) - 3),
+            i => concat_ws(" ",
+              element_at(col("ws"), i + 1),
+              element_at(col("ws"), i + 2),
+              element_at(col("ws"), i + 3)))))
+          .as("shingles"))
+
+  /** Exact Jaccard over blocked candidate pairs: every pair sharing ≥1
+    * shingle, with common counted by the equi-join — pairs sharing none
+    * have J=0 and can't pass any positive τ. Jaccard is a ratio of exact
+    * integer counts: no float divergence across engines. */
+  private def jaccardPairs(sh: DataFrame, tau: Double): DataFrame = {
+    val sized = sh.select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
+    val e = sized.select(col("doc_id"), explode(col("shingles")).as("shingle"), col("n"))
+    val a = e.select(col("doc_id").as("a_id"), col("shingle"), col("n").as("na"))
+    val b = e.select(col("doc_id").as("b_id"), col("shingle"), col("n").as("nb"))
+    a.join(b, Seq("shingle")).filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("common"),
+        first(col("na")).cast("long").as("na"), first(col("nb")).cast("long").as("nb"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** q23: blocked exact 3-gram Jaccard pairs, J ≥ 0.8. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(shingleSets(s, dir), Tau)
+      .select("a_id", "b_id", "common", "na", "nb", "jaccard")
+      .orderBy("a_id", "b_id")
+
+  /** 60-bit md5-derived hash reduced mod P. */
+  private def hMod(c: Column): Column = TextAnalysis.md5Long(c) % P
+
+  /** 128-value MinHash signature column from a shingle-set column. */
+  def signature(shingles: Column): Column = {
+    val aArr = array(permA.map(lit): _*)
+    val bArr = array(permB.map(lit): _*)
+    val hs = transform(shingles, s => hMod(s))
+    transform(sequence(lit(0), lit(NumPerms - 1)), i =>
+      aggregate(hs, lit(P),
+        (acc, x) => least(acc, (element_at(aArr, i + 1) * x + element_at(bArr, i + 1)) % P)))
+  }
+
+  /** q24: MinHash + LSH banding → candidate pairs → exact-Jaccard
+    * verification at J ≥ 0.8. Output shape matches q23: at these banding
+    * parameters LSH recall at the threshold is ~1, which the oracle
+    * (exact blocked Jaccard) checks. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(s, dir).filter(size(col("shingles")) > 0)
+    val sig = sh.select(col("doc_id"), col("shingles"), signature(col("shingles")).as("sig"))
+    val banded = sig.select(col("doc_id"), col("shingles"),
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+          b => concat_ws(",", slice(col("sig"), b * Rows + 1, lit(Rows)).cast("array<string>")))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val a = banded.select(col("doc_id").as("a_id"), col("shingles").as("sa"),
+      col("band"), col("band_key"))
+    val b = banded.select(col("doc_id").as("b_id"), col("shingles").as("sb"),
+      col("band"), col("band_key"))
+    val cand = a.join(b, Seq("band", "band_key")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "sa", "sb").dropDuplicates("a_id", "b_id")
+    cand
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("na", size(col("sa"))).withColumn("nb", size(col("sb")))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= Tau)
+      .select(col("a_id"), col("b_id"), col("common"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"), col("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** q25: 60-bit SimHash per document + band-rotation candidate/Hamming≤3
+    * neighbor counts. Expression-built (SQL strings) because the bit
+    * shifts take column-valued shift amounts. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        "transform(filter(split(text, ' '), w -> w != ''), " +
+          "w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)) as hw")
+    val sim = docs.selectExpr("doc_id",
+      s"""aggregate(sequence(0, 59), cast(0 as bigint), (acc, j) ->
+         |  acc + CASE WHEN aggregate(hw, cast(0 as bigint),
+         |      (a2, h) -> a2 + 2 * (shiftright(h, j) & 1) - 1) > 0
+         |    THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END
+         |) as simhash""".stripMargin)
+    val banded = sim.selectExpr("doc_id", "simhash",
+        "posexplode(transform(sequence(0, 3), b -> shiftright(simhash, b * 15) & 32767))")
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val a = banded.select(col("doc_id").as("a_id"), col("simhash").as("ha"),
+      col("band"), col("band_key"))
+    val b = banded.select(col("doc_id").as("b_id"), col("simhash").as("hb"),
+      col("band"), col("band_key"))
+    val cand = a.join(b, Seq("band", "band_key")).filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id", "ha", "hb").dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+    val counts = cand.groupBy(col("a_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_band_candidates"),
+        sum(when(col("hamming") <= 3, 1L).otherwise(0L)).as("n_hamming_le3"))
+    sim.select("doc_id", "simhash")
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"),
+        coalesce(col("n_band_candidates"), lit(0L)).as("n_band_candidates"),
+        coalesce(col("n_hamming_le3"), lit(0L)).as("n_hamming_le3"))
+      .orderBy("doc_id")
+  }
+}

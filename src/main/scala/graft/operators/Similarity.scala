@@ -36,6 +36,74 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Fixed random ±1 hyperplanes for sign-LSH over 64-dim embeddings.
+    * 4 bits → 16 buckets: sized for the test corpus (~31 candidates per
+    * bucket at n=500); at 100 TB you raise bits so buckets stay bounded
+    * and add multiprobe for recall. Seeded so any engine reproduces the
+    * same buckets. */
+  val LshBits = 4
+  val Dim = 64
+  val hyperplanes: Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(7)
+    Seq.fill(LshBits)(Seq.fill(Dim)(if (rng.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Sign-LSH bucket id of an array<double> column. */
+  def lshBucket(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    hyperplanes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(arraySum(zip_with(e, planeLit, (x, y) => x * y)) > 0.0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** q28: LSH-bucketed top-k — same query set/ranking as q27 but only
+    * scoring candidates in the query's bucket. */
+  def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    val v = Dedup.normalized(s, dir).withColumn("bucket", lshBucket(col("e")))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"),
+        col("bucket"))
+    val c = v.select(col("vec_id").as("neighbor_id"), col("e").as("ec"), col("nrm").as("nc"),
+      col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(q).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePre(col("eq"), col("ec"), col("nq"), col("nc")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 9).as("sim_r"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB oracle for q28, generated from the same hyperplane constants
+    * so bucket assignment is reproduced exactly. */
+  def lshTopKOracleSql: String = {
+    val bucketExpr = hyperplanes.zipWithIndex.map { case (p, i) =>
+      val lst = p.mkString("[", ",", "]")
+      s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, 65), d -> e[d] * ($lst)[d])), (x,y) -> x+y) > 0
+         |  THEN ${1L << i} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |n AS (SELECT vec_id, e,
+       |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm,
+       |  $bucketExpr AS bucket FROM v),
+       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len(q.e)+1), i -> q.e[i]*c.e[i])), (x,y) -> x+y)
+       |   / (q.nrm * c.nrm) AS sim
+       |  FROM n q JOIN n c ON q.bucket = c.bucket
+       |   AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM p)
+       |SELECT query_id, neighbor_id, rank, ROUND(sim, 9) AS sim_r
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** q29: exact k-NN self-join, k=3 — every vector gets its 3 nearest
     * neighbors (recommendation precompute shape). */
   def knnJoin(s: SparkSession, dir: String): DataFrame = {

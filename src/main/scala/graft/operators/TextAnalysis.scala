@@ -34,7 +34,7 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"))
 
   private def profileScore(ws: Column, profile: Seq[String]): Column =
-    size(filter(ws, w => array_contains(array(profile.map(lit): _*), w)))
+    size(filter(ws, w => array_contains(array(profile.map(lit): _*), w))).cast("long")
 
   /** q30: n-gram/function-word language ID — per-language stopword hit
     * counts + deterministic argmax (profile order breaks ties). */
@@ -83,9 +83,9 @@ object TextAnalysis {
   def tokenCount(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
         col("doc_id"),
-        size(words(col("text"))).as("n_ws_tokens"),
-        size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n_re_tokens"),
-        length(col("text")).as("n_chars_text"))
+        size(words(col("text"))).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("n_re_tokens"),
+        length(col("text")).cast("long").as("n_chars_text"))
       .orderBy("doc_id")
 
   /** q33: order-sensitive document fingerprint — polynomial rolling hash
