@@ -31,6 +31,9 @@ object SparkEntry {
     "q16_curated_join"             -> (CuratedJoin.curatedJoin _),
     "q17_canonical_remap"          -> (CuratedJoin.canonicalRemap _),
     "q18_serving_export"           -> (Serving.servingExport _),
+    "q19_tumbling_window_agg"      -> (graft.streaming.Streams.q19 _),
+    "q20_sessionization"           -> (graft.streaming.Streams.q20 _),
+    "q21_stream_dedup"             -> (graft.streaming.Streams.q21 _),
     "q22_dedup_exact"              -> (Dedup.exact _),
     "q23_dedup_ngram_jaccard"      -> (ApproxDedup.ngramJaccard _),
     "q24_dedup_minhash_lsh"        -> (ApproxDedup.minhashLsh _),
@@ -200,6 +203,30 @@ object SparkEntry {
         | CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value,
         | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "q19_tumbling_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q20_sessionization" ->
+      """WITH x AS (SELECT user_id, ts, event_id, value,
+        |  epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (SELECT user_id, ts, value,
+        |  SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM x)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        | MIN(ts) AS session_start, MAX(ts) AS session_end,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value
+        |FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q21_stream_dedup" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+        |      FROM (SELECT * FROM events UNION ALL SELECT * FROM events))
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q22_dedup_exact" ->
       """WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS content_hash FROM documents),
         |c AS (SELECT content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS cluster_size

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables
+
+/** Streaming operators (reference analog: the Kafka→raw/cleansed
+  * Structured Streaming jobs, metadata_eu_to_raw.py:53-112 and
+  * ugc_raw_to_cleansed.py:51-84).
+  *
+  * Each operator has ONE transform that works on both a batch DataFrame
+  * (used by the oracle-checked qNN queries) and a readStream DataFrame
+  * (watermark applied only when streaming), so the tested logic is the
+  * logic a production stream runs.
+  *
+  * Scale notes: windowed aggs and dropDuplicates shuffle on
+  * (window/key) — state store size is bounded by the watermark horizon;
+  * sessionization uses flatMapGroupsWithState, whose state is one open
+  * session per key, with event-time timeout eviction.
+  */
+object Streams {
+
+  /** Tumbling event-time window aggregate (q19). Watermark only applies
+    * to streaming inputs — on batch it would be a plan-invalid no-op. */
+  def tumblingAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    in.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,4)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** Replay-safe dedup (q21): drop duplicate event_ids (within the
+    * watermark horizon when streaming — Kafka redelivery shape). */
+  def dedupReplays(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    in.dropDuplicates("event_id")
+  }
+
+  /** Gap-based sessionization, batch analog (q20): lag + cumulative
+    * new-session flags, then one aggregate per (user, session). Integer
+    * microsecond arithmetic, so the gap compare is engine-exact. */
+  def sessionizeBatch(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapSeconds * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(order))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,4)")).cast("double").as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization for streams: one open session of state per
+    * user, closed + emitted when an event arrives past the gap or the
+    * event-time timeout fires. */
+  def sessionizeStream(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+    events.withWatermark("ts", "1 hour")
+      .selectExpr("event_id", "ts", "user_id", "value").as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          def toSession(st: SessionState): Session = Session(userId,
+            new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.end),
+            st.n, st.total)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(toSession).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.end <= gapMs =>
+                  cur = Some(SessionState(st.start, math.max(st.end, t), st.n + 1, st.total + e.value))
+                case Some(st) =>
+                  closed ::= toSession(st)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.end + gapMs)
+            }
+            closed.reverse.iterator
+          }
+      }.toDF()
+  }
+
+  // ---- oracle-checked batch entries ----
+
+  /** q19: tumbling hourly aggregate over the events table. */
+  def q19(s: SparkSession, dir: String): DataFrame =
+    tumblingAgg(Tables.events(s, dir))
+      .orderBy("window_start", "event_type")
+
+  /** q20: batch sessionization with a 30-minute gap. */
+  def q20(s: SparkSession, dir: String): DataFrame =
+    sessionizeBatch(Tables.events(s, dir))
+
+  /** q21: replay dedup — events unioned with themselves (simulated Kafka
+    * redelivery), then deduped back to the original stream. */
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    dedupReplays(e.unionByName(e))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+case class E(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+  private def tsAt(hour: Int, minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
+
+  test("tumblingAgg over a stream: per-hour per-type counts with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[E]
+    val q = Streams.tumblingAgg(src.toDF())
+      .writeStream.format("memory").queryName("tumbling").outputMode("complete").start()
+    try {
+      src.addData(
+        E(1, tsAt(10, 5), 1, "click", 1.0), E(2, tsAt(10, 20), 1, "click", 2.0),
+        E(3, tsAt(10, 40), 2, "view", 3.0), E(4, tsAt(11, 5), 1, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString, r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+      assert(rows === Set(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 10:00:00.0", "view", 1L, 3.0),
+        ("2024-01-01 11:00:00.0", "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("dedupReplays over a stream drops redelivered event_ids") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[E]
+    val q = Streams.dedupReplays(src.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      src.addData(E(1, ts(0), 1, "click", 1.0), E(2, ts(1), 1, "view", 2.0))
+      q.processAllAvailable()
+      src.addData(E(1, ts(0), 1, "click", 1.0), E(3, ts(2), 2, "click", 3.0)) // replay of 1
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("sessionizeStream closes a session when the gap passes (event-time)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[E]
+    val q = Streams.sessionizeStream(src.toDF(), gapSeconds = 600)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then an event 40 min
+      // later -> closes the first session on arrival
+      src.addData(E(1, ts(0), 1, "a", 1.0), E(2, ts(5), 1, "a", 2.0))
+      q.processAllAvailable()
+      src.addData(E(3, ts(45), 1, "a", 3.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start").toString,
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      assert(out.toSeq === Seq((1L, "2024-01-01 10:00:00.0", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("batch sessionization matches hand-computed sessions") {
+    import spark.implicits._
+    val e = Seq(
+      E(1, ts(0), 7, "a", 1.0), E(2, ts(10), 7, "a", 2.0), // session 1 (gap 30m)
+      E(3, ts(55), 7, "a", 3.0),                            // session 2
+      E(4, ts(5), 8, "b", 4.0)                              // other user
+    ).toDF()
+    val out = Streams.sessionizeBatch(e).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+    assert(out.toSeq === Seq((7L, 1L, 2L, 3.0), (7L, 2L, 1L, 3.0), (8L, 1L, 1L, 4.0)))
+  }
+}
