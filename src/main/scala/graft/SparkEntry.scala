@@ -47,6 +47,10 @@ object SparkEntry {
     "q32_token_count"              -> (TextAnalysis.tokenCount _),
     "q33_fingerprint"              -> (TextAnalysis.fingerprint _),
     "q34_text_preprocess"          -> (TextAnalysis.preprocess _),
+    "q35_multimodal_meta"          -> (Multimodal.multimodalMeta _),
+    // q36 is rows-only checked: the batched featurizer stub is not
+    // SQL-expressible (see SURVEY.md §2g)
+    "q36_image_featurize_stub"     -> (Multimodal.imageFeaturize _),
   )
 
   /** Exact blocked 3-gram Jaccard pairs at τ=0.8 — oracle for both q23
@@ -359,6 +363,14 @@ object SparkEntry {
     "q34_text_preprocess" ->
       """SELECT doc_id,
         | lower(trim(substring(concat_ws(' ', COALESCE(source,''), COALESCE(lang,''), text), 1, 150))) AS clip_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q35_multimodal_meta" ->
+      """SELECT doc_id, encode(text) AS payload,
+        | CAST(strlen(text) AS BIGINT) AS n_bytes,
+        | md5(text) AS content_hash,
+        | 'image/png' AS mime,
+        | CAST(('0x' || substring(md5(text),1,15)) AS BIGINT) % 1920 + 1 AS width,
+        | (CAST(('0x' || substring(md5(text),1,15)) AS BIGINT) >> 8) % 1080 + 1 AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

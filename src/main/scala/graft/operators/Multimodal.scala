@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column plumbing (reference analog: the CLIP image branch's
+  * fetch/decode/normalize pipeline, extracting_embeddings.py:154-183).
+  * Media lives in opaque `binary` columns with typed metadata alongside;
+  * no image/audio codecs exist in this environment, so the decode step is
+  * a clearly-marked deterministic STUB — everything around it (schema,
+  * batching, partition-parallel execution) is the real shape a featurizer
+  * runs in.
+  *
+  * Scale notes: q35 is a narrow projection (codegen'd). q36 is
+  * mapPartitions with an internal micro-batch loop — the exact execution
+  * shape of a GPU/ONNX batch featurizer (one model invocation per batch,
+  * not per row); output is per-row deterministic, so results don't depend
+  * on partitioning.
+  */
+object Multimodal {
+
+  /** q35: binary payload + typed metadata — byte length, content hash,
+    * and stub-decoded dimensions derived from the hash (deterministic,
+    * engine-portable). */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val h = TextAnalysis.md5Long(col("text"))
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        md5(col("text")).as("content_hash"),
+        lit("image/png").as("mime"),
+        (h % 1920L + 1L).as("width"),
+        (shiftright(h, 8) % 1080L + 1L).as("height"))
+      .orderBy("doc_id")
+  }
+
+  val FeatureDim = 6
+  val BatchSize = 32
+
+  /** STUB decode+featurize for one media payload. Stands in for a real
+    * image decode + model forward pass; deterministic per payload so the
+    * operator is testable. Replace with a real codec/model at the marked
+    * line when the runtime has one. */
+  def featurizeStub(bytes: Array[Byte]): Array[Double] = {
+    // ??? <- real impl: decode(bytes) -> tensor -> model.forward(batch)
+    if (bytes.isEmpty) Array.fill(FeatureDim)(0.0)
+    else {
+      val u = bytes.map(b => (b & 0xff).toDouble)
+      val mean = u.sum / u.length
+      val variance = u.map(x => (x - mean) * (x - mean)).sum / u.length
+      Array(u.length.toDouble, mean, variance, u.min, u.max,
+        u.foldLeft(0L)((acc, x) => (acc * 31 + x.toLong) % 1000000007L).toDouble)
+    }
+  }
+
+  /** q36: partition-parallel batched featurization over binary payloads.
+    * Batches of [[BatchSize]] rows are featurized together (the GPU
+    * shape); per-row output is independent of batch/partition layout. */
+  def imageFeaturize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.grouped(BatchSize).flatMap { batch =>
+          // one "model call" per micro-batch
+          batch.map { case (id, bytes) =>
+            (id, bytes.length.toLong, featurizeStub(bytes).toSeq)
+          }
+        }
+      }
+      .toDF("doc_id", "n_bytes", "features")
+      .orderBy("doc_id")
+  }
+}
