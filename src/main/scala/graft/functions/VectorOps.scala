@@ -24,8 +24,18 @@ object VectorOps {
   def arraySum(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two array<double> columns — a native codegen
+    * Catalyst expression (see [[DotProductDouble]]); the HOF variant
+    * [[dotHof]] is kept as the reference semantics. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, DotProductDouble}
+    ColumnBridge.column(DotProductDouble(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Interpreted higher-order-function dot product (same fold order as
+    * [[dot]]); used to cross-check the native expression in specs. */
+  def dotHof(a: Column, b: Column): Column =
     arraySum(zip_with(a, b, (x, y) => x * y))
 
   /** L2 norm. */

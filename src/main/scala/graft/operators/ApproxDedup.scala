@@ -41,8 +41,19 @@ object ApproxDedup {
     (a, b)
   }
 
-  /** doc_id + distinct word-3-gram shingle set (empty if < 3 words). */
-  def shingleSets(s: SparkSession, dir: String): DataFrame =
+  /** doc_id + distinct word-3-gram shingle set (empty if < 3 words) —
+    * native kernel (see [[org.apache.spark.sql.graftbridge.WordShingles]]);
+    * [[shingleSetsHof]] keeps the HOF reference semantics for specs. */
+  def shingleSets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, WordShingles}
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        ColumnBridge.column(WordShingles(ColumnBridge.expression(col("text")), 3))
+          .as("shingles"))
+  }
+
+  /** Interpreted HOF formulation of [[shingleSets]]. */
+  def shingleSetsHof(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), filter(split(col("text"), " "), w => w =!= "").as("ws"))
       .select(col("doc_id"),
@@ -64,7 +75,12 @@ object ApproxDedup {
     val e = sized.select(col("doc_id"), explode(col("shingles")).as("shingle"), col("n"))
     val a = e.select(col("doc_id").as("a_id"), col("shingle"), col("n").as("na"))
     val b = e.select(col("doc_id").as("b_id"), col("shingle"), col("n").as("nb"))
-    a.join(b, Seq("shingle")).filter(col("a_id") < col("b_id"))
+    // length-ratio prefilter: J = |∩|/|∪| <= min(na,nb)/max(na,nb), so a
+    // pair can only reach τ when sizes are within a 1/τ factor — pruning
+    // inside the join cuts the pair explosion before the aggregate without
+    // changing the result set.
+    a.join(b, Seq("shingle")).filter(col("a_id") < col("b_id")
+        && col("na") >= col("nb") * tau && col("nb") >= col("na") * tau)
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("common"),
         first(col("na")).cast("long").as("na"), first(col("nb")).cast("long").as("nb"))
@@ -73,8 +89,50 @@ object ApproxDedup {
       .filter(col("jaccard") >= tau)
   }
 
-  /** q23: blocked exact 3-gram Jaccard pairs, J ≥ 0.8. */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+  /** q23: exact 3-gram Jaccard pairs at J ≥ 0.8 via prefix filtering.
+    *
+    * Classic all-pairs similarity pruning: order shingles globally by
+    * document frequency (rarest first); a doc's prefix is its first
+    * |A| - ⌈τ|A|⌉ + 1 shingles in that order. Any pair with J ≥ τ has
+    * overlap ≥ ⌈τ·max(|A|,|B|)⌉, which forces the two prefixes to share
+    * a shingle — so joining on prefix shingles only finds every
+    * qualifying pair while shrinking the exploded join by ~(1-τ)².
+    * Candidates are then verified with the exact intersection count.
+    * Same output as the naive shingle-block join ([[jaccardPairs]]),
+    * which the spec cross-checks. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sized = shingleSets(s, dir).filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("n"))
+    val e = sized.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val df = e.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ordered = e.join(df, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("by_rarity"))
+      .select(col("doc_id"),
+        transform(
+          slice(col("by_rarity"), lit(1),
+            (size(col("by_rarity")) - ceil(size(col("by_rarity")) * Tau) + 1).cast("int")),
+          x => x.getField("shingle")).as("prefix"))
+    val pe = ordered.select(col("doc_id"), explode(col("prefix")).as("shingle"))
+    val cand = pe.select(col("doc_id").as("a_id"), col("shingle"))
+      .join(pe.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    cand
+      .join(sized.select(col("doc_id").as("a_id"), col("shingles").as("sa"), col("n").as("na")), Seq("a_id"))
+      .join(sized.select(col("doc_id").as("b_id"), col("shingles").as("sb"), col("n").as("nb")), Seq("b_id"))
+      .filter(col("na") >= col("nb") * Tau && col("nb") >= col("na") * Tau)
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= Tau)
+      .select("a_id", "b_id", "common", "na", "nb", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Naive blocked exact Jaccard (explode + full shingle equi-join) —
+    * reference semantics for [[ngramJaccard]], used by specs. */
+  def ngramJaccardNaive(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(shingleSets(s, dir), Tau)
       .select("a_id", "b_id", "common", "na", "nb", "jaccard")
       .orderBy("a_id", "b_id")
@@ -82,14 +140,27 @@ object ApproxDedup {
   /** 60-bit md5-derived hash reduced mod P. */
   private def hMod(c: Column): Column = TextAnalysis.md5Long(c) % P
 
-  /** 128-value MinHash signature column from a shingle-set column. */
+  /** 128-value MinHash signature column from a shingle-set column —
+    * native codegen expression over the per-shingle md5 hashes (see
+    * [[org.apache.spark.sql.graftbridge.MinHashSignature]]). The md5 of
+    * each shingle is computed exactly once. */
   def signature(shingles: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, MinHashSignature}
+    val hs = transform(shingles, s => hMod(s))
+    ColumnBridge.column(
+      MinHashSignature(ColumnBridge.expression(hs), permA, permB, P))
+  }
+
+  /** Interpreted HOF formulation of [[signature]] (one fold, elementwise
+    * min inner transform); kept as the reference semantics for specs. */
+  def signatureHof(shingles: Column): Column = {
     val aArr = array(permA.map(lit): _*)
     val bArr = array(permB.map(lit): _*)
     val hs = transform(shingles, s => hMod(s))
-    transform(sequence(lit(0), lit(NumPerms - 1)), i =>
-      aggregate(hs, lit(P),
-        (acc, x) => least(acc, (element_at(aArr, i + 1) * x + element_at(bArr, i + 1)) % P)))
+    aggregate(hs, array_repeat(lit(P), NumPerms),
+      (acc, x) => transform(sequence(lit(0), lit(NumPerms - 1)),
+        i => least(element_at(acc, i + 1),
+          (element_at(aArr, i + 1) * x + element_at(bArr, i + 1)) % P)))
   }
 
   /** q24: MinHash + LSH banding → candidate pairs → exact-Jaccard
@@ -98,18 +169,25 @@ object ApproxDedup {
     * (exact blocked Jaccard) checks. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleSets(s, dir).filter(size(col("shingles")) > 0)
-    val sig = sh.select(col("doc_id"), col("shingles"), signature(col("shingles")).as("sig"))
-    val banded = sig.select(col("doc_id"), col("shingles"),
+    // The repartition is a materialization barrier: without it
+    // CollapseProject inlines the signature fold into the 32-band
+    // projection below and the interpreted fold runs 32× per row. The
+    // band join needs a shuffle anyway, so this costs nothing extra.
+    val sig = sh.select(col("doc_id"), signature(col("shingles")).as("sig"))
+      .repartition(col("doc_id"))
+    // slim band rows: (doc_id, band, key) only — the shingle arrays stay
+    // out of the 32× exploded shuffle and are re-joined after pair dedup
+    val banded = sig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)),
           b => concat_ws(",", slice(col("sig"), b * Rows + 1, lit(Rows)).cast("array<string>")))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val a = banded.select(col("doc_id").as("a_id"), col("shingles").as("sa"),
-      col("band"), col("band_key"))
-    val b = banded.select(col("doc_id").as("b_id"), col("shingles").as("sb"),
-      col("band"), col("band_key"))
+    val a = banded.select(col("doc_id").as("a_id"), col("band"), col("band_key"))
+    val b = banded.select(col("doc_id").as("b_id"), col("band"), col("band_key"))
     val cand = a.join(b, Seq("band", "band_key")).filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "sa", "sb").dropDuplicates("a_id", "b_id")
+      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
     cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), Seq("b_id"))
       .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("na", size(col("sa"))).withColumn("nb", size(col("sb")))
       .withColumn("jaccard",

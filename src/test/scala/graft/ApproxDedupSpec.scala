@@ -13,6 +13,21 @@ class ApproxDedupSpec extends SparkTestBase {
     assert(out.forall(r => r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
   }
 
+  test("native WordShingles matches the interpreted HOF shingling exactly") {
+    val native = ApproxDedup.shingleSets(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val hof = ApproxDedup.shingleSetsHof(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(native === hof)
+    assert(native.values.exists(_.nonEmpty))
+  }
+
+  test("prefix-filtered q23 equals the naive blocked join exactly") {
+    val fast = ApproxDedup.ngramJaccard(spark, sfDir).collect().map(_.toString).toSeq
+    val naive = ApproxDedup.ngramJaccardNaive(spark, sfDir).collect().map(_.toString).toSeq
+    assert(fast === naive)
+  }
+
   test("q24 MinHash+LSH recovers exactly the exact-Jaccard pairs (full recall here)") {
     val exact = ApproxDedup.ngramJaccard(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
@@ -36,6 +51,17 @@ class ApproxDedupSpec extends SparkTestBase {
     assert(sigs(1L) === sigs(2L))
     assert(sigs(1L) !== sigs(3L))
     assert(sigs(1L).length === ApproxDedup.NumPerms)
+  }
+
+  test("native minhash signature matches the interpreted HOF fold exactly") {
+    val sh = ApproxDedup.shingleSets(spark, sfDir)
+      .filter(size(col("shingles")) > 0).limit(50)
+    val both = sh.select(
+        ApproxDedup.signature(col("shingles")).as("native"),
+        ApproxDedup.signatureHof(col("shingles")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
   test("q25 simhash: near-dup docs land within Hamming 3") {

@@ -69,6 +69,23 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("native dot product expression matches the interpreted HOF fold bit-for-bit") {
+    val v = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("e"))
+      .limit(50)
+    val a = v.select(col("vec_id").as("ai"), col("e").as("ea"))
+    val b = v.select(col("vec_id").as("bi"), col("e").as("eb"))
+    val both = a.crossJoin(b)
+      .select(VectorOps.dot(col("ea"), col("eb")).as("native"),
+        VectorOps.dotHof(col("ea"), col("eb")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("q29 knn join: exactly 3 neighbors per source vector") {
     val out = Similarity.knnJoin(spark, sfDir).collect()
     val n = Tables.embeddings(spark, sfDir).count()
