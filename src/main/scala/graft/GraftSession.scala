@@ -19,6 +19,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // expose graft's native expressions (dot_product_double,
+      // word_shingles, minhash_signature) to SQL
+      .config("spark.sql.extensions", "org.apache.spark.sql.graftbridge.GraftExtensions")
       // test events.parquet carries TIMESTAMP(NANOS); see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

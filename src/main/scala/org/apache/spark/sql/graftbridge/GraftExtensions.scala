@@ -1,0 +1,53 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions installer exposing graft's native expressions
+  * to SQL. Activate with
+  * `.config("spark.sql.extensions", "org.apache.spark.sql.graftbridge.GraftExtensions")`
+  * (GraftSession does) — after which plain SQL can call:
+  *
+  *   dot_product_double(arr_a, arr_b)
+  *   minhash_signature(hash_arr, num_perms, seed, p)
+  *   word_shingles(text, k)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_product_double"),
+      info("dot_product_double", "dot_product_double(a, b) - left-to-right dot product of two array<double>"),
+      (args: Seq[Expression]) => DotProductDouble(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, k) - distinct space-joined word k-grams"),
+      (args: Seq[Expression]) => WordShingles(args(0), longLit(args(1), "k").toInt)))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(hashes, numPerms, seed, p) - MinHash signature from array<long> element hashes"),
+      (args: Seq[Expression]) => {
+        val numPerms = longLit(args(1), "numPerms").toInt
+        val seed = longLit(args(2), "seed")
+        val p = longLit(args(3), "p")
+        val rng = new scala.util.Random(seed)
+        val a = Seq.fill(numPerms)(1L + rng.nextInt((p - 1).toInt).toLong)
+        val b = Seq.fill(numPerms)(rng.nextInt(p.toInt).toLong)
+        MinHashSignature(args(0), a, b, p)
+      }))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Ingest
+
+class IngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val payloadSchema = StructType(Seq(
+    StructField("guid", StringType),
+    StructField("title", StringType),
+    StructField("n", LongType)))
+
+  test("parseJsonEnvelope: typed columns + ingestion metadata + malformed flag") {
+    val raw = Seq(
+      ("k1", """{"guid":"g1","title":"t1","n":5}""", Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("k2", """not json at all""", Timestamp.valueOf("2024-01-01 00:01:00")),
+      ("k3", null.asInstanceOf[String], Timestamp.valueOf("2024-01-01 00:02:00"))
+    ).toDF("key", "value", "timestamp")
+    val out = Ingest.parseJsonEnvelope(raw, payloadSchema).collect()
+      .map(r => (r.getAs[String]("key"), Option(r.getAs[String]("guid")),
+        Option(r.getAs[Any]("n")), r.getAs[Boolean]("is_malformed"))).toSeq
+    assert(out === Seq(
+      ("k1", Some("g1"), Some(5L), false),
+      ("k2", None, None, true),
+      ("k3", None, None, false)))
+  }
+
+  test("sql extension functions are callable from plain SQL") {
+    val dot = spark.sql(
+      "SELECT dot_product_double(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(dot === 11.0)
+    val sh = spark.sql("SELECT word_shingles('a b c d', 3) AS s")
+      .collect()(0).getSeq[String](0)
+    assert(sh === Seq("a b c", "b c d"))
+    val sig = spark.sql("SELECT minhash_signature(array(42L, 7L), 8, 42, 2147483647) AS m")
+      .collect()(0).getSeq[Long](0)
+    assert(sig.length === 8)
+    assert(sig.forall(v => v >= 0 && v < 2147483647L))
+  }
+}
