@@ -37,16 +37,33 @@ object Dedup {
   }
 
   /** All vecs with embedding cast to double + precomputed norm. */
-  private[operators] def normalized(s: SparkSession, dir: String): DataFrame =
+  def normalized(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("nrm", norm(col("e")))
 
   /** ≥τ cosine pairs (a_id < b_id). */
-  private[operators] def nearDupPairs(s: SparkSession, dir: String, tau: Double): DataFrame = {
+  def nearDupPairs(s: SparkSession, dir: String, tau: Double): DataFrame = {
     val a = normalized(s, dir).select(col("vec_id").as("a_id"), col("e").as("ea"), col("nrm").as("na"))
     val b = normalized(s, dir).select(col("vec_id").as("b_id"), col("e").as("eb"), col("nrm").as("nb"))
     a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cosinePre(col("ea"), col("eb"), col("na"), col("nb")).as("sim"))
+      .filter(col("sim") >= tau)
+  }
+
+  /** LSH-blocked ≥τ cosine pairs: identical scoring join but restricted
+    * to same-sign-LSH-bucket pairs — the 100 TB path (each bucket holds
+    * ~n/2^bits vectors, so pairwise work drops by ~4^bits while near-dups
+    * at τ≈0.97 almost never straddle a plane). Output ⊆ the exact pairs;
+    * the spec pins planted near-dups to survive blocking. */
+  def nearDupPairsBlocked(s: SparkSession, dir: String,
+      tau: Double, bits: Int): DataFrame = {
+    val planes = Similarity.hyperplanesFor(bits)
+    val v = normalized(s, dir).withColumn("bucket", Similarity.lshBucket(col("e"), planes))
+    val a = v.select(col("vec_id").as("a_id"), col("e").as("ea"), col("nrm").as("na"), col("bucket"))
+    val b = v.select(col("vec_id").as("b_id"), col("e").as("eb"), col("nrm").as("nb"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         cosinePre(col("ea"), col("eb"), col("na"), col("nb")).as("sim"))
       .filter(col("sim") >= tau)

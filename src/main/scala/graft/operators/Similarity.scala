@@ -43,17 +43,22 @@ object Similarity {
     * same buckets. */
   val LshBits = 4
   val Dim = 64
-  val hyperplanes: Seq[Seq[Double]] = {
-    val rng = new scala.util.Random(7)
-    Seq.fill(LshBits)(Seq.fill(Dim)(if (rng.nextBoolean()) 1.0 else -1.0))
+
+  /** Fixed-seed ±1 hyperplane stack; the first `LshBits` rows are q28's
+    * oracle constants, larger stacks extend the same stream. */
+  def hyperplanesFor(bits: Int, dim: Int = Dim, seed: Long = 7L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(bits)(Seq.fill(dim)(if (rng.nextBoolean()) 1.0 else -1.0))
   }
 
+  val hyperplanes: Seq[Seq[Double]] = hyperplanesFor(LshBits)
+
   /** Sign-LSH bucket id of an array<double> column. */
-  def lshBucket(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    hyperplanes.zipWithIndex.map { case (p, i) =>
+  def lshBucket(e: org.apache.spark.sql.Column,
+      planes: Seq[Seq[Double]] = hyperplanes): org.apache.spark.sql.Column =
+    planes.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit): _*)
-      when(arraySum(zip_with(e, planeLit, (x, y) => x * y)) > 0.0, lit(1L << i))
-        .otherwise(lit(0L))
+      when(dot(e, planeLit) > 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** q28: LSH-bucketed top-k — same query set/ranking as q27 but only
@@ -102,6 +107,47 @@ object Similarity {
        |  FROM p)
        |SELECT query_id, neighbor_id, rank, ROUND(sim, 9) AS sim_r
        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVF (inverted-file) top-k: k-means coarse quantizer over the
+    * corpus, queries probe their `nprobe` nearest cells and score only
+    * those candidates. The standard billion-scale ANN layout: at 100 TB
+    * the centroids (nlist × dim) broadcast everywhere, the corpus is
+    * partitioned by cell, and each query touches nprobe/nlist of the
+    * data. Not SQL-expressible (k-means), so spec-checked against
+    * brute-force recall rather than the DuckDB oracle. */
+  def ivfTopK(s: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 4,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = Dedup.normalized(s, dir).withColumn("features", array_to_vector(col("e")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("features")
+      .setPredictionCol("cell").fit(v)
+    val assigned = model.transform(v).select(
+      col("vec_id").as("neighbor_id"), col("e").as("ec"), col("nrm").as("nc"), col("cell"))
+    val centers = s.createDataFrame(
+      model.clusterCenters.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+      .toDF("cell", "center")
+    val q = Dedup.normalized(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"))
+    val wCell = Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("cell"))
+    val probed = q.crossJoin(broadcast(centers))
+      .withColumn("dist2",
+        col("nq") * col("nq") - lit(2.0) * dot(col("eq"), col("center"))
+          + dot(col("center"), col("center")))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nprobe)
+      .select("query_id", "eq", "nq", "cell")
+    val wSim = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    probed.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePre(col("eq"), col("ec"), col("nq"), col("nc")).as("sim"))
+      .withColumn("rank", row_number().over(wSim))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 9).as("sim_r"))
+      .orderBy("query_id", "rank")
   }
 
   /** q29: exact k-NN self-join, k=3 — every vector gets its 3 nearest

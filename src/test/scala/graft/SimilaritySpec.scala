@@ -86,6 +86,37 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("IVF top-k: full k results per query and decent recall of the exact top-1") {
+    val exact1 = Similarity.bruteForceTopK(spark, sfDir).collect()
+      .filter(_.getAs[Int]("rank") === 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val ivf = Similarity.ivfTopK(spark, sfDir).collect()
+    val byQuery = ivf.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet.size === 10)
+    // nprobe=4/16 cells: the true nearest neighbor should be found for a
+    // majority of queries on this corpus (deterministic seed)
+    val hits = byQuery.count { case (q, rs) =>
+      rs.exists(_.getAs[Long]("neighbor_id") === exact1(q)) }
+    assert(hits >= 5, s"IVF recall of exact top-1 too low: $hits/10")
+  }
+
+  test("LSH-blocked near-dup pairs keep planted dups and are a subset of exact") {
+    planted.createOrReplaceTempView("planted_for_blocked")
+    // corpus-level: blocked ⊆ exact at the same tau
+    val exact = graft.operators.Dedup.nearDupPairs(spark, sfDir, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = graft.operators.Dedup.nearDupPairsBlocked(spark, sfDir, 0.5, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(exact))
+    // planted near-identical vectors share every sign bucket
+    val v = planted.select(col("vec_id"),
+      graft.functions.VectorOps.toDouble(col("embedding")).as("e"))
+      .withColumn("bucket",
+        Similarity.lshBucket(col("e"), Similarity.hyperplanesFor(6, dim = 4)))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    assert(v(0L) === v(1L)) // cos ≈ 0.9999 pair
+  }
+
   test("q29 knn join: exactly 3 neighbors per source vector") {
     val out = Similarity.knnJoin(spark, sfDir).collect()
     val n = Tables.embeddings(spark, sfDir).count()
