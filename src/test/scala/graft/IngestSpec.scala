@@ -28,6 +28,19 @@ class IngestSpec extends SparkTestBase {
       ("k3", None, None, false)))
   }
 
+  test("writePartitionedParquet produces partition-pruned layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0)).toDF("id", "part", "v")
+    graft.sources.Sinks.writePartitionedParquet(df, dir, Seq("part"), Seq("id"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 3)
+    assert(new java.io.File(dir).list().exists(_.startsWith("part=a")))
+    // partition filter prunes to one directory
+    val plan = back.filter(col("part") === "a").queryExecution.executedPlan.toString
+    assert(back.filter(col("part") === "a").count() === 2)
+    assert(!plan.toLowerCase.contains("part=b"))
+  }
+
   test("sql extension functions are callable from plain SQL") {
     val dot = spark.sql(
       "SELECT dot_product_double(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
