@@ -18,21 +18,38 @@ import graft.functions.VectorOps._
   */
 object Similarity {
 
+  /** Bounded-heap top-k aggregate column (score desc, id asc); see
+    * [[org.apache.spark.sql.graftbridge.TopKSimId]]. */
+  private def topKAgg(sim: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, TopKSimId}
+    ColumnBridge.column(TopKSimId(
+      ColumnBridge.expression(sim), ColumnBridge.expression(id), k)
+      .toAggregateExpression())
+  }
+
+  /** (group, id, sim) scored pairs → k best per group with dense 1-based
+    * ranks. Map-side partial aggregation ships ≤ k pairs per (partition,
+    * group) into the shuffle, vs the window-rank idiom's full pair sort. */
+  private def explodeTopK(scored: DataFrame, group: String, outId: String,
+      k: Int): DataFrame =
+    scored.groupBy(col(group))
+      .agg(topKAgg(col("sim"), col("__cand_id"), k).as("tk"))
+      .select(col(group), posexplode(col("tk")))
+      .select(col(group), col("col.id").as(outId), (col("pos") + 1).as("rank"),
+        round(col("col.sim"), 9).as("sim_r"))
+
   /** q27: exact top-k cosine neighbors for a small query set (vec_id <
     * 10), k=10. Query side broadcast; rank ties broken by neighbor id. */
   def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
     val v = Dedup.normalized(s, dir)
     val q = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"))
-    val c = v.select(col("vec_id").as("neighbor_id"), col("e").as("ec"), col("nrm").as("nc"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
+    val c = v.select(col("vec_id").as("__cand_id"), col("e").as("ec"), col("nrm").as("nc"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("__cand_id"))
+      .select(col("query_id"), col("__cand_id"),
         cosinePre(col("eq"), col("ec"), col("nq"), col("nc")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 9).as("sim_r"))
+    explodeTopK(scored, "query_id", "neighbor_id", 10)
       .orderBy("query_id", "rank")
   }
 
@@ -68,17 +85,13 @@ object Similarity {
     val q = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"),
         col("bucket"))
-    val c = v.select(col("vec_id").as("neighbor_id"), col("e").as("ec"), col("nrm").as("nc"),
+    val c = v.select(col("vec_id").as("__cand_id"), col("e").as("ec"), col("nrm").as("nc"),
       col("bucket"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    broadcast(q).join(c, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
+    val scored = broadcast(q).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("__cand_id"))
+      .select(col("query_id"), col("__cand_id"),
         cosinePre(col("eq"), col("ec"), col("nq"), col("nc")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 9).as("sim_r"))
+    explodeTopK(scored, "query_id", "neighbor_id", 10)
       .orderBy("query_id", "rank")
   }
 
@@ -124,7 +137,7 @@ object Similarity {
     val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("features")
       .setPredictionCol("cell").fit(v)
     val assigned = model.transform(v).select(
-      col("vec_id").as("neighbor_id"), col("e").as("ec"), col("nrm").as("nc"), col("cell"))
+      col("vec_id").as("__cand_id"), col("e").as("ec"), col("nrm").as("nc"), col("cell"))
     val centers = s.createDataFrame(
       model.clusterCenters.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toArray) })
       .toDF("cell", "center")
@@ -138,15 +151,11 @@ object Similarity {
       .withColumn("cell_rank", row_number().over(wCell))
       .filter(col("cell_rank") <= nprobe)
       .select("query_id", "eq", "nq", "cell")
-    val wSim = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    probed.join(assigned, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
+    val scored = probed.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("__cand_id"))
+      .select(col("query_id"), col("__cand_id"),
         cosinePre(col("eq"), col("ec"), col("nq"), col("nc")).as("sim"))
-      .withColumn("rank", row_number().over(wSim))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 9).as("sim_r"))
+    explodeTopK(scored, "query_id", "neighbor_id", k)
       .orderBy("query_id", "rank")
   }
 
@@ -155,15 +164,11 @@ object Similarity {
   def knnJoin(s: SparkSession, dir: String): DataFrame = {
     val v = Dedup.normalized(s, dir)
     val a = v.select(col("vec_id").as("src_id"), col("e").as("ea"), col("nrm").as("na"))
-    val b = v.select(col("vec_id").as("nbr_id"), col("e").as("eb"), col("nrm").as("nb"))
-    val w = Window.partitionBy(col("src_id"))
-      .orderBy(col("sim").desc, col("nbr_id"))
-    a.join(b, col("src_id") =!= col("nbr_id"))
-      .select(col("src_id"), col("nbr_id"),
+    val b = v.select(col("vec_id").as("__cand_id"), col("e").as("eb"), col("nrm").as("nb"))
+    val scored = a.join(b, col("src_id") =!= col("__cand_id"))
+      .select(col("src_id"), col("__cand_id"),
         cosinePre(col("ea"), col("eb"), col("na"), col("nb")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("src_id"), col("nbr_id"), col("rank"), round(col("sim"), 9).as("sim_r"))
+    explodeTopK(scored, "src_id", "nbr_id", 3)
       .orderBy("src_id", "rank")
   }
 }
