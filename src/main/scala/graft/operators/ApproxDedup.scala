@@ -6,9 +6,12 @@ import graft.Tables
 import graft.functions.VectorOps.arraySum
 
 /** Approximate / sub-quadratic deduplication for text corpora: n-gram
-  * Jaccard with shingle blocking, MinHash+LSH banding, and SimHash with
-  * Hamming-band rotation (the scale paths the reference's single-node
-  * Qdrant scan cannot take; reference analog deduplicate_from_qdrant.py).
+  * Jaccard with prefix filtering (Chaudhuri/Ganti/Kaushik ICDE'06;
+  * Bayardo/Ma/Srikant WWW'07), MinHash+LSH banding (Broder 1997;
+  * Leskovec/Rajaraman/Ullman ch.3), and SimHash with Hamming-band
+  * rotation (Charikar STOC'02; Manku/Jain/Sarma WWW'07) — the scale
+  * paths the reference's single-node Qdrant scan cannot take (reference
+  * analog deduplicate_from_qdrant.py).
   *
   * Scale notes:
   *  - shingle blocking turns all-pairs Jaccard into "pairs sharing ≥1

@@ -110,6 +110,12 @@ object Streams {
       }.toDF()
   }
 
+  /** Stream-static enrichment: annotate a live stream with a broadcast
+    * dimension snapshot (the reference's ugc-stream × metadata join
+    * shape). Works identically on batch frames. */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   // ---- oracle-checked batch entries ----
 
   /** q19: tumbling hourly aggregate over the events table. */
