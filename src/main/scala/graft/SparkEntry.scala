@@ -51,6 +51,7 @@ object SparkEntry {
     // q36 is rows-only checked: the batched featurizer stub is not
     // SQL-expressible (see SURVEY.md §2g)
     "q36_image_featurize_stub"     -> (Multimodal.imageFeaturize _),
+    "q37_promo_revenue"            -> (Analytics.promoRevenue _),
   )
 
   /** Exact blocked 3-gram Jaccard pairs at τ=0.8 — oracle for both q23
@@ -372,5 +373,15 @@ object SparkEntry {
         | CAST(('0x' || substring(md5(text),1,15)) AS BIGINT) % 1920 + 1 AS width,
         | (CAST(('0x' || substring(md5(text),1,15)) AS BIGINT) >> 8) % 1080 + 1 AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q37_promo_revenue" ->
+      """SELECT p_type, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue,
+        | CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |   THEN CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))
+        |   ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
   )
 }

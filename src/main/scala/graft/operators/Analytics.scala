@@ -168,6 +168,24 @@ object Analytics {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** q37: promo revenue share (TPC-H Q14 shape) — lineitem ⋈ broadcast
+    * part with a string predicate inside a conditional aggregate; the
+    * only inventory query exercising the part dimension. */
+  def promoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1995-09-01")) &&
+              col("l_shipdate") <  to_timestamp(lit("1995-10-01")))
+    val p = Tables.part(s, dir)
+    val disc = dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,4)") - dec(col("l_discount")))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(disc).cast("double").as("revenue"),
+        sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast("decimal(12,4)")))
+          .cast("double").as("promo_revenue"))
+      .orderBy("p_type")
+  }
+
   /** q12: conditional (pivot-style) aggregation per entity. */
   def conditionalAgg(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
