@@ -47,9 +47,12 @@ object ApproxDedup {
   /** doc_id + distinct word-3-gram shingle set (empty if < 3 words) —
     * native kernel (see [[org.apache.spark.sql.graftbridge.WordShingles]]);
     * [[shingleSetsHof]] keeps the HOF reference semantics for specs. */
-  def shingleSets(s: SparkSession, dir: String): DataFrame = {
+  def shingleSets(s: SparkSession, dir: String): DataFrame =
+    shingleSets(Tables.documents(s, dir))
+
+  def shingleSets(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.{ColumnBridge, WordShingles}
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"),
         ColumnBridge.column(WordShingles(ColumnBridge.expression(col("text")), 3))
           .as("shingles"))
@@ -57,7 +60,10 @@ object ApproxDedup {
 
   /** Interpreted HOF formulation of [[shingleSets]]. */
   def shingleSetsHof(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    shingleSetsHof(Tables.documents(s, dir))
+
+  def shingleSetsHof(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), filter(split(col("text"), " "), w => w =!= "").as("ws"))
       .select(col("doc_id"),
         when(size(col("ws")) < 3, array().cast("array<string>"))
@@ -103,8 +109,11 @@ object ApproxDedup {
     * Candidates are then verified with the exact intersection count.
     * Same output as the naive shingle-block join ([[jaccardPairs]]),
     * which the spec cross-checks. */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sized = shingleSets(s, dir).filter(size(col("shingles")) > 0)
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccard(Tables.documents(s, dir))
+
+  def ngramJaccard(docs: DataFrame): DataFrame = {
+    val sized = shingleSets(docs).filter(size(col("shingles")) > 0)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("n"))
     val e = sized.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val df = e.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -136,7 +145,10 @@ object ApproxDedup {
   /** Naive blocked exact Jaccard (explode + full shingle equi-join) —
     * reference semantics for [[ngramJaccard]], used by specs. */
   def ngramJaccardNaive(s: SparkSession, dir: String): DataFrame =
-    jaccardPairs(shingleSets(s, dir), Tau)
+    ngramJaccardNaive(Tables.documents(s, dir))
+
+  def ngramJaccardNaive(docs: DataFrame): DataFrame =
+    jaccardPairs(shingleSets(docs), Tau)
       .select("a_id", "b_id", "common", "na", "nb", "jaccard")
       .orderBy("a_id", "b_id")
 
@@ -170,8 +182,11 @@ object ApproxDedup {
     * verification at J ≥ 0.8. Output shape matches q23: at these banding
     * parameters LSH recall at the threshold is ~1, which the oracle
     * (exact blocked Jaccard) checks. */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSets(s, dir).filter(size(col("shingles")) > 0)
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashLsh(Tables.documents(s, dir))
+
+  def minhashLsh(docs: DataFrame): DataFrame = {
+    val sh = shingleSets(docs).filter(size(col("shingles")) > 0)
     // The repartition is a materialization barrier: without it
     // CollapseProject inlines the signature fold into the 32-band
     // projection below and the interpreted fold runs 32× per row. The
@@ -204,12 +219,15 @@ object ApproxDedup {
   /** q25: 60-bit SimHash per document + band-rotation candidate/Hamming≤3
     * neighbor counts. Expression-built (SQL strings) because the bit
     * shifts take column-valued shift amounts. */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhash(Tables.documents(s, dir))
+
+  def simhash(docs: DataFrame): DataFrame = {
+    val hashed = docs
       .selectExpr("doc_id",
         "transform(filter(split(text, ' '), w -> w != ''), " +
           "w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)) as hw")
-    val sim = docs.selectExpr("doc_id",
+    val sim = hashed.selectExpr("doc_id",
       s"""aggregate(sequence(0, 59), cast(0 as bigint), (acc, j) ->
          |  acc + CASE WHEN aggregate(hw, cast(0 as bigint),
          |      (a2, h) -> a2 + 2 * (shiftright(h, j) & 1) - 1) > 0

@@ -23,9 +23,11 @@ object Multimodal {
   /** q35: binary payload + typed metadata — byte length, content hash,
     * and stub-decoded dimensions derived from the hash (deterministic,
     * engine-portable). */
-  def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame = multimodalMeta(Tables.documents(s, dir))
+
+  def multimodalMeta(docs: DataFrame): DataFrame = {
     val h = TextAnalysis.md5Long(col("text"))
-    Tables.documents(s, dir).select(
+    docs.select(
         col("doc_id"),
         col("text").cast("binary").as("payload"),
         octet_length(col("text")).cast("long").as("n_bytes"),
@@ -58,9 +60,11 @@ object Multimodal {
   /** q36: partition-parallel batched featurization over binary payloads.
     * Batches of [[BatchSize]] rows are featurized together (the GPU
     * shape); per-row output is independent of batch/partition layout. */
-  def imageFeaturize(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
+  def imageFeaturize(s: SparkSession, dir: String): DataFrame = imageFeaturize(Tables.documents(s, dir))
+
+  def imageFeaturize(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>

@@ -41,8 +41,11 @@ object Similarity {
 
   /** q27: exact top-k cosine neighbors for a small query set (vec_id <
     * 10), k=10. Query side broadcast; rank ties broken by neighbor id. */
-  def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
-    val v = Dedup.normalized(s, dir)
+  def bruteForceTopK(s: SparkSession, dir: String): DataFrame =
+    bruteForceTopK(graft.Tables.embeddings(s, dir))
+
+  def bruteForceTopK(embeddings: DataFrame): DataFrame = {
+    val v = Dedup.normalized(embeddings)
     val q = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"))
     val c = v.select(col("vec_id").as("__cand_id"), col("e").as("ec"), col("nrm").as("nc"))
@@ -80,8 +83,11 @@ object Similarity {
 
   /** q28: LSH-bucketed top-k — same query set/ranking as q27 but only
     * scoring candidates in the query's bucket. */
-  def lshTopK(s: SparkSession, dir: String): DataFrame = {
-    val v = Dedup.normalized(s, dir).withColumn("bucket", lshBucket(col("e")))
+  def lshTopK(s: SparkSession, dir: String): DataFrame =
+    lshTopK(graft.Tables.embeddings(s, dir))
+
+  def lshTopK(embeddings: DataFrame): DataFrame = {
+    val v = Dedup.normalized(embeddings).withColumn("bucket", lshBucket(col("e")))
     val q = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"),
         col("bucket"))
@@ -130,18 +136,21 @@ object Similarity {
     * data. Not SQL-expressible (k-means), so spec-checked against
     * brute-force recall rather than the DuckDB oracle. */
   def ivfTopK(s: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 4,
-      k: Int = 10): DataFrame = {
+      k: Int = 10): DataFrame =
+    ivfTopK(graft.Tables.embeddings(s, dir), nlist, nprobe, k)
+
+  def ivfTopK(embeddings: DataFrame, nlist: Int, nprobe: Int, k: Int): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val v = Dedup.normalized(s, dir).withColumn("features", array_to_vector(col("e")))
+    val v = Dedup.normalized(embeddings).withColumn("features", array_to_vector(col("e")))
     val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("features")
       .setPredictionCol("cell").fit(v)
     val assigned = model.transform(v).select(
       col("vec_id").as("__cand_id"), col("e").as("ec"), col("nrm").as("nc"), col("cell"))
-    val centers = s.createDataFrame(
+    val centers = embeddings.sparkSession.createDataFrame(
       model.clusterCenters.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toArray) })
       .toDF("cell", "center")
-    val q = Dedup.normalized(s, dir).filter(col("vec_id") < 10)
+    val q = Dedup.normalized(embeddings).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"))
     val wCell = Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("cell"))
     val probed = q.crossJoin(broadcast(centers))
@@ -161,8 +170,11 @@ object Similarity {
 
   /** q29: exact k-NN self-join, k=3 — every vector gets its 3 nearest
     * neighbors (recommendation precompute shape). */
-  def knnJoin(s: SparkSession, dir: String): DataFrame = {
-    val v = Dedup.normalized(s, dir)
+  def knnJoin(s: SparkSession, dir: String): DataFrame =
+    knnJoin(graft.Tables.embeddings(s, dir))
+
+  def knnJoin(embeddings: DataFrame): DataFrame = {
+    val v = Dedup.normalized(embeddings)
     val a = v.select(col("vec_id").as("src_id"), col("e").as("ea"), col("nrm").as("na"))
     val b = v.select(col("vec_id").as("__cand_id"), col("e").as("eb"), col("nrm").as("nb"))
     val scored = a.join(b, col("src_id") =!= col("__cand_id"))

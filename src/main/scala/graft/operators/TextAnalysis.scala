@@ -38,9 +38,11 @@ object TextAnalysis {
 
   /** q30: n-gram/function-word language ID — per-language stopword hit
     * counts + deterministic argmax (profile order breaks ties). */
-  def langId(s: SparkSession, dir: String): DataFrame = {
+  def langId(s: SparkSession, dir: String): DataFrame = langId(Tables.documents(s, dir))
+
+  def langId(docs: DataFrame): DataFrame = {
     val ws = words(lower(col("text")))
-    val scored = Tables.documents(s, dir).select(
+    val scored = docs.select(
       col("doc_id") +: profiles.map { case (l, p) => profileScore(ws, p).as(s"score_$l") }: _*)
     val Seq(en, es, de, fr) = profiles.map { case (l, _) => col(s"score_$l") }
     scored.withColumn("pred_lang",
@@ -55,10 +57,12 @@ object TextAnalysis {
   /** q31: quality features + weighted score (length, vocabulary
     * diversity, punctuation load, function-word rate — the classic
     * heuristic filter stack for web-scale corpora). */
-  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+  def qualityScore(s: SparkSession, dir: String): DataFrame = qualityScore(Tables.documents(s, dir))
+
+  def qualityScore(docs: DataFrame): DataFrame = {
     val ws = words(col("text"))
     val enStop = array(profiles.head._2.map(lit): _*)
-    Tables.documents(s, dir).select(
+    docs.select(
         col("doc_id"),
         length(col("text")).cast("double").as("n_chars_f"),
         size(ws).cast("double").as("n_words"),
@@ -80,8 +84,10 @@ object TextAnalysis {
 
   /** q32: token counting — whitespace tokens vs a BPE-ish regex
     * tokenizer (alnum runs or single punctuation marks). */
-  def tokenCount(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
+  def tokenCount(s: SparkSession, dir: String): DataFrame = tokenCount(Tables.documents(s, dir))
+
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
         col("doc_id"),
         size(words(col("text"))).cast("long").as("n_ws_tokens"),
         size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("n_re_tokens"),
@@ -92,10 +98,12 @@ object TextAnalysis {
     * over per-word 60-bit hashes, mod 1e9+7 (so acc*31+x never overflows
     * a long). Equal fingerprints ⇒ equal word sequences (mod collisions);
     * unlike a set hash, reordering words changes it. */
-  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+  def fingerprint(s: SparkSession, dir: String): DataFrame = fingerprint(Tables.documents(s, dir))
+
+  def fingerprint(docs: DataFrame): DataFrame = {
     val M = lit(1000000007L)
     val wordHashes = transform(words(col("text")), w => md5Long(w) % M)
-    Tables.documents(s, dir).select(
+    docs.select(
         col("doc_id"),
         aggregate(wordHashes, lit(0L), (acc, x) => (acc * 31L + x) % M).as("fingerprint"))
       .orderBy("doc_id")
@@ -104,8 +112,10 @@ object TextAnalysis {
   /** q34: CLIP-style text assembly — concat metadata fields + body,
     * truncate, casefold (extracting_embeddings.py:135-152 builds
     * title+subject+creator+type+description[:150]). */
-  def preprocess(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
+  def preprocess(s: SparkSession, dir: String): DataFrame = preprocess(Tables.documents(s, dir))
+
+  def preprocess(docs: DataFrame): DataFrame =
+    docs.select(
         col("doc_id"),
         lower(trim(substring(
           concat_ws(" ", coalesce(col("source"), lit("")), coalesce(col("lang"), lit("")), col("text")),

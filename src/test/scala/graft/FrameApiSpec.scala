@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** The library surface users actually call: operators over their own
+  * DataFrames, no test-directory layout required. */
+class FrameApiSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "web"),
+    (2L, "the quick brown fox jumps over the lazy dog", "en", "crawl"),
+    (3L, "completely different text with other words here", "en", "web"))
+    .toDF("doc_id", "text", "lang", "source")
+    .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("exact dedup clusters identical texts from a user frame") {
+    val out = Dedup.exact(docs).collect()
+    val c = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(c(1L) === 1L && c(2L) === 1L && c(3L) === 3L)
+    assert(out.find(_.getAs[Long]("doc_id") == 1L).get.getAs[Long]("cluster_size") === 2L)
+  }
+
+  test("ngram jaccard finds the duplicate pair from a user frame") {
+    val pairs = ApproxDedup.ngramJaccard(docs).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Double]("jaccard")))
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("text analysis runs on a user frame") {
+    val fp = TextAnalysis.fingerprint(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fingerprint")).toMap
+    assert(fp(1L) === fp(2L)) // same text, same fingerprint
+    assert(fp(1L) !== fp(3L))
+    assert(TextAnalysis.qualityScore(docs).count() === 3)
+  }
+
+  test("similarity search runs on a user embeddings frame") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (11L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs).collect()
+      .filter(r => r.getAs[Long]("query_id") === 0L && r.getAs[Int]("rank") === 1)
+    assert(top.head.getAs[Long]("neighbor_id") === 1L)
+  }
+}
