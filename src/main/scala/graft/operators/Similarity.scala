@@ -6,15 +6,17 @@ import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.VectorOps._
 
-/** Similarity search over the embeddings table (reference analog: the
+/** Similarity search over embeddings frames (reference analog: the
   * dashboard's top-10 combined-vector Qdrant search, app.py:239).
   *
-  * Scale notes: brute-force is the exactness baseline — the pair join is
-  * a broadcast of the (small) query side against the full corpus, then a
-  * per-query top-k window. With thousands of queries you'd flip to
-  * [[lshBuckets]]-blocked scoring (q28) so each query only scores its
-  * candidate buckets. The k-NN self-join is the O(n²) exact variant kept
-  * for oracle parity; its scale path is identical blocking.
+  * Scale notes: brute-force is the exactness baseline — the pair join
+  * broadcasts the (small) query side against the full corpus, and top-k
+  * runs as a bounded-heap aggregate (map-side partial, ≤ k rows per
+  * partition per query into the shuffle). With thousands of queries you
+  * flip to [[lshBucket]]-blocked scoring (q28) or [[ivfTopK]] so each
+  * query only scores its candidate cells. The k-NN self-join is the
+  * O(n²) exact variant kept for oracle parity; its scale path is the
+  * same blocking.
   */
 object Similarity {
 
