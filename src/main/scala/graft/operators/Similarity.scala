@@ -41,6 +41,15 @@ object Similarity {
       .select(col(group), col("col.id").as(outId), (col("pos") + 1).as("rank"),
         round(col("col.sim"), 9).as("sim_r"))
 
+  /** Test hook: raw (g, sim, __cand_id) frame → top-k per g with raw sim
+    * (no rounding), for property-testing TopKSimId against a model. */
+  private[graft] def topKExplodedForTest(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("g"))
+      .agg(topKAgg(col("sim"), col("__cand_id"), k).as("tk"))
+      .select(col("g"), posexplode(col("tk")))
+      .select(col("g"), col("col.id").as("id"), (col("pos") + 1).as("rank"),
+        col("col.sim").as("sim"))
+
   /** q27: exact top-k cosine neighbors for a small query set (vec_id <
     * 10), k=10. Query side broadcast; rank ties broken by neighbor id. */
   def bruteForceTopK(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.ApproxDedup
+import graft.functions.VectorOps
+
+/** Property-style checks of the native kernels against plain Scala
+  * models, over seeded ScalaCheck generators (no scalatestplus bridge in
+  * the offline cache, so sampling is driven explicitly). */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (1 to n).map(i => gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val word = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+  private val text = Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  test("WordShingles equals a plain Scala shingling model on random texts") {
+    val texts = samples(text, 200)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = ApproxDedup.shingleSets(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val ws = t.split(" ", -1).filter(_.nonEmpty)
+      val expect =
+        if (ws.length < 3) Seq.empty
+        else ws.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      assert(native(i.toLong) === expect, s"text='$t'")
+    }
+  }
+
+  test("native dot product equals a Scala fold bit-for-bit on random vectors") {
+    val vec = Gen.listOfN(16, Gen.chooseNum(-100.0, 100.0))
+    val pairs = samples(Gen.zip(vec, vec), 100)
+    val df = pairs.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a.toArray, b.toArray) }
+      .toDF("id", "a", "b")
+    val got = df.select(col("id"), VectorOps.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      val expect = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      assert(java.lang.Double.doubleToLongBits(got(i.toLong)) ===
+        java.lang.Double.doubleToLongBits(expect), s"pair $i")
+    }
+  }
+
+  test("TopKSimId equals sort-take-k on random scored pairs") {
+    val pair = Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(-1.0, 1.0), Gen.chooseNum(0L, 1000L))
+    val rows = samples(Gen.listOfN(80, pair), 5).flatten
+    val df = rows.toDF("g", "sim", "__cand_id")
+      // graft's operators always rank distinct candidates per group
+      .dropDuplicates("g", "__cand_id")
+    val base = df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val model = base.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.sortBy { case (_, s, i) => (-s, i) }.take(3).map(t => (t._3, t._2)).toSeq
+    }
+    val got = graft.operators.Similarity.topKExplodedForTest(df, 3).collect()
+      .groupBy(_.getLong(0)).map { case (g, rs) =>
+        g -> rs.sortBy(_.getAs[Int]("rank")).map(r => (r.getLong(1), r.getAs[Double]("sim"))).toSeq
+      }
+    assert(model.nonEmpty)
+    model.foreach { case (g, expect) => assert(got(g) === expect, s"group $g") }
+  }
+
+  test("minhash signature containment tracks Jaccard on random set pairs") {
+    // J(A,B) ≈ fraction of matching signature slots — sanity-check the
+    // estimator on disjoint vs identical sets
+    val setGen = Gen.chooseNum(5, 25).flatMap(n => Gen.listOfN(n, word)).map(_.distinct)
+    val sets = samples(setGen, 10)
+    val df = sets.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "shingles")
+    val sigs = df.select(col("doc_id"), ApproxDedup.signature(col("shingles")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    sets.indices.foreach { i =>
+      assert(sigs(i.toLong) === sigs(i.toLong)) // deterministic
+      sets.indices.foreach { j =>
+        val inter = sets(i).toSet.intersect(sets(j).toSet).size.toDouble
+        val union = sets(i).toSet.union(sets(j).toSet).size.toDouble
+        val jac = if (union == 0) 0.0 else inter / union
+        val est = sigs(i.toLong).zip(sigs(j.toLong)).count { case (x, y) => x == y }
+          .toDouble / ApproxDedup.NumPerms
+        // 128 perms: estimator within 0.35 absolute with overwhelming probability
+        assert(math.abs(est - jac) < 0.35, s"sets $i,$j jac=$jac est=$est")
+      }
+    }
+  }
+}

@@ -71,6 +71,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-closed sessions agree with batch sessionization on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = Seq(
+      E(1, ts(0), 1, "a", 1.0), E(2, ts(8), 1, "a", 2.0),   // session 1 of user 1
+      E(3, ts(40), 1, "a", 3.0),                             // session 2 closes session 1
+      E(4, ts(2), 2, "b", 4.0), E(5, ts(50), 2, "b", 5.0))  // user 2: session 2 closes session 1
+    val src = MemoryStream[E]
+    val q = Streams.sessionizeStream(src.toDF(), gapSeconds = 600)
+      .writeStream.format("memory").queryName("sess_consistency").outputMode("append").start()
+    try {
+      src.addData(evs: _*); q.processAllAvailable()
+      val streamed = spark.table("sess_consistency").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start").toString,
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+      val batch = Streams.sessionizeBatch(evs.toDF(), gapSeconds = 600).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Any]("session_start").toString.take(19),
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+      // every stream-closed session must exist in the batch result
+      streamed.foreach { s =>
+        val key = (s._1, s._2.take(19), s._3, s._4)
+        assert(batch.contains(key), s"stream session $s missing from batch $batch")
+      }
+      // the two sessions closed by later events were emitted
+      assert(streamed.map(x => (x._1, x._3)) === Set((1L, 2L), (2L, 1L)))
+    } finally q.stop()
+  }
+
   test("batch sessionization matches hand-computed sessions") {
     import spark.implicits._
     val e = Seq(
