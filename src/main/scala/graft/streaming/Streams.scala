@@ -116,6 +116,35 @@ object Streams {
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming MERGE sink (the reference's Delta `MERGE` from a stream,
+    * ugc_raw_to_cleansed.py + eu_raw_to_cleansed_merge.py): each
+    * micro-batch upserts into a versioned parquet snapshot —
+    * `path/v<batchId>` is the post-merge table, `path/_LATEST` names the
+    * current version (write-then-point swap, readers never see a partial
+    * write). Returns the DataStreamWriter so the caller picks trigger/
+    * checkpoint options. */
+  def upsertSink(stream: DataFrame, path: String, keys: Seq[String]):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val merged = currentSnapshot(spark, path) match {
+        case Some(base) => graft.operators.Merge.upsertSnapshot(base, batch, keys)
+        case None => batch
+      }
+      merged.write.mode("overwrite").parquet(s"$path/v$batchId")
+      java.nio.file.Files.write(java.nio.file.Paths.get(path, "_LATEST"),
+        batchId.toString.getBytes("UTF-8"))
+      ()
+    }
+
+  /** The latest committed snapshot written by [[upsertSink]], if any. */
+  def currentSnapshot(spark: SparkSession, path: String): Option[DataFrame] = {
+    val latest = java.nio.file.Paths.get(path, "_LATEST")
+    if (java.nio.file.Files.exists(latest))
+      Some(spark.read.parquet(s"$path/v${new String(java.nio.file.Files.readAllBytes(latest), "UTF-8").trim}"))
+    else None
+  }
+
   // ---- oracle-checked batch entries ----
 
   /** q19: tumbling hourly aggregate over the events table. */

@@ -99,6 +99,27 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("upsertSink: micro-batches MERGE into a versioned snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val src = MemoryStream[E]
+    val q = Streams.upsertSink(src.toDF(), dir, Seq("event_id")).start()
+    try {
+      src.addData(E(1, ts(0), 1, "a", 1.0), E(2, ts(1), 1, "a", 2.0))
+      q.processAllAvailable()
+      src.addData(E(2, ts(2), 9, "b", 20.0), E(3, ts(3), 2, "a", 3.0)) // update id 2, insert 3
+      q.processAllAvailable()
+      val snap = Streams.currentSnapshot(spark, dir).get.collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          (r.getAs[Long]("user_id"), r.getAs[Double]("value"))).toMap
+      assert(snap.keySet === Set(1L, 2L, 3L))
+      assert(snap(1L) === ((1L, 1.0)))   // untouched
+      assert(snap(2L) === ((9L, 20.0)))  // batch row won
+      assert(snap(3L) === ((2L, 3.0)))   // inserted
+    } finally q.stop()
+  }
+
   test("batch sessionization matches hand-computed sessions") {
     import spark.implicits._
     val e = Seq(
