@@ -33,6 +33,9 @@ object Similarity {
   /** (group, id, sim) scored pairs → k best per group with dense 1-based
     * ranks. Map-side partial aggregation ships ≤ k pairs per (partition,
     * group) into the shuffle, vs the window-rank idiom's full pair sort. */
+  private[operators] def explodeTopKPerGroup(scored: DataFrame, group: String,
+      outId: String, k: Int): DataFrame = explodeTopK(scored, group, outId, k)
+
   private def explodeTopK(scored: DataFrame, group: String, outId: String,
       k: Int): DataFrame =
     scored.groupBy(col(group))
@@ -108,6 +111,46 @@ object Similarity {
       .filter(col("query_id") =!= col("__cand_id"))
       .select(col("query_id"), col("__cand_id"),
         cosinePre(col("eq"), col("ec"), col("nq"), col("nc")).as("sim"))
+    explodeTopK(scored, "query_id", "neighbor_id", 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Multiprobe LSH top-k: besides its own bucket, each query probes the
+    * buckets reached by flipping its lowest-|margin| sign bits — the
+    * planes it was nearly on the wrong side of — which recovers most of
+    * the recall lost to bucketing without adding planes (Lv et al.,
+    * VLDB'07). `probes`=1 reduces to [[lshTopK]]'s candidate set. */
+  def lshTopKMultiprobe(embeddings: DataFrame, probes: Int = 3): DataFrame = {
+    require(probes >= 1 && probes <= LshBits + 1, "probes out of range")
+    val v = Dedup.normalized(embeddings)
+    // margins per plane: signed distance proxy = dot(e, plane_i)
+    val margins = array(hyperplanes.map(p => dot(col("e"), array(p.map(lit): _*))): _*)
+    val withBucket = v.withColumn("bucket", lshBucket(col("e")))
+      .withColumn("margins", margins)
+    val c = withBucket.select(col("vec_id").as("__cand_id"), col("e").as("ec"),
+      col("nrm").as("nc"), col("bucket"))
+    // rank planes by |margin| ascending; probe buckets = base, then base
+    // with the weakest bit flipped, then the next-weakest, ...
+    val q = withBucket.filter(col("vec_id") < 10)
+      .withColumn("flip_order",
+        transform(array_sort(transform(sequence(lit(0), lit(LshBits - 1)),
+          i => struct(abs(element_at(col("margins"), i + 1)).as("m"), i.as("i")))),
+          x => x.getField("i")))
+      .withColumn("probe_buckets",
+        transform(sequence(lit(0), lit(probes - 1)), j => {
+          // 1 << plane_index as an exact when-chain (LshBits = 4 planes)
+          val planeIdx = element_at(col("flip_order"), j) // flip_order[j-1] unused at j=0
+          val bit = when(planeIdx === 0, 1L).when(planeIdx === 1, 2L)
+            .when(planeIdx === 2, 4L).otherwise(8L)
+          when(j === 0, col("bucket")).otherwise(col("bucket").bitwiseXOR(bit))
+        }))
+      .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"),
+        explode(col("probe_buckets")).as("bucket"))
+    val scored = broadcast(q).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("__cand_id"))
+      .select(col("query_id"), col("__cand_id"),
+        cosinePre(col("eq"), col("ec"), col("nq"), col("nc")).as("sim"))
+      .dropDuplicates("query_id", "__cand_id")
     explodeTopK(scored, "query_id", "neighbor_id", 10)
       .orderBy("query_id", "rank")
   }

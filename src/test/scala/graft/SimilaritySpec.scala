@@ -117,6 +117,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(v(0L) === v(1L)) // cos ≈ 0.9999 pair
   }
 
+  test("multiprobe LSH recall >= single-bucket LSH recall") {
+    val em = Tables.embeddings(spark, sfDir)
+    val exact1 = Similarity.bruteForceTopK(em).collect()
+      .filter(_.getAs[Int]("rank") === 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Int =
+      df.collect().count(r => exact1.get(r.getAs[Long]("query_id"))
+        .contains(r.getAs[Long]("neighbor_id")))
+    val single = recall(Similarity.lshTopK(em))
+    val multi = recall(Similarity.lshTopKMultiprobe(em, probes = 3))
+    assert(multi >= single)
+    assert(Similarity.lshTopKMultiprobe(em, probes = 1).collect().map(_.toString).toSet
+      === Similarity.lshTopK(em).collect().map(_.toString).toSet)
+  }
+
+  test("persisted IVF index search equals in-memory ivfTopK") {
+    val em = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    graft.operators.IvfIndex.build(em, dir, nlist = 16)
+    val fromIndex = graft.operators.IvfIndex
+      .search(spark, dir, em.filter(col("vec_id") < 10), nprobe = 4, k = 10)
+      .collect().map(_.toString).toSeq
+    val inMemory = Similarity.ivfTopK(em, nlist = 16, nprobe = 4, k = 10)
+      .collect().map(_.toString).toSeq
+    assert(fromIndex === inMemory)
+    assert(new java.io.File(s"$dir/corpus").list().exists(_.startsWith("cell=")))
+  }
+
   test("q29 knn join: exactly 3 neighbors per source vector") {
     val out = Similarity.knnJoin(spark, sfDir).collect()
     val n = Tables.embeddings(spark, sfDir).count()
