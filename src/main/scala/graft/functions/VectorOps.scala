@@ -48,4 +48,16 @@ object VectorOps {
   /** Cosine from precomputed norms. */
   def cosinePre(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
+
+  /** Combined multimodal vector — the reference's image⊕text embedding
+    * (extracting_embeddings.py:432-439 concatenates the CLIP image and
+    * text vectors into the `combined` search vector). */
+  def combined(imageVec: Column, textVec: Column): Column =
+    concat(imageVec, textVec)
+
+  /** L2-normalize a vector (unit sphere), guarding the zero vector. */
+  def l2Normalize(a: Column): Column = {
+    val n = norm(a)
+    when(n === 0.0, a).otherwise(transform(a, x => x / n))
+  }
 }

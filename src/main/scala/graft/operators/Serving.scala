@@ -11,6 +11,23 @@ import graft.Tables
   * plan. */
 object Serving {
 
+  /** Faceted-search filter spec (app.py:120-140 builds WHERE clauses
+    * from equality / IN-list / array-contains selections). */
+  sealed trait Facet
+  final case class Eq(column: String, value: Any) extends Facet
+  final case class In(column: String, values: Seq[Any]) extends Facet
+  final case class ArrayContains(column: String, value: Any) extends Facet
+
+  /** Dashboard faceted search: AND of the selected facets, as pushable
+    * predicates (equality and IN reach the parquet scan as
+    * PushedFilters; array_contains evaluates in the codegen'd filter). */
+  def facetSearch(df: DataFrame, facets: Seq[Facet]): DataFrame =
+    facets.foldLeft(df) {
+      case (d, Eq(c, v)) => d.filter(col(c) === lit(v))
+      case (d, In(c, vs)) => d.filter(col(c).isin(vs.map(lit): _*))
+      case (d, ArrayContains(c, v)) => d.filter(array_contains(col(c), lit(v)))
+    }
+
   /** q18: serving export shape over the events table. */
   def servingExport(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

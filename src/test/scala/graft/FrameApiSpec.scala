@@ -36,6 +36,31 @@ class FrameApiSpec extends SparkTestBase {
     assert(TextAnalysis.qualityScore(docs).count() === 3)
   }
 
+  test("facet search composes pushable equality/IN/array-contains filters") {
+    import graft.operators.Serving._
+    val items = Seq(
+      (1L, "painting", "italy", Seq("renaissance", "oil")),
+      (2L, "sculpture", "france", Seq("modern")),
+      (3L, "painting", "france", Seq("oil", "portrait")))
+      .toDF("id", "kind", "country", "tags")
+    val hits = facetSearch(items, Seq(
+      Eq("kind", "painting"), In("country", Seq("france", "spain")),
+      ArrayContains("tags", "oil")))
+      .collect().map(_.getLong(0))
+    assert(hits.toSeq === Seq(3L))
+  }
+
+  test("combined vector and l2 normalization behave like the reference's embedding math") {
+    import graft.functions.VectorOps
+    val df = Seq((Array(3.0, 0.0), Array(0.0, 4.0))).toDF("img", "txt")
+    val row = df.select(
+      VectorOps.combined(col("img"), col("txt")).as("c"),
+      VectorOps.l2Normalize(VectorOps.combined(col("img"), col("txt"))).as("n"))
+      .collect()(0)
+    assert(row.getSeq[Double](0) === Seq(3.0, 0.0, 0.0, 4.0))
+    assert(row.getSeq[Double](1) === Seq(0.6, 0.0, 0.0, 0.8))
+  }
+
   test("similarity search runs on a user embeddings frame") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
