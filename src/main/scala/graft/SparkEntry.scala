@@ -77,17 +77,17 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
         | COUNT(*) AS count_order,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_topk_revenue" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -96,7 +96,7 @@ object SparkEntry {
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q03_star_join" ->
       """SELECT n_name,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -129,7 +129,7 @@ object SparkEntry {
         |ORDER BY nationkey""".stripMargin,
     "q08_rollup_facets" ->
       """SELECT r_name, n_name, COUNT(*) AS n_customers,
-        | CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS sum_acctbal
+        | CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
@@ -143,7 +143,7 @@ object SparkEntry {
     "q11_running_window" ->
       """SELECT user_id, ts, event_id,
         | COUNT(*) OVER w AS running_events,
-        | CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER w AS DOUBLE) AS running_value
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER w AS VARCHAR) AS DOUBLE) AS running_value
         |FROM events WHERE user_id < 100
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -152,7 +152,7 @@ object SparkEntry {
       """SELECT user_id,
         | SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
         | SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(20,4)) ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE) AS purchase_value
+        | CAST(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(20,4)) ELSE CAST(0 AS DECIMAL(20,4)) END) AS VARCHAR) AS DOUBLE) AS purchase_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q13_cleanse_metadata" ->
       """SELECT doc_id, text,
@@ -192,7 +192,7 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
         |LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders,
-        |             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS total_spent
+        |             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS VARCHAR) AS DOUBLE) AS total_spent
         |           FROM orders GROUP BY o_custkey) a
         |ON c_custkey = a.o_custkey
         |ORDER BY c_custkey""".stripMargin,
@@ -211,7 +211,7 @@ object SparkEntry {
     "q19_tumbling_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | COUNT(*) AS n_events,
-        | CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q20_sessionization" ->
       """WITH x AS (SELECT user_id, ts, event_id, value,
@@ -225,7 +225,7 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         | MIN(ts) AS session_start, MAX(ts) AS session_end,
         | COUNT(*) AS n_events,
-        | CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "q21_stream_dedup" ->
       """SELECT event_id, ts, user_id, event_type, value
@@ -375,10 +375,10 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q37_promo_revenue" ->
       """SELECT p_type, COUNT(*) AS n_items,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue,
-        | CAST(SUM(CASE WHEN p_type = 'PROMO'
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
+        | CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
         |   THEN CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))
-        |   ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE) AS promo_revenue
+        |   ELSE CAST(0 AS DECIMAL(12,4)) END) AS VARCHAR) AS DOUBLE) AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
