@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Similarity}
+
+/** Plan-hygiene regression tests: these lock in the physical-plan
+  * properties the 100 TB design depends on, so a refactor that silently
+  * loses a pushdown or broadcasts-to-sort-merge regression fails CI. */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01: ship-date filter and column pruning reach the parquet scan") {
+    val p = plan(Analytics.pricingSummary(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("ReadSchema") && !p.contains("l_orderkey"), "unused columns must be pruned")
+  }
+
+  test("q03: star join broadcasts every dimension (no sort-merge join)") {
+    val p = plan(Analytics.starJoin(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast, not shuffle")
+  }
+
+  test("q27: top-k runs as a partial aggregate, not a window sort") {
+    val p = plan(Similarity.bruteForceTopK(spark, sfDir))
+    assert(p.contains("topk_sim_id"))
+    assert(!p.contains("Window"), "bounded-heap agg must replace the rank window")
+  }
+
+  test("q24: minhash signature is computed behind an exchange barrier") {
+    val p = plan(graft.operators.ApproxDedup.minhashLsh(spark, sfDir))
+    assert(p.contains("minhash_signature"))
+    // the signature projection must feed an Exchange so CollapseProject
+    // cannot re-inline the fold into the 32-band posexplode
+    val sigIdx = p.indexOf("minhash_signature")
+    assert(p.lastIndexOf("Exchange hashpartitioning(doc_id") > 0)
+    assert(sigIdx > p.indexOf("Generate explode"), "signature computed below the band explode")
+  }
+
+  test("q29 pair scoring applies dot_product_double to bare attributes") {
+    // the interpreted toDouble transform must stay below the join
+    // boundary: if it fuses into the O(n²) scoring projection, every pair
+    // re-runs the per-element HOF cast and the native kernel gains nothing
+    val p = plan(Similarity.knnJoin(spark, sfDir))
+    val scoringLine = p.linesIterator
+      .find(l => l.contains("dot_product_double") && l.contains("Project"))
+    assert(scoringLine.isDefined, s"no scoring projection found:\n$p")
+    assert(!scoringLine.get.contains("lambdafunction"),
+      s"HOF fused into pair scoring:\n${scoringLine.get}")
+  }
+}
