@@ -234,10 +234,11 @@ object SparkEntry {
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q22_dedup_exact" ->
       """WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS content_hash FROM documents),
-        |c AS (SELECT content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS cluster_size
+        |c AS (SELECT content_hash AS ch, MIN(doc_id) AS canonical_id, COUNT(*) AS cluster_size
         |      FROM d GROUP BY content_hash)
         |SELECT doc_id, content_hash, canonical_id, cluster_size
-        |FROM d JOIN c USING (content_hash) ORDER BY doc_id""".stripMargin,
+        |FROM d JOIN c ON d.content_hash IS NOT DISTINCT FROM c.ch
+        |ORDER BY doc_id""".stripMargin,
     "q23_dedup_ngram_jaccard" -> exactJaccardSql,
     // oracle for the LSH path is the exact blocked Jaccard: at 32x4
     // banding a J>=0.8 pair is missed with probability < 1e-7, so the

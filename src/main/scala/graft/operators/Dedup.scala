@@ -37,7 +37,10 @@ object Dedup {
       .select(col("doc_id"), md5(lower(trim(col("text")))).as("content_hash"))
     val clusters = hashed.groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("cluster_size"))
-    hashed.join(clusters, Seq("content_hash"))
+      .withColumnRenamed("content_hash", "__cluster_hash")
+    // null-safe join: null-text rows form their own cluster instead of
+    // silently dropping out of the result
+    hashed.join(clusters, col("content_hash") <=> col("__cluster_hash"))
       .select("doc_id", "content_hash", "canonical_id", "cluster_size")
       .orderBy("doc_id")
   }

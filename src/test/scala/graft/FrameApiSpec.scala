@@ -36,6 +36,27 @@ class FrameApiSpec extends SparkTestBase {
     assert(TextAnalysis.qualityScore(docs).count() === 3)
   }
 
+  test("null/empty text flows through dedup and text analysis without errors") {
+    val messy = Seq(
+      (1L, Some("normal text here okay"), "en", "web"),
+      (2L, None, "en", "web"),
+      (3L, Some(""), "en", "web"),
+      (4L, Some("ab"), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", coalesce(length(col("text")).cast("long"), lit(0L)))
+    // shingling: null → null row dropped by size guard; short → empty set
+    val sh = ApproxDedup.shingleSets(messy).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_ => r.getSeq[String](1))).toMap
+    assert(sh(1L).get.nonEmpty)
+    assert(sh(2L).isEmpty)          // null text → null shingles
+    assert(sh(3L).get.isEmpty)      // empty text → empty set
+    assert(sh(4L).get.isEmpty)      // < 3 words → empty set
+    // pair search and exact dedup don't throw on the messy frame
+    assert(ApproxDedup.ngramJaccard(messy).count() === 0)
+    assert(Dedup.exact(messy).count() === 4)
+    assert(TextAnalysis.tokenCount(messy).count() === 4)
+  }
+
   test("facet search composes pushable equality/IN/array-contains filters") {
     import graft.operators.Serving._
     val items = Seq(
