@@ -28,6 +28,22 @@ class IngestSpec extends SparkTestBase {
       ("k3", None, None, false)))
   }
 
+  test("readJsonStream: schema-enforced file stream feeds the same transforms") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.json"),
+      """{"guid":"g1","title":"t1","n":1}
+        |{"guid":"g2","title":"t2","n":2}""".stripMargin.getBytes("UTF-8"))
+    val q = Ingest.readJsonStream(spark, dir, payloadSchema)
+      .groupBy(col("guid")).agg(sum(col("n")).as("total"))
+      .writeStream.format("memory").queryName("jsonl_stream").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("jsonl_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows === Map("g1" -> 1L, "g2" -> 2L))
+    } finally q.stop()
+  }
+
   test("writePartitionedParquet produces partition-pruned layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0)).toDF("id", "part", "v")
