@@ -52,6 +52,8 @@ object SparkEntry {
     // SQL-expressible (see SURVEY.md §2g)
     "q36_image_featurize_stub"     -> (Multimodal.imageFeaturize _),
     "q37_promo_revenue"            -> (Analytics.promoRevenue _),
+    "q38_count_distinct"           -> (Serving.countDistinct _),
+    "q39_sample_paginate"          -> (Serving.samplePaginate _),
   )
 
   /** Exact blocked 3-gram Jaccard pairs at τ=0.8 — oracle for both q23
@@ -384,5 +386,12 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
         |GROUP BY p_type ORDER BY p_type""".stripMargin,
+    "q38_count_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events WHERE value > 5.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q39_sample_paginate" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':seed42') AS page_key
+        |FROM documents ORDER BY page_key, doc_id LIMIT 25 OFFSET 50""".stripMargin,
   )
 }

@@ -28,6 +28,29 @@ object Serving {
       case (d, ArrayContains(c, v)) => d.filter(array_contains(col(c), lit(v)))
     }
 
+  /** q38: filtered grouped count-distinct (app.py:140 COUNT(DISTINCT
+    * guid) under facet filters). Distinct-within-group is the expensive
+    * dashboard aggregate at scale — Spark plans it as a two-phase
+    * (partial per-key distinct, then merge), no driver-side set. */
+  def countDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("value") > 5.0)
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** q39: deterministic sample pagination — the dashboard's seeded
+    * ORDER BY RANDOM() LIMIT/OFFSET page (app.py:120,147) re-expressed
+    * as a hash order, which is reproducible on any engine and any
+    * cluster size (a seeded RNG is not). */
+  def samplePaginate(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":seed42"))).as("page_key"))
+      .orderBy(col("page_key"), col("doc_id"))
+      .offset(50).limit(25)
+
   /** q18: serving export shape over the events table. */
   def servingExport(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
