@@ -18,7 +18,14 @@ import graft.Tables
 object CuratedJoin {
 
   /** q16: customer enriched with per-customer order stats, restricted to
-    * validated (EUROPE) nations, missing stats coalesced to zero. */
+    * validated (EUROPE) nations, missing stats coalesced to zero.
+    *
+    * Covers both reference variants: the incremental MERGE join
+    * (join_eu_ugc_qdrant_merge.py:191-351) and the full-recompute
+    * overwrite join (join_eu_ugc_qdrant_overwrite.py:180, a right join
+    * keeping every validated metadata record) — "entity left-joins its
+    * aggregated annotations" is the same plan with the sides named from
+    * the entity's perspective. */
   def curatedJoin(s: SparkSession, dir: String): DataFrame = {
     val validatedNations = Tables.nation(s, dir)
       .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
