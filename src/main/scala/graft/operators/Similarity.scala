@@ -222,6 +222,29 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Cell-blocked approximate k-NN self-join: the q29 scale path. Every
+    * vector only scores others in its own k-means cell, so pairwise work
+    * drops from n² to Σ|cell|² ≈ n²/nlist — the standard trade: vectors
+    * near a cell boundary may miss a true neighbor, which raising nlist
+    * granularity + probing adjacent cells (as in [[ivfTopK]]) recovers. */
+  def knnJoinBlocked(embeddings: DataFrame, k: Int = 3, nlist: Int = 16): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = Dedup.normalized(embeddings).withColumn("features", array_to_vector(col("e")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("features")
+      .setPredictionCol("cell").fit(v)
+    val assigned = model.transform(v)
+    val a = assigned.select(col("vec_id").as("src_id"), col("e").as("ea"),
+      col("nrm").as("na"), col("cell"))
+    val b = assigned.select(col("vec_id").as("__cand_id"), col("e").as("eb"),
+      col("nrm").as("nb"), col("cell"))
+    val scored = a.join(b, Seq("cell")).filter(col("src_id") =!= col("__cand_id"))
+      .select(col("src_id"), col("__cand_id"),
+        cosinePre(col("ea"), col("eb"), col("na"), col("nb")).as("sim"))
+    explodeTopK(scored, "src_id", "nbr_id", k)
+      .orderBy("src_id", "rank")
+  }
+
   /** q29: exact k-NN self-join, k=3 — every vector gets its 3 nearest
     * neighbors (recommendation precompute shape). */
   def knnJoin(s: SparkSession, dir: String): DataFrame =

@@ -145,6 +145,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(new java.io.File(s"$dir/corpus").list().exists(_.startsWith("cell=")))
   }
 
+  test("cell-blocked knn: k neighbors per vector, mostly agreeing with exact knn") {
+    val em = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.knnJoin(em).collect()
+      .filter(_.getAs[Int]("rank") === 1)
+      .map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("nbr_id")).toMap
+    val blocked = Similarity.knnJoinBlocked(em).collect()
+    val perSrc = blocked.groupBy(_.getAs[Long]("src_id"))
+    assert(perSrc.forall(_._2.length <= 3))
+    // a vector alone in its cell legitimately yields no rows; nearly all
+    // vectors have within-cell candidates at this corpus size
+    val n = em.count()
+    assert(perSrc.size >= n - 16 && perSrc.size <= n)
+    val top1Hits = perSrc.count { case (s, rs) =>
+      rs.exists(_.getAs[Long]("nbr_id") === exact(s)) }
+    assert(top1Hits >= perSrc.size / 4,
+      s"blocked knn recall too low: $top1Hits/${perSrc.size}")
+  }
+
   test("q29 knn join: exactly 3 neighbors per source vector") {
     val out = Similarity.knnJoin(spark, sfDir).collect()
     val n = Tables.embeddings(spark, sfDir).count()
