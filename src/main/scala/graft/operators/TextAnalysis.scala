@@ -109,6 +109,24 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Content-defined chunk fingerprints: words stream into chunks whose
+    * boundaries are where the word hash ≡ 0 (mod `mask`), each chunk
+    * identified by its rolling hash. Unlike fixed-size chunking, an
+    * insertion only perturbs the chunks around the edit — the unit of
+    * shift-resistant dedup between near-identical long documents. */
+  def cdcChunkFingerprints(docs: DataFrame, mask: Int = 16): DataFrame =
+    docs.selectExpr("doc_id",
+      s"""aggregate(
+         |  transform(filter(split(text, ' '), w -> w != ''),
+         |    w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint) % 1000000007),
+         |  named_struct('acc', cast(0 as bigint), 'chunks', cast(array() as array<bigint>)),
+         |  (st, h) -> CASE WHEN h % $mask = 0
+         |    THEN named_struct('acc', cast(0 as bigint),
+         |           'chunks', array_append(st.chunks, (st.acc * 31 + h) % 1000000007))
+         |    ELSE named_struct('acc', (st.acc * 31 + h) % 1000000007, 'chunks', st.chunks) END,
+         |  st -> CASE WHEN st.acc <> 0 THEN array_append(st.chunks, st.acc)
+         |        ELSE st.chunks END) as chunk_hashes""".stripMargin)
+
   /** q34: CLIP-style text assembly — concat metadata fields + body,
     * truncate, casefold (extracting_embeddings.py:135-152 builds
     * title+subject+creator+type+description[:150]). */

@@ -45,6 +45,20 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fp(0) !== fp(1))
   }
 
+  test("cdc chunk fingerprints are shift-resistant: an edit shares most chunks") {
+    val base = (1 to 200).map(i => s"word$i").mkString(" ")
+    val edited = base.replace("word100", "CHANGED")
+    val df = docs(1L -> base, 2L -> edited, 3L -> base)
+    val out = TextAnalysis.cdcChunkFingerprints(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) === out(3L))            // deterministic
+    assert(out(1L).length > 3)             // several chunks at mask 16
+    val shared = out(1L).toSet.intersect(out(2L).toSet).size
+    assert(shared >= out(1L).length - 2,   // only the edited chunk region differs
+      s"shared $shared of ${out(1L).length}")
+    assert(out(1L) !== out(2L))
+  }
+
   test("tokenCount: regex tokens >= whitespace tokens on punctuated text") {
     val df = docs(1L -> "hello, world! it's 42")
     val n = df.select(
