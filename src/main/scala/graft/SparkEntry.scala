@@ -48,12 +48,17 @@ object SparkEntry {
     "q33_fingerprint"              -> (TextAnalysis.fingerprint _),
     "q34_text_preprocess"          -> (TextAnalysis.preprocess _),
     "q35_multimodal_meta"          -> (Multimodal.multimodalMeta _),
-    // q36 is rows-only checked: the batched featurizer stub is not
-    // SQL-expressible (see SURVEY.md §2g)
-    "q36_image_featurize_stub"     -> (Multimodal.imageFeaturize _),
+    // q36 is deliberately rows-only checked (no oracleSql entry): the
+    // batched featurizer stub is not SQL-expressible (see SURVEY.md §2g).
+    // The gated surface is the FLAT variant — every output column scalar
+    // so the driver's sort/hash comparator can canonicalize it.
+    "q36_image_featurize_stub"     -> (Multimodal.imageFeaturizeFlat _),
     "q37_promo_revenue"            -> (Analytics.promoRevenue _),
     "q38_count_distinct"           -> (Serving.countDistinct _),
     "q39_sample_paginate"          -> (Serving.samplePaginate _),
+    "q40_dedup_embedding_blocked"  -> (Dedup.embeddingBlockedPairs _),
+    "q41_knn_join_blocked"         -> ((s, dir) => Similarity.knnJoinLshBlocked(s, dir)),
+    "q42_dedup_incremental"        -> (Dedup.dedupIncrementalQ _),
   )
 
   /** Exact blocked 3-gram Jaccard pairs at τ=0.8 — oracle for both q23
@@ -152,8 +157,8 @@ object SparkEntry {
         |ORDER BY user_id, ts, event_id""".stripMargin,
     "q12_conditional_agg" ->
       """SELECT user_id,
-        | SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-        | SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+        | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
         | CAST(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(20,4)) ELSE CAST(0 AS DECIMAL(20,4)) END) AS VARCHAR) AS DOUBLE) AS purchase_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q13_cleanse_metadata" ->
@@ -369,7 +374,7 @@ object SparkEntry {
         | lower(trim(substring(concat_ws(' ', COALESCE(source,''), COALESCE(lang,''), text), 1, 150))) AS clip_text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q35_multimodal_meta" ->
-      """SELECT doc_id, encode(text) AS payload,
+      """SELECT doc_id, hex(encode(text)) AS payload_hex,
         | CAST(strlen(text) AS BIGINT) AS n_bytes,
         | md5(text) AS content_hash,
         | 'image/png' AS mime,
@@ -393,5 +398,8 @@ object SparkEntry {
     "q39_sample_paginate" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':seed42') AS page_key
         |FROM documents ORDER BY page_key, doc_id LIMIT 25 OFFSET 50""".stripMargin,
+    "q40_dedup_embedding_blocked" -> Dedup.embeddingBlockedOracleSql,
+    "q41_knn_join_blocked" -> Similarity.knnJoinLshOracleSql(),
+    "q42_dedup_incremental" -> Dedup.dedupIncrementalOracleSql,
   )
 }

@@ -86,6 +86,114 @@ object Dedup {
       .filter(col("sim") >= tau)
   }
 
+  /** q40 parameters: τ low enough that the test corpus (near-random
+    * vectors, max pairwise cosine ≈ 0.5) yields real pairs, 16 buckets. */
+  val BlockedTau = 0.35
+  val BlockedBits = 4
+
+  /** q40: the oracle-gated blocked near-dup scale path —
+    * [[nearDupPairsBlocked]] pairs at τ=0.35 within 4-bit sign-LSH
+    * buckets. The DuckDB oracle bakes the same hyperplanes in, so the
+    * bucket restriction itself is value-checked, not just spec-asserted. */
+  def embeddingBlockedPairs(s: SparkSession, dir: String): DataFrame =
+    nearDupPairsBlocked(Tables.embeddings(s, dir), BlockedTau, BlockedBits)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 9).as("sim_r"))
+      .orderBy("a_id", "b_id")
+
+  /** Generated DuckDB oracle for q40 (same planes → same buckets). */
+  def embeddingBlockedOracleSql: String = {
+    val bucketExpr = Similarity.bucketSqlExpr(Similarity.hyperplanesFor(BlockedBits))
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |n AS (SELECT vec_id, e,
+       |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm,
+       |  $bucketExpr AS bucket FROM v),
+       |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i])), (x,y) -> x+y)
+       |   / (a.nrm * b.nrm) AS sim
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT a_id, b_id, ROUND(sim, 9) AS sim_r
+       |FROM p WHERE sim >= $BlockedTau ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** q42 parameters: 4 buckets keeps cross-split candidates plentiful on
+    * the near-random test vectors; τ=0.30 yields real matches at every SF. */
+  val IncrementalTau = 0.30
+  val IncrementalBits = 2
+
+  /** Incremental corpus dedup — the reference's daily-ingest shape
+    * (deduplicate_from_qdrant.py:160-186, batch loop :224-310): each new
+    * batch vector is compared ONLY against the already-validated corpus
+    * (never batch-vs-batch), inherits the best-matching corpus vector's
+    * canonical id when cosine ≥ τ, else keeps its own id as a new
+    * canonical. "Best" = highest similarity, ties to the lowest corpus id
+    * — deterministic, unlike the reference's greedy first-match scan.
+    *
+    * Scale shape: corpus and batch meet on sign-LSH buckets (an equi-join
+    * — no pairwise scan of the corpus), then a bounded-heap top-1 per
+    * batch vector; at 100 TB the corpus side is the big one and the
+    * bucket key keeps the shuffle balanced. */
+  def dedupIncremental(corpus: DataFrame, batch: DataFrame, tau: Double,
+      bits: Int, dim: Int = Similarity.Dim): DataFrame = {
+    val planes = Similarity.hyperplanesFor(bits, dim)
+    val c = normalized(corpus)
+      .withColumn("bucket", Similarity.lshBucket(col("e"), planes))
+      .select(col("vec_id").as("__cand_id"), col("e").as("ec"), col("nrm").as("nc"),
+        col("bucket"))
+    val b = normalized(batch)
+      .withColumn("bucket", Similarity.lshBucket(col("e"), planes))
+      .select(col("vec_id"), col("e").as("eb"), col("nrm").as("nb"), col("bucket"))
+    val matches = b.join(c, Seq("bucket"))
+      .select(col("vec_id"), col("__cand_id"),
+        cosinePre(col("eb"), col("ec"), col("nb"), col("nc")).as("sim"))
+      .filter(col("sim") >= tau)
+    val best = Similarity.explodeTopKPerGroup(matches, "vec_id", "match_id", 1)
+    batch.select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("match_id"), col("vec_id")).as("canonical_id"),
+        when(col("match_id").isNull, 0L).otherwise(1L).as("matched"),
+        coalesce(col("sim_r"), lit(-1.0)).as("best_sim_r"))
+      .orderBy("vec_id")
+  }
+
+  /** q42: [[dedupIncremental]] over a deterministic corpus/batch split of
+    * the embeddings table (validated corpus = vec_id % 5 ≠ 0). */
+  def dedupIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    dedupIncremental(
+      emb.filter(col("vec_id") % 5 =!= 0),
+      emb.filter(col("vec_id") % 5 === 0),
+      IncrementalTau, IncrementalBits)
+  }
+
+  /** Generated DuckDB oracle for q42 (same planes, same split). */
+  def dedupIncrementalOracleSql: String = {
+    val bucketExpr = Similarity.bucketSqlExpr(Similarity.hyperplanesFor(IncrementalBits))
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |n AS (SELECT vec_id, e,
+       |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm,
+       |  $bucketExpr AS bucket FROM v),
+       |p AS (SELECT bt.vec_id AS vec_id, c.vec_id AS cand_id,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len(bt.e)+1), i -> bt.e[i]*c.e[i])), (x,y) -> x+y)
+       |   / (bt.nrm * c.nrm) AS sim
+       |  FROM n bt JOIN n c ON bt.bucket = c.bucket
+       |  WHERE bt.vec_id % 5 = 0 AND c.vec_id % 5 <> 0),
+       |m AS (SELECT vec_id, cand_id, sim,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cand_id) AS rn
+       |  FROM p WHERE sim >= $IncrementalTau),
+       |best AS (SELECT vec_id, cand_id, sim FROM m WHERE rn = 1)
+       |SELECT b.vec_id,
+       |  COALESCE(best.cand_id, b.vec_id) AS canonical_id,
+       |  CAST(CASE WHEN best.cand_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS matched,
+       |  COALESCE(ROUND(best.sim, 9), -1.0) AS best_sim_r
+       |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 5 = 0) b
+       |LEFT JOIN best USING (vec_id) ORDER BY vec_id""".stripMargin
+  }
+
   /** q26: embedding near-dup — per-vector canonical id = min vec_id over
     * its cosine ≥ 0.97 neighborhood (self included), plus neighbor count. */
   def embeddingThreshold(s: SparkSession, dir: String): DataFrame =

@@ -22,14 +22,20 @@ object Multimodal {
 
   /** q35: binary payload + typed metadata — byte length, content hash,
     * and stub-decoded dimensions derived from the hash (deterministic,
-    * engine-portable). */
+    * engine-portable). The payload surfaces as `payload_hex` (hex of the
+    * raw bytes) so the compared output is a plain sortable string; the
+    * in-pipeline representation stays `binary` (see [[binaryPayload]]). */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame = multimodalMeta(Tables.documents(s, dir))
+
+  /** The opaque binary media column as a pipeline would carry it. */
+  def binaryPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
 
   def multimodalMeta(docs: DataFrame): DataFrame = {
     val h = TextAnalysis.md5Long(col("text"))
     docs.select(
         col("doc_id"),
-        col("text").cast("binary").as("payload"),
+        hex(col("text").cast("binary")).as("payload_hex"),
         octet_length(col("text")).cast("long").as("n_bytes"),
         md5(col("text")).as("content_hash"),
         lit("image/png").as("mime"),
@@ -57,9 +63,10 @@ object Multimodal {
     }
   }
 
-  /** q36: partition-parallel batched featurization over binary payloads.
+  /** Partition-parallel batched featurization over binary payloads.
     * Batches of [[BatchSize]] rows are featurized together (the GPU
-    * shape); per-row output is independent of batch/partition layout. */
+    * shape); per-row output is independent of batch/partition layout.
+    * Returns the feature vector as an `array<double>` column. */
   def imageFeaturize(s: SparkSession, dir: String): DataFrame = imageFeaturize(Tables.documents(s, dir))
 
   def imageFeaturize(docs: DataFrame): DataFrame = {
@@ -78,4 +85,16 @@ object Multimodal {
       .toDF("doc_id", "n_bytes", "features")
       .orderBy("doc_id")
   }
+
+  /** q36: [[imageFeaturize]] with the feature vector flattened to scalar
+    * columns f0..f5 — the rows-only gate sorts/hashes every output
+    * column, so the compared surface must be scalar, not array. */
+  def imageFeaturizeFlat(s: SparkSession, dir: String): DataFrame =
+    imageFeaturizeFlat(Tables.documents(s, dir))
+
+  def imageFeaturizeFlat(docs: DataFrame): DataFrame =
+    imageFeaturize(docs)
+      .select(col("doc_id") +: col("n_bytes") +:
+        (0 until FeatureDim).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
+      .orderBy("doc_id")
 }

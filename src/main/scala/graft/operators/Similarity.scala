@@ -155,15 +155,22 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** DuckDB SQL fragment reproducing [[lshBucket]] over a column `e`
+    * (array<double>) for the given plane stack — strict left-to-right
+    * fold, so bucket assignment is bit-identical to the Spark plan. Used
+    * by every generated oracle that bakes the blocking into the SQL. */
+  def bucketSqlExpr(planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val lst = p.mkString("[", ",", "]")
+      s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, ${p.size + 1}), d -> e[d] * ($lst)[d])), (x,y) -> x+y) > 0
+         |  THEN ${1L << i} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+
   /** DuckDB oracle for q28, generated from the same hyperplane constants
     * so bucket assignment is reproduced exactly. */
   def lshTopKOracleSql: String = {
-    val bucketExpr = hyperplanes.zipWithIndex.map { case (p, i) =>
-      val lst = p.mkString("[", ",", "]")
-      s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |  list_transform(range(1, 65), d -> e[d] * ($lst)[d])), (x,y) -> x+y) > 0
-         |  THEN ${1L << i} ELSE 0 END""".stripMargin
-    }.mkString(" + ")
+    val bucketExpr = bucketSqlExpr(hyperplanes)
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
        |n AS (SELECT vec_id, e,
        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -243,6 +250,52 @@ object Similarity {
         cosinePre(col("ea"), col("eb"), col("na"), col("nb")).as("sim"))
     explodeTopK(scored, "src_id", "nbr_id", k)
       .orderBy("src_id", "rank")
+  }
+
+  /** q41: LSH-cell-blocked approximate k-NN self-join — the oracle-gated
+    * q29 scale path. Every vector scores only the others in its sign-LSH
+    * bucket, so pairwise work drops from n² to Σ|bucket|² ≈ n²/2^bits
+    * (and, unlike the k-means cells of [[knnJoinBlocked]], the blocking
+    * is a pure function of the fixed hyperplanes — reproducible in any
+    * engine, which is what lets the DuckDB oracle check it exactly).
+    * Vectors alone in their bucket emit no rows; the approximation trade
+    * is identical to q28's and multiprobe recovers recall the same way. */
+  def knnJoinLshBlocked(s: SparkSession, dir: String): DataFrame =
+    knnJoinLshBlocked(graft.Tables.embeddings(s, dir))
+
+  def knnJoinLshBlocked(embeddings: DataFrame, k: Int = 3, bits: Int = LshBits): DataFrame = {
+    val planes = hyperplanesFor(bits)
+    val v = Dedup.normalized(embeddings).withColumn("bucket", lshBucket(col("e"), planes))
+    val a = v.select(col("vec_id").as("src_id"), col("e").as("ea"),
+      col("nrm").as("na"), col("bucket"))
+    val b = v.select(col("vec_id").as("__cand_id"), col("e").as("eb"),
+      col("nrm").as("nb"), col("bucket"))
+    val scored = a.join(b, Seq("bucket")).filter(col("src_id") =!= col("__cand_id"))
+      .select(col("src_id"), col("__cand_id"),
+        cosinePre(col("ea"), col("eb"), col("na"), col("nb")).as("sim"))
+    explodeTopK(scored, "src_id", "nbr_id", k)
+      .orderBy("src_id", "rank")
+  }
+
+  /** Generated DuckDB oracle for q41: same hyperplane constants → same
+    * buckets → same candidate set; ranking replayed as a window. */
+  def knnJoinLshOracleSql(k: Int = 3, bits: Int = LshBits): String = {
+    val bucketExpr = bucketSqlExpr(hyperplanesFor(bits))
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |n AS (SELECT vec_id, e,
+       |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm,
+       |  $bucketExpr AS bucket FROM v),
+       |p AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i])), (x,y) -> x+y)
+       |   / (a.nrm * b.nrm) AS sim
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |r AS (SELECT src_id, nbr_id, sim,
+       |  ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY sim DESC, nbr_id) AS rank
+       |  FROM p)
+       |SELECT src_id, nbr_id, rank, ROUND(sim, 9) AS sim_r
+       |FROM r WHERE rank <= $k ORDER BY src_id, rank""".stripMargin
   }
 
   /** q29: exact k-NN self-join, k=3 — every vector gets its 3 nearest

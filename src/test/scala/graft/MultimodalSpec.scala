@@ -5,14 +5,30 @@ import graft.operators.Multimodal
 
 class MultimodalSpec extends SparkTestBase {
 
-  test("q35 metadata: payload bytes round-trip and hash-derived dims are in range") {
+  test("q35 metadata: hex payload round-trips the bytes and hash-derived dims are in range") {
     val out = Multimodal.multimodalMeta(spark, sfDir).collect()
     out.foreach { r =>
-      val payload = r.getAs[Array[Byte]]("payload")
-      assert(payload.length === r.getAs[Long]("n_bytes"))
+      val hexPayload = r.getAs[String]("payload_hex")
+      assert(hexPayload.length === 2 * r.getAs[Long]("n_bytes"))
+      assert(hexPayload.forall(c => (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F')))
       assert(r.getAs[Long]("width") >= 1 && r.getAs[Long]("width") <= 1920)
       assert(r.getAs[Long]("height") >= 1 && r.getAs[Long]("height") <= 1080)
       assert(r.getAs[String]("content_hash").length === 32)
+    }
+  }
+
+  test("q36 flat surface matches the array featurizer, all-scalar columns") {
+    val flat = Multimodal.imageFeaturizeFlat(spark, sfDir)
+    assert(flat.schema.fields.forall(f => !f.dataType.typeName.contains("array")))
+    val arr = Multimodal.imageFeaturize(spark, sfDir).collect()
+    val fl = flat.collect()
+    assert(arr.length === fl.length)
+    arr.zip(fl).foreach { case (a, f) =>
+      assert(a.getAs[Long]("doc_id") === f.getAs[Long]("doc_id"))
+      val feats = a.getSeq[Double](a.fieldIndex("features"))
+      (0 until Multimodal.FeatureDim).foreach { i =>
+        assert(feats(i) === f.getAs[Double](s"f$i"))
+      }
     }
   }
 

@@ -168,4 +168,66 @@ class SimilaritySpec extends SparkTestBase {
     val n = Tables.embeddings(spark, sfDir).count()
     assert(out.length === 3 * n)
   }
+
+  test("q41 LSH-blocked knn: <= k per source, every reported pair shares a bucket") {
+    val em = Tables.embeddings(spark, sfDir)
+    val out = Similarity.knnJoinLshBlocked(em).collect()
+    val perSrc = out.groupBy(_.getAs[Long]("src_id"))
+    assert(perSrc.forall(_._2.length <= 3))
+    assert(perSrc.nonEmpty)
+    val bucketOf = Dedup.normalized(em)
+      .withColumn("bucket", Similarity.lshBucket(col("e")))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    out.foreach { r =>
+      assert(bucketOf(r.getAs[Long]("src_id")) === bucketOf(r.getAs[Long]("nbr_id")))
+    }
+    // within a bucket the ranking is the exact ranking: rank-1 neighbor's
+    // sim must be >= every other reported sim for that source
+    perSrc.foreach { case (_, rs) =>
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim_r"))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("q42 incremental dedup: planted cross-batch dups inherit corpus canonicals only") {
+    // corpus = validated vecs 0 and 2; batch: 1 ≈ 0 (inherit), 4 ≈ 2
+    // (inherit), 3 = -e0 (cos = -1, mint new), 5 ≈ 3 (near-identical to a
+    // BATCH vector — must still mint its own, batch never matches batch)
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (1L, Array(0.999f, 0.001f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.999f, 0.001f, 0.0f)),
+      (5L, Array(-0.999f, -0.001f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Dedup.dedupIncremental(corpus, batch, tau = 0.97, bits = 2, dim = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[Long]("matched"))).toMap
+    assert(out(1L) === ((0L, 1L)))
+    assert(out(4L) === ((2L, 1L)))
+    assert(out(3L) === ((3L, 0L)))
+    assert(out(5L) === ((5L, 0L)))
+  }
+
+  test("q42 best-match tie-breaking is deterministic: highest sim wins, then lowest id") {
+    // two corpus vecs identical to the batch vec: both sim=1, lower id wins
+    val corpus = Seq(
+      (7L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (9L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (8L, Array(0.9f, 0.1f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val batch = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Dedup.dedupIncremental(corpus, batch, tau = 0.9, bits = 2, dim = 4).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("canonical_id") === 7L)
+    assert(out.head.getAs[Long]("matched") === 1L)
+  }
+
+  test("q40 blocked pairs: subset of exact pairs at the same tau, sims rounded") {
+    val exact = Dedup.nearDupPairs(spark, sfDir, Dedup.BlockedTau).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.embeddingBlockedPairs(spark, sfDir).collect()
+    assert(blocked.nonEmpty)
+    assert(blocked.map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(exact))
+  }
 }

@@ -42,6 +42,19 @@ for name, sql in sorted(oracle.items()):
     if len(mine) != len(ref):
         print(f"FAIL {name}: rows {len(mine)} vs {len(ref)}"); fails += 1; continue
     mine, ref = mine[mc], ref[mc]
+    # the driver's comparator sort_values+factorize+hashes the frames, so
+    # a dtype mismatch (e.g. DuckDB HUGEINT -> float64 vs Spark int64) or
+    # an unhashable cell (bytearray/ndarray) fails there even when values
+    # compare equal — surface both locally
+    for c in mc:
+        if str(mine[c].dtype) != str(ref[c].dtype):
+            print(f"WARN {name}: dtype col {c}: {mine[c].dtype} vs {ref[c].dtype}")
+        if mine[c].dtype == object and len(mine) > 0:
+            v = mine[c].iloc[0]
+            try:
+                hash(v)
+            except TypeError:
+                print(f"WARN {name}: col {c} unhashable ({type(v).__name__}) — driver gate would ERR")
     bad = None
     for c in mc:
         a, b = mine[c].tolist(), ref[c].tolist()
