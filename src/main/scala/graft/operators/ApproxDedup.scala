@@ -16,8 +16,9 @@ import graft.functions.VectorOps.arraySum
   * Scale notes:
   *  - shingle blocking turns all-pairs Jaccard into "pairs sharing ≥1
   *    shingle" — one explode + one equi-join shuffle on the shingle.
-  *    At 100 TB add a document-frequency cap on hot shingles before the
-  *    join (drops no true near-dup pairs if the cap >> doc length).
+  *    Hot shingles (df > [[DfCap]]) are excluded from the candidate
+  *    join so one viral boilerplate 3-gram can't put df² pairs on a
+  *    single reducer (spec proves planted τ=0.8 pairs survive).
   *  - MinHash/LSH replaces the shingle join with a 32×(4-row band) bucket
   *    join: candidates only, then exact-Jaccard verification. With these
   *    parameters a J≥0.8 pair is missed with probability < 1e-7, so the
@@ -109,15 +110,28 @@ object ApproxDedup {
     * Candidates are then verified with the exact intersection count.
     * Same output as the naive shingle-block join ([[jaccardPairs]]),
     * which the spec cross-checks. */
+  /** Hot-shingle document-frequency cap: shingles appearing in more docs
+    * than this never enter the candidate join. One viral boilerplate
+    * 3-gram in a web-scale corpus otherwise turns its join key into a
+    * df² pair explosion on a single reducer. A capped shingle can only
+    * cost a true pair when EVERY prefix shingle the pair shares is that
+    * hot (i.e. the docs are near-pure boilerplate) — the standard
+    * accepted trade; verification is unaffected (full shingle sets).
+    * 1000 is far above any df in the test corpora (max 25 at sf0.1), so
+    * the gated q23 output stays exactly the uncapped result. */
+  val DfCap = 1000L
+
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     ngramJaccard(Tables.documents(s, dir))
 
-  def ngramJaccard(docs: DataFrame): DataFrame = {
+  def ngramJaccard(docs: DataFrame): DataFrame = ngramJaccard(docs, DfCap)
+
+  def ngramJaccard(docs: DataFrame, dfCap: Long): DataFrame = {
     val sized = shingleSets(docs).filter(size(col("shingles")) > 0)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("n"))
     val e = sized.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val df = e.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val ordered = e.join(df, Seq("shingle"))
+    val ordered = e.join(df.filter(col("df") <= dfCap), Seq("shingle"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("by_rarity"))
       .select(col("doc_id"),
@@ -188,9 +202,10 @@ object ApproxDedup {
   def minhashLsh(docs: DataFrame): DataFrame = {
     val sh = shingleSets(docs).filter(size(col("shingles")) > 0)
     // The repartition is a materialization barrier: without it
-    // CollapseProject inlines the signature fold into the 32-band
-    // projection below and the interpreted fold runs 32× per row. The
-    // band join needs a shuffle anyway, so this costs nothing extra.
+    // CollapseProject re-inlines the signature computation (native
+    // codegen, but still O(shingles × 128) per evaluation) into the
+    // 32-band projection below, recomputing it 32× per row. The band
+    // join needs a shuffle anyway, so the barrier costs nothing extra.
     val sig = sh.select(col("doc_id"), signature(col("shingles")).as("sig"))
       .repartition(col("doc_id"))
     // slim band rows: (doc_id, band, key) only — the shingle arrays stay
@@ -216,23 +231,39 @@ object ApproxDedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** q25: 60-bit SimHash per document + band-rotation candidate/Hamming≤3
-    * neighbor counts. Expression-built (SQL strings) because the bit
-    * shifts take column-valued shift amounts. */
-  def simhash(s: SparkSession, dir: String): DataFrame =
-    simhash(Tables.documents(s, dir))
+  /** Per-word 60-bit md5 hashes of a documents frame: (doc_id, hw). */
+  private def wordHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      transform(TextAnalysis.words(col("text")), w => TextAnalysis.md5Long(w)).as("hw"))
 
-  def simhash(docs: DataFrame): DataFrame = {
-    val hashed = docs
-      .selectExpr("doc_id",
-        "transform(filter(split(text, ' '), w -> w != ''), " +
-          "w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)) as hw")
-    val sim = hashed.selectExpr("doc_id",
+  /** Native 60-bit simhash column over an array<long> word-hash column
+    * (see [[org.apache.spark.sql.graftbridge.SimHash64]]). */
+  def simhashCol(hw: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, SimHash64}
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(hw), 60))
+  }
+
+  /** Interpreted nested-HOF simhash (the reference semantics the native
+    * kernel is spec-checked bit-identical against): per bit j, the fold
+    * sums ±1 votes over every word hash — O(60 × words) interpreted
+    * expression evals per row. */
+  def simhashHof(docs: DataFrame): DataFrame =
+    wordHashes(docs).selectExpr("doc_id",
       s"""aggregate(sequence(0, 59), cast(0 as bigint), (acc, j) ->
          |  acc + CASE WHEN aggregate(hw, cast(0 as bigint),
          |      (a2, h) -> a2 + 2 * (shiftright(h, j) & 1) - 1) > 0
          |    THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END
          |) as simhash""".stripMargin)
+
+  /** q25: 60-bit SimHash per document + band-rotation candidate/Hamming≤3
+    * neighbor counts. The signature is the native [[simhashCol]] kernel;
+    * banding stays expression-built (SQL strings) because the bit shifts
+    * take column-valued shift amounts. */
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhash(Tables.documents(s, dir))
+
+  def simhash(docs: DataFrame): DataFrame = {
+    val sim = wordHashes(docs).select(col("doc_id"), simhashCol(col("hw")).as("simhash"))
     val banded = sim.selectExpr("doc_id", "simhash",
         "posexplode(transform(sequence(0, 3), b -> shiftright(simhash, b * 15) & 32767))")
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")

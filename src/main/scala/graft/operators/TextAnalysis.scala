@@ -100,12 +100,26 @@ object TextAnalysis {
     * unlike a set hash, reordering words changes it. */
   def fingerprint(s: SparkSession, dir: String): DataFrame = fingerprint(Tables.documents(s, dir))
 
+  val FingerprintMod = 1000000007L
+
+  private def modWordHashes = transform(words(col("text")), w => md5Long(w) % FingerprintMod)
+
   def fingerprint(docs: DataFrame): DataFrame = {
-    val M = lit(1000000007L)
-    val wordHashes = transform(words(col("text")), w => md5Long(w) % M)
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, PolyFingerprint}
     docs.select(
         col("doc_id"),
-        aggregate(wordHashes, lit(0L), (acc, x) => (acc * 31L + x) % M).as("fingerprint"))
+        ColumnBridge.column(PolyFingerprint(
+          ColumnBridge.expression(modWordHashes), 31L, FingerprintMod)).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** Interpreted HOF formulation of [[fingerprint]] — the reference
+    * semantics the native kernel is spec-checked bit-identical against. */
+  def fingerprintHof(docs: DataFrame): DataFrame = {
+    val M = lit(FingerprintMod)
+    docs.select(
+        col("doc_id"),
+        aggregate(modWordHashes, lit(0L), (acc, x) => (acc * 31L + x) % M).as("fingerprint"))
       .orderBy("doc_id")
   }
 
@@ -113,8 +127,20 @@ object TextAnalysis {
     * boundaries are where the word hash ≡ 0 (mod `mask`), each chunk
     * identified by its rolling hash. Unlike fixed-size chunking, an
     * insertion only perturbs the chunks around the edit — the unit of
-    * shift-resistant dedup between near-identical long documents. */
-  def cdcChunkFingerprints(docs: DataFrame, mask: Int = 16): DataFrame =
+    * shift-resistant dedup between near-identical long documents.
+    * Native kernel ([[org.apache.spark.sql.graftbridge.CdcChunkHashes]]);
+    * [[cdcChunkFingerprintsHof]] keeps the interpreted reference fold. */
+  def cdcChunkFingerprints(docs: DataFrame, mask: Int = 16): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{CdcChunkHashes, ColumnBridge}
+    docs.select(col("doc_id"),
+      ColumnBridge.column(CdcChunkHashes(
+        ColumnBridge.expression(modWordHashes), mask.toLong, 31L, FingerprintMod))
+        .as("chunk_hashes"))
+  }
+
+  /** Interpreted HOF formulation of [[cdcChunkFingerprints]] (struct-fold
+    * reference semantics, spec cross-checked). */
+  def cdcChunkFingerprintsHof(docs: DataFrame, mask: Int = 16): DataFrame =
     docs.selectExpr("doc_id",
       s"""aggregate(
          |  transform(filter(split(text, ' '), w -> w != ''),

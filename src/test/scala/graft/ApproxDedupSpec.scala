@@ -28,6 +28,34 @@ class ApproxDedupSpec extends SparkTestBase {
     assert(fast === naive)
   }
 
+  test("df-cap keeps every planted tau=0.8 pair while dropping hot shingles") {
+    // cap=5 is below the max df in the corpus, so some shingles ARE
+    // dropped from candidate generation — the τ≥0.8 pair set must survive
+    val uncapped = ApproxDedup.ngramJaccard(Tables.documents(spark, sfDir)).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val capped = ApproxDedup.ngramJaccard(Tables.documents(spark, sfDir), dfCap = 5L)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(uncapped.nonEmpty)
+    assert(capped === uncapped)
+  }
+
+  test("df-cap excludes a synthetic viral shingle from the candidate join") {
+    // 60 identical boilerplate docs (every shingle df=60 > cap) plus a
+    // planted near-dup pair built from rare words: 32 words, last changed
+    // → 30 shingles sharing 27 → J = 27/33 ≈ 0.818 ≥ τ
+    val boiler = (1 to 60).map(i => (i.toLong, "click here to subscribe now"))
+    val base = (1 to 31).map(i => s"r$i").mkString(" ")
+    val docs = (boiler :+ (1000L, s"$base endA") :+ (1001L, s"$base endB"))
+      .toDF("doc_id", "text")
+    val out = ApproxDedup.ngramJaccard(docs, dfCap = 30L).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    // planted pair survives on its rare shingles
+    assert(out === Set((1000L, 1001L)))
+    // without the cap the boilerplate clique explodes into 60·59/2 J=1 pairs
+    val uncapped = ApproxDedup.ngramJaccard(docs, dfCap = Long.MaxValue).collect()
+    assert(uncapped.length === 60 * 59 / 2 + 1)
+  }
+
   test("q24 MinHash+LSH recovers exactly the exact-Jaccard pairs (full recall here)") {
     val exact = ApproxDedup.ngramJaccard(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
@@ -70,6 +98,15 @@ class ApproxDedupSpec extends SparkTestBase {
     // the corpus has planted near-dups (q23 found pairs), simhash should
     // see at least one of them within the Hamming band
     assert(out.map(_.getAs[Long]("n_hamming_le3")).sum > 0)
+  }
+
+  test("native SimHash64 matches the interpreted nested HOF fold bit-for-bit") {
+    val d = Tables.documents(spark, sfDir)
+    val native = ApproxDedup.simhash(d).select("doc_id", "simhash").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hof = ApproxDedup.simhashHof(d).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(native.sameElements(hof))
   }
 
   test("q28 LSH top-k: results are a subset of same-bucket candidates and " +

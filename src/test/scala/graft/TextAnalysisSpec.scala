@@ -59,6 +59,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(1L) !== out(2L))
   }
 
+  test("native PolyFingerprint matches the interpreted HOF fold bit-for-bit") {
+    val native = TextAnalysis.fingerprint(spark, sfDir).collect().map(_.getLong(1))
+    val hof = TextAnalysis.fingerprintHof(Tables.documents(spark, sfDir))
+      .collect().map(_.getLong(1))
+    assert(native.sameElements(hof))
+  }
+
+  test("native CdcChunkHashes matches the interpreted struct fold bit-for-bit") {
+    val d = Tables.documents(spark, sfDir)
+    val native = TextAnalysis.cdcChunkFingerprints(d).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val hof = TextAnalysis.cdcChunkFingerprintsHof(d).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(native.length === hof.length)
+    native.zip(hof).foreach { case (n, h) => assert(n === h) }
+  }
+
   test("tokenCount: regex tokens >= whitespace tokens on punctuated text") {
     val df = docs(1L -> "hello, world! it's 42")
     val n = df.select(
