@@ -1,5 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: one JSON line with per-query wall-clock.
+  *
+  * Three passes: (1) warmup at the smallest SF — pays codegen/
+  * footer-read/broadcast setup once so measurements reflect steady-state
+  * execution, not first-run JIT; (2) the measured COLD pass at the target
+  * SF (comparable to prior rounds' headline totals); (3) a second
+  * measured WARM pass at the same SF, which isolates plan cost from
+  * JVM/GC sequence noise (the r01 verdict flagged a 2.5× gap between the
+  * in-sequence bench and per-query isolation timings).
+  *
+  * A query that throws is NOT silently timed: it is recorded as -1 in
+  * `queries`, listed in `failed`, excluded from totals, and the process
+  * exits nonzero so a broken query can't masquerade as a speedup. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,23 +26,48 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup pass over every query at the smallest SF: pays codegen/
-    // footer-read/broadcast setup once so the measured pass reflects
-    // steady-state execution, not first-run JIT
+
     val warmDir = "/root/testdata/sf0.001"
+    val warmupDir = if (new java.io.File(warmDir).isDirectory) warmDir else sfDir
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, if (new java.io.File(warmDir).isDirectory) warmDir else sfDir).count()
-      catch { case _: Throwable => () }
+      try fn(spark, warmupDir).count()
+      catch { case _: Throwable => () } // failures surface in the measured pass
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def measure(): (Map[String, Double], List[String]) = {
+      var failed = List.empty[String]
+      val times = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // collect the previous queries' garbage OUTSIDE the timed section:
+        // without this, mid-sequence queries absorb multi-second GC pauses
+        // caused by earlier queries (r01 showed 42s vs 6.5s isolated for
+        // the same plan) and the timings stop reflecting plan cost
+        System.gc()
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed ::= name
+            false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }.toMap
+      (times, failed.reverse)
+    }
+
+    val (cold, failedCold) = measure()
+    val (warm, failedWarm) = measure()
+    val failed = (failedCold ++ failedWarm).distinct
+
+    def jsonMap(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    def total(m: Map[String, Double]): Double = m.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${total(cold)},"unit":"sec"""" +
+      s""","queries":${jsonMap(cold)},"queries_warm":${jsonMap(warm)}""" +
+      s""","total_warm":${total(warm)},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -167,7 +167,7 @@ object SparkEntry {
         | CASE WHEN TRIM(source) = '' THEN NULL ELSE source END AS source,
         | n_chars
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-        |        ORDER BY n_chars DESC, source) AS rn
+        |        ORDER BY n_chars DESC, source ASC NULLS LAST) AS rn
         |      FROM documents
         |      WHERE doc_id IS NOT NULL AND text IS NOT NULL AND TRIM(text) <> '') t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,

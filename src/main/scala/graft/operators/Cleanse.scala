@@ -38,13 +38,17 @@ object Cleanse {
       .drop("__rn")
   }
 
-  /** q13: metadata cleanse — require doc_id+text, ""→NULL on lang/source,
-    * dedup keep-first per doc_id. */
+  /** q13: metadata cleanse — require doc_id+text, dedup keep-first per
+    * doc_id, then ""→NULL on lang/source. The dedup tie-break orders the
+    * RAW source with explicit NULLS LAST: normalizing first would turn ""
+    * into NULL and Spark sorts NULLs first while DuckDB sorts them last,
+    * so the two engines could keep different rows for a tied doc_id. */
   def cleanseMetadata(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val kept = requireFields(docs, Seq("doc_id", "text"))
-    val normalized = normalizeEmpty(kept, Seq("lang", "source"))
-    dedupKeepFirst(normalized, Seq("doc_id"), Seq(col("n_chars").desc, col("source")))
+    val deduped = dedupKeepFirst(kept, Seq("doc_id"),
+      Seq(col("n_chars").desc, col("source").asc_nulls_last))
+    normalizeEmpty(deduped, Seq("lang", "source"))
       .select("doc_id", "text", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }

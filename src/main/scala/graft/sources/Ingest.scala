@@ -51,4 +51,30 @@ object Ingest {
     * (file-based stand-in for the Kafka source in this environment). */
   def readJsonStream(s: SparkSession, path: String, schema: StructType): DataFrame =
     s.readStream.schema(schema).json(path)
+
+  /** Kafka streaming source wired the way the reference consumers are
+    * (metadata_eu_to_raw.py:53-71): subscribe to a topic, replay from
+    * `startingOffsets`, and bound each micro-batch with
+    * `maxOffsetsPerTrigger` (backpressure — without it the first batch
+    * after downtime swallows the whole backlog). The returned frame is
+    * the raw envelope (key/value/timestamp/topic/partition/offset), ready
+    * for [[parseJsonEnvelope]].
+    *
+    * Needs the spark-sql-kafka connector jar at runtime; this environment
+    * has neither Kafka nor the connector, so specs drive
+    * [[readJsonStream]] + [[parseJsonEnvelope]] over the identical
+    * envelope contract instead (compile-level coverage only here). */
+  def readKafkaStream(s: SparkSession, bootstrapServers: String, topic: String,
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None,
+      failOnDataLoss: Boolean = true): DataFrame = {
+    val base = s.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .option("failOnDataLoss", failOnDataLoss.toString)
+    maxOffsetsPerTrigger
+      .foldLeft(base)((b, n) => b.option("maxOffsetsPerTrigger", n.toString))
+      .load()
+  }
 }

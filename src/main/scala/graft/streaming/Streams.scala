@@ -92,8 +92,21 @@ object Streams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(st) if t - st.end <= gapMs =>
-                  cur = Some(SessionState(st.start, math.max(st.end, t), st.n + 1, st.total + e.value))
+                case Some(st) if t >= st.start - gapMs && t - st.end <= gapMs =>
+                  // in or adjacent to the open session — extend BOTH ends:
+                  // a late event within the watermark can precede the
+                  // session's current start (cross-batch out-of-order)
+                  cur = Some(SessionState(math.min(st.start, t), math.max(st.end, t),
+                    st.n + 1, st.total + e.value))
+                case Some(st) if t < st.start - gapMs =>
+                  // late event more than a gap BEFORE the open session: it
+                  // belongs to an earlier, already-gone session. Emit it as
+                  // its own session rather than corrupting the open one.
+                  // (Known divergence from the batch analog when several
+                  // such events span one old session across micro-batches;
+                  // exact replay requires keeping closed sessions in state
+                  // until the watermark passes them.)
+                  closed ::= Session(userId, e.ts, e.ts, 1L, e.value)
                 case Some(st) =>
                   closed ::= toSession(st)
                   cur = Some(SessionState(t, t, 1L, e.value))
@@ -132,17 +145,45 @@ object Streams {
         case None => batch
       }
       merged.write.mode("overwrite").parquet(s"$path/v$batchId")
-      java.nio.file.Files.write(java.nio.file.Paths.get(path, "_LATEST"),
-        batchId.toString.getBytes("UTF-8"))
+      writeLatestPointer(spark, path, batchId)
       ()
     }
 
+  /** Commit the `_LATEST` version pointer through the Hadoop FileSystem
+    * API — resolves against the table's own filesystem (HDFS/S3A/file),
+    * not the driver's local disk. Written to a temp file then renamed,
+    * which is atomic on HDFS; on S3A rename is copy+delete but the
+    * pointer is a single small object so readers see old-or-new, never
+    * partial. */
+  private[streaming] def writeLatestPointer(spark: SparkSession, path: String,
+      batchId: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"_LATEST.tmp-$batchId")
+    val dst = new org.apache.hadoop.fs.Path(dir, "_LATEST")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"failed to commit _LATEST pointer at $dst")
+  }
+
   /** The latest committed snapshot written by [[upsertSink]], if any. */
   def currentSnapshot(spark: SparkSession, path: String): Option[DataFrame] = {
-    val latest = java.nio.file.Paths.get(path, "_LATEST")
-    if (java.nio.file.Files.exists(latest))
-      Some(spark.read.parquet(s"$path/v${new String(java.nio.file.Files.readAllBytes(latest), "UTF-8").trim}"))
-    else None
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = new org.apache.hadoop.fs.Path(dir, "_LATEST")
+    if (fs.exists(latest)) {
+      val in = fs.open(latest)
+      val v = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](256)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, "UTF-8").trim
+      } finally in.close()
+      Some(spark.read.parquet(s"$path/v$v"))
+    } else None
   }
 
   // ---- oracle-checked batch entries ----

@@ -68,7 +68,13 @@ case class TopKSimId(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val sorted = buf.toArray.sortBy { case (s, i) => (-s, i) }
+    // ascending under worstFirst = score DESC under the SAME total order
+    // the heap retains with, ties id ASC. Using one total order end-to-end
+    // keeps retention and output ranking consistent for NaN scores (e.g.
+    // cosine of a zero-norm vector): NaN ranks first, exactly as a
+    // window/oracle ORDER BY sim DESC ranks it in DuckDB. The previous
+    // sortBy(-s, i) sorted NaN last while the heap retained it best.
+    val sorted = buf.toArray.sorted(worstFirst)
     new GenericArrayData(sorted.map { case (s, i) => InternalRow(s, i) }.toArray[Any])
   }
 

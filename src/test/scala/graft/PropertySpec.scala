@@ -65,6 +65,14 @@ class PropertySpec extends SparkTestBase {
     model.foreach { case (g, expect) => assert(got(g) === expect, s"group $g") }
   }
 
+  test("TopKSimId ranks NaN scores first, consistent with heap retention and DuckDB DESC") {
+    val df = Seq((0L, 0.9, 1L), (0L, Double.NaN, 2L), (0L, 0.5, 3L), (0L, 0.7, 4L))
+      .toDF("g", "sim", "__cand_id")
+    val got = graft.operators.Similarity.topKExplodedForTest(df, 3).collect()
+      .sortBy(_.getAs[Int]("rank")).map(_.getLong(1)).toSeq
+    assert(got === Seq(2L, 1L, 4L))
+  }
+
   test("minhash signature containment tracks Jaccard on random set pairs") {
     // J(A,B) ≈ fraction of matching signature slots — sanity-check the
     // estimator on disjoint vs identical sets

@@ -71,6 +71,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionizeStream: a late in-gap event from a later micro-batch moves session_start back") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[E]
+    val q = Streams.sessionizeStream(src.toDF(), gapSeconds = 600)
+      .writeStream.format("memory").queryName("sess_late").outputMode("append").start()
+    try {
+      src.addData(E(1, ts(10), 1, "a", 1.0), E(2, ts(15), 1, "a", 2.0))
+      q.processAllAvailable()
+      // late arrival (within watermark) BEFORE the open session's start but
+      // within the gap: must merge and extend the start backwards
+      src.addData(E(3, ts(4), 1, "a", 4.0))
+      q.processAllAvailable()
+      src.addData(E(4, ts(50), 1, "a", 0.5)) // > gap later: closes the session
+      q.processAllAvailable()
+      val out = spark.table("sess_late").collect()
+        .map(r => (r.getAs[Timestamp]("session_start").toString,
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      assert(out.toSeq === Seq(("2024-01-01 10:04:00.0", 3L, 7.0)))
+    } finally q.stop()
+  }
+
   test("stream-closed sessions agree with batch sessionization on the same events") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -99,10 +121,12 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("upsertSink: micro-batches MERGE into a versioned snapshot") {
+  test("upsertSink: micro-batches MERGE into a versioned snapshot (Hadoop file:// URI)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    // explicit scheme-qualified URI: the _LATEST pointer must go through
+    // the table path's Hadoop FileSystem, not the driver's local NIO
+    val dir = "file://" + java.nio.file.Files.createTempDirectory("graft_upsert").toString
     val src = MemoryStream[E]
     val q = Streams.upsertSink(src.toDF(), dir, Seq("event_id")).start()
     try {
