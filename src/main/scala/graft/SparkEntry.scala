@@ -59,6 +59,9 @@ object SparkEntry {
     "q40_dedup_embedding_blocked"  -> (Dedup.embeddingBlockedPairs _),
     "q41_knn_join_blocked"         -> ((s, dir) => Similarity.knnJoinLshBlocked(s, dir)),
     "q42_dedup_incremental"        -> (Dedup.dedupIncrementalQ _),
+    "q43_pii_redact"               -> (Curation.piiRedact _),
+    "q44_decontaminate"            -> (Curation.decontaminate _),
+    "q45_corpus_filter"            -> (Curation.corpusFilter _),
   )
 
   /** Exact blocked 3-gram Jaccard pairs at τ=0.8 — oracle for both q23
@@ -401,5 +404,40 @@ object SparkEntry {
     "q40_dedup_embedding_blocked" -> Dedup.embeddingBlockedOracleSql,
     "q41_knn_join_blocked" -> Similarity.knnJoinLshOracleSql(),
     "q42_dedup_incremental" -> Dedup.dedupIncrementalOracleSql,
+    "q43_pii_redact" ->
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, '${Curation.UrlPat}')) AS BIGINT) AS n_urls,
+         | CAST(len(regexp_extract_all(text, '${Curation.EmailPat}')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(text, '${Curation.PhonePat}')) AS BIGINT) AS n_phones,
+         | regexp_replace(regexp_replace(regexp_replace(text,
+         |   '${Curation.UrlPat}', '[URL]', 'g'),
+         |   '${Curation.EmailPat}', '[EMAIL]', 'g'),
+         |   '${Curation.PhonePat}', '[PHONE]', 'g') AS redacted
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q44_decontaminate" -> Curation.decontaminateOracleSql,
+    "q45_corpus_filter" ->
+      s"""WITH f AS (SELECT doc_id,
+         |  CAST(len(list_filter(string_split(text,' '), w -> w <> '')) AS BIGINT) AS n_words,
+         |  CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) AS n_nonspace,
+         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS n_sym,
+         |  CAST(length(text) AS DOUBLE) AS n_chars_f,
+         |  CAST(len(list_filter(string_split(lower(text),' '),
+         |    w -> list_contains(['the','a','of','and','to','in','is'], w))) AS BIGINT) AS n_stop
+         | FROM documents),
+         |r AS (SELECT doc_id, n_words, n_nonspace / n_words AS mean_word_len,
+         |  n_sym / n_chars_f AS symbol_ratio, n_stop FROM f),
+         |g AS (SELECT doc_id, n_words, mean_word_len, symbol_ratio, n_stop,
+         |  CAST(CASE WHEN n_words >= ${Curation.MinWords} AND n_words <= ${Curation.MaxWords}
+         |    THEN 1 ELSE 0 END AS BIGINT) AS ok_words,
+         |  CAST(CASE WHEN mean_word_len >= ${Curation.MinMeanWordLen}
+         |    AND mean_word_len <= ${Curation.MaxMeanWordLen}
+         |    THEN 1 ELSE 0 END AS BIGINT) AS ok_word_len,
+         |  CAST(CASE WHEN symbol_ratio < ${Curation.MaxSymbolRatio}
+         |    THEN 1 ELSE 0 END AS BIGINT) AS ok_symbols,
+         |  CAST(CASE WHEN n_stop > 0 THEN 1 ELSE 0 END AS BIGINT) AS ok_stopwords
+         | FROM r)
+         |SELECT *, CAST(CASE WHEN ok_words + ok_word_len + ok_symbols + ok_stopwords = 4
+         |  THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM g ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.Curation
+
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("q43 redacts planted emails, phones, and urls with correct counts") {
+    val d = docs(
+      1L -> "contact me at alice.smith+spam@example.co.uk or bob@test.org today",
+      2L -> "call +1 555-123 4567 now",
+      3L -> "see https://example.com/a?b=c#frag and http://foo.bar",
+      4L -> "perfectly clean text with no identifiers at all")
+    val out = Curation.piiRedact(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"), r.getAs[Long]("n_urls"),
+          r.getAs[String]("redacted"))).toMap
+    assert(out(1L)._1 === 2L)
+    assert(out(1L)._4 === "contact me at [EMAIL] or [EMAIL] today")
+    assert(out(2L)._2 === 1L)
+    assert(out(2L)._4 === "call [PHONE] now")
+    assert(out(3L)._3 === 2L)
+    assert(out(3L)._4 === "see [URL] and [URL]")
+    assert(out(4L) === ((0L, 0L, 0L, "perfectly clean text with no identifiers at all")))
+  }
+
+  test("q43 on the corpus: redaction is a no-op on PII-free text") {
+    val out = Curation.piiRedact(spark, sfDir).collect()
+    assert(out.length === Tables.documents(spark, sfDir).count())
+    assert(out.forall(r => r.getAs[Long]("n_emails") === 0L))
+  }
+
+  test("q44 flags a doc sharing a benchmark 3-gram, clears disjoint docs") {
+    // doc 0 and 50 are benchmark (mod 50); doc 7 copies a benchmark
+    // phrase, doc 8 is disjoint
+    val d = docs(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      50L -> "completely different benchmark content here today",
+      7L -> "something then quick brown fox appears here",
+      8L -> "nothing shared with any held out set at all")
+    val out = Curation.decontaminate(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shared"), r.getAs[Long]("contaminated"))).toMap
+    assert(!out.contains(0L) && !out.contains(50L)) // benchmark rows excluded
+    assert(out(7L)._1 >= 1L && out(7L)._2 === 1L)   // shares "quick brown fox"
+    assert(out(8L) === ((0L, 0L)))
+  }
+
+  test("q44 on the corpus: planted near-dups of benchmark docs are caught") {
+    val out = Curation.decontaminate(spark, sfDir).collect()
+    val n = Tables.documents(spark, sfDir).count()
+    assert(out.length === n - Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % Curation.BenchModulus === 0).count())
+    // the small shared vocabulary guarantees some 3-gram collisions
+    assert(out.exists(_.getAs[Long]("contaminated") === 1L))
+    assert(out.forall(r => r.getAs[Long]("n_shared") <= r.getAs[Long]("n_shingles")))
+  }
+
+  test("q45 rule flags agree with hand-computed values and both outcomes occur") {
+    val d = docs(
+      // 21 words incl 'the' twice: keep
+      1L -> ("the cat sat on the mat " + (1 to 15).map(i => s"w$i").mkString(" ")),
+      // 5 words: too short
+      2L -> "tiny doc of the day",
+      // 21 words, no stopwords
+      3L -> (1 to 21).map(i => s"x$i").mkString(" "))
+    val out = Curation.corpusFilter(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("ok_words"),
+          r.getAs[Long]("ok_stopwords"), r.getAs[Long]("keep"))).toMap
+    assert(out(1L) === ((21L, 1L, 1L, 1L)))
+    assert(out(2L)._2 === 0L)
+    assert(out(2L)._4 === 0L)
+    assert(out(3L) === ((21L, 1L, 0L, 0L)))
+  }
+
+  test("q45 on the corpus: keeps and drops both present, ratios in range") {
+    val out = Curation.corpusFilter(spark, sfDir).collect()
+    val keeps = out.count(_.getAs[Long]("keep") === 1L)
+    assert(keeps > 0 && keeps < out.length,
+      s"filter must discriminate: $keeps/${out.length} kept")
+    assert(out.forall { r =>
+      val m = r.getAs[Double]("mean_word_len"); m > 0.0 && m < 50.0
+    })
+  }
+}

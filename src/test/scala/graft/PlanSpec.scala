@@ -39,6 +39,33 @@ class PlanSpec extends SparkTestBase {
     assert(sigIdx > p.indexOf("Generate explode"), "signature computed below the band explode")
   }
 
+  test("q41/q40/q42 blocked paths plan equi-joins on the bucket, never nested-loop") {
+    // the whole point of the blocked variants: candidate generation is a
+    // hash-partitioned equi-join on the LSH bucket, so no plan may fall
+    // back to BroadcastNestedLoopJoin/CartesianProduct the way the exact
+    // q26/q29 non-equi joins do
+    Seq(
+      Similarity.knnJoinLshBlocked(spark, sfDir),
+      graft.operators.Dedup.embeddingBlockedPairs(spark, sfDir),
+      graft.operators.Dedup.dedupIncrementalQ(spark, sfDir)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"blocked path degenerated to a pairwise scan:\n$p")
+    }
+  }
+
+  test("q25: simhash runs as the native kernel, no interpreted nested fold") {
+    val p = plan(graft.operators.ApproxDedup.simhash(spark, sfDir))
+    assert(p.contains("simhash64"))
+    assert(!p.contains("aggregate(sequence"), "nested HOF fold must be gone")
+  }
+
+  test("q33: fingerprint runs as the native kernel") {
+    val p = plan(graft.operators.TextAnalysis.fingerprint(spark, sfDir))
+    assert(p.contains("poly_fingerprint"))
+  }
+
   test("q29 pair scoring applies dot_product_double to bare attributes") {
     // the interpreted toDouble transform must stay below the join
     // boundary: if it fuses into the O(n²) scoring projection, every pair
