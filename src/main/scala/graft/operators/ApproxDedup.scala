@@ -131,15 +131,19 @@ object ApproxDedup {
       .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("n"))
     val e = sized.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val df = e.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val ordered = e.join(df.filter(col("df") <= dfCap), Seq("shingle"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("by_rarity"))
-      .select(col("doc_id"),
-        transform(
-          slice(col("by_rarity"), lit(1),
-            (size(col("by_rarity")) - ceil(size(col("by_rarity")) * Tau) + 1).cast("int")),
-          x => x.getField("shingle")).as("prefix"))
-    val pe = ordered.select(col("doc_id"), explode(col("prefix")).as("shingle"))
+    // rank each doc's (kept) shingles rarest-first and keep the prefix
+    // rows directly: one shuffle on doc_id feeding two Window passes over
+    // the same sort — no per-doc array build (the previous
+    // collect_list → sort_array → slice → re-explode materialized every
+    // doc's full shingle list twice)
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val wholeDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val pe = e.join(df.filter(col("df") <= dfCap), Seq("shingle"))
+      .withColumn("rn", row_number().over(byRarity))
+      .withColumn("m", count(lit(1)).over(wholeDoc))
+      .filter(col("rn") <= (col("m") - ceil(col("m") * Tau) + 1).cast("int"))
+      .select(col("doc_id"), col("shingle"))
     val cand = pe.select(col("doc_id").as("a_id"), col("shingle"))
       .join(pe.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle"))
       .filter(col("a_id") < col("b_id"))
