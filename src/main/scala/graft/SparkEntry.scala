@@ -62,13 +62,17 @@ object SparkEntry {
     "q43_pii_redact"               -> (Curation.piiRedact _),
     "q44_decontaminate"            -> (Curation.decontaminate _),
     "q45_corpus_filter"            -> (Curation.corpusFilter _),
+    "q46_dedup_cc"                 -> (Cluster.dedupClusters _),
+    "q47_stratified_sample"        -> (Sampling.stratifiedSample _),
+    "q48_pack_sequences"           -> (Packing.packSequences _),
+    "q49_domain_rebalance"         -> (Sampling.domainRebalance _),
   )
 
-  /** Exact blocked 3-gram Jaccard pairs at τ=0.8 — oracle for both q23
-    * (which computes exactly this) and q24 (whose LSH candidates verify
-    * to the same set; see the banding recall note at the map entry). */
-  private val exactJaccardSql: String =
-    """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+  /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
+    * (`p`: a_id, b_id, common, na, nb) — the oracle core for q23/q24 and
+    * the edge set for q46's transitive closure. */
+  private val jaccardPairCtes: String =
+    """w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
       |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN []
       |  ELSE list_distinct(list_transform(range(1, len(ws)-1),
       |         i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) END AS s FROM w),
@@ -76,11 +80,32 @@ object SparkEntry {
       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common,
       |    any_value(a.n) AS na, any_value(b.n) AS nb
       |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Exact blocked 3-gram Jaccard pairs at τ=0.8 — oracle for both q23
+    * (which computes exactly this) and q24 (whose LSH candidates verify
+    * to the same set; see the banding recall note at the map entry). */
+  private val exactJaccardSql: String =
+    s"""WITH $jaccardPairCtes
       |SELECT a_id, b_id, common, na, nb,
       |  CAST(common AS DOUBLE)/(na+nb-common) AS jaccard
       |FROM p WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.8
       |ORDER BY a_id, b_id""".stripMargin
+
+  /** q46 oracle: transitive closure (recursive reachability) over the
+    * τ=0.8 Jaccard pair edges; cluster id = min reachable doc_id. */
+  private val dedupCcSql: String =
+    s"""WITH RECURSIVE $jaccardPairCtes,
+      |pairs AS (SELECT a_id, b_id FROM p
+      |  WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.8),
+      |und AS (SELECT a_id AS s, b_id AS d FROM pairs
+      |  UNION SELECT b_id, a_id FROM pairs),
+      |reach(s, d) AS (SELECT doc_id, doc_id FROM documents
+      |  UNION SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s),
+      |lab AS (SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s)
+      |SELECT doc_id, cluster_id,
+      |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+      |FROM lab ORDER BY doc_id""".stripMargin
 
   /** DuckDB-equivalent SQL for each oracle-able query (same column names,
     * same ordering, DECIMAL-exact aggregates cast to DOUBLE). */
@@ -415,6 +440,10 @@ object SparkEntry {
          |   '${Curation.PhonePat}', '[PHONE]', 'g') AS redacted
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q44_decontaminate" -> Curation.decontaminateOracleSql,
+    "q46_dedup_cc" -> dedupCcSql,
+    "q47_stratified_sample" -> Sampling.stratifiedSampleOracleSql,
+    "q48_pack_sequences" -> Packing.packSequencesOracleSql(),
+    "q49_domain_rebalance" -> Sampling.domainRebalanceOracleSql,
     "q45_corpus_filter" ->
       s"""WITH f AS (SELECT doc_id,
          |  CAST(len(list_filter(string_split(text,' '), w -> w <> '')) AS BIGINT) AS n_words,

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Connected-components clustering over near-duplicate pair edges — the
+  * step that turns PAIRS (q23/q24/q40 output) into transitive dedup
+  * CLUSTERS with one canonical id each. The reference's dedup inherits a
+  * canonical_id from whichever validated neighbor matched first
+  * (deduplicate_from_qdrant.py:160-186), which makes chains a~b~c share
+  * one id only by scan order; connected components computes the same
+  * closure order-independently, the way a distributed engine must.
+  *
+  * Scale notes: the iteration is min-label propagation with pointer
+  * jumping — each round is two equi-join shuffles on node id, and the
+  * label tree height halves per round, so rounds = O(log diameter).
+  * Near-dup clusters are shallow (dozens of members, diameter ≤ a few
+  * hops), so this converges in 2-3 rounds at any corpus size; the edge
+  * list is checkpointed once and reused. No driver-side data beyond the
+  * one-row convergence check per round.
+  */
+object Cluster {
+
+  /** Labels each node with the minimum node id reachable through `edges`
+    * (undirected). `nodes`: one `id` column; `edges`: `a_id`, `b_id`.
+    * Returns (id, label). */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    // undirected adjacency, materialized once — every round re-reads it
+    val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // 1) neighbor-min: label <- min(label, min of neighbors' labels)
+      val nbr = und
+        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nbr_label"))
+      val prop = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // 2) pointer jumping: label <- label's label (labels are always
+      // node ids, so the parent lookup is total) — halves tree height
+      val parent = prop.select(col("id").as("pid"), col("label").as("plabel"))
+      val jumped = prop.join(parent, prop("label") === parent("pid"))
+        .select(prop("id"), col("plabel").as("label"))
+        .localCheckpoint() // truncate lineage between rounds
+      val changed = jumped.select(col("id"), col("label").as("new_label"))
+        .join(labels, Seq("id"))
+        .filter(col("new_label") =!= col("label"))
+        .limit(1).count()
+      labels = jumped
+      done = changed == 0L
+      iter += 1
+    }
+    labels
+  }
+
+  /** q46: transitive dedup clusters of the documents table — edges are
+    * the exact 3-gram Jaccard ≥ 0.8 pairs (q23's output), nodes are all
+    * documents (pair-free docs stay singleton clusters of themselves).
+    * Output: doc_id, cluster_id = min doc_id of the component,
+    * cluster_size. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(Tables.documents(s, dir))
+
+  def dedupClusters(docs: DataFrame): DataFrame = {
+    val edges = ApproxDedup.ngramJaccard(docs).select("a_id", "b_id")
+    val nodes = docs.select(col("doc_id").as("id"))
+    val labels = connectedComponents(nodes, edges)
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+}

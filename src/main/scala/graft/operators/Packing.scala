@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Greedy sequence packing — grouping documents into fixed token-budget
+  * packs, the step that turns a curated corpus into dense training
+  * sequences (unfilled context is wasted compute, so pretraining
+  * pipelines pack documents back-to-back up to the context length).
+  *
+  * The pack assignment is greedy-sequential WITHIN a shard key (here:
+  * `source`) and embarrassingly parallel ACROSS shards — the standard
+  * at-scale shape: shard the corpus, pack each shard independently. The
+  * per-shard scan is inherently order-dependent (each doc's pack depends
+  * on every doc before it), so it runs as one `flatMapGroups` pass per
+  * shard sorted by doc_id — the same legitimate per-group sequential
+  * state pattern as sessionization, with memory bounded by shard size
+  * (pick `shards` so a shard fits an executor core).
+  */
+object Packing {
+
+  /** q48 token budget per pack: ~4-5 docs of the test corpus (docs run
+    * 10-99 words). */
+  val Budget = 256L
+
+  case class DocTok(source: String, doc_id: Long, n_tokens: Long)
+  case class Packed(source: String, doc_id: Long, n_tokens: Long,
+    pack_id: Long, pack_pos: Long)
+
+  /** q48: greedy pack per source — docs in doc_id order accumulate into
+    * the current pack until the next one would exceed the budget, which
+    * starts a new pack (a single doc larger than the budget gets a pack
+    * of its own). Output: one row per doc with its (per-source, 1-based)
+    * pack_id and position. */
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(s, dir), Budget)
+
+  def packSequences(docs: DataFrame, budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(
+        coalesce(col("source"), lit("")).as("source"),
+        col("doc_id"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("n_tokens"))
+      .as[DocTok]
+    toks.groupByKey(_.source)
+      .flatMapGroups { (src, it) =>
+        val sorted = it.toArray.sortBy(_.doc_id)
+        var acc = 0L
+        var pack = 0L
+        var pos = 0L
+        sorted.iterator.map { d =>
+          if (pack == 0L || acc + d.n_tokens > budget) {
+            pack += 1; acc = d.n_tokens; pos = 1
+          } else {
+            acc += d.n_tokens; pos += 1
+          }
+          Packed(src, d.doc_id, d.n_tokens, pack, pos)
+        }
+      }
+      .toDF()
+      .orderBy("source", "doc_id")
+  }
+
+  /** Generated DuckDB oracle for q48: the same greedy scan as a linear
+    * recursive CTE stepping row_number+1 within each source. */
+  def packSequencesOracleSql(budget: Long = Budget): String =
+    s"""WITH RECURSIVE d AS (SELECT COALESCE(source, '') AS source, doc_id,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens,
+       |  ROW_NUMBER() OVER (PARTITION BY COALESCE(source, '') ORDER BY doc_id) AS rn
+       | FROM documents),
+       |p AS (
+       | SELECT source, doc_id, n_tokens, rn, n_tokens AS acc,
+       |   CAST(1 AS BIGINT) AS pack_id, CAST(1 AS BIGINT) AS pack_pos
+       | FROM d WHERE rn = 1
+       | UNION ALL
+       | SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+       |   CASE WHEN p.acc + d.n_tokens > $budget THEN d.n_tokens
+       |        ELSE p.acc + d.n_tokens END,
+       |   CASE WHEN p.acc + d.n_tokens > $budget THEN p.pack_id + 1
+       |        ELSE p.pack_id END,
+       |   CASE WHEN p.acc + d.n_tokens > $budget THEN CAST(1 AS BIGINT)
+       |        ELSE p.pack_pos + 1 END
+       | FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+       |SELECT source, doc_id, n_tokens, pack_id, pack_pos
+       |FROM p ORDER BY source, doc_id""".stripMargin
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic corpus sampling — the selection steps between curation
+  * and training: stratified downsampling of over-represented strata and
+  * rebalancing the language/domain mixture toward target proportions
+  * (the "data mixture" knob every LLM pretraining run tunes).
+  *
+  * Both operators sample by a 60-bit md5 hash of the document id, not
+  * rand(): the kept set is a pure function of the data, so retries,
+  * stragglers, and re-runs see the same sample — and any engine
+  * (including the DuckDB oracle) reproduces it bit-for-bit. Integer
+  * bucket-vs-threshold compares only; no float rates.
+  *
+  * Scale notes: stratified sampling is a single narrow codegen'd
+  * filter — no shuffle at all. Rebalancing adds one tiny per-stratum
+  * count aggregate (rows = #strata) broadcast back onto the corpus scan:
+  * two passes over the data, zero corpus-sized shuffles.
+  */
+object Sampling {
+
+  /** 0..99 sampling bucket from the doc id — md5-derived, seed-tagged. */
+  private[operators] def hashBucket(id: Column, seed: String, mod: Long): Column =
+    TextAnalysis.md5Long(concat(id.cast("string"), lit(seed))) % mod
+
+  /** q47 per-language keep percents: en dominates the corpus, so it is
+    * sampled hardest; zh is mid; the rest keep most rows. */
+  val StratRates: Seq[(String, Long)] = Seq("en" -> 30L, "zh" -> 50L)
+  val DefaultRate = 80L
+  val StratSeed = ":strat42"
+
+  /** q47: stratified downsample — keep a document iff its hash bucket
+    * falls under its stratum's rate. Expected composition follows the
+    * rates; actual membership is deterministic. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.documents(s, dir))
+
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val rate = StratRates.foldRight(lit(DefaultRate): Column) {
+      case ((l, r), acc) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    docs
+      .withColumn("strat_bucket", hashBucket(col("doc_id"), StratSeed, 100L))
+      .withColumn("rate", rate)
+      .filter(col("strat_bucket") < col("rate"))
+      .select("doc_id", "lang", "source", "strat_bucket", "rate")
+      .orderBy("doc_id")
+  }
+
+  /** Generated DuckDB oracle for q47 (same hash, same rates). */
+  def stratifiedSampleOracleSql: String = {
+    val rateCase = StratRates
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString("CASE lang ", " ", s" ELSE $DefaultRate END")
+    s"""WITH t AS (SELECT doc_id, lang, source,
+       |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '$StratSeed'), 1, 15)) AS BIGINT) % 100 AS strat_bucket,
+       |  CAST($rateCase AS BIGINT) AS rate
+       | FROM documents)
+       |SELECT doc_id, lang, source, strat_bucket, rate
+       |FROM t WHERE strat_bucket < rate ORDER BY doc_id""".stripMargin
+  }
+
+  /** q49 mixture targets: equal share per language — the corpus is
+    * en-heavy, so rebalancing downsamples en and keeps the rest whole
+    * (a stratum short of its target keeps all its rows; nothing is
+    * upsampled). Weights are integer percents summing to 100. */
+  val MixWeights: Seq[(String, Long)] = Seq(
+    "en" -> 20L, "es" -> 20L, "de" -> 20L, "fr" -> 20L, "zh" -> 20L)
+  val MixSeed = ":mix42"
+
+  /** q49: rebalance the language mixture toward [[MixWeights]] at half
+    * the corpus size. Per-stratum keep threshold (ppm) =
+    * min(1e6, weight·(N/2)·1e6 / (100·n_stratum)), all integer floor
+    * arithmetic, then the same deterministic hash filter as q47. */
+  def domainRebalance(s: SparkSession, dir: String): DataFrame =
+    domainRebalance(Tables.documents(s, dir))
+
+  def domainRebalance(docs: DataFrame): DataFrame = {
+    val weight = MixWeights.foldRight(lit(0L): Column) {
+      case ((l, w), acc) => when(col("lang") === l, lit(w)).otherwise(acc)
+    }
+    // per-stratum counts + corpus total: rows = #strata, so the window
+    // total and the join back to the corpus are both trivially small
+    val strata = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_stratum"))
+      .withColumn("total", sum(col("n_stratum")).over(Window.partitionBy()))
+      .withColumn("w", weight)
+      .withColumn("thresh_ppm",
+        least(lit(1000000L),
+          expr("(w * (total DIV 2) * 1000000) DIV (100 * n_stratum)")))
+      .select("lang", "n_stratum", "thresh_ppm")
+    docs
+      .withColumn("mix_bucket", hashBucket(col("doc_id"), MixSeed, 1000000L))
+      .join(broadcast(strata), Seq("lang"))
+      .filter(col("mix_bucket") < col("thresh_ppm"))
+      .select("doc_id", "lang", "mix_bucket", "thresh_ppm")
+      .orderBy("doc_id")
+  }
+
+  /** Generated DuckDB oracle for q49 (same weights, same integer
+    * threshold arithmetic, same hash). */
+  def domainRebalanceOracleSql: String = {
+    val weightCase = MixWeights
+      .map { case (l, w) => s"WHEN '$l' THEN $w" }
+      .mkString("CASE lang ", " ", " ELSE 0 END")
+    s"""WITH strata AS (SELECT lang, COUNT(*) AS n_stratum,
+       |  SUM(COUNT(*)) OVER () AS total FROM documents GROUP BY lang),
+       |thresh AS (SELECT lang, n_stratum,
+       |  least(1000000, ($weightCase * (total // 2) * 1000000)
+       |    // (100 * n_stratum)) AS thresh_ppm
+       | FROM strata),
+       |t AS (SELECT doc_id, d.lang,
+       |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '$MixSeed'), 1, 15)) AS BIGINT) % 1000000 AS mix_bucket,
+       |  CAST(thresh_ppm AS BIGINT) AS thresh_ppm
+       | FROM documents d JOIN thresh USING (lang))
+       |SELECT doc_id, lang, mix_bucket, thresh_ppm
+       |FROM t WHERE mix_bucket < thresh_ppm ORDER BY doc_id""".stripMargin
+  }
+}

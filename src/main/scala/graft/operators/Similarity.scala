@@ -41,7 +41,11 @@ object Similarity {
     scored.groupBy(col(group))
       .agg(topKAgg(col("sim"), col("__cand_id"), k).as("tk"))
       .select(col(group), posexplode(col("tk")))
-      .select(col(group), col("col.id").as(outId), (col("pos") + 1).as("rank"),
+      // rank as long: DuckDB ROW_NUMBER() is BIGINT and the driver's
+      // comparator hashes pandas dtypes, so an int32 here is a gate FAIL
+      // even when every value matches (the r01 q12 failure mode)
+      .select(col(group), col("col.id").as(outId),
+        (col("pos") + 1).cast("long").as("rank"),
         round(col("col.sim"), 9).as("sim_r"))
 
   /** Test hook: raw (g, sim, __cand_id) frame → top-k per g with raw sim

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Cluster, Packing, Sampling}
+
+class CorpusOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // --- q46 connected components ---
+
+  test("connectedComponents closes a chain transitively and keeps singletons") {
+    // edges 1-2, 2-3 (a chain: 1 and 3 are NOT directly linked), 5-6;
+    // 4 and 7 are isolated
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val out = Cluster.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("connectedComponents handles a long path (pointer jumping converges)") {
+    // path 0-1-2-...-19: one component, diameter 19 — without pointer
+    // jumping this needs 19 rounds; with it, O(log) rounds under maxIter
+    val n = 20
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val edges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("a_id", "b_id")
+    val out = Cluster.connectedComponents(nodes, edges, maxIter = 8)
+    assert(out.select("label").distinct().collect().map(_.getLong(0)).toSeq === Seq(0L))
+  }
+
+  test("q46 clusters equal the transitive closure of the q23 pair set") {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = operators.ApproxDedup.ngramJaccard(docs)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val out = Cluster.dedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // model closure with a tiny union-find over the collected pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expectClusters = out.keys.map(id => id -> find(id)).toMap
+    // canonical = min member, so re-canonicalize the union-find labels
+    val minOf = expectClusters.groupBy(_._2).map { case (root, m) => root -> m.keys.min }
+    out.foreach { case (id, (cid, size)) =>
+      assert(cid === minOf(expectClusters(id)), s"doc $id cluster")
+      assert(size === expectClusters.count(_._2 == expectClusters(id)).toLong)
+    }
+    assert(out.size === docs.count())
+  }
+
+  // --- q47/q49 sampling ---
+
+  test("q47 keeps exactly the under-threshold hash buckets, deterministically") {
+    val out1 = Sampling.stratifiedSample(spark, sfDir).collect()
+    val out2 = Sampling.stratifiedSample(spark, sfDir).collect()
+    assert(out1.map(_.getLong(0)).toSeq === out2.map(_.getLong(0)).toSeq)
+    assert(out1.nonEmpty && out1.length < Tables.documents(spark, sfDir).count())
+    out1.foreach { r =>
+      val (bucket, rate) = (r.getAs[Long]("strat_bucket"), r.getAs[Long]("rate"))
+      assert(bucket < rate && bucket >= 0L && rate <= 100L)
+    }
+    // en must be sampled harder than the default strata
+    val rates = out1.map(r => r.getAs[String]("lang") -> r.getAs[Long]("rate")).toMap
+    assert(rates.get("en").forall(_ == 30L))
+  }
+
+  test("q49 downsamples over-represented strata toward the target mix") {
+    val docs = Tables.documents(spark, sfDir)
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Sampling.domainRebalance(spark, sfDir)
+    val after = out.groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = before.values.sum
+    // every stratum's kept count is ≤ its ppm threshold expectation and
+    // ≤ its original size; en (the over-represented one) must shrink
+    assert(after("en") < before("en"))
+    // a stratum already below target keeps everything (thresh = 1e6)
+    val target = total / 2 / Sampling.MixWeights.size
+    before.foreach { case (l, n) =>
+      if (n <= target) assert(after.getOrElse(l, 0L) === n, s"stratum $l should keep all")
+    }
+  }
+
+  // --- q48 packing ---
+
+  test("q48 packs respect the budget and oversized docs get their own pack") {
+    val docs = Seq(
+      (1L, Seq.fill(100)("w").mkString(" "), "s1"),   // 100 tokens
+      (2L, Seq.fill(100)("w").mkString(" "), "s1"),   // fits: 200
+      (3L, Seq.fill(100)("w").mkString(" "), "s1"),   // 300 > 256 -> new pack
+      (4L, Seq.fill(300)("w").mkString(" "), "s1"),   // oversized -> own pack
+      (5L, Seq.fill(10)("w").mkString(" "), "s1"),
+      (6L, Seq.fill(10)("w").mkString(" "), "s2")     // other shard restarts ids
+    ).toDF("doc_id", "text", "source")
+    val out = Packing.packSequences(docs, 256L).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("pack_id"), r.getAs[Long]("pack_pos"))).toMap
+    assert(out(("s1", 1L)) === ((1L, 1L)))
+    assert(out(("s1", 2L)) === ((1L, 2L)))
+    assert(out(("s1", 3L)) === ((2L, 1L)))
+    assert(out(("s1", 4L)) === ((3L, 1L)))
+    assert(out(("s1", 5L)) === ((4L, 1L)))
+    assert(out(("s2", 6L)) === ((1L, 1L)))
+  }
+
+  test("q48 on the corpus: pack token sums stay within budget unless singleton") {
+    val out = Packing.packSequences(spark, sfDir)
+    val packs = out.groupBy("source", "pack_id")
+      .agg(sum("n_tokens").as("tok"), count(lit(1)).as("n"))
+      .collect()
+    assert(packs.nonEmpty)
+    packs.foreach { r =>
+      val (tok, n) = (r.getAs[Long]("tok"), r.getAs[Long]("n"))
+      assert(tok <= Packing.Budget || n == 1L,
+        s"pack over budget with $n docs: $tok")
+    }
+  }
+}

@@ -64,7 +64,7 @@ class SimilaritySpec extends SparkTestBase {
     out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
       assert(rs.length === 10)
       assert(rs.forall(_.getAs[Long]("neighbor_id") !== q))
-      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim_r"))
+      val sims = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim_r"))
       assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
     }
   }
@@ -88,7 +88,7 @@ class SimilaritySpec extends SparkTestBase {
 
   test("IVF top-k: full k results per query and decent recall of the exact top-1") {
     val exact1 = Similarity.bruteForceTopK(spark, sfDir).collect()
-      .filter(_.getAs[Int]("rank") === 1)
+      .filter(_.getAs[Long]("rank") === 1L)
       .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
     val ivf = Similarity.ivfTopK(spark, sfDir).collect()
     val byQuery = ivf.groupBy(_.getAs[Long]("query_id"))
@@ -120,7 +120,7 @@ class SimilaritySpec extends SparkTestBase {
   test("multiprobe LSH recall >= single-bucket LSH recall") {
     val em = Tables.embeddings(spark, sfDir)
     val exact1 = Similarity.bruteForceTopK(em).collect()
-      .filter(_.getAs[Int]("rank") === 1)
+      .filter(_.getAs[Long]("rank") === 1L)
       .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
     def recall(df: org.apache.spark.sql.DataFrame): Int =
       df.collect().count(r => exact1.get(r.getAs[Long]("query_id"))
@@ -148,7 +148,7 @@ class SimilaritySpec extends SparkTestBase {
   test("cell-blocked knn: k neighbors per vector, mostly agreeing with exact knn") {
     val em = Tables.embeddings(spark, sfDir)
     val exact = Similarity.knnJoin(em).collect()
-      .filter(_.getAs[Int]("rank") === 1)
+      .filter(_.getAs[Long]("rank") === 1L)
       .map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("nbr_id")).toMap
     val blocked = Similarity.knnJoinBlocked(em).collect()
     val perSrc = blocked.groupBy(_.getAs[Long]("src_id"))
@@ -184,7 +184,7 @@ class SimilaritySpec extends SparkTestBase {
     // within a bucket the ranking is the exact ranking: rank-1 neighbor's
     // sim must be >= every other reported sim for that source
     perSrc.foreach { case (_, rs) =>
-      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim_r"))
+      val sims = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim_r"))
       assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
     }
   }
