@@ -27,6 +27,23 @@ object Packing {
   case class DocTok(source: String, doc_id: Long, n_tokens: Long)
   case class Packed(source: String, doc_id: Long, n_tokens: Long,
     pack_id: Long, pack_pos: Long)
+  case class DocTokS(source: String, shard: Long, doc_id: Long, n_tokens: Long)
+  case class PackedS(source: String, shard: Long, doc_id: Long, n_tokens: Long,
+    pack_id: Long, pack_pos: Long)
+
+  /** Greedy scan shared by both packers: docs sorted by id, accumulate
+    * until the budget would overflow, then open a new pack. */
+  private def greedy[T](sorted: Array[(Long, Long)], budget: Long,
+      emit: (Long, Long, Long, Long) => T): Iterator[T] = {
+    var acc = 0L
+    var pack = 0L
+    var pos = 0L
+    sorted.iterator.map { case (docId, n) =>
+      if (pack == 0L || acc + n > budget) { pack += 1; acc = n; pos = 1 }
+      else { acc += n; pos += 1 }
+      emit(docId, n, pack, pos)
+    }
+  }
 
   /** q48: greedy pack per source — docs in doc_id order accumulate into
     * the current pack until the next one would exceed the budget, which
@@ -46,21 +63,37 @@ object Packing {
       .as[DocTok]
     toks.groupByKey(_.source)
       .flatMapGroups { (src, it) =>
-        val sorted = it.toArray.sortBy(_.doc_id)
-        var acc = 0L
-        var pack = 0L
-        var pos = 0L
-        sorted.iterator.map { d =>
-          if (pack == 0L || acc + d.n_tokens > budget) {
-            pack += 1; acc = d.n_tokens; pos = 1
-          } else {
-            acc += d.n_tokens; pos += 1
-          }
-          Packed(src, d.doc_id, d.n_tokens, pack, pos)
-        }
+        val sorted = it.toArray.sortBy(_.doc_id).map(d => (d.doc_id, d.n_tokens))
+        greedy(sorted, budget, Packed(src, _, _, _, _))
       }
       .toDF()
       .orderBy("source", "doc_id")
+  }
+
+  /** Sharded packing — the 100 TB path. The shard key is
+    * (source, md5(doc_id) mod `shards`), so the unit of sequential scan
+    * (and of executor memory: one shard's (id, count) pairs) stays
+    * bounded no matter how large a single source grows; shards pack
+    * independently and in parallel. Deterministic: the shard assignment
+    * is a hash of the data, not of the partitioning. */
+  def packSequencesSharded(docs: DataFrame, budget: Long = Budget,
+      shards: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(
+        coalesce(col("source"), lit("")).as("source"),
+        (TextAnalysis.md5Long(concat(col("doc_id").cast("string"), lit(":shard")))
+          % shards).as("shard"),
+        col("doc_id"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("n_tokens"))
+      .as[DocTokS]
+    toks.groupByKey(d => (d.source, d.shard))
+      .flatMapGroups { (key: (String, Long), it: Iterator[DocTokS]) =>
+        val sorted = it.toArray.sortBy(_.doc_id).map(d => (d.doc_id, d.n_tokens))
+        greedy(sorted, budget, PackedS(key._1, key._2, _, _, _, _))
+      }
+      .toDF()
+      .orderBy("source", "shard", "doc_id")
   }
 
   /** Generated DuckDB oracle for q48: the same greedy scan as a linear

@@ -52,8 +52,25 @@ case class TopKSimId(
     val s = scoreExpr.eval(input)
     val i = idExpr.eval(input)
     if (s != null && i != null) {
-      buf.enqueue((s.asInstanceOf[Double], i.asInstanceOf[Long]))
-      if (buf.size > k) buf.dequeue()
+      val sd = s.asInstanceOf[Double]
+      val id = i.asInstanceOf[Long]
+      // fast path: with a full buffer, a candidate no better than the
+      // current worst (buf.head under worstFirst) can never be kept —
+      // skipping the enqueue/dequeue churn turns the per-row cost from
+      // O(log k) + tuple allocation into one primitive compare for the
+      // vast majority of an n² pair stream. The inlined compare is
+      // exactly worstFirst: Double.TotalOrdering (= j.l.Double.compare)
+      // reversed on score, then id ascending.
+      if (buf.size < k) buf.enqueue((sd, id))
+      else {
+        val (hs, hi) = buf.head
+        val c0 = java.lang.Double.compare(hs, sd) // reversed score order
+        val c = if (c0 != 0) c0 else java.lang.Long.compare(id, hi)
+        if (c < 0) {
+          buf.enqueue((sd, id))
+          buf.dequeue()
+        }
+      }
     }
     buf
   }
@@ -61,8 +78,11 @@ case class TopKSimId(
   override def merge(buf: mutable.PriorityQueue[(Double, Long)],
       other: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
     other.foreach { p =>
-      buf.enqueue(p)
-      if (buf.size > k) buf.dequeue()
+      if (buf.size < k) buf.enqueue(p)
+      else if (worstFirst.compare(p, buf.head) < 0) {
+        buf.enqueue(p)
+        buf.dequeue()
+      }
     }
     buf
   }

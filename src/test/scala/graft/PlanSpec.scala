@@ -66,6 +66,22 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("poly_fingerprint"))
   }
 
+  test("q47: stratified sample is a zero-shuffle narrow filter over the scan") {
+    val p = plan(graft.operators.Sampling.stratifiedSample(spark, sfDir))
+    // the only exchange allowed is the final presentation sort's range
+    // partitioning; the sampling itself is filter-on-scan
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"hash-bucket sampling must not shuffle:\n$p")
+    assert(!p.contains("text"), "unused text column must be pruned from the scan")
+  }
+
+  test("q49: mixture rebalance broadcasts the per-stratum thresholds") {
+    val p = plan(graft.operators.Sampling.domainRebalance(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"stratum thresholds (rows = #strata) must broadcast onto the corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin"), "corpus side must not shuffle for the join")
+  }
+
   test("q29 pair scoring applies dot_product_double to bare attributes") {
     // the interpreted toDouble transform must stay below the join
     // boundary: if it fuses into the O(n²) scoring projection, every pair
