@@ -66,6 +66,8 @@ object SparkEntry {
     "q47_stratified_sample"        -> (Sampling.stratifiedSample _),
     "q48_pack_sequences"           -> (Packing.packSequences _),
     "q49_domain_rebalance"         -> (Sampling.domainRebalance _),
+    "q50_funnel"                   -> (Analytics.funnel _),
+    "q51_group_quantiles"          -> (Analytics.groupQuantiles _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -444,6 +446,33 @@ object SparkEntry {
     "q47_stratified_sample" -> Sampling.stratifiedSampleOracleSql,
     "q48_pack_sequences" -> Packing.packSequencesOracleSql(),
     "q49_domain_rebalance" -> Sampling.domainRebalanceOracleSql,
+    "q50_funnel" ->
+      """WITH s1 AS (SELECT user_id, ts, event_type,
+        |  MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS view_ts
+        | FROM events),
+        |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > view_ts
+        |    THEN ts END) OVER (PARTITION BY user_id) AS click_ts FROM s1),
+        |s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > click_ts
+        |    THEN ts END) OVER (PARTITION BY user_id) AS purchase_ts FROM s2),
+        |g AS (SELECT user_id, MIN(view_ts) AS view_ts, MIN(click_ts) AS click_ts,
+        |    MIN(purchase_ts) AS purchase_ts FROM s3 GROUP BY user_id)
+        |SELECT user_id, view_ts, click_ts, purchase_ts,
+        |  CAST(CASE WHEN purchase_ts IS NOT NULL THEN 3
+        |            WHEN click_ts IS NOT NULL THEN 2
+        |            WHEN view_ts IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS stage
+        |FROM g ORDER BY user_id""".stripMargin,
+    "q51_group_quantiles" ->
+      """WITH r AS (SELECT event_type, value, event_id,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS n
+        | FROM events)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.5) THEN value END) AS p50,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.9) THEN value END) AS p90,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.99) THEN value END) AS p99
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q45_corpus_filter" ->
       s"""WITH f AS (SELECT doc_id,
          |  CAST(len(list_filter(string_split(text,' '), w -> w <> '')) AS BIGINT) AS n_words,

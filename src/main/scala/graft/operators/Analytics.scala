@@ -186,6 +186,63 @@ object Analytics {
       .orderBy("p_type")
   }
 
+  /** q50: conversion funnel — per user, the first view, the first click
+    * AFTER that view, and the first purchase AFTER that click, plus the
+    * deepest stage reached. The three stage columns are sequential
+    * whole-partition window minima over ONE shuffle on user_id, and the
+    * final per-user aggregate reuses that partitioning — a single
+    * exchange end to end, which is what makes the funnel viable over a
+    * 100 TB event log. */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    funnel(Tables.events(s, dir))
+
+  def funnel(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .withColumn("view_ts",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("click_ts",
+        min(when(col("event_type") === "click" && col("ts") > col("view_ts"),
+          col("ts"))).over(w))
+      .withColumn("purchase_ts",
+        min(when(col("event_type") === "purchase" && col("ts") > col("click_ts"),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("view_ts")).as("view_ts"), min(col("click_ts")).as("click_ts"),
+        min(col("purchase_ts")).as("purchase_ts"))
+      .withColumn("stage",
+        when(col("purchase_ts").isNotNull, 3L)
+          .when(col("click_ts").isNotNull, 2L)
+          .when(col("view_ts").isNotNull, 1L)
+          .otherwise(0L))
+      .orderBy("user_id")
+  }
+
+  /** q51: exact per-group quantiles by rank selection — the value at row
+    * ceil(q·n) of the (value, event_id)-sorted group. Discrete selection
+    * of an actual data element via integer index math: no interpolation
+    * arithmetic to diverge between engines, unlike percentile_cont. One
+    * shuffle; at scale you'd swap in approx_percentile and lose the
+    * oracle, so the exact variant is the gated one. */
+  def groupQuantiles(s: SparkSession, dir: String): DataFrame =
+    groupQuantiles(Tables.events(s, dir))
+
+  def groupQuantiles(events: DataFrame): DataFrame = {
+    val byValue = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val whole = Window.partitionBy(col("event_type"))
+    val ranked = events
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(byValue))
+      .withColumn("n", count(lit(1)).over(whole))
+    def pick(q: Double): Column =
+      max(when(col("rn") === ceil(col("n") * q), col("value")))
+    ranked.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
+      .orderBy("event_type")
+  }
+
   /** q12: conditional (pivot-style) aggregation per entity. */
   def conditionalAgg(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)

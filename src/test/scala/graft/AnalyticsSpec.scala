@@ -61,4 +61,42 @@ class AnalyticsSpec extends SparkTestBase {
       assert(counts.sameElements(1L to counts.length))
     }
   }
+
+  test("q50 funnel: stage ordering is view -> click-after-view -> purchase-after-click") {
+    import spark.implicits._
+    def ev(id: Long, u: Long, t: String, sec: Int) =
+      (id, new java.sql.Timestamp(1700000000000L + sec * 1000L), u, t, 1.0)
+    val e = Seq(
+      ev(1, 1, "view", 1), ev(2, 1, "click", 2), ev(3, 1, "purchase", 3), // stage 3
+      ev(4, 2, "click", 1), ev(5, 2, "view", 2),                          // click BEFORE view: stage 1
+      ev(6, 3, "purchase", 1),                                            // no view: stage 0
+      ev(7, 4, "view", 1), ev(8, 4, "purchase", 2)                        // no click: stage 1
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Analytics.funnel(e).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("stage")).toMap
+    assert(out === Map(1L -> 3L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("q51 quantiles: rank selection picks the exact elements") {
+    import spark.implicits._
+    val e = (1 to 10).map(i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L), 1L, "click", i.toDouble))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Analytics.groupQuantiles(e).collect().head
+    assert(r.getAs[Long]("n_events") === 10L)
+    assert(r.getAs[Double]("p50") === 5.0)  // ceil(10*0.5)  = 5
+    assert(r.getAs[Double]("p90") === 9.0)  // ceil(10*0.9)  = 9
+    assert(r.getAs[Double]("p99") === 10.0) // ceil(10*0.99) = 10
+  }
+
+  test("q50/q51 on the corpus: one row per user / per event_type") {
+    val f = Analytics.funnel(spark, sfDir)
+    assert(f.count() === f.select("user_id").distinct().count())
+    val q = Analytics.groupQuantiles(spark, sfDir).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p90"))
+      assert(r.getAs[Double]("p90") <= r.getAs[Double]("p99"))
+    }
+  }
 }
