@@ -126,7 +126,15 @@ object ApproxDedup {
 
   def ngramJaccard(docs: DataFrame): DataFrame = ngramJaccard(docs, DfCap)
 
-  def ngramJaccard(docs: DataFrame, dfCap: Long): DataFrame = {
+  def ngramJaccard(docs: DataFrame, dfCap: Long): DataFrame =
+    ngramJaccardPairs(docs, dfCap)
+      .select("a_id", "b_id", "common", "na", "nb", "jaccard")
+      .orderBy("a_id", "b_id")
+
+  /** [[ngramJaccard]] without the presentation sort — consumers that
+    * reshuffle anyway (e.g. q46's connected components over the pair
+    * edges) skip the range exchange. */
+  def ngramJaccardPairs(docs: DataFrame, dfCap: Long = DfCap): DataFrame = {
     val sized = shingleSets(docs).filter(size(col("shingles")) > 0)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("n"))
     val e = sized.select(col("doc_id"), explode(col("shingles")).as("shingle"))
@@ -157,7 +165,6 @@ object ApproxDedup {
         col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
       .filter(col("jaccard") >= Tau)
       .select("a_id", "b_id", "common", "na", "nb", "jaccard")
-      .orderBy("a_id", "b_id")
   }
 
   /** Naive blocked exact Jaccard (explode + full shingle equi-join) —

@@ -68,7 +68,7 @@ object Cluster {
     dedupClusters(Tables.documents(s, dir))
 
   def dedupClusters(docs: DataFrame): DataFrame = {
-    val edges = ApproxDedup.ngramJaccard(docs).select("a_id", "b_id")
+    val edges = ApproxDedup.ngramJaccardPairs(docs).select("a_id", "b_id")
     val nodes = docs.select(col("doc_id").as("id"))
     val labels = connectedComponents(nodes, edges)
     val sizes = labels.groupBy(col("label"))
