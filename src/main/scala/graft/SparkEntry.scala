@@ -68,6 +68,8 @@ object SparkEntry {
     "q49_domain_rebalance"         -> (Sampling.domainRebalance _),
     "q50_funnel"                   -> (Analytics.funnel _),
     "q51_group_quantiles"          -> (Analytics.groupQuantiles _),
+    "q52_cdc_chunks"               -> (TextAnalysis.cdcChunksExploded _),
+    "q53_salted_join"              -> (Skew.saltedJoinQ _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -463,6 +465,8 @@ object SparkEntry {
         |            WHEN view_ts IS NOT NULL THEN 1
         |            ELSE 0 END AS BIGINT) AS stage
         |FROM g ORDER BY user_id""".stripMargin,
+    "q52_cdc_chunks" -> TextAnalysis.cdcChunksOracleSql(),
+    "q53_salted_join" -> Skew.saltedJoinOracleSql,
     "q51_group_quantiles" ->
       """WITH r AS (SELECT event_type, value, event_id,
         |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities. AQE's skew-join split handles most cases at
@@ -23,4 +23,25 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLarge.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** q53: the salted join gated against the plain-join oracle. The
+    * events fact joins a tiny derived event-type dimension — every one
+    * of the 5 type keys is a hot key (perfect power-law shape), so the
+    * salt spreads each over `salts` reducers; the oracle is the UNSALTED
+    * join, proving the rewrite is result-identical. */
+  def saltedJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.events(s, dir)
+    val dim = e.select(col("event_type")).distinct()
+      .withColumn("type_len", F.length(col("event_type")).cast("long"))
+    saltedJoin(e, dim, "event_type", salts = 8)
+      .select(col("event_id"), col("event_type"), col("type_len"))
+      .orderBy("event_id")
+  }
+
+  val saltedJoinOracleSql: String =
+    """SELECT event_id, e.event_type, d.type_len
+      |FROM events e
+      |JOIN (SELECT DISTINCT event_type, CAST(length(event_type) AS BIGINT) AS type_len
+      |      FROM events) d USING (event_type)
+      |ORDER BY event_id""".stripMargin
 }

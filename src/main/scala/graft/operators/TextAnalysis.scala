@@ -138,6 +138,48 @@ object TextAnalysis {
         .as("chunk_hashes"))
   }
 
+  /** q52: [[cdcChunkFingerprints]] exploded to one row per chunk —
+    * (doc_id, chunk_idx, chunk_hash), the shape a shift-resistant
+    * chunk-level dedup joins on (and a driver-hashable one: scalar
+    * columns only). */
+  def cdcChunksExploded(s: SparkSession, dir: String): DataFrame =
+    cdcChunksExploded(Tables.documents(s, dir))
+
+  def cdcChunksExploded(docs: DataFrame, mask: Int = 16): DataFrame =
+    cdcChunkFingerprints(docs, mask)
+      .select(col("doc_id"), posexplode(col("chunk_hashes")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Generated DuckDB oracle for q52: the chunking fold replayed
+    * relationally — boundary words (hash ≡ 0 mod mask) close their
+    * chunk, chunk membership via an exclusive running boundary count,
+    * each chunk's id = the same polynomial fold over its words in order.
+    * A trailing boundary-less chunk is kept only when its fold ≠ 0,
+    * exactly as the kernel emits it. */
+  def cdcChunksOracleSql(mask: Int = 16): String =
+    s"""WITH hw AS (
+       |  SELECT doc_id, unnest(hs) AS h, unnest(range(1, len(hs) + 1)) AS pos
+       |  FROM (SELECT doc_id,
+       |          list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+       |            w2 -> CAST(('0x' || substring(md5(w2), 1, 15)) AS BIGINT) % $FingerprintMod) AS hs
+       |        FROM documents) d),
+       |b AS (SELECT doc_id, h, pos,
+       |  CASE WHEN h % $mask = 0 THEN 1 ELSE 0 END AS is_b,
+       |  COALESCE(SUM(CASE WHEN h % $mask = 0 THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_no
+       | FROM hw),
+       |c AS (SELECT doc_id, chunk_no,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY pos)),
+       |    (acc, x) -> (acc * 31 + x) % $FingerprintMod) AS chunk_hash,
+       |  MAX(is_b) AS has_boundary
+       | FROM b GROUP BY doc_id, chunk_no)
+       |SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_idx, chunk_hash
+       |FROM c WHERE has_boundary = 1 OR chunk_hash <> 0
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Interpreted HOF formulation of [[cdcChunkFingerprints]] (struct-fold
     * reference semantics, spec cross-checked). */
   def cdcChunkFingerprintsHof(docs: DataFrame, mask: Int = 16): DataFrame =

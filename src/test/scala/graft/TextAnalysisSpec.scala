@@ -76,6 +76,20 @@ class TextAnalysisSpec extends SparkTestBase {
     native.zip(hof).foreach { case (n, h) => assert(n === h) }
   }
 
+  test("q52 exploded chunks align with the array form, contiguous idx from 0") {
+    val d = Tables.documents(spark, sfDir)
+    val arrays = TextAnalysis.cdcChunkFingerprints(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val exploded = TextAnalysis.cdcChunksExploded(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    exploded.foreach { case (docId, rows) =>
+      val byIdx = rows.sortBy(_.getAs[Long]("chunk_idx"))
+      assert(byIdx.map(_.getAs[Long]("chunk_idx")).toSeq === (0L until rows.length).toSeq)
+      assert(byIdx.map(_.getAs[Long]("chunk_hash")).toSeq === arrays(docId))
+    }
+    assert(exploded.values.map(_.length).sum === arrays.values.map(_.length).sum)
+  }
+
   test("tokenCount: regex tokens >= whitespace tokens on punctuated text") {
     val df = docs(1L -> "hello, world! it's 42")
     val n = df.select(
