@@ -145,9 +145,63 @@ object Streams {
         case None => batch
       }
       merged.write.mode("overwrite").parquet(s"$path/v$batchId")
-      writeLatestPointer(spark, path, batchId)
+      // an already-claimed version here is this stream's own foreachBatch
+      // replay after a restart (overwrite above re-wrote identical data),
+      // so a false claim is an idempotent no-op, not an error
+      tryCommitVersion(spark, path, batchId)
       ()
     }
+
+  /** Optimistic commit of snapshot version `v`: atomically claims
+    * `_commits/<v>` via create-if-absent (atomic on HDFS and local FS; on
+    * object stores use a conditional-put equivalent), then refreshes the
+    * `_LATEST` cache. Returns false when the version was already
+    * committed — a concurrent writer racing to the same version loses
+    * here BEFORE any reader can observe its data, which is the
+    * concurrent-writer story the versioned-parquet MERGE sink needs:
+    * multiple writers each claim latestCommittedVersion+1 and retry on
+    * false. The commit log, not `_LATEST`, is the source of truth, so a
+    * writer crashing between claim and pointer refresh can't strand
+    * readers on a stale pointer. */
+  def tryCommitVersion(spark: SparkSession, path: String, v: Long): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits = new org.apache.hadoop.fs.Path(dir, "_commits")
+    fs.mkdirs(commits)
+    // createNewFile returns false (no throw) when the version is already
+    // claimed; genuine IO failures propagate
+    val claimed = fs.createNewFile(new org.apache.hadoop.fs.Path(commits, v.toString))
+    if (claimed) writeLatestPointer(spark, path, v)
+    claimed
+  }
+
+  /** Highest committed version per the `_commits` log (source of truth);
+    * falls back to the `_LATEST` pointer for tables written before the
+    * log existed. */
+  def latestCommittedVersion(spark: SparkSession, path: String): Option[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits = new org.apache.hadoop.fs.Path(dir, "_commits")
+    val fromLog =
+      if (fs.exists(commits))
+        fs.listStatus(commits).toSeq
+          .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+          .maxOption
+      else None
+    fromLog.orElse {
+      val latest = new org.apache.hadoop.fs.Path(dir, "_LATEST")
+      if (fs.exists(latest)) {
+        val in = fs.open(latest)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](256)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          scala.util.Try(new String(buf.toByteArray, "UTF-8").trim.toLong).toOption
+        } finally in.close()
+      } else None
+    }
+  }
 
   /** Commit the `_LATEST` version pointer through the Hadoop FileSystem
     * API — resolves against the table's own filesystem (HDFS/S3A/file),
@@ -168,23 +222,12 @@ object Streams {
       throw new java.io.IOException(s"failed to commit _LATEST pointer at $dst")
   }
 
-  /** The latest committed snapshot written by [[upsertSink]], if any. */
-  def currentSnapshot(spark: SparkSession, path: String): Option[DataFrame] = {
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val latest = new org.apache.hadoop.fs.Path(dir, "_LATEST")
-    if (fs.exists(latest)) {
-      val in = fs.open(latest)
-      val v = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](256)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        new String(buf.toByteArray, "UTF-8").trim
-      } finally in.close()
-      Some(spark.read.parquet(s"$path/v$v"))
-    } else None
-  }
+  /** The latest committed snapshot written by [[upsertSink]], if any —
+    * resolved through the `_commits` log (see [[latestCommittedVersion]]),
+    * so readers never depend on the `_LATEST` cache being fresh. */
+  def currentSnapshot(spark: SparkSession, path: String): Option[DataFrame] =
+    latestCommittedVersion(spark, path)
+      .map(v => spark.read.parquet(s"$path/v$v"))
 
   // ---- oracle-checked batch entries ----
 

@@ -144,6 +144,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("commit log: concurrent claim loses, readers survive a stale _LATEST") {
+    import spark.implicits._
+    val dir = "file://" + java.nio.file.Files.createTempDirectory("graft_commits").toString
+    Seq((1L, "a")).toDF("id", "x").write.parquet(s"$dir/v0")
+    assert(Streams.tryCommitVersion(spark, dir, 0L))
+    // a second writer racing to the same version must lose the claim
+    assert(!Streams.tryCommitVersion(spark, dir, 0L))
+    assert(Streams.latestCommittedVersion(spark, dir) === Some(0L))
+    // writer crashes between claiming v1 and refreshing _LATEST: commit
+    // the data + log entry by hand, then corrupt the pointer — readers
+    // must still resolve v1 through the log
+    Seq((1L, "a"), (2L, "b")).toDF("id", "x").write.parquet(s"$dir/v1")
+    assert(Streams.tryCommitVersion(spark, dir, 1L))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "/_LATEST"), false)
+    assert(Streams.latestCommittedVersion(spark, dir) === Some(1L))
+    assert(Streams.currentSnapshot(spark, dir).get.count() === 2L)
+  }
+
   test("batch sessionization matches hand-computed sessions") {
     import spark.implicits._
     val e = Seq(
