@@ -70,6 +70,7 @@ object SparkEntry {
     "q51_group_quantiles"          -> (Analytics.groupQuantiles _),
     "q52_cdc_chunks"               -> (TextAnalysis.cdcChunksExploded _),
     "q53_salted_join"              -> (Skew.saltedJoinQ _),
+    "q54_ann_multiprobe"           -> (Similarity.lshTopKMultiprobeQ _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -467,6 +468,7 @@ object SparkEntry {
         |FROM g ORDER BY user_id""".stripMargin,
     "q52_cdc_chunks" -> TextAnalysis.cdcChunksOracleSql(),
     "q53_salted_join" -> Skew.saltedJoinOracleSql,
+    "q54_ann_multiprobe" -> Similarity.multiprobeOracleSql(),
     "q51_group_quantiles" ->
       """WITH r AS (SELECT event_type, value, event_id,
         |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,

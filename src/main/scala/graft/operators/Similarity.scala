@@ -159,6 +159,54 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** q54: [[lshTopKMultiprobe]] gated at probes=3 — the recall-recovery
+    * scale path of q28, oracle-checked because the probe-bucket choice is
+    * a pure function of the fixed hyperplanes (rank planes by |margin|,
+    * flip the weakest bits). */
+  def lshTopKMultiprobeQ(s: SparkSession, dir: String): DataFrame =
+    lshTopKMultiprobe(graft.Tables.embeddings(s, dir), probes = 3)
+
+  /** Strict left-to-right dot product of `e` with a plane constant —
+    * the SQL twin of the native DotProductDouble accumulation order, so
+    * margins (and thus probe order) are bit-identical. */
+  private def dotSqlExpr(p: Seq[Double]): String = {
+    val lst = p.mkString("[", ",", "]")
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(range(1, ${p.size + 1}), d -> e[d] * ($lst)[d])), (x,y) -> x+y)""".stripMargin
+  }
+
+  /** Generated DuckDB oracle for q54: same planes → same margins → same
+    * |margin|-ranked flip order → same probe buckets; candidates from
+    * any probe bucket, deduplicated, ranked exactly as q28. */
+  def multiprobeOracleSql(probes: Int = 3, k: Int = 10): String = {
+    val bucketExpr = bucketSqlExpr(hyperplanes)
+    val structs = hyperplanes.zipWithIndex
+      .map { case (p, i) => s"{'m': abs(${dotSqlExpr(p)}), 'i': $i}" }
+      .mkString("[", ", ", "]")
+    val probeList = (0 until probes).map {
+      case 0 => "bucket"
+      case j => s"xor(bucket, CAST(1 AS BIGINT) << CAST(fo[$j].i AS INTEGER))"
+    }.mkString("[", ", ", "]")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |n AS (SELECT vec_id, e,
+       |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm,
+       |  $bucketExpr AS bucket FROM v),
+       |q AS (SELECT vec_id, e, nrm, bucket, list_sort($structs) AS fo
+       |  FROM n WHERE vec_id < 10),
+       |probed AS (SELECT vec_id, e, nrm, unnest($probeList) AS bucket FROM q),
+       |p AS (SELECT DISTINCT q2.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len(q2.e)+1), i -> q2.e[i]*c.e[i])), (x,y) -> x+y)
+       |   / (q2.nrm * c.nrm) AS sim
+       |  FROM probed q2 JOIN n c ON q2.bucket = c.bucket AND q2.vec_id <> c.vec_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM p)
+       |SELECT query_id, neighbor_id, rank, ROUND(sim, 9) AS sim_r
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB SQL fragment reproducing [[lshBucket]] over a column `e`
     * (array<double>) for the given plane stack — strict left-to-right
     * fold, so bucket assignment is bit-identical to the Spark plan. Used
