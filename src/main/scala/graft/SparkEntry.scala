@@ -71,6 +71,7 @@ object SparkEntry {
     "q52_cdc_chunks"               -> (TextAnalysis.cdcChunksExploded _),
     "q53_salted_join"              -> (Skew.saltedJoinQ _),
     "q54_ann_multiprobe"           -> (Similarity.lshTopKMultiprobeQ _),
+    "q55_facet_search"             -> (Serving.facetSearchQ _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -469,6 +470,7 @@ object SparkEntry {
     "q52_cdc_chunks" -> TextAnalysis.cdcChunksOracleSql(),
     "q53_salted_join" -> Skew.saltedJoinOracleSql,
     "q54_ann_multiprobe" -> Similarity.multiprobeOracleSql(),
+    "q55_facet_search" -> Serving.facetSearchOracleSql,
     "q51_group_quantiles" ->
       """WITH r AS (SELECT event_type, value, event_id,
         |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,

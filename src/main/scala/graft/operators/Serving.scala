@@ -28,6 +28,25 @@ object Serving {
       case (d, ArrayContains(c, v)) => d.filter(array_contains(col(c), lit(v)))
     }
 
+  /** q55: representative dashboard search — equality + IN-list +
+    * array-contains facets ANDed over the documents table, the exact
+    * WHERE-builder shape of app.py:120-140. Equality and IN push down to
+    * the parquet scan; array_contains runs in the codegen'd filter. */
+  def facetSearchQ(s: SparkSession, dir: String): DataFrame =
+    facetSearch(
+      Tables.documents(s, dir).withColumn("words", split(col("text"), " ")),
+      Seq(Eq("lang", "en"),
+        In("source", Seq("src1", "src2", "src3", "src4", "src5")),
+        ArrayContains("words", "data")))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  val facetSearchOracleSql: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE lang = 'en' AND source IN ('src1','src2','src3','src4','src5')
+      |  AND list_contains(string_split(text, ' '), 'data')
+      |ORDER BY doc_id""".stripMargin
+
   /** q38: filtered grouped count-distinct (app.py:140 COUNT(DISTINCT
     * guid) under facet filters). Distinct-within-group is the expensive
     * dashboard aggregate at scale — Spark plans it as a two-phase
