@@ -66,6 +66,17 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("poly_fingerprint"))
   }
 
+  test("q46: connected-components rounds plan equi-joins only, never nested-loop") {
+    // every CC round is two hash equi-joins on node id; a refactor that
+    // turns one into a non-equi predicate would silently go cartesian
+    val docs = Tables.documents(spark, sfDir)
+    val edges = graft.operators.ApproxDedup.ngramJaccardPairs(docs).select("a_id", "b_id")
+    val nodes = docs.select(col("doc_id").as("id"))
+    val p = plan(graft.operators.Cluster.connectedComponents(nodes, edges, maxIter = 2))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"CC round degenerated to a pairwise scan:\n$p")
+  }
+
   test("q47: stratified sample is a zero-shuffle narrow filter over the scan") {
     val p = plan(graft.operators.Sampling.stratifiedSample(spark, sfDir))
     // the only exchange allowed is the final presentation sort's range
