@@ -72,6 +72,7 @@ object SparkEntry {
     "q53_salted_join"              -> (Skew.saltedJoinQ _),
     "q54_ann_multiprobe"           -> (Similarity.lshTopKMultiprobeQ _),
     "q55_facet_search"             -> (Serving.facetSearchQ _),
+    "q56_envelope_parse"           -> (graft.sources.Ingest.parseEnvelopeQ _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -471,6 +472,7 @@ object SparkEntry {
     "q53_salted_join" -> Skew.saltedJoinOracleSql,
     "q54_ann_multiprobe" -> Similarity.multiprobeOracleSql(),
     "q55_facet_search" -> Serving.facetSearchOracleSql,
+    "q56_envelope_parse" -> graft.sources.Ingest.parseEnvelopeOracleSql,
     "q51_group_quantiles" ->
       """WITH r AS (SELECT event_type, value, event_id,
         |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,

@@ -30,11 +30,42 @@ object Ingest {
     val anyFieldParsed = schema.fieldNames
       .map(f => col(s"__payload.$f").isNotNull)
       .reduce(_ || _)
+    // drop the envelope `value` BEFORE unpacking fields: a payload field
+    // named "value" (common in event schemas) would otherwise be deleted
+    // by the final drop right after being parsed
     schema.fieldNames.foldLeft(
-        parsed.withColumn("is_malformed", col("value").isNotNull && !anyFieldParsed))(
+        parsed.withColumn("is_malformed", col("value").isNotNull && !anyFieldParsed)
+          .drop("value"))(
         (d, f) => d.withColumn(f, col(s"__payload.$f")))
-      .drop("__payload", "value")
+      .drop("__payload")
   }
+
+  /** q56: the envelope parser gated as a round-trip identity — events
+    * serialized into a Kafka-shaped (key, value, timestamp) frame, parsed
+    * back through [[parseJsonEnvelope]]; the oracle is the plain
+    * projection of the original table, so the parser (schema apply,
+    * malformed detection, ingestion metadata) is value-checked. */
+  def parseEnvelopeQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val raw = graft.Tables.events(s, dir).select(
+      col("event_id").cast("string").cast("binary").as("key"),
+      to_json(struct(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))).cast("binary").as("value"),
+      col("ts").as("timestamp"))
+    parseJsonEnvelope(raw, schema)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("ingestion_time"),
+        when(col("is_malformed"), 1L).otherwise(0L).as("malformed"))
+      .orderBy("event_id")
+  }
+
+  val parseEnvelopeOracleSql: String =
+    """SELECT event_id, user_id, event_type, value, ts AS ingestion_time,
+      | CAST(0 AS BIGINT) AS malformed
+      |FROM events ORDER BY event_id""".stripMargin
 
   /** Schema-enforced JSON file reader (batch). FAILFAST surfaces drift
     * immediately instead of silently nulling columns. */

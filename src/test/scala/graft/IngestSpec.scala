@@ -28,6 +28,20 @@ class IngestSpec extends SparkTestBase {
       ("k3", None, None, false)))
   }
 
+  test("parseJsonEnvelope keeps a payload field named 'value'") {
+    // the envelope column is also called `value` — the parsed field must
+    // survive the envelope drop (regression: drop order deleted it)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("value", DoubleType)))
+    val raw = Seq(
+      ("k1", """{"id":7,"value":3.5}""", Timestamp.valueOf("2024-01-01 00:00:00"))
+    ).toDF("key", "value", "timestamp")
+    val out = Ingest.parseJsonEnvelope(raw, schema).collect().head
+    assert(out.getAs[Long]("id") === 7L)
+    assert(out.getAs[Double]("value") === 3.5)
+    assert(!out.getAs[Boolean]("is_malformed"))
+  }
+
   test("readJsonStream: schema-enforced file stream feeds the same transforms") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.json"),
