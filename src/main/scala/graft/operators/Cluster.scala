@@ -43,16 +43,16 @@ object Cluster {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // 2) pointer jumping: label <- label's label (labels are always
-      // node ids, so the parent lookup is total) — halves tree height
+      // node ids, so the parent lookup is total) — halves tree height.
+      // The pre-round label rides along so the convergence check scans
+      // the checkpointed frame instead of re-joining against `labels`.
       val parent = prop.select(col("id").as("pid"), col("label").as("plabel"))
       val jumped = prop.join(parent, prop("label") === parent("pid"))
         .select(prop("id"), col("plabel").as("label"))
+        .join(labels.select(col("id"), col("label").as("old_label")), Seq("id"))
         .localCheckpoint() // truncate lineage between rounds
-      val changed = jumped.select(col("id"), col("label").as("new_label"))
-        .join(labels, Seq("id"))
-        .filter(col("new_label") =!= col("label"))
-        .limit(1).count()
-      labels = jumped
+      val changed = jumped.filter(col("label") =!= col("old_label")).limit(1).count()
+      labels = jumped.select("id", "label")
       done = changed == 0L
       iter += 1
     }
