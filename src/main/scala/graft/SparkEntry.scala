@@ -73,6 +73,9 @@ object SparkEntry {
     "q54_ann_multiprobe"           -> (Similarity.lshTopKMultiprobeQ _),
     "q55_facet_search"             -> (Serving.facetSearchQ _),
     "q56_envelope_parse"           -> (graft.sources.Ingest.parseEnvelopeQ _),
+    "q57_asof_join"                -> (Temporal.asofJoin _),
+    "q58_interval_join"            -> (Temporal.intervalJoin _),
+    "q59_semdedup"                 -> (SemDedup.semDedup _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -473,6 +476,9 @@ object SparkEntry {
     "q54_ann_multiprobe" -> Similarity.multiprobeOracleSql(),
     "q55_facet_search" -> Serving.facetSearchOracleSql,
     "q56_envelope_parse" -> graft.sources.Ingest.parseEnvelopeOracleSql,
+    "q57_asof_join" -> Temporal.asofJoinOracleSql,
+    "q58_interval_join" -> Temporal.intervalJoinOracleSql,
+    "q59_semdedup" -> SemDedup.semDedupOracleSql,
     "q51_group_quantiles" ->
       """WITH r AS (SELECT event_type, value, event_id,
         |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Temporal join operators over the event stream — the point-in-time
+  * (as-of) join and the bounded interval join. The reference correlates
+  * user annotations with the metadata state current at annotation time
+  * (join_eu_ugc_qdrant_merge.py:191-263 joins each UGC event to its
+  * guid's curated row) and its dashboard windows activity over time
+  * (app.py:84-255); at training-pipeline scale these become the two
+  * canonical event-correlation shapes Spark has no built-in operator for.
+  *
+  * Scale notes:
+  *  - asofJoin is the UNION trick: tag both sides, one shuffle on
+  *    user_id, a running last_value window — NO join node at all, so
+  *    there is no pair blow-up and no range-condition nested loop. This
+  *    is the only as-of formulation that survives 100 TB: cost is one
+  *    sort-shuffle of (left ∪ right), same as any window query.
+  *  - intervalJoin buckets both sides into fixed-width time cells and
+  *    equi-joins on (user_id, cell): each left row lands in 1 cell and
+  *    probes ⌈window/cell⌉+1 = 2 cells, so Catalyst plans a plain
+  *    SortMergeJoin/ShuffledHashJoin on a compound key — never the
+  *    O(n·m) BroadcastNestedLoopJoin a raw range predicate degenerates
+  *    to. The residual range filter runs post-join on the tiny
+  *    candidate set.
+  */
+object Temporal {
+
+  /** q57: as-of join — each purchase picks up the most recent click
+    * (click.ts <= purchase.ts) by the same user. Right side is first
+    * made unique per (user_id, ts) (keep max event_id) so the match is
+    * well-defined under timestamp ties, mirroring DuckDB's ASOF JOIN
+    * "greatest ts <=" semantics bit-for-bit. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = asofJoin(Tables.events(s, dir))
+
+  def asofJoin(events: DataFrame): DataFrame = {
+    val clickRank = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
+    val clicks = events.filter(col("event_type") === "click")
+      .withColumn("rn", row_number().over(clickRank)).filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("event_id").as("click_event_id"), col("value").as("click_value"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("long").as("click_event_id"),
+        lit(null).cast("double").as("click_value"),
+        col("event_id"), col("value"))
+    // clicks sort before purchases at equal ts (side asc) => ts-tie rows
+    // match, i.e. ASOF's inclusive `>=`. The frame may include preceding
+    // purchase rows, but last(..ignoreNulls) only sees side=0 payloads.
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pick = (c: String) => last(when(col("side") === 0, col(c)), ignoreNulls = true).over(w)
+    clicks.unionByName(purchases)
+      .withColumn("click_ts", pick("ts"))
+      .withColumn("c_id", pick("click_event_id"))
+      .withColumn("c_value", pick("click_value"))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("click_ts"), col("c_id").as("click_event_id"),
+        col("c_value").as("click_value"))
+      .orderBy("event_id")
+  }
+
+  /** q57 oracle: DuckDB's native ASOF JOIN over the same deduped right
+    * side — an independent engine implementation of the operator, not a
+    * re-statement of the union trick. */
+  val asofJoinOracleSql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts, event_id AS click_event_id, value AS click_value
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+      |          ORDER BY event_id DESC) AS rn
+      |        FROM events WHERE event_type = 'click') WHERE rn = 1),
+      |purchases AS (SELECT event_id, user_id, ts, value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts,
+      |  c.ts AS click_ts, c.click_event_id, c.click_value
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Interval-join window: a purchase follows a view within this many
+    * seconds (strictly after, inclusive upper bound). The bucket width
+    * equals the window so each view probes exactly 2 cells. */
+  val IntervalSeconds = 1800L
+
+  /** q58: bounded interval join — (view, purchase) pairs for the same
+    * user with view.ts < purchase.ts <= view.ts + 30 min; the batch
+    * analog of a stream-stream interval join (streaming variant in
+    * Streams.intervalJoinStream). */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = intervalJoin(Tables.events(s, dir))
+
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val cell = (c: String) => (unix_timestamp(col(c)) / IntervalSeconds).cast("long")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_event_id"),
+        col("ts").as("view_ts"),
+        explode(array(cell("ts"), cell("ts") + 1)).as("cell"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"),
+        cell("ts").as("cell"))
+    views.join(purchases, Seq("user_id", "cell"))
+      .filter(col("purchase_ts") > col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $IntervalSeconds SECONDS"))
+      .select(col("user_id"), col("view_event_id"), col("purchase_event_id"),
+        col("view_ts"), col("purchase_ts"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("gap_us"),
+        col("purchase_value"))
+      .orderBy("view_event_id", "purchase_event_id")
+  }
+
+  /** q58 oracle: the raw range-predicate join DuckDB evaluates exactly —
+    * value-checks that the bucketed rewrite is pair-complete (a candidate
+    * in neither probed cell would be a missing output row). */
+  val intervalJoinOracleSql: String =
+    s"""SELECT v.user_id, v.event_id AS view_event_id,
+      |  p.event_id AS purchase_event_id,
+      |  v.ts AS view_ts, p.ts AS purchase_ts,
+      |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us,
+      |  p.value AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id AND p.ts > v.ts
+      | AND p.ts <= v.ts + INTERVAL $IntervalSeconds SECONDS
+      |ORDER BY view_event_id, purchase_event_id""".stripMargin
+}

@@ -129,6 +129,30 @@ object Streams {
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join (q58's streaming form): views × purchases
+    * of the same user with purchase in (view_ts, view_ts + window]. On
+    * streams both sides carry watermarks and the time-bound join
+    * condition bounds each side's state retention to the join window +
+    * watermark — the condition Structured Streaming needs to ever purge
+    * state. On batch frames the same plan is a plain range join; the
+    * oracle-gated bucketed rewrite is [[graft.operators.Temporal.intervalJoin]]. */
+  def intervalJoinStream(views: DataFrame, purchases: DataFrame,
+      windowSeconds: Long = graft.operators.Temporal.IntervalSeconds,
+      watermark: String = "1 hour"): DataFrame = {
+    val mark = (df: DataFrame) =>
+      if (df.isStreaming) df.withWatermark("ts", watermark) else df
+    val v = mark(views).select(col("user_id"),
+      col("event_id").as("view_event_id"), col("ts").as("view_ts"))
+    val p = mark(purchases).select(col("user_id").as("p_user_id"),
+      col("event_id").as("purchase_event_id"), col("ts").as("purchase_ts"),
+      col("value").as("purchase_value"))
+    v.join(p, col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("user_id"), col("view_event_id"), col("purchase_event_id"),
+        col("view_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Streaming MERGE sink (the reference's Delta `MERGE` from a stream,
     * ugc_raw_to_cleansed.py + eu_raw_to_cleansed_merge.py): each
     * micro-batch upserts into a versioned parquet snapshot —

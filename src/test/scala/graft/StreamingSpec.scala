@@ -164,6 +164,43 @@ class StreamingSpec extends SparkTestBase {
     assert(Streams.currentSnapshot(spark, dir).get.count() === 2L)
   }
 
+  test("intervalJoinStream: purchases join prior views within the window, across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[E]
+    val purchases = MemoryStream[E]
+    val q = Streams.intervalJoinStream(views.toDF(), purchases.toDF(),
+        windowSeconds = 1800)
+      .writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    try {
+      views.addData(E(1, ts(0), 1, "view", 0.0), E(2, ts(10), 2, "view", 0.0))
+      q.processAllAvailable()
+      purchases.addData(
+        E(10, ts(20), 1, "purchase", 5.0),  // 20 min after view 1 -> joins
+        E(11, ts(50), 2, "purchase", 6.0),  // 40 min after view 2 -> outside window
+        E(12, ts(25), 3, "purchase", 7.0))  // no view for user 3
+      q.processAllAvailable()
+      val out = spark.table("ivj").collect()
+        .map(r => (r.getAs[Long]("view_event_id"), r.getAs[Long]("purchase_event_id"),
+          r.getAs[Double]("purchase_value")))
+      assert(out.toSeq === Seq((1L, 10L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("intervalJoinStream batch mode matches the bucketed rewrite (q58)") {
+    val e = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val direct = Streams.intervalJoinStream(
+      e.filter(col("event_type") === "view"),
+      e.filter(col("event_type") === "purchase"))
+      .select("view_event_id", "purchase_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = graft.operators.Temporal.intervalJoin(e)
+      .select("view_event_id", "purchase_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(direct === bucketed)
+    assert(direct.nonEmpty)
+  }
+
   test("batch sessionization matches hand-computed sessions") {
     import spark.implicits._
     val e = Seq(

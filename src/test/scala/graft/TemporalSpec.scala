@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{SemDedup, Temporal}
+
+class TemporalSpec extends SparkTestBase {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("asofJoin picks the most recent prior click, inclusive at ts ties") {
+    import spark.implicits._
+    val e = Seq(
+      E(1, ts(0), 1, "click", 1.0),
+      E(2, ts(10), 1, "click", 2.0),
+      E(3, ts(10), 1, "purchase", 30.0), // tie with click 2 -> matches it
+      E(4, ts(20), 1, "purchase", 40.0), // after click 2
+      E(5, ts(5), 2, "purchase", 50.0),  // user 2 has no clicks -> nulls
+      E(6, ts(30), 3, "click", 3.0),
+      E(7, ts(5), 3, "purchase", 60.0)   // click is AFTER -> no match
+    ).toDF()
+    val out = Temporal.asofJoin(e).collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Long]("click_event_id")).map(_.toLong)))
+    assert(out.toSeq === Seq(
+      (3L, Some(2L)), (4L, Some(2L)), (5L, None), (7L, None)))
+  }
+
+  test("asofJoin ts-tied clicks resolve to the max event_id row") {
+    import spark.implicits._
+    val e = Seq(
+      E(1, ts(0), 1, "click", 1.0),
+      E(2, ts(0), 1, "click", 2.0), // same user+ts -> this one wins
+      E(3, ts(5), 1, "purchase", 9.0)
+    ).toDF()
+    val out = Temporal.asofJoin(e).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("click_event_id") === 2L)
+    assert(out.head.getAs[Double]("click_value") === 2.0)
+  }
+
+  test("intervalJoin pairs respect the (view, view+30m] bound") {
+    import spark.implicits._
+    val e = Seq(
+      E(1, ts(0), 1, "view", 0.0),
+      E(2, ts(30), 1, "purchase", 5.0),  // exactly +30m -> inclusive
+      E(3, ts(31), 1, "purchase", 6.0),  // +31m -> out
+      E(4, ts(0), 2, "purchase", 7.0)    // same ts as a view of user 1 only
+    ).toDF()
+    val out = Temporal.intervalJoin(e).collect()
+      .map(r => (r.getAs[Long]("view_event_id"), r.getAs[Long]("purchase_event_id"),
+        r.getAs[Long]("gap_us")))
+    assert(out.toSeq === Seq((1L, 2L, 1800L * 1000000L)))
+  }
+
+  test("semDedup: planted near-identical vectors dedup within their cell") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = SemDedup.semDedup(emb)
+    val n = emb.count()
+    assert(out.count() === n)
+    // cluster ids in [0, K)
+    val cl = out.select(min("cluster_id"), max("cluster_id")).head()
+    assert(cl.getLong(0) >= 0L && cl.getLong(1) < SemDedup.K)
+    // every duplicate's canonical is a smaller id in the SAME cluster
+    val byId = out.collect().map(r => r.getAs[Long]("vec_id") ->
+      (r.getAs[Long]("cluster_id"), r.getAs[Long]("canonical_id"))).toMap
+    byId.foreach { case (id, (cluster, canon)) =>
+      assert(canon <= id)
+      assert(byId(canon)._1 === cluster)
+    }
+  }
+}
