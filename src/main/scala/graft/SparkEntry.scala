@@ -76,6 +76,9 @@ object SparkEntry {
     "q57_asof_join"                -> (Temporal.asofJoin _),
     "q58_interval_join"            -> (Temporal.intervalJoin _),
     "q59_semdedup"                 -> (SemDedup.semDedup _),
+    "q60_bm25"                     -> (Search.bm25 _),
+    "q61_repetition_filter"        -> (Curation.repetitionFilter _),
+    "q62_dup_passage"              -> (Curation.dupPassage _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -479,6 +482,9 @@ object SparkEntry {
     "q57_asof_join" -> Temporal.asofJoinOracleSql,
     "q58_interval_join" -> Temporal.intervalJoinOracleSql,
     "q59_semdedup" -> SemDedup.semDedupOracleSql,
+    "q60_bm25" -> Search.bm25OracleSql,
+    "q61_repetition_filter" -> Curation.repetitionFilterOracleSql,
+    "q62_dup_passage" -> Curation.dupPassageOracleSql,
     "q51_group_quantiles" ->
       """WITH r AS (SELECT event_type, value, event_id,
         |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,

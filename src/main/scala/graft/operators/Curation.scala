@@ -103,6 +103,160 @@ object Curation {
     * and at-least-one-stopword; per-rule flags plus the final keep bit so
     * downstream can audit WHY a document was dropped. Mean word length is
     * computed as non-space chars / words (pure codegen, no per-word HOF). */
+  // q61 thresholds — calibrated on the test corpus (dup_word_frac runs
+  // .25-.68 with median .54; top_bigram_frac median .033, p90 .069) so
+  // both keeps and drops occur.
+  val MaxDupWordFrac = 0.6
+  val MaxTopBigramFrac = 0.05
+  val MaxDupTrigramFrac = 0.1
+
+  /** q61: Gopher-style repetition filter — the rule family the word-count
+    * heuristics of q45 can't see: a document that says the same thing
+    * over and over. Per doc: fraction of word occurrences that are
+    * repeats, the most-frequent-bigram share, and the share of trigram
+    * occurrences whose trigram repeats within the doc; per-rule flags +
+    * keep, all ratios exact small-integer divisions so any engine agrees
+    * bitwise.
+    *
+    * Scale: gram occurrences explode to (doc_id, gram) and aggregate
+    * twice keyed by doc — fine-grained keys, map-side combine, no
+    * corpus-global state; the gram arrays come from the native
+    * WordShingles kernel (distinct = false), not an interpreted HOF. */
+  def repetitionFilter(s: SparkSession, dir: String): DataFrame =
+    repetitionFilter(Tables.documents(s, dir))
+
+  def repetitionFilter(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, WordShingles}
+    val grams = (k: Int) => ColumnBridge.column(
+      WordShingles(ColumnBridge.expression(col("text")), k, distinct = false))
+    val flag = (c: Column) => when(c, 1L).otherwise(0L)
+    val base = docs.select(col("doc_id"),
+      TextAnalysis.words(col("text")).as("ws"),
+      grams(2).as("g2"), grams(3).as("g3"))
+    def gramStats(gCol: String, top: Boolean): DataFrame = {
+      val occ = base.select(col("doc_id"), explode(col(gCol)).as("gram"))
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+      val aggs =
+        if (top) Seq(max(col("cnt")).as(s"top_$gCol"), sum(col("cnt")).as(s"n_$gCol"))
+        else Seq(sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as(s"dup_$gCol"),
+          sum(col("cnt")).as(s"n_$gCol"))
+      occ.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    }
+    val ratio = (num: Column, den: Column) =>
+      when(den > 0L, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    base.select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(array_distinct(col("ws"))).cast("long").as("n_uniq"))
+      .join(gramStats("g2", top = true), Seq("doc_id"), "left")
+      .join(gramStats("g3", top = false), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        ratio(col("n_words") - col("n_uniq"), col("n_words")).as("dup_word_frac"),
+        ratio(coalesce(col("top_g2"), lit(0L)), coalesce(col("n_g2"), lit(0L))).as("top_bigram_frac"),
+        ratio(coalesce(col("dup_g3"), lit(0L)), coalesce(col("n_g3"), lit(0L))).as("dup_trigram_frac"))
+      .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+        col("top_bigram_frac"), col("dup_trigram_frac"),
+        flag(col("dup_word_frac") <= MaxDupWordFrac).as("ok_dup_words"),
+        flag(col("top_bigram_frac") <= MaxTopBigramFrac).as("ok_top_bigram"),
+        flag(col("dup_trigram_frac") <= MaxDupTrigramFrac).as("ok_dup_trigrams"))
+      .withColumn("keep",
+        when(col("ok_dup_words") + col("ok_top_bigram") + col("ok_dup_trigrams") === 3L, 1L)
+          .otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  /** q61 oracle: identical gram occurrence counting via DuckDB list ops. */
+  def repetitionFilterOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+       |g2 AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN []
+       |  ELSE list_transform(range(1, len(ws)), i -> ws[i]||' '||ws[i+1]) END AS gs FROM w),
+       |g3 AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN []
+       |  ELSE list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) END AS gs FROM w),
+       |c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM
+       |  (SELECT doc_id, unnest(gs) AS gram FROM g2) GROUP BY 1, 2),
+       |a2 AS (SELECT doc_id, MAX(cnt) AS top_g2, SUM(cnt) AS n_g2 FROM c2 GROUP BY 1),
+       |c3 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM
+       |  (SELECT doc_id, unnest(gs) AS gram FROM g3) GROUP BY 1, 2),
+       |a3 AS (SELECT doc_id, SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_g3,
+       |  SUM(cnt) AS n_g3 FROM c3 GROUP BY 1),
+       |r AS (SELECT w.doc_id,
+       |  CAST(len(ws) AS BIGINT) AS n_words,
+       |  CASE WHEN len(ws) > 0 THEN CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)
+       |    / CAST(len(ws) AS DOUBLE) ELSE 0.0 END AS dup_word_frac,
+       |  CASE WHEN COALESCE(n_g2, 0) > 0 THEN CAST(COALESCE(top_g2, 0) AS DOUBLE)
+       |    / CAST(COALESCE(n_g2, 0) AS DOUBLE) ELSE 0.0 END AS top_bigram_frac,
+       |  CASE WHEN COALESCE(n_g3, 0) > 0 THEN CAST(COALESCE(dup_g3, 0) AS DOUBLE)
+       |    / CAST(COALESCE(n_g3, 0) AS DOUBLE) ELSE 0.0 END AS dup_trigram_frac
+       | FROM w LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)),
+       |f AS (SELECT *,
+       |  CAST(CASE WHEN dup_word_frac <= $MaxDupWordFrac THEN 1 ELSE 0 END AS BIGINT) AS ok_dup_words,
+       |  CAST(CASE WHEN top_bigram_frac <= $MaxTopBigramFrac THEN 1 ELSE 0 END AS BIGINT) AS ok_top_bigram,
+       |  CAST(CASE WHEN dup_trigram_frac <= $MaxDupTrigramFrac THEN 1 ELSE 0 END AS BIGINT) AS ok_dup_trigrams
+       | FROM r)
+       |SELECT *, CAST(CASE WHEN ok_dup_words + ok_top_bigram + ok_dup_trigrams = 3
+       |  THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  /** q62: corpus-level duplicated-passage fraction (the Lee et al. 2022
+    * substring-dedup signal): for each document, the share of its 5-gram
+    * occurrences whose exact 5-gram appears in MORE THAN ONE document —
+    * high dup_frac means the doc is largely made of passages that exist
+    * elsewhere in the corpus, even when no whole-doc near-dup fires.
+    *
+    * Scale: gram→df is one map-side-combined aggregate keyed by the gram
+    * string; the occurrence→df lookup is an equi-join on the same key
+    * (both sides already hash-partitioned by it, and AQE handles the
+    * viral-gram skew); per-doc rollup shuffles doc-keyed counts. No
+    * suffix array needed for the FRACTION signal — exact span removal
+    * would add the positional variant over the same exploded frame. */
+  val PassageK = 5
+
+  def dupPassage(s: SparkSession, dir: String): DataFrame =
+    dupPassage(Tables.documents(s, dir))
+
+  def dupPassage(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, WordShingles}
+    val occ = docs.select(col("doc_id"), explode(ColumnBridge.column(
+        WordShingles(ColumnBridge.expression(col("text")), PassageK, distinct = false)))
+        .as("gram"))
+    val df = occ.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val perDoc = occ.join(df, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        when(col("n_grams") > 0L,
+          col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
+
+  /** q62 oracle: same 5-gram occurrence stream and document-frequency
+    * join in DuckDB. */
+  def dupPassageOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+       |g AS (SELECT doc_id, CASE WHEN len(ws) < $PassageK THEN []
+       |  ELSE list_transform(range(1, len(ws)+2-$PassageK),
+       |    i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]) END AS gs FROM w),
+       |occ AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+       |df AS (SELECT gram, COUNT(*) AS df FROM
+       |  (SELECT DISTINCT doc_id, gram FROM occ) GROUP BY gram),
+       |pd AS (SELECT occ.doc_id, COUNT(*) AS n_grams,
+       |  SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS n_dup_grams
+       | FROM occ JOIN df USING (gram) GROUP BY occ.doc_id)
+       |SELECT w.doc_id,
+       |  CAST(COALESCE(pd.n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(COALESCE(pd.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       |  CASE WHEN COALESCE(pd.n_grams, 0) > 0
+       |    THEN CAST(COALESCE(pd.n_dup_grams, 0) AS DOUBLE) / CAST(pd.n_grams AS DOUBLE)
+       |    ELSE 0.0 END AS dup_frac
+       |FROM w LEFT JOIN pd USING (doc_id) ORDER BY w.doc_id""".stripMargin
+
   def corpusFilter(s: SparkSession, dir: String): DataFrame = corpusFilter(Tables.documents(s, dir))
 
   def corpusFilter(docs: DataFrame): DataFrame = {

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Keyword relevance search — Okapi BM25 over the documents table, the
+  * lexical complement of the dashboard's vector similarity search
+  * (app.py:239 ranks by cosine; a curation pipeline ranks candidate
+  * documents for a topic by BM25 before expensive embedding passes).
+  *
+  * Scale notes: per-term tf and dl are narrow per-row expressions on the
+  * scan (native word counting, no explode). The corpus statistics
+  * (N, Σdl, per-term df) are ONE map-side-combined aggregate producing a
+  * single row, which broadcasts back onto the scan — so the whole query
+  * is two passes over the corpus and shuffles only that one stats row
+  * plus the global top-k (bounded TakeOrdered). No per-term shuffle, no
+  * join keyed by term — the inverted-index shape is deliberately avoided
+  * because with a fixed query set the document axis is the only one that
+  * scales.
+  */
+object Search {
+
+  val K1 = 1.2
+  val B = 0.75
+  val Terms: Seq[String] = Seq("spark", "join", "window")
+  val TopN = 20
+
+  private def tfOf(t: String): Column =
+    size(filter(TextAnalysis.words(col("text")), w => w === t)).cast("long")
+
+  /** q60: BM25 top-20 for the fixed query [[Terms]] — doc_id, per-term
+    * tfs, dl, and the rounded score; scores strictly positive (a doc
+    * matching no term never ranks). Ties broken by doc_id. */
+  def bm25(s: SparkSession, dir: String): DataFrame = bm25(Tables.documents(s, dir))
+
+  def bm25(docs: DataFrame): DataFrame = {
+    val base = docs.select(
+      col("doc_id") +: size(TextAnalysis.words(col("text"))).cast("long").as("dl") +:
+        Terms.map(t => tfOf(t).as(s"tf_$t")): _*)
+    val aggCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+      Terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = base.agg(aggCols.head, aggCols.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    // per-term BM25 partial — evaluation order mirrors the oracle SQL
+    // token for token so the doubles agree bitwise
+    def part(t: String): Column = {
+      val tf = col(s"tf_$t").cast("double")
+      val df = col(s"df_$t").cast("double")
+      val n = col("n_docs").cast("double")
+      val idf = log(lit(1.0) + (n - df + 0.5) / (df + 0.5))
+      idf * (tf * (K1 + 1.0)) /
+        (tf + lit(K1) * (lit(1.0) - B + lit(B) * col("dl").cast("double") / avgdl))
+    }
+    val score = Terms.map(part).reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .withColumn("score_r", round(score, 9))
+      .filter(col("score_r") > 0.0)
+      .select(col("doc_id") +: col("dl") +:
+        Terms.map(t => col(s"tf_$t")) :+ col("score_r"): _*)
+      .orderBy(col("score_r").desc, col("doc_id"))
+      .limit(TopN)
+  }
+
+  /** q60 oracle: same statistics and the same expression shape (ln is
+    * the one transcendental — both engines' libm are correctly rounded,
+    * and the score is rounded to 9 dp on both sides). */
+  def bm25OracleSql: String = {
+    val tfSql = (t: String) =>
+      s"CAST(len(list_filter(string_split(text,' '), w -> w = '$t')) AS BIGINT)"
+    val partSql = (t: String) =>
+      s"""(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5)
+         |    / (CAST(df_$t AS DOUBLE) + 0.5))
+         |  * (CAST(tf_$t AS DOUBLE) * ${K1 + 1.0})
+         |  / (CAST(tf_$t AS DOUBLE) + $K1 * (1.0 - $B + $B * CAST(dl AS DOUBLE)
+         |      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))""".stripMargin
+    s"""WITH base AS (SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text,' '), w -> w <> '')) AS BIGINT) AS dl,
+       |  ${Terms.map(t => s"${tfSql(t)} AS tf_$t").mkString(",\n  ")}
+       | FROM documents),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(dl) AS BIGINT) AS sum_dl,
+       |  ${Terms.map(t => s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n  ")}
+       | FROM base)
+       |SELECT doc_id, dl, ${Terms.map(t => s"tf_$t").mkString(", ")},
+       |  ROUND(${Terms.map(partSql).mkString("\n + ")}, 9) AS score_r
+       |FROM base CROSS JOIN stats
+       |WHERE ROUND(${Terms.map(partSql).mkString("\n + ")}, 9) > 0.0
+       |ORDER BY score_r DESC, doc_id LIMIT $TopN""".stripMargin
+  }
+}

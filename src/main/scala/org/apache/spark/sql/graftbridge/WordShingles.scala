@@ -8,18 +8,20 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native distinct word-k-gram shingling: string → array<string> of the
-  * distinct k-grams (space-joined) over the non-empty space-separated
-  * words; empty array when the text has fewer than k words.
+/** Native word-k-gram shingling: string → array<string> of the k-grams
+  * (space-joined) over the non-empty space-separated words — distinct
+  * set by default, every positional occurrence in order with
+  * `distinct = false`; empty array when the text has fewer than k words.
   *
   * Semantically identical to the HOF pipeline
   * `array_distinct(transform(sequence(...), i -> concat_ws(' ', ws[i..])))`
-  * over `filter(split(text,' '), w -> w != '')`, but runs as one Java
+  * over `filter(split(text,' '), w -> w != '')` (minus the
+  * array_distinct when `distinct = false`), but runs as one Java
   * loop per row instead of thousands of interpreted expression
   * evaluations — shingling is the inner loop of every text-dedup
   * operator, so this is the difference between the scan being free and
   * being the bottleneck. */
-case class WordShingles(child: Expression, k: Int)
+case class WordShingles(child: Expression, k: Int, distinct: Boolean = true)
     extends UnaryExpression with ImplicitCastInputTypes {
 
   require(k >= 1, "shingle size must be >= 1")
@@ -33,7 +35,11 @@ case class WordShingles(child: Expression, k: Int)
     val words = text.toString.split(" ", -1).filter(_.nonEmpty)
     if (words.length < k) new GenericArrayData(Array.empty[Any])
     else {
-      val seen = new mutable.LinkedHashSet[String]
+      // LinkedHashSet dedups preserving first-occurrence order; the
+      // non-distinct path keeps every positional occurrence
+      val seen: mutable.Growable[String] with Iterable[String] =
+        if (distinct) new mutable.LinkedHashSet[String]
+        else new mutable.ArrayBuffer[String](words.length - k + 1)
       val sb = new java.lang.StringBuilder
       var i = 0
       while (i <= words.length - k) {
@@ -44,7 +50,7 @@ case class WordShingles(child: Expression, k: Int)
           sb.append(words(i + j))
           j += 1
         }
-        seen.add(sb.toString)
+        seen += sb.toString
         i += 1
       }
       new GenericArrayData(seen.iterator.map(UTF8String.fromString).toArray[Any])

@@ -76,6 +76,49 @@ class CurationSpec extends SparkTestBase {
     assert(out(3L) === ((21L, 1L, 0L, 0L)))
   }
 
+  test("q61 repetition metrics match hand-computed values") {
+    val d = docs(
+      1L -> "a b c d e f g h",          // no repetition at all
+      2L -> "x y x y x y x y",          // 'x y' bigram dominates
+      3L -> "p q r p q r p q r s")      // repeated trigram 'p q r'
+    val out = Curation.repetitionFilter(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("dup_word_frac"), r.getAs[Double]("top_bigram_frac"),
+          r.getAs[Double]("dup_trigram_frac"), r.getAs[Long]("keep"))).toMap
+    assert(out(1L) === ((0.0, 1.0 / 7.0, 0.0, 0L))) // 7 distinct bigrams
+    assert(out(2L)._1 === 6.0 / 8.0)   // 8 words, 2 unique
+    assert(out(2L)._2 === 4.0 / 7.0)   // 'x y' occurs 4 of 7 bigrams
+    assert(out(2L)._4 === 0L)
+    // doc 3: trigrams = pqr qrp rpq pqr qrp rpq pqr qrs -> 'p q r'×3,
+    // 'q r p'×2, 'r p q'×2, 'q r s'×1 -> 7 of 8 occurrences duplicated
+    assert(out(3L)._3 === 7.0 / 8.0)
+  }
+
+  test("q61 on the corpus: discriminates and fracs stay in [0,1]") {
+    val out = Curation.repetitionFilter(spark, sfDir).collect()
+    val keeps = out.count(_.getAs[Long]("keep") === 1L)
+    assert(keeps > 0 && keeps < out.length,
+      s"repetition filter must discriminate: $keeps/${out.length} kept")
+    assert(out.forall { r =>
+      val f = r.getAs[Double]("dup_word_frac")
+      f >= 0.0 && f <= 1.0
+    })
+  }
+
+  test("q62 dup-passage fraction: planted shared passage is attributed to both docs") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "intro words then alpha beta gamma delta epsilon closing",
+      3L -> "completely unrelated text with no shared passages at all today")
+    val out = Curation.dupPassage(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup_grams"))).toMap
+    // doc1: 4 5-grams, the first ('alpha..epsilon') also in doc2
+    assert(out(1L) === ((4L, 1L)))
+    assert(out(2L) === ((5L, 1L)))
+    assert(out(3L)._2 === 0L)
+  }
+
   test("q45 on the corpus: keeps and drops both present, ratios in range") {
     val out = Curation.corpusFilter(spark, sfDir).collect()
     val keeps = out.count(_.getAs[Long]("keep") === 1L)

@@ -32,6 +32,22 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("WordShingles(distinct=false) equals the sliding-window model with multiplicity") {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, WordShingles}
+    val texts = samples(text, 200)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = df.select(col("doc_id"), ColumnBridge.column(
+        WordShingles(ColumnBridge.expression(col("text")), 2, distinct = false)).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val ws = t.split(" ", -1).filter(_.nonEmpty)
+      val expect =
+        if (ws.length < 2) Seq.empty
+        else ws.sliding(2).map(_.mkString(" ")).toSeq
+      assert(native(i.toLong) === expect, s"text='$t'")
+    }
+  }
+
   test("native dot product equals a Scala fold bit-for-bit on random vectors") {
     val vec = Gen.listOfN(16, Gen.chooseNum(-100.0, 100.0))
     val pairs = samples(Gen.zip(vec, vec), 100)
