@@ -93,6 +93,32 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), "corpus side must not shuffle for the join")
   }
 
+  test("q57: as-of join plans as ONE user_id shuffle + window, no join node") {
+    val p = plan(graft.operators.Temporal.asofJoin(spark, sfDir))
+    assert(!p.contains("Join"), s"union-trick as-of must not plan any join:\n$p")
+    assert(p.contains("Window"), "running last_value window expected")
+  }
+
+  test("q58: interval join is an equi-join on (user_id, cell), never nested-loop") {
+    val p = plan(graft.operators.Temporal.intervalJoin(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucketed interval join degenerated to a range scan:\n$p")
+  }
+
+  test("q59: centroid assignment is a narrow projection (no join before the pair stage)") {
+    val p = plan(graft.operators.SemDedup.semDedup(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"semdedup must only pair within cells via equi-join:\n$p")
+    assert(p.contains("dot_product_double"), "native kernel expected in assignment/scoring")
+  }
+
+  test("q60: bm25 reads the corpus twice at most and takes top-k bounded") {
+    val p = plan(graft.operators.Search.bm25(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), "top-k must be bounded, not a global sort")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"bm25 must be two corpus passes, saw $scans scans:\n$p")
+  }
+
   test("q29 pair scoring applies dot_product_double to bare attributes") {
     // the interpreted toDouble transform must stay below the join
     // boundary: if it fuses into the O(n²) scoring projection, every pair
