@@ -79,6 +79,7 @@ object SparkEntry {
     "q60_bm25"                     -> (Search.bm25 _),
     "q61_repetition_filter"        -> (Curation.repetitionFilter _),
     "q62_dup_passage"              -> (Curation.dupPassage _),
+    "q63_kmeans"                   -> (KMeansOp.kmeans _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -485,6 +486,7 @@ object SparkEntry {
     "q60_bm25" -> Search.bm25OracleSql,
     "q61_repetition_filter" -> Curation.repetitionFilterOracleSql,
     "q62_dup_passage" -> Curation.dupPassageOracleSql,
+    "q63_kmeans" -> KMeansOp.kmeansOracleSql,
     "q51_group_quantiles" ->
       """WITH r AS (SELECT event_type, value, event_id,
         |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorOps.dot
+
+/** Deterministic distributed k-means (Lloyd's algorithm, fixed rounds) —
+  * the coarse quantizer that IVF ANN ([[Similarity.ivfTopK]]) and
+  * SemDeDup cells are built on, here as an oracle-gated operator in its
+  * own right: the full train loop (assign → recenter × [[Rounds]] →
+  * final assign) is value-checked against DuckDB running the same
+  * unrolled computation.
+  *
+  * Engine-exact by construction: vectors are quantized to INTEGRAL
+  * doubles (round(x·10⁶) — float-origin values are exact in double, the
+  * product is the same double in any engine, and both engines round
+  * half away from zero), so per-dimension sums are exact integer
+  * arithmetic — order-independent across 1000 executors and equal to
+  * any other engine's sum. Centroid means divide two exactly-represented
+  * numbers, and every distance is qq − 2·q·c + cc with a fixed
+  * left-to-right fold, so the doubles agree bitwise all the way down.
+  *
+  * Scale notes: each round is ONE map-side-combined aggregate over the
+  * corpus (65 partial cells per partition: 64 sums + count) producing K
+  * rows collected to the driver; assignment is a narrow projection with
+  * the K×64 centroid matrix baked in as literals — no join, no shuffle
+  * of the corpus, the textbook Spark Lloyd layout. Empty cells keep
+  * their previous centroid.
+  */
+object KMeansOp {
+
+  val K = 8
+  val Rounds = 2
+  val Dim = 64
+  val ScaleQ = 1000000.0
+
+  /** vec_id + quantized integral-double vector. */
+  private def quantized(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * ScaleQ)).as("q"))
+
+  /** Squared-distance column to one centroid: qq − 2·q·c + cc. */
+  private def dist2(qq: Column, c: Seq[Double]): Column = {
+    val cLit = array(c.map(lit): _*)
+    val cc = c.foldLeft(0.0)((acc, x) => acc + x * x) // same fold as list_reduce
+    qq - lit(2.0) * dot(col("q"), cLit) + lit(cc)
+  }
+
+  /** Adds the argmin `cell` column for the given centroids (ties → lowest
+    * cell id, matching the oracle's ORDER BY dist2, cell). */
+  private def assign(qv: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    val qq = dot(col("q"), col("q"))
+    val dists = array(cents.map(c => dist2(qq, c)): _*)
+    qv.withColumn("cell",
+      (array_position(dists, array_min(dists)) - 1).cast("long"))
+  }
+
+  /** One Lloyd recenter: per-cell per-dimension means (exact sums of
+    * integral doubles), empty cells keep the old centroid. */
+  private def recenter(assigned: DataFrame, old: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    val aggs = count(lit(1)).cast("double").as("n") +:
+      (1 to Dim).map(i => sum(element_at(col("q"), i)).as(s"s$i"))
+    val rows = assigned.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), (1 to Dim).map(i => r.getDouble(1 + i))))
+      .toMap
+    old.indices.map { j =>
+      rows.get(j.toLong) match {
+        case Some((n, sums)) => sums.map(_ / n)
+        case None => old(j)
+      }
+    }
+  }
+
+  /** q63: k-means train + final assignment — vec_id, cell, cell_size. */
+  def kmeans(s: SparkSession, dir: String): DataFrame = kmeans(Tables.embeddings(s, dir))
+
+  def kmeans(embeddings: DataFrame): DataFrame = {
+    val qv = quantized(embeddings).localCheckpoint() // reused every round
+    var cents: Seq[Seq[Double]] = qv.filter(col("vec_id") < K)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    for (_ <- 1 to Rounds)
+      cents = recenter(assign(qv, cents), cents)
+    val fin = assign(qv, cents).select(col("vec_id"), col("cell"))
+    val sizes = fin.groupBy(col("cell")).agg(count(lit(1)).as("cell_size"))
+    fin.join(sizes, Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("cell_size"))
+      .orderBy("vec_id")
+  }
+
+  /** q63 oracle: the same [[Rounds]]-round Lloyd loop unrolled as a CTE
+    * chain — quantize, assign (argmin via ROW_NUMBER), recenter
+    * (exact integral sums, empty cells keep the previous centroid via
+    * LEFT JOIN + COALESCE), final assign + sizes. */
+  def kmeansOracleSql: String = {
+    val lr = (expr: String) =>
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $Dim+1), i -> $expr)), (x,y) -> x+y)"
+    def assignCte(cin: String, aout: String) =
+      s"""$aout AS (SELECT vec_id, q, cell FROM (
+         |  SELECT qv.vec_id, qv.q, $cin.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY qv.vec_id ORDER BY
+         |      ${lr("qv.q[i]*qv.q[i]")} - 2.0 * ${lr("qv.q[i]*$cin.c[i]").replace("$cin", cin)} + ${lr("$cin.c[i]*$cin.c[i]").replace("$cin", cin)},
+         |      $cin.cell) AS rn
+         |  FROM qv CROSS JOIN $cin) WHERE rn = 1)""".stripMargin
+    def recenterCte(ain: String, cin: String, cout: String) =
+      s"""${cout}_m AS (SELECT cell, list(s ORDER BY dim) AS c FROM (
+         |  SELECT cell, t.i AS dim, SUM(q[t.i]) / CAST(COUNT(*) AS DOUBLE) AS s
+         |  FROM $ain CROSS JOIN range(1, $Dim+1) t(i) GROUP BY cell, t.i)
+         | GROUP BY cell),
+         |$cout AS (SELECT $cin.cell, COALESCE(${cout}_m.c, $cin.c) AS c
+         |  FROM $cin LEFT JOIN ${cout}_m USING (cell))""".stripMargin
+    val rounds = (1 to Rounds).map { r =>
+      val cin = if (r == 1) "c0" else s"c${r - 1}"
+      s"${assignCte(cin, s"a$r")},\n${recenterCte(s"a$r", cin, s"c$r")}"
+    }.mkString(",\n")
+    s"""WITH qv AS (SELECT vec_id,
+       |  list_transform(embedding, x -> round(CAST(x AS DOUBLE) * $ScaleQ)) AS q
+       | FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, q AS c FROM qv WHERE vec_id < $K),
+       |$rounds,
+       |${assignCte(s"c$Rounds", "af")},
+       |sz AS (SELECT cell, COUNT(*) AS cell_size FROM af GROUP BY cell)
+       |SELECT af.vec_id, CAST(af.cell AS BIGINT) AS cell, sz.cell_size
+       |FROM af JOIN sz USING (cell) ORDER BY af.vec_id""".stripMargin
+  }
+}

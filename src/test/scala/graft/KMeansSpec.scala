@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.KMeansOp
+
+class KMeansSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("q63: planted blobs — members follow their prototype's cell") {
+    // vec_id 0..7 seed the centroids; 0-3 sit at corner A, 4-7 at corner
+    // B, and 40 more vectors jitter around one corner each. Lloyd must
+    // put every member in a cell seeded by its own corner.
+    val a = Array.fill(KMeansOp.Dim)(1.0f)
+    val b = Array.fill(KMeansOp.Dim)(-1.0f)
+    def jitter(base: Array[Float], seed: Int): Array[Float] = {
+      val rng = new scala.util.Random(seed)
+      base.map(x => x + rng.nextFloat() * 0.01f)
+    }
+    val rows = (0L to 3L).map(i => (i, jitter(a, i.toInt))) ++
+      (4L to 7L).map(i => (i, jitter(b, i.toInt))) ++
+      (8L until 28L).map(i => (i, jitter(a, i.toInt))) ++
+      (28L until 48L).map(i => (i, jitter(b, i.toInt)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = KMeansOp.kmeans(df).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    val aCells = Set(0L, 1L, 2L, 3L)
+    (8L until 28L).foreach(i => assert(aCells.contains(out(i)), s"vec $i"))
+    (28L until 48L).foreach(i => assert(!aCells.contains(out(i)), s"vec $i"))
+  }
+
+  test("q63 on the corpus: partition-count independence, full coverage") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = KMeansOp.kmeans(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val reparted = KMeansOp.kmeans(emb.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(base === reparted, "assignment must not depend on partitioning")
+    assert(base.length === emb.count())
+    assert(base.map(_._2).distinct.length > 1, "cells must discriminate")
+  }
+}
