@@ -83,11 +83,13 @@ object Sampling {
     val weight = MixWeights.foldRight(lit(0L): Column) {
       case ((l, w), acc) => when(col("lang") === l, lit(w)).otherwise(acc)
     }
-    // per-stratum counts + corpus total: rows = #strata, so the window
-    // total and the join back to the corpus are both trivially small
-    val strata = docs.groupBy(col("lang"))
+    // per-stratum counts + corpus total: rows = #strata, so the scalar
+    // total rides in as a 1-row broadcast instead of a global window
+    // (same values; avoids the single-partition WindowExec entirely)
+    val counts = docs.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_stratum"))
-      .withColumn("total", sum(col("n_stratum")).over(Window.partitionBy()))
+    val total = counts.agg(sum(col("n_stratum")).as("total"))
+    val strata = counts.crossJoin(broadcast(total))
       .withColumn("w", weight)
       .withColumn("thresh_ppm",
         least(lit(1000000L),
@@ -100,6 +102,51 @@ object Sampling {
       .select("doc_id", "lang", "mix_bucket", "thresh_ppm")
       .orderBy("doc_id")
   }
+
+  /** q64 sample size per group and the hash modulus (2^50: integral
+    * doubles stay exact so the heap's double ordering equals the
+    * oracle's integer ordering). */
+  val GroupSampleK = 5
+  val GroupSampleMod: Long = 1L << 50
+  val GroupSampleSeed = ":gsample42"
+
+  /** q64: deterministic k-per-group sample — the dashboard's "show N
+    * examples per facet" shape (app.py:120,147 seeded ORDER BY RANDOM()
+    * LIMIT per filter), keyed by a stable hash so any engine draws the
+    * same sample.
+    *
+    * Scale: ranking runs as the bounded-heap TopKSimId aggregate — each
+    * partition ships at most k rows per group into the shuffle (map-side
+    * partial top-k), vs the window idiom's full per-group sort of the
+    * corpus. The hash is folded to 2^50 so its negated double is exact
+    * and the heap's (sim desc, id asc) order is bit-identical to the
+    * oracle's (hash asc, doc_id asc). */
+  def groupSample(s: SparkSession, dir: String): DataFrame =
+    groupSample(Tables.documents(s, dir))
+
+  def groupSample(docs: DataFrame): DataFrame = {
+    val scored = docs.select(
+      coalesce(col("lang"), lit("")).as("lang"),
+      col("doc_id").as("__cand_id"),
+      (-hashBucket(col("doc_id"), GroupSampleSeed, GroupSampleMod))
+        .cast("double").as("sim"))
+    Similarity.explodeTopKPerGroup(scored, "lang", "doc_id", GroupSampleK)
+      .select(col("lang"), col("doc_id"), col("rank").as("sample_rank"),
+        (-col("sim_r")).cast("long").as("sample_key"))
+      .orderBy("lang", "sample_rank")
+  }
+
+  /** Generated DuckDB oracle for q64 — window formulation of the same
+    * hash order. */
+  def groupSampleOracleSql: String =
+    s"""WITH h AS (SELECT COALESCE(lang, '') AS lang, doc_id,
+       |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '$GroupSampleSeed'), 1, 15)) AS BIGINT)
+       |    % $GroupSampleMod AS sample_key FROM documents),
+       |r AS (SELECT lang, doc_id, sample_key,
+       |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sample_key, doc_id) AS sample_rank
+       | FROM h)
+       |SELECT lang, doc_id, sample_rank, sample_key
+       |FROM r WHERE sample_rank <= $GroupSampleK ORDER BY lang, sample_rank""".stripMargin
 
   /** Generated DuckDB oracle for q49 (same weights, same integer
     * threshold arithmetic, same hash). */

@@ -119,6 +119,17 @@ class PlanSpec extends SparkTestBase {
     assert(scans <= 2, s"bm25 must be two corpus passes, saw $scans scans:\n$p")
   }
 
+  test("q64: per-group sample ranks via the bounded heap, not a window sort") {
+    val p = plan(graft.operators.Sampling.groupSample(spark, sfDir))
+    assert(p.contains("topk_sim_id"))
+    assert(!p.contains("Window"), "k-per-group must be a partial top-k aggregate")
+  }
+
+  test("q49: stratum totals ride a broadcast, no single-partition window") {
+    val p = plan(graft.operators.Sampling.domainRebalance(spark, sfDir))
+    assert(!p.contains("Window"), s"global window must not appear:\n$p")
+  }
+
   test("q29 pair scoring applies dot_product_double to bare attributes") {
     // the interpreted toDouble transform must stay below the join
     // boundary: if it fuses into the O(n²) scoring projection, every pair
