@@ -130,9 +130,13 @@ object Curation {
     val grams = (k: Int) => ColumnBridge.column(
       WordShingles(ColumnBridge.expression(col("text")), k, distinct = false))
     val flag = (c: Column) => when(c, 1L).otherwise(0L)
+    // materialized once: three aggregations consume this frame (word
+    // stats + two gram rollups) and Catalyst would otherwise rerun the
+    // scan + shingling per consumer — same trade as KMeansOp's qv
     val base = docs.select(col("doc_id"),
       TextAnalysis.words(col("text")).as("ws"),
       grams(2).as("g2"), grams(3).as("g3"))
+      .localCheckpoint()
     def gramStats(gCol: String, top: Boolean): DataFrame = {
       val occ = base.select(col("doc_id"), explode(col(gCol)).as("gram"))
         .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))

@@ -47,18 +47,24 @@ object KMeansOp {
     qq - lit(2.0) * dot(col("q"), cLit) + lit(cc)
   }
 
-  /** Adds the argmin `cell` column for the given centroids (ties → lowest
-    * cell id, matching the oracle's ORDER BY dist2, cell). */
-  private def assign(qv: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+  /** Adds the argmin `cell` column for the given (cellId, centroid)
+    * pairs — the cell id is the seeding vector's ACTUAL vec_id (the
+    * oracle keys cells the same way), not its position in the collected
+    * array, so sparse/shifted vec_id spaces stay in sync. Ties → first
+    * position = lowest cell id (cents is vec_id-sorted), matching the
+    * oracle's ORDER BY dist2, cell. */
+  private def assign(qv: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
     val qq = dot(col("q"), col("q"))
-    val dists = array(cents.map(c => dist2(qq, c)): _*)
+    val dists = array(cents.map { case (_, c) => dist2(qq, c) }: _*)
+    val ids = array(cents.map { case (id, _) => lit(id) }: _*)
     qv.withColumn("cell",
-      (array_position(dists, array_min(dists)) - 1).cast("long"))
+      element_at(ids, array_position(dists, array_min(dists)).cast("int")))
   }
 
   /** One Lloyd recenter: per-cell per-dimension means (exact sums of
     * integral doubles), empty cells keep the old centroid. */
-  private def recenter(assigned: DataFrame, old: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+  private def recenter(assigned: DataFrame,
+      old: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = {
     val aggs = count(lit(1)).cast("double").as("n") +:
       (1 to Dim).map(i => sum(element_at(col("q"), i)).as(s"s$i"))
     val rows = assigned.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
@@ -66,10 +72,10 @@ object KMeansOp {
       .map(r => r.getLong(0) ->
         (r.getDouble(1), (1 to Dim).map(i => r.getDouble(1 + i))))
       .toMap
-    old.indices.map { j =>
-      rows.get(j.toLong) match {
-        case Some((n, sums)) => sums.map(_ / n)
-        case None => old(j)
+    old.map { case (id, c) =>
+      rows.get(id) match {
+        case Some((n, sums)) => id -> sums.map(_ / n)
+        case None => id -> c
       }
     }
   }
@@ -79,8 +85,9 @@ object KMeansOp {
 
   def kmeans(embeddings: DataFrame): DataFrame = {
     val qv = quantized(embeddings).localCheckpoint() // reused every round
-    var cents: Seq[Seq[Double]] = qv.filter(col("vec_id") < K)
-      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    var cents: Seq[(Long, Seq[Double])] = qv.filter(col("vec_id") < K)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
     for (_ <- 1 to Rounds)
       cents = recenter(assign(qv, cents), cents)
     val fin = assign(qv, cents).select(col("vec_id"), col("cell"))

@@ -26,8 +26,21 @@ object Search {
   val Terms: Seq[String] = Seq("spark", "join", "window")
   val TopN = 20
 
+  /** Term frequency as a codegen'd regexp count — zero-width lookarounds
+    * pin the match to space-delimited token boundaries, so the count
+    * equals the oracle's token-equality filter (adjacent occurrences
+    * included; "spark," is neither a token match nor a regex match). */
   private def tfOf(t: String): Column =
-    size(filter(TextAnalysis.words(col("text")), w => w === t)).cast("long")
+    regexp_count(col("text"), lit(s"(?<= |^)$t(?= |$$)")).cast("long")
+
+  /** Token count via the native shingling kernel (k=1, all occurrences)
+    * — one Java loop per row, not an interpreted filter lambda. */
+  private def dlOf: Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, WordShingles}
+    size(ColumnBridge.column(
+      WordShingles(ColumnBridge.expression(col("text")), 1, distinct = false)))
+      .cast("long")
+  }
 
   /** q60: BM25 top-20 for the fixed query [[Terms]] — doc_id, per-term
     * tfs, dl, and the rounded score; scores strictly positive (a doc
@@ -36,7 +49,7 @@ object Search {
 
   def bm25(docs: DataFrame): DataFrame = {
     val base = docs.select(
-      col("doc_id") +: size(TextAnalysis.words(col("text"))).cast("long").as("dl") +:
+      col("doc_id") +: dlOf.as("dl") +:
         Terms.map(t => tfOf(t).as(s"tf_$t")): _*)
     val aggCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
       Terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))

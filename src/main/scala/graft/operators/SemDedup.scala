@@ -43,12 +43,17 @@ object SemDedup {
       .sortBy(_._1)
     // sim to each centroid, in centroid-id order; argmax = first max
     // index (ties -> lowest centroid id, same rule as the oracle's
-    // ORDER BY sim DESC, cid)
+    // ORDER BY sim DESC, cid). The cluster id is the seeding vector's
+    // ACTUAL vec_id — the oracle keys cells the same way — not its
+    // array position, so sparse/shifted vec_id spaces stay in sync.
     val simArr = array(cents.map { case (_, ce, cn) =>
       dot(col("e"), array(ce.map(lit): _*)) / (col("nrm") * lit(cn))
     }: _*)
+    val centIds = array(cents.map { case (id, _, _) => lit(id) }: _*)
     val assigned = v.select(col("vec_id"), col("e"), col("nrm"),
-        (array_position(simArr, array_max(simArr)) - 1).cast("long").as("cluster_id"))
+        element_at(centIds, array_position(simArr, array_max(simArr)).cast("int"))
+          .as("cluster_id"))
+      .localCheckpoint() // reused by both pair-join sides + the final join
     val a = assigned.select(col("cluster_id"), col("vec_id").as("a_id"),
       col("e").as("ea"), col("nrm").as("na"))
     val b = assigned.select(col("cluster_id"), col("vec_id").as("b_id"),

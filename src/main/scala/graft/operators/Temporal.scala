@@ -52,17 +52,21 @@ object Temporal {
     // clicks sort before purchases at equal ts (side asc) => ts-tie rows
     // match, i.e. ASOF's inclusive `>=`. The frame may include preceding
     // purchase rows, but last(..ignoreNulls) only sees side=0 payloads.
+    // The payload travels as ONE struct so every output column comes from
+    // the SAME click row — per-column picks would skip a NULL click_value
+    // back to an older click while keeping the newer click's id.
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pick = (c: String) => last(when(col("side") === 0, col(c)), ignoreNulls = true).over(w)
+    val picked = last(
+      when(col("side") === 0,
+        struct(col("ts"), col("click_event_id"), col("click_value"))),
+      ignoreNulls = true).over(w)
     clicks.unionByName(purchases)
-      .withColumn("click_ts", pick("ts"))
-      .withColumn("c_id", pick("click_event_id"))
-      .withColumn("c_value", pick("click_value"))
+      .withColumn("c", picked)
       .filter(col("side") === 1)
       .select(col("event_id"), col("user_id"), col("ts"),
-        col("click_ts"), col("c_id").as("click_event_id"),
-        col("c_value").as("click_value"))
+        col("c.ts").as("click_ts"), col("c.click_event_id").as("click_event_id"),
+        col("c.click_value").as("click_value"))
       .orderBy("event_id")
   }
 

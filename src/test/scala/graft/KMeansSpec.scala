@@ -28,6 +28,19 @@ class KMeansSpec extends SparkTestBase {
     (28L until 48L).foreach(i => assert(!aCells.contains(out(i)), s"vec $i"))
   }
 
+  test("q63/q59: cell ids are the seeding vec_ids even with gaps below K") {
+    val rng = new scala.util.Random(7)
+    val ids = Seq(1L, 2L, 4L, 6L, 7L) ++ (10L until 40L)
+    val rows = ids.map(i => (i, Array.fill(KMeansOp.Dim)(rng.nextFloat())))
+    val df = rows.toDF("vec_id", "embedding")
+    val seedIds = Set(1L, 2L, 4L, 6L, 7L) // the vec_id < 8 seeds that exist
+    val kmCells = KMeansOp.kmeans(df).collect().map(_.getAs[Long]("cell")).toSet
+    assert(kmCells.subsetOf(seedIds), s"cells $kmCells must be seed vec_ids")
+    val sdCells = graft.operators.SemDedup.semDedup(df).collect()
+      .map(_.getAs[Long]("cluster_id")).toSet
+    assert(sdCells.subsetOf(seedIds), s"clusters $sdCells must be seed vec_ids")
+  }
+
   test("q63 on the corpus: partition-count independence, full coverage") {
     val emb = Tables.embeddings(spark, sfDir)
     val base = KMeansOp.kmeans(emb).collect()

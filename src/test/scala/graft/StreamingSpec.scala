@@ -188,7 +188,7 @@ class StreamingSpec extends SparkTestBase {
   }
 
   test("intervalJoinStream batch mode matches the bucketed rewrite (q58)") {
-    val e = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val e = graft.Tables.events(spark, sfDir)
     val direct = Streams.intervalJoinStream(
       e.filter(col("event_type") === "view"),
       e.filter(col("event_type") === "purchase"))

@@ -40,6 +40,22 @@ class TemporalSpec extends SparkTestBase {
     assert(out.head.getAs[Double]("click_value") === 2.0)
   }
 
+  test("asofJoin: a NULL click value stays with ITS click row (no per-column mixing)") {
+    // the latest prior click has value NULL; the whole payload must come
+    // from that row — not its id with an older click's non-null value
+    val rows = Seq(
+      (1L, ts(0), 1L, "click", Some(1.0)),
+      (2L, ts(10), 1L, "click", None),
+      (3L, ts(20), 1L, "purchase", Some(9.0)))
+    import spark.implicits._
+    val e = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Temporal.asofJoin(e).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("click_event_id") === 2L)
+    assert(out.head.isNullAt(out.head.fieldIndex("click_value")),
+      "click_value must be the matched click's NULL, not an older click's value")
+  }
+
   test("intervalJoin pairs respect the (view, view+30m] bound") {
     import spark.implicits._
     val e = Seq(
@@ -55,7 +71,7 @@ class TemporalSpec extends SparkTestBase {
   }
 
   test("semDedup: planted near-identical vectors dedup within their cell") {
-    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val emb = Tables.embeddings(spark, sfDir)
     val out = SemDedup.semDedup(emb)
     val n = emb.count()
     assert(out.count() === n)
