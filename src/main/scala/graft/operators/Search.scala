@@ -26,20 +26,14 @@ object Search {
   val Terms: Seq[String] = Seq("spark", "join", "window")
   val TopN = 20
 
-  /** Term frequency as a codegen'd regexp count — zero-width lookarounds
-    * pin the match to space-delimited token boundaries, so the count
-    * equals the oracle's token-equality filter (adjacent occurrences
-    * included; "spark," is neither a token match nor a regex match). */
-  private def tfOf(t: String): Column =
-    regexp_count(col("text"), lit(s"(?<= |^)$t(?= |$$)")).cast("long")
-
-  /** Token count via the native shingling kernel (k=1, all occurrences)
-    * — one Java loop per row, not an interpreted filter lambda. */
-  private def dlOf: Column = {
-    import org.apache.spark.sql.graftbridge.{ColumnBridge, WordShingles}
-    size(ColumnBridge.column(
-      WordShingles(ColumnBridge.expression(col("text")), 1, distinct = false)))
-      .cast("long")
+  /** dl + every term's tf in ONE native pass over the tokens (see
+    * [[org.apache.spark.sql.graftbridge.TokenTermStats]]) — the lambda
+    * formulation re-traverses the token array once per term, and a
+    * lookaround regexp benches slower still. */
+  private def statsCol: Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, TokenTermStats}
+    ColumnBridge.column(TokenTermStats(
+      ColumnBridge.expression(col("text")), Terms))
   }
 
   /** q60: BM25 top-20 for the fixed query [[Terms]] — doc_id, per-term
@@ -48,9 +42,12 @@ object Search {
   def bm25(s: SparkSession, dir: String): DataFrame = bm25(Tables.documents(s, dir))
 
   def bm25(docs: DataFrame): DataFrame = {
-    val base = docs.select(
-      col("doc_id") +: dlOf.as("dl") +:
-        Terms.map(t => tfOf(t).as(s"tf_$t")): _*)
+    val base = docs.select(col("doc_id"), statsCol.as("__ts"))
+      .select(
+        col("doc_id") +: element_at(col("__ts"), 1).as("dl") +:
+          Terms.zipWithIndex.map { case (t, i) =>
+            element_at(col("__ts"), i + 2).as(s"tf_$t")
+          }: _*)
     val aggCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
       Terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
     val stats = base.agg(aggCols.head, aggCols.tail: _*)

@@ -58,6 +58,42 @@ class IngestSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("end-to-end stream: envelope -> parse -> quarantine -> replay dedup -> MERGE sink") {
+    // the reference's full Kafka->raw->cleansed medallion flow as ONE
+    // Structured Streaming graph over the library's pieces
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("e2e_stream").toString
+    val src = MemoryStream[(String, String, Timestamp)]
+    val parsed = Ingest.parseJsonEnvelope(
+        src.toDF().toDF("key", "value", "timestamp")
+          .withColumn("ts", col("timestamp")), // event-time for the watermark
+        payloadSchema)
+      .filter(!col("is_malformed"))
+    val cleansed = graft.streaming.Streams.dedupReplays(
+        parsed.select(col("guid").as("event_id"), col("title"), col("n"),
+          col("ts"), col("ingestion_time")))
+      .drop("ts")
+    val q = graft.streaming.Streams.upsertSink(cleansed, dir, Seq("event_id"))
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    try {
+      src.addData(
+        ("k1", """{"guid":"g1","title":"t1","n":1}""", Timestamp.valueOf("2024-01-01 00:00:00")),
+        ("k2", """{"guid":"g2","title":"t2","n":2}""", Timestamp.valueOf("2024-01-01 00:01:00")),
+        ("kx", """broken payload""", Timestamp.valueOf("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      src.addData(
+        ("k1", """{"guid":"g1","title":"t1","n":1}""", Timestamp.valueOf("2024-01-01 00:00:00")), // replay
+        ("k3", """{"guid":"g3","title":"t3","n":3}""", Timestamp.valueOf("2024-01-01 00:03:00")))
+      q.processAllAvailable()
+      val snap = graft.streaming.Streams.currentSnapshot(spark, dir).get
+        .select("event_id", "n").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(snap === Map("g1" -> 1L, "g2" -> 2L, "g3" -> 3L),
+        "malformed quarantined, replay deduped, all batches merged")
+    } finally q.stop()
+  }
+
   test("writePartitionedParquet produces partition-pruned layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0)).toDF("id", "part", "v")

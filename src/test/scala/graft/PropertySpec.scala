@@ -48,6 +48,24 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("TokenTermStats equals the split-filter-count model on random texts") {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, TokenTermStats}
+    val terms = Seq("ab", "c", "dddd")
+    // bias the alphabet so the terms actually occur
+    val biasedWord = Gen.oneOf(word, Gen.oneOf("ab", "c", "dddd", "abc", "cc"))
+    val biasedText = Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, biasedWord)).map(_.mkString(" "))
+    val texts = samples(biasedText, 200)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = df.select(col("doc_id"), ColumnBridge.column(
+        TokenTermStats(ColumnBridge.expression(col("text")), terms)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.split(" ", -1).filter(_.nonEmpty).toSeq
+      val expect = toks.length.toLong +: terms.map(w => toks.count(_ == w).toLong)
+      assert(native(i.toLong) === expect, s"text='$t'")
+    }
+  }
+
   test("native dot product equals a Scala fold bit-for-bit on random vectors") {
     val vec = Gen.listOfN(16, Gen.chooseNum(-100.0, 100.0))
     val pairs = samples(Gen.zip(vec, vec), 100)
