@@ -152,8 +152,14 @@ object ApproxDedup {
       .withColumn("m", count(lit(1)).over(wholeDoc))
       .filter(col("rn") <= (col("m") - ceil(col("m") * Tau) + 1).cast("int"))
       .select(col("doc_id"), col("shingle"))
-    val cand = pe.select(col("doc_id").as("a_id"), col("shingle"))
-      .join(pe.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle"))
+    // the candidate self-join keys on a 64-bit hash of the prefix
+    // shingle, not the string: same string → same hash, so no true pair
+    // is ever lost, and a collision only adds a candidate the exact
+    // verification below discards — meanwhile the widest shuffle of the
+    // query ships 8-byte keys instead of ~20-char strings
+    val ph = pe.select(col("doc_id"), xxhash64(col("shingle")).as("hs"))
+    val cand = ph.select(col("doc_id").as("a_id"), col("hs"))
+      .join(ph.select(col("doc_id").as("b_id"), col("hs")), Seq("hs"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
     cand
