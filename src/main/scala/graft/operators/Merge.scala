@@ -16,7 +16,16 @@ import graft.Tables
 object Merge {
 
   /** Upsert `batch` into `base` on `keys`: matched keys take the batch
-    * row, unmatched base rows pass through. */
+    * row, unmatched base rows pass through.
+    *
+    * PRECONDITION: `batch` must be unique per `keys` — like the
+    * reference's Delta MERGE (which errors on multiple matching source
+    * rows), two batch rows for one key would both land in the snapshot.
+    * Dedup upstream with an explicit order (Cleanse.dedupKeepFirst, or
+    * dedupReplays in the streaming sink path) — this operator cannot
+    * pick a winner itself because no universal ordering column exists.
+    * NULL-key batch rows never match and insert each time, matching the
+    * reference MERGE's NULL-semantics. */
   def upsertSnapshot(base: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame =
     batch.unionByName(base.join(batch, keys, "left_anti"))
 

@@ -16,25 +16,37 @@ import org.apache.spark.sql.types.StructType
   * under schema drift. */
 object Ingest {
 
+  /** Output/metadata column names a payload field must not collide with
+    * — a field named e.g. `is_malformed` would silently clobber the
+    * quarantine flag right after it is computed. (`value` IS allowed:
+    * the envelope payload column is dropped before unpacking.) */
+  private val ReservedFields = Set("key", "timestamp", "ingestion_time", "is_malformed")
+
   /** Parse a Kafka-shaped envelope (key/value/timestamp[/topic/partition/
     * offset]) into typed columns. Works on batch frames and readStream
     * frames alike. Malformed payloads yield NULL parsed columns and are
-    * kept (flagged) so the caller can quarantine them. */
+    * kept (flagged) so the caller can quarantine them; a syntactically
+    * valid payload whose fields are all NULL (`{}`, explicit nulls) is
+    * NOT malformed — detection rides from_json's corrupt-record column,
+    * not an all-fields-null heuristic. */
   def parseJsonEnvelope(raw: DataFrame, schema: StructType): DataFrame = {
+    require(schema.fields.nonEmpty, "payload schema must have at least one field")
+    val clash = schema.fieldNames.filter(ReservedFields)
+    require(clash.isEmpty,
+      s"payload field(s) ${clash.mkString(", ")} collide with envelope/metadata columns")
+    val corrupt = "__graft_corrupt"
+    val withCorrupt = schema.add(corrupt, "string")
     val parsed = raw
-      .withColumn("__payload", from_json(col("value").cast("string"), schema))
+      .withColumn("__payload",
+        from_json(col("value").cast("string"), withCorrupt,
+          Map("columnNameOfCorruptRecord" -> corrupt)))
       .withColumn("ingestion_time", col("timestamp"))
-    // PERMISSIVE from_json yields an all-NULL struct for malformed input
-    // (never a NULL struct), so "malformed" = payload present but no
-    // field parsed
-    val anyFieldParsed = schema.fieldNames
-      .map(f => col(s"__payload.$f").isNotNull)
-      .reduce(_ || _)
     // drop the envelope `value` BEFORE unpacking fields: a payload field
     // named "value" (common in event schemas) would otherwise be deleted
     // by the final drop right after being parsed
     schema.fieldNames.foldLeft(
-        parsed.withColumn("is_malformed", col("value").isNotNull && !anyFieldParsed)
+        parsed
+          .withColumn("is_malformed", col(s"__payload.$corrupt").isNotNull)
           .drop("value"))(
         (d, f) => d.withColumn(f, col(s"__payload.$f")))
       .drop("__payload")

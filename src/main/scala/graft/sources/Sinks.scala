@@ -12,22 +12,35 @@ import org.apache.spark.sql.DataFrame
 object Sinks {
 
   /** Write a frame as hive-partitioned parquet, sorted within partitions
-    * on `sortCols` for downstream scan locality. */
+    * on `sortCols` for downstream scan locality. The frame is first
+    * clustered BY the hive partition columns — without that, every
+    * upstream task holding every partition value emits tasks×partitions
+    * small files and no file is globally sorted; clustered, each task
+    * owns whole hive partitions and writes one sorted file per
+    * partition. */
   def writePartitionedParquet(df: DataFrame, path: String,
       partitionCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
-    val sorted =
-      if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(df.col): _*) else df
-    sorted.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    val cluster = partitionCols.map(df.col)
+    df.repartition(cluster: _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(df.col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
 
   /** JDBC export writer with explicit parallelism + batch size (the
     * curated→postgres shape). Connection is environment-provided; this
-    * only assembles the write, so it is unit-testable up to `.save()`. */
+    * only assembles the write, so it is unit-testable up to `.save()`.
+    * Shrinking to `numPartitions` uses coalesce (no shuffle — the usual
+    * export case: bounding connection count on a wide frame); only a
+    * genuine widening repartitions. */
   def jdbcWriter(df: DataFrame, url: String, table: String,
-      numPartitions: Int = 8, batchSize: Int = 10000): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
-    df.repartition(numPartitions).write.format("jdbc")
+      numPartitions: Int = 8, batchSize: Int = 10000): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    val sized =
+      if (df.rdd.getNumPartitions >= numPartitions) df.coalesce(numPartitions)
+      else df.repartition(numPartitions)
+    sized.write.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
       .option("batchsize", batchSize.toString)
       .option("isolationLevel", "NONE")
+  }
 }

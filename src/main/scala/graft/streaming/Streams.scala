@@ -34,11 +34,16 @@ object Streams {
   }
 
   /** Replay-safe dedup (q21): drop duplicate event_ids (within the
-    * watermark horizon when streaming — Kafka redelivery shape). */
-  def dedupReplays(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
-    val in = if (events.isStreaming) events.withWatermark("ts", watermark) else events
-    in.dropDuplicates("event_id")
-  }
+    * watermark horizon when streaming — Kafka redelivery shape). The
+    * streaming path uses dropDuplicatesWithinWatermark: a bare
+    * dropDuplicates(event_id) would never evict state (the watermark
+    * only purges dedup state when the event-time column is part of the
+    * key), growing the state store without bound on a long-lived
+    * stream. */
+  def dedupReplays(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   /** Gap-based sessionization, batch analog (q20): lag + cumulative
     * new-session flags, then one aggregate per (user, session). Integer
@@ -157,22 +162,51 @@ object Streams {
     * ugc_raw_to_cleansed.py + eu_raw_to_cleansed_merge.py): each
     * micro-batch upserts into a versioned parquet snapshot —
     * `path/v<batchId>` is the post-merge table, `path/_LATEST` names the
-    * current version (write-then-point swap, readers never see a partial
-    * write). Returns the DataStreamWriter so the caller picks trigger/
-    * checkpoint options. */
+    * current version. Returns the DataStreamWriter so the caller picks
+    * trigger/checkpoint options.
+    *
+    * Write protocol (stage → publish → claim):
+    *  1. the merge result lands in a UNIQUE staging dir — committed data
+    *     is never an overwrite target, so a racing or replayed writer
+    *     cannot clobber already-published files;
+    *  2. the staging dir is renamed to `v<v>` (atomic dir move; the
+    *     rename FAILS if the target exists, so the first publisher
+    *     wins and a loser just drops its staging copy);
+    *  3. `_commits/<v>` is claimed via atomic create-if-absent — the
+    *     log never references a version before its data is fully
+    *     published, so readers resolving the log never see a partial
+    *     or missing snapshot.
+    * A crash between publish and claim leaves an unreferenced `v<v>`
+    * dir; the stream's foreachBatch replay of that batch recomputes the
+    * identical merge (same base — see below), finds the target present,
+    * and completes the claim.
+    *
+    * The merge base is the latest version committed STRICTLY BELOW this
+    * batchId: on a foreachBatch replay the crashed attempt's own version
+    * must not be an input (reading and rewriting the same files wedges
+    * the stream), and versions ≥ batchId can only be earlier
+    * incarnations of this same batch. */
   def upsertSink(stream: DataFrame, path: String, keys: Seq[String]):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      val merged = currentSnapshot(spark, path) match {
-        case Some(base) => graft.operators.Merge.upsertSnapshot(base, batch, keys)
+      val merged = latestCommittedVersion(spark, path).filter(_ < batchId) match {
+        case Some(v) =>
+          graft.operators.Merge.upsertSnapshot(
+            spark.read.parquet(s"$path/v$v"), batch, keys)
         case None => batch
       }
-      merged.write.mode("overwrite").parquet(s"$path/v$batchId")
-      // an already-claimed version here is this stream's own foreachBatch
-      // replay after a restart (overwrite above re-wrote identical data),
-      // so a false claim is an idempotent no-op, not an error
-      tryCommitVersion(spark, path, batchId)
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staging = new org.apache.hadoop.fs.Path(dir,
+        s"_staging-v$batchId-${java.util.UUID.randomUUID().toString.take(8)}")
+      merged.write.mode("overwrite").parquet(staging.toString)
+      val target = new org.apache.hadoop.fs.Path(dir, s"v$batchId")
+      // exists-check first: some FileSystems rename INTO an existing dir
+      // rather than failing; a racing loser must drop its copy either way
+      val published = !fs.exists(target) && fs.rename(staging, target)
+      if (!published) fs.delete(staging, true)
+      tryCommitVersion(spark, path, batchId) // false = already committed: done
       ()
     }
 

@@ -144,6 +144,46 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("upsertSink: replay heals a version published before a crash stole the claim") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "file://" + java.nio.file.Files.createTempDirectory("graft_heal").toString
+    // simulate a crashed incarnation: batch 0's data fully published at
+    // v0 but the process died before claiming _commits/0
+    Seq(E(1, ts(0), 1, "a", 1.0)).toDF().write.parquet(s"$dir/v0")
+    assert(Streams.latestCommittedVersion(spark, dir) === None)
+    val src = MemoryStream[E]
+    val q = Streams.upsertSink(src.toDF(), dir, Seq("event_id")).start()
+    try {
+      src.addData(E(1, ts(0), 1, "a", 1.0)) // the replayed batch 0
+      q.processAllAvailable()
+      // claim completed, published data intact, no read-own-write crash
+      assert(Streams.latestCommittedVersion(spark, dir) === Some(0L))
+      val snap = Streams.currentSnapshot(spark, dir).get.collect()
+      assert(snap.length === 1 && snap.head.getAs[Long]("event_id") === 1L)
+      // no staging leftovers
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staged = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName).filter(_.startsWith("_staging"))
+      assert(staged.isEmpty, s"staging dirs left behind: ${staged.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("parseJsonEnvelope: an all-null but valid payload is NOT malformed") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("guid", StringType), StructField("n", LongType)))
+    val raw = Seq(
+      ("k1", """{}""", ts(0)),
+      ("k2", """{"guid":null,"n":null}""", ts(1)),
+      ("k3", """definitely not json""", ts(2))
+    ).toDF("key", "value", "timestamp")
+    val out = graft.sources.Ingest.parseJsonEnvelope(raw, schema).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Boolean]("is_malformed")).toMap
+    assert(out === Map("k1" -> false, "k2" -> false, "k3" -> true))
+  }
+
   test("commit log: concurrent claim loses, readers survive a stale _LATEST") {
     import spark.implicits._
     val dir = "file://" + java.nio.file.Files.createTempDirectory("graft_commits").toString
