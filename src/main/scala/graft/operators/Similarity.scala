@@ -142,19 +142,25 @@ object Similarity {
           x => x.getField("i")))
       .withColumn("probe_buckets",
         transform(sequence(lit(0), lit(probes - 1)), j => {
-          // 1 << plane_index as an exact when-chain (LshBits = 4 planes)
+          // 1 << plane_index as a when-chain generated over ALL planes,
+          // so raising LshBits can never silently flip the wrong bit
           val planeIdx = element_at(col("flip_order"), j) // flip_order[j-1] unused at j=0
-          val bit = when(planeIdx === 0, 1L).when(planeIdx === 1, 2L)
-            .when(planeIdx === 2, 4L).otherwise(8L)
+          val bit = (1 until LshBits)
+            .foldLeft(when(planeIdx === 0, 1L)) { (acc, b) =>
+              acc.when(planeIdx === b, 1L << b)
+            }
           when(j === 0, col("bucket")).otherwise(col("bucket").bitwiseXOR(bit))
         }))
       .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"),
         explode(col("probe_buckets")).as("bucket"))
+    // no pair-dedup needed: a candidate lives in exactly one bucket and
+    // a query's probe buckets are pairwise distinct (base XOR distinct
+    // single bits), so each (query, candidate) matches at most once — a
+    // dropDuplicates here would be a pure extra shuffle
     val scored = broadcast(q).join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("__cand_id"))
       .select(col("query_id"), col("__cand_id"),
         cosinePre(col("eq"), col("ec"), col("nq"), col("nc")).as("sim"))
-      .dropDuplicates("query_id", "__cand_id")
     explodeTopK(scored, "query_id", "neighbor_id", 10)
       .orderBy("query_id", "rank")
   }
@@ -252,28 +258,47 @@ object Similarity {
       k: Int = 10): DataFrame =
     ivfTopK(graft.Tables.embeddings(s, dir), nlist, nprobe, k)
 
-  def ivfTopK(embeddings: DataFrame, nlist: Int, nprobe: Int, k: Int): DataFrame = {
+  /** Shared IVF plumbing: k-means coarse quantizer → (assigned corpus
+    * with its `cell`, tiny (cell, center) frame). Single definition so
+    * the inline ivfTopK, the cell-blocked kNN join, and the persisted
+    * [[IvfIndex]] can never drift apart on seed/assignment/centroids. */
+  private[operators] def kmeansCells(embeddings: DataFrame, nlist: Int,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val v = Dedup.normalized(embeddings).withColumn("features", array_to_vector(col("e")))
-    val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("features")
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
       .setPredictionCol("cell").fit(v)
     val assigned = model.transform(v).select(
-      col("vec_id").as("__cand_id"), col("e").as("ec"), col("nrm").as("nc"), col("cell"))
+      col("vec_id"), col("e"), col("nrm"), col("cell"))
     val centers = embeddings.sparkSession.createDataFrame(
       model.clusterCenters.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toArray) })
       .toDF("cell", "center")
-    val q = Dedup.normalized(embeddings).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"))
+    (assigned, centers)
+  }
+
+  /** Shared IVF probe: rank cells per query by squared distance to the
+    * broadcast centroids, keep the nprobe nearest → (query_id, eq, nq,
+    * cell) rows ready for the cell equi-join. */
+  private[operators] def probeCells(q: DataFrame, centers: DataFrame,
+      nprobe: Int): DataFrame = {
     val wCell = Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("cell"))
-    val probed = q.crossJoin(broadcast(centers))
+    q.crossJoin(broadcast(centers))
       .withColumn("dist2",
         col("nq") * col("nq") - lit(2.0) * dot(col("eq"), col("center"))
           + dot(col("center"), col("center")))
       .withColumn("cell_rank", row_number().over(wCell))
       .filter(col("cell_rank") <= nprobe)
       .select("query_id", "eq", "nq", "cell")
-    val scored = probed.join(assigned, Seq("cell"))
+  }
+
+  def ivfTopK(embeddings: DataFrame, nlist: Int, nprobe: Int, k: Int): DataFrame = {
+    val (assignedRaw, centers) = kmeansCells(embeddings, nlist)
+    val assigned = assignedRaw.select(col("vec_id").as("__cand_id"),
+      col("e").as("ec"), col("nrm").as("nc"), col("cell"))
+    val q = Dedup.normalized(embeddings).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"))
+    val scored = probeCells(q, centers, nprobe).join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("__cand_id"))
       .select(col("query_id"), col("__cand_id"),
         cosinePre(col("eq"), col("ec"), col("nq"), col("nc")).as("sim"))
@@ -287,12 +312,7 @@ object Similarity {
     * near a cell boundary may miss a true neighbor, which raising nlist
     * granularity + probing adjacent cells (as in [[ivfTopK]]) recovers. */
   def knnJoinBlocked(embeddings: DataFrame, k: Int = 3, nlist: Int = 16): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val v = Dedup.normalized(embeddings).withColumn("features", array_to_vector(col("e")))
-    val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("features")
-      .setPredictionCol("cell").fit(v)
-    val assigned = model.transform(v)
+    val (assigned, _) = kmeansCells(embeddings, nlist)
     val a = assigned.select(col("vec_id").as("src_id"), col("e").as("ea"),
       col("nrm").as("na"), col("cell"))
     val b = assigned.select(col("vec_id").as("__cand_id"), col("e").as("eb"),

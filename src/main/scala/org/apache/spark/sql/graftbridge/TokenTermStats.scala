@@ -48,7 +48,7 @@ case class TokenTermStats(child: Expression, terms: Seq[String])
         }
       }
     }
-    new GenericArrayData(out.map(Long.box).toArray[Any])
+    new GenericArrayData(out) // primitive long[] ctor — no per-row boxing
   }
 
   override def nullSafeEval(input: Any): Any =

@@ -21,7 +21,13 @@ import org.apache.spark.sql.types._
   * between shuffling 25M rows and 5000×k.
   *
   * Total order (ties by id) makes the result independent of merge order,
-  * so output matches the window formulation bit-for-bit. */
+  * so output matches the window formulation bit-for-bit — over non-null
+  * scores. NULL-score rows are skipped (standard SQL aggregate
+  * semantics, i.e. an implicit `WHERE sim IS NOT NULL`); a raw window
+  * rank would instead emit them last. None of graft's scoring paths
+  * produce null sims (null/ragged embeddings are filtered or nulled
+  * out before pairing), so the two formulations agree on every gated
+  * query. */
 case class TopKSimId(
     scoreExpr: Expression,
     idExpr: Expression,

@@ -81,6 +81,23 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("native dot product NULLs ragged-length pairs like the zip_with HOF form") {
+    val df = Seq(
+      (1L, Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (2L, Array(1.0, 2.0, 3.0), Array(4.0, 5.0)), // ragged -> NULL
+      (3L, Array.empty[Double], Array.empty[Double])
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"), VectorOps.dot(col("a"), col("b")).as("d"),
+        VectorOps.dotHof(col("a"), col("b")).as("dh"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(got(1L) === ((Some(32.0), Some(32.0))))
+    assert(got(1L)._1 === got(1L)._2)
+    assert(got(2L)._1 === None, "ragged pair must be NULL, not a prefix sum")
+    assert(got(2L)._1 === got(2L)._2, "native and HOF must agree on ragged input")
+    assert(got(3L) === ((Some(0.0), Some(0.0))))
+  }
+
   test("TopKSimId equals sort-take-k on random scored pairs") {
     val pair = Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(-1.0, 1.0), Gen.chooseNum(0L, 1000L))
     val rows = samples(Gen.listOfN(80, pair), 5).flatten
