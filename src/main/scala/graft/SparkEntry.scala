@@ -391,9 +391,9 @@ object SparkEntry {
         |  CAST(len(list_filter(string_split(lower(text),' '), w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE) AS n_stop
         | FROM documents),
         |r AS (SELECT doc_id, n_words,
-        |  n_uniq / n_words AS uniq_ratio,
-        |  n_punct / n_chars_f AS punct_ratio,
-        |  n_stop / n_words AS stop_ratio FROM f)
+        |  CASE WHEN n_words > 0 THEN n_uniq / n_words ELSE 0.0 END AS uniq_ratio,
+        |  CASE WHEN n_chars_f > 0 THEN n_punct / n_chars_f ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END AS stop_ratio FROM f)
         |SELECT doc_id, n_words, uniq_ratio, punct_ratio, stop_ratio,
         | 0.3 * least(n_words / 200.0, 1.0) + 0.3 * uniq_ratio
         | + 0.2 * (1.0 - punct_ratio) + 0.2 * least(stop_ratio * 5.0, 1.0) AS quality

@@ -90,9 +90,14 @@ object Sampling {
     val total = counts.agg(sum(col("n_stratum")).as("total"))
     val strata = counts.crossJoin(broadcast(total))
       .withColumn("w", weight)
+      // DECIMAL(38,0) product: at 1e12-row corpora w·(total/2)·1e6
+      // overflows Long (silently wrapping negative with ANSI off, which
+      // would empty whole strata); the decimal path is exact to 1e38 and
+      // DuckDB evaluates the identical widened expression
       .withColumn("thresh_ppm",
         least(lit(1000000L),
-          expr("(w * (total DIV 2) * 1000000) DIV (100 * n_stratum)")))
+          expr("""(CAST(w AS DECIMAL(38,0)) * CAST(total DIV 2 AS DECIMAL(38,0))
+                  * 1000000) DIV (100 * n_stratum)""")))
       .select("lang", "n_stratum", "thresh_ppm")
     docs
       .withColumn("mix_bucket", hashBucket(col("doc_id"), MixSeed, 1000000L))
@@ -156,8 +161,9 @@ object Sampling {
     s"""WITH strata AS (SELECT lang, COUNT(*) AS n_stratum,
        |  SUM(COUNT(*)) OVER () AS total FROM documents GROUP BY lang),
        |thresh AS (SELECT lang, n_stratum,
-       |  least(1000000, ($weightCase * (total // 2) * 1000000)
-       |    // (100 * n_stratum)) AS thresh_ppm
+       |  least(1000000, CAST(floor((CAST($weightCase AS DECIMAL(38,0))
+       |    * CAST(total // 2 AS DECIMAL(38,0)) * 1000000)
+       |    / (100 * n_stratum)) AS BIGINT)) AS thresh_ppm
        | FROM strata),
        |t AS (SELECT doc_id, d.lang,
        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '$MixSeed'), 1, 15)) AS BIGINT) % 1000000 AS mix_bucket,

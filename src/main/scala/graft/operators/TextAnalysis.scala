@@ -69,11 +69,17 @@ object TextAnalysis {
         size(array_distinct(ws)).cast("double").as("n_uniq"),
         size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0))).cast("double").as("n_punct"),
         size(filter(words(lower(col("text"))), w => array_contains(enStop, w))).cast("double").as("n_stop"))
+      // empty/whitespace-only docs: ratios are DEFINED as 0.0 — an
+      // unguarded 0/0 is NaN here but NULL in DuckDB, so the guard is
+      // both a sane default and what keeps the oracle engine-exact
       .select(
         col("doc_id"), col("n_words"),
-        (col("n_uniq") / col("n_words")).as("uniq_ratio"),
-        (col("n_punct") / col("n_chars_f")).as("punct_ratio"),
-        (col("n_stop") / col("n_words")).as("stop_ratio"))
+        when(col("n_words") > 0.0, col("n_uniq") / col("n_words"))
+          .otherwise(0.0).as("uniq_ratio"),
+        when(col("n_chars_f") > 0.0, col("n_punct") / col("n_chars_f"))
+          .otherwise(0.0).as("punct_ratio"),
+        when(col("n_words") > 0.0, col("n_stop") / col("n_words"))
+          .otherwise(0.0).as("stop_ratio"))
       .withColumn("quality",
         lit(0.3) * least(col("n_words") / 200.0, lit(1.0)) +
         lit(0.3) * col("uniq_ratio") +
