@@ -59,14 +59,36 @@ object Bench {
     val (warm, failedWarm) = measure()
     val failed = (failedCold ++ failedWarm).distinct
 
-    def jsonMap(m: Map[String, Double]): String =
+    // The driver captures only a bounded tail of this process's stdout, so
+    // the contract JSON line must stay SHORT: qNN keys (the contract's
+    // example uses "q1"), 3-decimal timings, warm total as one scalar.
+    // Full names + cold/warm detail go to stderr and target/bench_detail
+    // .json for humans — round 2's full-fidelity line outgrew the capture
+    // and the driver recorded parsed:null.
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def shortMap(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k.take(3) + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+    def fullMap(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     def total(m: Map[String, Double]): Double = m.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${total(cold)},"unit":"sec"""" +
-      s""","queries":${jsonMap(cold)},"queries_warm":${jsonMap(warm)}""" +
-      s""","total_warm":${total(warm)},"failed":$failedJson,"sf":"$sfDir"}""")
+    // file only — sbt folds the forked process's stderr back into its
+    // stdout log, so printing the long line anywhere would still reach
+    // the driver's capture ahead of the compact contract line
+    val detail = s"""{"metric":"total","value":${total(cold)},"unit":"sec"""" +
+      s""","queries":${fullMap(cold)},"queries_warm":${fullMap(warm)}""" +
+      s""","total_warm":${total(warm)},"failed":$failedJson,"sf":"$sfDir"}"""
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_detail.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, detail.getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // detail dump is best-effort
+    println(s"""{"metric":"total","value":${r3(total(cold))},"unit":"sec"""" +
+      s""","queries":${shortMap(cold)},"total_warm":${r3(total(warm))}""" +
+      s""","failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -24,14 +24,22 @@ object Cluster {
 
   /** Labels each node with the minimum node id reachable through `edges`
     * (undirected). `nodes`: one `id` column; `edges`: `a_id`, `b_id`.
-    * Returns (id, label). */
+    * Returns (id, label).
+    *
+    * Only nodes that appear in an edge enter the iteration: under dedup
+    * the pair graph touches a small fraction of the corpus, so the
+    * per-round shuffles run over |edge endpoints| rows, not |corpus| —
+    * the difference between iterating over megabytes and over the full
+    * 100 TB table. Edge-free nodes are singleton components and get
+    * label = id through one final left join. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 25): DataFrame = {
     // undirected adjacency, materialized once — every round re-reads it
     val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var labels = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -56,7 +64,9 @@ object Cluster {
       done = changed == 0L
       iter += 1
     }
-    labels
+    // singleton components: every node with no edge labels itself
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
   /** q46: transitive dedup clusters of the documents table — edges are
