@@ -81,6 +81,7 @@ object SparkEntry {
     "q62_dup_passage"              -> (Curation.dupPassage _),
     "q63_kmeans"                   -> (KMeansOp.kmeans _),
     "q64_group_sample"             -> (Sampling.groupSample _),
+    "q65_ann_ivf"                  -> (Similarity.ivfTopKExact _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -489,6 +490,7 @@ object SparkEntry {
     "q62_dup_passage" -> Curation.dupPassageOracleSql,
     "q63_kmeans" -> KMeansOp.kmeansOracleSql,
     "q64_group_sample" -> Sampling.groupSampleOracleSql,
+    "q65_ann_ivf" -> Similarity.ivfExactOracleSql(),
     "q51_group_quantiles" ->
       """WITH r AS (SELECT event_type, value, event_id,
         |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,

@@ -36,12 +36,12 @@ object KMeansOp {
   val ScaleQ = 1000000.0
 
   /** vec_id + quantized integral-double vector. */
-  private def quantized(embeddings: DataFrame): DataFrame =
+  private[operators] def quantized(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"),
       transform(col("embedding"), x => round(x.cast("double") * ScaleQ)).as("q"))
 
   /** Squared-distance column to one centroid: qq − 2·q·c + cc. */
-  private def dist2(qq: Column, c: Seq[Double]): Column = {
+  private[operators] def dist2(qq: Column, c: Seq[Double]): Column = {
     val cLit = array(c.map(lit): _*)
     val cc = c.foldLeft(0.0)((acc, x) => acc + x * x) // same fold as list_reduce
     qq - lit(2.0) * dot(col("q"), cLit) + lit(cc)
@@ -53,7 +53,7 @@ object KMeansOp {
     * array, so sparse/shifted vec_id spaces stay in sync. Ties → first
     * position = lowest cell id (cents is vec_id-sorted), matching the
     * oracle's ORDER BY dist2, cell. */
-  private def assign(qv: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
+  private[operators] def assign(qv: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
     val qq = dot(col("q"), col("q"))
     val dists = array(cents.map { case (_, c) => dist2(qq, c) }: _*)
     val ids = array(cents.map { case (id, _) => lit(id) }: _*)
@@ -83,13 +83,22 @@ object KMeansOp {
   /** q63: k-means train + final assignment — vec_id, cell, cell_size. */
   def kmeans(s: SparkSession, dir: String): DataFrame = kmeans(Tables.embeddings(s, dir))
 
-  def kmeans(embeddings: DataFrame): DataFrame = {
+  /** The deterministic train loop: seed with the first K vec_ids,
+    * [[Rounds]] Lloyd rounds. Returns (reusable quantized frame, final
+    * (cellId, centroid) pairs) — shared by q63 and the oracle-gated IVF
+    * path so the two can never drift on seed/rounds/arithmetic. */
+  private[operators] def trainCents(embeddings: DataFrame): (DataFrame, Seq[(Long, Seq[Double])]) = {
     val qv = quantized(embeddings).localCheckpoint() // reused every round
     var cents: Seq[(Long, Seq[Double])] = qv.filter(col("vec_id") < K)
       .orderBy("vec_id").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
     for (_ <- 1 to Rounds)
       cents = recenter(assign(qv, cents), cents)
+    (qv, cents)
+  }
+
+  def kmeans(embeddings: DataFrame): DataFrame = {
+    val (qv, cents) = trainCents(embeddings)
     val fin = assign(qv, cents).select(col("vec_id"), col("cell"))
     val sizes = fin.groupBy(col("cell")).agg(count(lit(1)).as("cell_size"))
     fin.join(sizes, Seq("cell"))
@@ -101,9 +110,14 @@ object KMeansOp {
     * chain — quantize, assign (argmin via ROW_NUMBER), recenter
     * (exact integral sums, empty cells keep the previous centroid via
     * LEFT JOIN + COALESCE), final assign + sizes. */
-  def kmeansOracleSql: String = {
-    val lr = (expr: String) =>
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $Dim+1), i -> $expr)), (x,y) -> x+y)"
+  private def lr(expr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $Dim+1), i -> $expr)), (x,y) -> x+y)"
+
+  /** WITH-body prefix replaying the train loop: `qv` (quantized vectors),
+    * `c0..c$Rounds` (centroids per round; `c$Rounds` is final), `af`
+    * (final assignment: vec_id, q, cell). Shared by the q63 oracle and
+    * the generated IVF oracle (q65). */
+  def kmeansCtes: String = {
     def assignCte(cin: String, aout: String) =
       s"""$aout AS (SELECT vec_id, q, cell FROM (
          |  SELECT qv.vec_id, qv.q, $cin.cell,
@@ -122,14 +136,22 @@ object KMeansOp {
       val cin = if (r == 1) "c0" else s"c${r - 1}"
       s"${assignCte(cin, s"a$r")},\n${recenterCte(s"a$r", cin, s"c$r")}"
     }.mkString(",\n")
-    s"""WITH qv AS (SELECT vec_id,
+    s"""qv AS (SELECT vec_id,
        |  list_transform(embedding, x -> round(CAST(x AS DOUBLE) * $ScaleQ)) AS q
        | FROM embeddings),
        |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, q AS c FROM qv WHERE vec_id < $K),
        |$rounds,
-       |${assignCte(s"c$Rounds", "af")},
+       |${assignCte(s"c$Rounds", "af")}""".stripMargin
+  }
+
+  /** DuckDB expression for the squared distance between `qv.q` and a
+    * centroid column `$cin.c` — same fixed fold as the Spark side. */
+  def dist2Sql(cin: String): String =
+    s"${lr("qv.q[i]*qv.q[i]")} - 2.0 * ${lr("qv.q[i]*$cin.c[i]").replace("$cin", cin)} + ${lr("$cin.c[i]*$cin.c[i]").replace("$cin", cin)}"
+
+  def kmeansOracleSql: String =
+    s"""WITH $kmeansCtes,
        |sz AS (SELECT cell, COUNT(*) AS cell_size FROM af GROUP BY cell)
        |SELECT af.vec_id, CAST(af.cell AS BIGINT) AS cell, sz.cell_size
        |FROM af JOIN sz USING (cell) ORDER BY af.vec_id""".stripMargin
-  }
 }

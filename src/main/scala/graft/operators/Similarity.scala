@@ -306,6 +306,75 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** q65: oracle-gated IVF top-k — the [[ivfTopK]] layout with the
+    * coarse quantizer swapped for [[KMeansOp]]'s deterministic Lloyd
+    * trainer, which makes the ENTIRE index + search path reproducible in
+    * another engine: quantized integral-double vectors give exact
+    * centroid arithmetic, probe ranking is an exact dist2 sort, and the
+    * final cosine scoring matches the q27/q28 fold bit-for-bit. Same
+    * scale shape as ivfTopK: centroids broadcast as literals (no join,
+    * no corpus shuffle for assignment), each query scores only its
+    * nprobe cells' candidates. */
+  def ivfTopKExact(s: SparkSession, dir: String): DataFrame =
+    ivfTopKExact(graft.Tables.embeddings(s, dir))
+
+  def ivfTopKExact(embeddings: DataFrame, nprobe: Int = 3, k: Int = 10): DataFrame = {
+    val (qv, cents) = KMeansOp.trainCents(embeddings)
+    val assigned = KMeansOp.assign(qv, cents).select(col("vec_id"), col("cell"))
+    val v = Dedup.normalized(embeddings)
+    val cand = v.join(assigned, Seq("vec_id"))
+      .select(col("vec_id").as("__cand_id"), col("e").as("ec"),
+        col("nrm").as("nc"), col("cell"))
+    // probe ranking: exact quantized dist2 to each centroid, ties by cell
+    // id — array_sort over (d, cell) structs = the oracle's ORDER BY
+    val qq = dot(col("q"), col("q"))
+    val cellStructs = array(cents.map { case (id, c) =>
+      struct(KMeansOp.dist2(qq, c).as("d"), lit(id).as("cell")) }: _*)
+    val q = qv.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        explode(slice(array_sort(cellStructs), 1, nprobe)).as("pr"))
+      .select(col("query_id"), col("pr.cell").as("cell"))
+      .join(v.select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nq")), Seq("query_id"))
+    val scored = broadcast(q).join(cand, Seq("cell"))
+      .filter(col("query_id") =!= col("__cand_id"))
+      .select(col("query_id"), col("__cand_id"),
+        cosinePre(col("eq"), col("ec"), col("nq"), col("nc")).as("sim"))
+    explodeTopK(scored, "query_id", "neighbor_id", k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Generated DuckDB oracle for q65: replays the deterministic k-means
+    * train (shared CTE chain with the q63 oracle), the nprobe cell
+    * ranking, and the cosine scoring — candidates live in exactly one
+    * cell and probe cells are distinct, so no DISTINCT is needed. */
+  def ivfExactOracleSql(nprobe: Int = 3, k: Int = 10): String = {
+    val cR = s"c${KMeansOp.Rounds}"
+    s"""WITH ${KMeansOp.kmeansCtes},
+       |n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+       |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len(embedding)+1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), (x,y) -> x+y)) AS nrm
+       |  FROM embeddings),
+       |pr AS (SELECT qv.vec_id AS query_id, $cR.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY qv.vec_id ORDER BY
+       |      ${KMeansOp.dist2Sql(cR)}, $cR.cell) AS cell_rank
+       |  FROM qv CROSS JOIN $cR WHERE qv.vec_id < 10),
+       |probed AS (SELECT query_id, cell FROM pr WHERE cell_rank <= $nprobe),
+       |cand AS (SELECT af.vec_id, af.cell, n.e, n.nrm FROM af JOIN n USING (vec_id)),
+       |p AS (SELECT probed.query_id, cand.vec_id AS neighbor_id,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len(nq.e)+1), i -> nq.e[i]*cand.e[i])), (x,y) -> x+y)
+       |   / (nq.nrm * cand.nrm) AS sim
+       |  FROM probed JOIN cand USING (cell) JOIN n nq ON nq.vec_id = probed.query_id
+       |  WHERE cand.vec_id <> probed.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM p)
+       |SELECT query_id, neighbor_id, rank, ROUND(sim, 9) AS sim_r
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Cell-blocked approximate k-NN self-join: the q29 scale path. Every
     * vector only scores others in its own k-means cell, so pairwise work
     * drops from n² to Σ|cell|² ≈ n²/nlist — the standard trade: vectors

@@ -100,6 +100,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(hits >= 5, s"IVF recall of exact top-1 too low: $hits/10")
   }
 
+  test("exact-arithmetic IVF (q65): k results per query, recall, ranks well-formed") {
+    val exact1 = Similarity.bruteForceTopK(spark, sfDir).collect()
+      .filter(_.getAs[Long]("rank") === 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val ivf = Similarity.ivfTopKExact(spark, sfDir).collect()
+    val byQuery = ivf.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet.size === 10)
+    byQuery.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq ===
+        (1L to rs.length).toSeq) // dense 1..n ranks
+      val sims = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim_r"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    // nprobe=3 of K=8 cells: majority recall of the exact top-1
+    val hits = byQuery.count { case (q, rs) =>
+      rs.exists(_.getAs[Long]("neighbor_id") === exact1(q)) }
+    assert(hits >= 5, s"exact-IVF recall of exact top-1 too low: $hits/10")
+  }
+
   test("LSH-blocked near-dup pairs keep planted dups and are a subset of exact") {
     planted.createOrReplaceTempView("planted_for_blocked")
     // corpus-level: blocked ⊆ exact at the same tau
