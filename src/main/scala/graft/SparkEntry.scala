@@ -82,6 +82,9 @@ object SparkEntry {
     "q63_kmeans"                   -> (KMeansOp.kmeans _),
     "q64_group_sample"             -> (Sampling.groupSample _),
     "q65_ann_ivf"                  -> (Similarity.ivfTopKExact _),
+    "q66_int8_quantize"            -> (Quantize.int8Quantize _),
+    "q67_lm_score"                 -> (Search.lmScore _),
+    "q68_cms_counts"               -> (Sketch.cmsUserCounts _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -491,6 +494,9 @@ object SparkEntry {
     "q63_kmeans" -> KMeansOp.kmeansOracleSql,
     "q64_group_sample" -> Sampling.groupSampleOracleSql,
     "q65_ann_ivf" -> Similarity.ivfExactOracleSql(),
+    "q66_int8_quantize" -> Quantize.int8OracleSql,
+    "q67_lm_score" -> Search.lmScoreOracleSql,
+    "q68_cms_counts" -> Sketch.cmsOracleSql,
     "q51_group_quantiles" ->
       """WITH r AS (SELECT event_type, value, event_id,
         |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,

@@ -72,6 +72,67 @@ object Search {
       .limit(TopN)
   }
 
+  /** q67: unigram language-model quality score (the CCNet/Wikipedia-LM
+    * filtering signal, here with the corpus as its own LM): every token
+    * scores ln p(token) under the corpus unigram distribution; a doc's
+    * score is the token-average. Low average log-prob = rare/garbled
+    * vocabulary = drop candidate.
+    *
+    * Engine-exact: per-token ln(count/N) is quantized to an integral
+    * double (round(·10⁶)) so the per-doc SUM is exact integer arithmetic
+    * — order-independent across executors and equal to DuckDB's, the
+    * q63 trick applied to log-probs.
+    *
+    * Scale notes: one explode + two shuffles (vocab count keyed by
+    * token, doc re-aggregation keyed by doc_id). The token join is
+    * Zipf-skewed — AQE skew-join splits the hot stopword keys (or
+    * [[Skew.saltedJoin]] pre-salts them); the vocab side stays a table,
+    * never a driver collect. */
+  def lmScore(s: SparkSession, dir: String): DataFrame = lmScore(Tables.documents(s, dir))
+
+  def lmScore(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextAnalysis.words(col("text"))).as("tok"))
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val totals = vocab.agg(sum(col("cnt")).as("n_total"))
+    val logp = vocab.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        round(log(col("cnt").cast("double") / col("n_total").cast("double")) * 1e6)
+          .as("logp_q"))
+    val perDoc = tok.join(logp, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("logp_q")).as("logp_sum"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("logp_sum"), lit(0.0)).cast("long").as("logp_q_sum"),
+        round(when(col("n_tokens").isNull, lit(0.0))
+          .otherwise(col("logp_sum") / lit(1e6) / col("n_tokens").cast("double")), 9)
+          .as("avg_logp_r"))
+      .orderBy("doc_id")
+  }
+
+  /** q67 oracle: identical unigram stats, ln quantization, and exact
+    * integer sums. */
+  def lmScoreOracleSql: String =
+    """WITH tok AS (SELECT doc_id,
+      |  unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS tok
+      | FROM documents),
+      |vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+      |tot AS (SELECT SUM(cnt) AS n_total FROM vocab),
+      |logp AS (SELECT tok,
+      |  round(ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1000000.0) AS logp_q
+      | FROM vocab CROSS JOIN tot),
+      |pd AS (SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(logp_q) AS s
+      | FROM tok t JOIN logp USING (tok) GROUP BY t.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(pd.s, 0) AS BIGINT) AS logp_q_sum,
+      |  ROUND(CASE WHEN pd.n_tokens IS NULL THEN 0.0
+      |    ELSE pd.s / 1000000.0 / CAST(pd.n_tokens AS DOUBLE) END, 9) AS avg_logp_r
+      |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** q60 oracle: same statistics and the same expression shape (ln is
     * the one transcendental — both engines' libm are correctly rounded,
     * and the score is rounded to 9 dp on both sides). */

@@ -55,6 +55,52 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out.size === docs.count())
   }
 
+  // --- q66/q67/q68 quantization, LM score, CMS ---
+
+  test("q66 int8 quantization: scale/codes well-formed, error bounded by half-step") {
+    val out = operators.Quantize.int8Quantize(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val scale = r.getAs[Double]("scale_r")
+      val (qmin, qmax) = (r.getAs[Long]("q_min"), r.getAs[Long]("q_max"))
+      assert(scale >= 0.0)
+      assert(qmin >= -127L && qmax <= 127L && qmin <= qmax)
+      // symmetric quantization always hits ±127 on the max-|x| element
+      assert(qmax == 127L || qmin == -127L, s"vec ${r.getLong(0)} never saturates")
+      // per-element error ≤ half a quantization step → total ≤ dim·(0.5/scale)²
+      val err = r.getAs[Double]("err_r")
+      assert(err <= 64.0 * math.pow(0.5 / scale, 2) + 1e-9, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("q67 LM score: common-vocabulary docs outscore a rare-vocabulary doc") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = operators.Search.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("avg_logp_r")).toMap
+    assert(out.size === docs.count())
+    // every token of every doc appears ≥1 time in its own corpus: the
+    // average log-prob is bounded by ln(1/N_total) from below and < 0
+    out.values.foreach(v => assert(v < 0.0))
+    // a synthetic corpus: 9 docs sharing one word + 1 doc of unique words
+    val planted = (0 until 9).map(i => (i.toLong, "common common common")) :+
+      (9L, "zzq1 zzq2 zzq3")
+    val pout = operators.Search.lmScore(planted.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("avg_logp_r")).toMap
+    (0 until 9).foreach(i => assert(pout(i.toLong) > pout(9L)))
+  }
+
+  test("q68 CMS: estimates are overestimates and exact when no cell collides") {
+    val out = operators.Sketch.cmsUserCounts(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("est_cnt") >= r.getAs[Long]("true_cnt"),
+        s"user ${r.getLong(0)}: CMS must never underestimate")
+    }
+    // d=4 × w=512 on the tiny sf: most probes should be exact
+    val exact = out.count(r => r.getAs[Long]("est_cnt") == r.getAs[Long]("true_cnt"))
+    assert(exact * 2 >= out.length, s"only $exact/${out.length} exact")
+  }
+
   // --- q47/q49 sampling ---
 
   test("q47 keeps exactly the under-threshold hash buckets, deterministically") {

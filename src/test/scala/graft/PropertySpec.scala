@@ -145,4 +145,27 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("Int8QuantStats equals the HOF fold formulation bitwise on random vectors") {
+    import graft.operators.Quantize
+    val vecGen = Gen.chooseNum(1, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1000000, 1000000).map(_ / 10000.0)))
+    val vecs = samples(vecGen, 200) :+ List.fill(8)(0.0) :+ List(-0.5, 0.5, 127.0)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "e")
+    val both = df.select(col("vec_id"),
+        Quantize.int8Stats(col("e")).as("native"),
+        Quantize.int8StatsHof(col("e")).as("hof"))
+      .collect()
+    assert(both.length === vecs.length)
+    both.foreach { r =>
+      val n = r.getSeq[Double](1)
+      val h = r.getSeq[Double](2)
+      assert(n.length === 6 && h.length === 6, s"vec_id=${r.getLong(0)}")
+      n.zip(h).zipWithIndex.foreach { case ((a, b), fi) =>
+        assert(java.lang.Double.doubleToLongBits(a) ===
+          java.lang.Double.doubleToLongBits(b),
+          s"vec_id=${r.getLong(0)} field=$fi native=$a hof=$b")
+      }
+    }
+  }
 }
