@@ -85,6 +85,7 @@ object SparkEntry {
     "q66_int8_quantize"            -> (Quantize.int8Quantize _),
     "q67_lm_score"                 -> (Search.lmScore _),
     "q68_cms_counts"               -> (Sketch.cmsUserCounts _),
+    "q69_tfidf_topterms"           -> (Search.tfidfTopTerms _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -497,6 +498,7 @@ object SparkEntry {
     "q66_int8_quantize" -> Quantize.int8OracleSql,
     "q67_lm_score" -> Search.lmScoreOracleSql,
     "q68_cms_counts" -> Sketch.cmsOracleSql,
+    "q69_tfidf_topterms" -> Search.tfidfOracleSql,
     "q51_group_quantiles" ->
       """WITH r AS (SELECT event_type, value, event_id,
         |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,

@@ -133,6 +133,74 @@ object Search {
       |    ELSE pd.s / 1000000.0 / CAST(pd.n_tokens AS DOUBLE) END, 9) AS avg_logp_r
       |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** q69: top-3 tf-idf terms per document — the classic sparse
+    * featurization of a corpus (keyword extraction / topic labeling).
+    *
+    * Engine-exact: idf is quantized to an integral double
+    * (round(ln((N+1)/(df+1))·10⁶)), so score = tf · idf_q is exact
+    * integer arithmetic; ranking uses the bounded-heap TopKSimId
+    * aggregate with the term's 2^50-folded md5 hash as the tiebreak id
+    * (integral doubles order identically to the oracle's BIGINTs — the
+    * q64 trick), so ≤3 rows per (partition, doc) enter the shuffle
+    * instead of a full per-doc term sort.
+    *
+    * Scale notes: tf agg shuffles on (doc_id, term), df agg on term
+    * (Zipf-skew → AQE), the N scalar broadcasts, and the term-string
+    * recovery join is keyed by (doc_id, hash) — no window sort
+    * anywhere. */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(Tables.documents(s, dir))
+
+  val TfidfK = 3
+  private val HashFold = 1125899906842624L // 2^50
+
+  def tfidfTopTerms(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextAnalysis.words(col("text"))).as("tok"))
+    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = df.crossJoin(broadcast(nDocs))
+      .select(col("tok"),
+        round(log((col("n_docs").cast("double") + lit(1.0)) /
+          (col("df").cast("double") + lit(1.0))) * 1e6).as("idf_q"))
+    val scored = tf.join(idf, Seq("tok"))
+      .select(col("doc_id"), col("tok"),
+        (TextAnalysis.md5Long(col("tok")) % HashFold).as("tok_hash"),
+        (col("tf").cast("double") * col("idf_q")).as("score"))
+    val top = scored.groupBy(col("doc_id"))
+      .agg(Similarity.topKAgg(col("score"), col("tok_hash"), TfidfK).as("tk"))
+      .select(col("doc_id"), posexplode(col("tk")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("tok_hash"), col("col.sim").cast("long").as("score"))
+    top.join(scored.select(col("doc_id"), col("tok_hash"), col("tok").as("term")),
+        Seq("doc_id", "tok_hash"))
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** q69 oracle: same quantized idf and integer scores; the ranking
+    * replays as a window ordered score DESC, hash ASC. */
+  def tfidfOracleSql: String =
+    s"""WITH tok AS (SELECT doc_id,
+       |  unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS tok
+       | FROM documents),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+       |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |idf AS (SELECT tok,
+       |  round(ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) * 1000000.0) AS idf_q
+       | FROM df CROSS JOIN n),
+       |sc AS (SELECT doc_id, tok,
+       |  CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % $HashFold AS tok_hash,
+       |  CAST(tf AS DOUBLE) * idf_q AS score
+       | FROM tf JOIN idf USING (tok)),
+       |r AS (SELECT doc_id, tok, score,
+       |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok_hash) AS rank
+       | FROM sc)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok AS term, CAST(score AS BIGINT) AS score
+       |FROM r WHERE rank <= $TfidfK ORDER BY doc_id, rank""".stripMargin
+
   /** q60 oracle: same statistics and the same expression shape (ln is
     * the one transcendental — both engines' libm are correctly rounded,
     * and the score is rounded to 9 dp on both sides). */

@@ -22,7 +22,7 @@ object Similarity {
 
   /** Bounded-heap top-k aggregate column (score desc, id asc); see
     * [[org.apache.spark.sql.graftbridge.TopKSimId]]. */
-  private def topKAgg(sim: org.apache.spark.sql.Column,
+  private[operators] def topKAgg(sim: org.apache.spark.sql.Column,
       id: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftbridge.{ColumnBridge, TopKSimId}
     ColumnBridge.column(TopKSimId(

@@ -32,4 +32,33 @@ class SearchSpec extends SparkTestBase {
     assert(scores.forall(_ > 0.0))
     assert(scores.sliding(2).forall { case Array(a, b) => a >= b })
   }
+
+  test("q69 tf-idf: a distinctive rare term outranks ubiquitous filler") {
+    val d = Seq(
+      (1L, "filler filler filler zebra"),
+      (2L, "filler filler filler"),
+      (3L, "filler filler filler"),
+      (4L, "filler filler filler")
+    ).toDF("doc_id", "text")
+    val out = Search.tfidfTopTerms(d).collect()
+    val doc1 = out.filter(_.getLong(0) == 1L).sortBy(_.getAs[Long]("rank"))
+    // zebra: df=1, idf high; filler: df=4, idf = ln(5/5) = 0
+    assert(doc1.head.getAs[String]("term") === "zebra")
+    assert(doc1.head.getAs[Long]("score") > 0L)
+    out.foreach { r =>
+      if (r.getAs[String]("term") == "filler")
+        assert(r.getAs[Long]("score") === 0L) // df == N -> idf exactly 0
+    }
+  }
+
+  test("q69 on the corpus: ranks dense per doc, scores non-increasing") {
+    val out = Search.tfidfTopTerms(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq === (1L to rs.length).toSeq, s"doc $id")
+      val sc = sorted.map(_.getAs[Long]("score"))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b }, s"doc $id")
+    }
+  }
 }
