@@ -24,6 +24,9 @@ object GraftSession {
       .config("spark.sql.extensions", "org.apache.spark.sql.graftbridge.GraftExtensions")
       // test events.parquet carries TIMESTAMP(NANOS); see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-table metadata (co-located joins) lands under target/,
+      // not the repo root
+      .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

@@ -26,6 +26,21 @@ object Sinks {
       .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
 
+  /** Save a frame as a parquet table bucketed (and sorted) by `key` —
+    * the co-located-join layout: two tables bucketed by the same key
+    * into the same bucket count join bucket-to-bucket with NO shuffle
+    * exchange on either side (PlanSpec proves it). At 100 TB this is
+    * the difference between re-shuffling the fact table on every join
+    * and paying the partitioning once at write time — the standard
+    * layout for a serving/curated layer that gets joined repeatedly on
+    * its key (the reference's curated guid-keyed tables,
+    * join_eu_ugc_qdrant_merge.py). */
+  def bucketedTable(df: DataFrame, table: String, key: String,
+      buckets: Int = 8): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** JDBC export writer with explicit parallelism + batch size (the
     * curated→postgres shape). Connection is environment-provided; this
     * only assembles the write, so it is unit-testable up to `.save()`.

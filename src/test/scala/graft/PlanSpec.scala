@@ -141,4 +141,27 @@ class PlanSpec extends SparkTestBase {
     assert(!scoringLine.get.contains("lambdafunction"),
       s"HOF fused into pair scoring:\n${scoringLine.get}")
   }
+
+  test("bucketed tables join co-located: no shuffle exchange on either side") {
+    import graft.sources.Sinks
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "n_chars")
+    Sinks.bucketedTable(docs, "bt_plan_a", "doc_id")
+    Sinks.bucketedTable(docs.select(col("doc_id"), col("n_chars").as("len2")),
+      "bt_plan_b", "doc_id")
+    // suppress broadcast so the test exercises the shuffle-vs-bucket
+    // decision a big fact-fact join faces
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("bt_plan_a").join(spark.table("bt_plan_b"), "doc_id")
+      assert(j.count() === docs.count())
+      val p = plan(j)
+      assert(!p.contains("Exchange"),
+        s"bucketed join should be shuffle-free:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bt_plan_a")
+      spark.sql("DROP TABLE IF EXISTS bt_plan_b")
+    }
+  }
 }
