@@ -86,6 +86,7 @@ object SparkEntry {
     "q67_lm_score"                 -> (Search.lmScore _),
     "q68_cms_counts"               -> (Sketch.cmsUserCounts _),
     "q69_tfidf_topterms"           -> (Search.tfidfTopTerms _),
+    "q70_bloom_membership"         -> (Sketch.bloomMembership _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -499,6 +500,7 @@ object SparkEntry {
     "q67_lm_score" -> Search.lmScoreOracleSql,
     "q68_cms_counts" -> Sketch.cmsOracleSql,
     "q69_tfidf_topterms" -> Search.tfidfOracleSql,
+    "q70_bloom_membership" -> Sketch.bloomOracleSql,
     "q51_group_quantiles" ->
       """WITH r AS (SELECT event_type, value, event_id,
         |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,

@@ -53,6 +53,76 @@ object Sketch {
       .orderBy("user_id")
   }
 
+  val BloomBits = 16384 // 2^14 bits packed into 512 32-bit words (shift stays < 32: DuckDB overflow-checks BIGINT << 63)
+  val BloomK = 3
+
+  /** Bit position for bloom hash r: md5("b<r>:key") folded to [0, BloomBits). */
+  private def bloomPos(r: Int, key: Column): Column =
+    TextAnalysis.md5Long(concat_ws(":", lit(s"b$r"), key.cast("string"))) % BloomBits
+
+  private def bloomPosList(key: Column): Column =
+    array((0 until BloomK).map(r => bloomPos(r, key)): _*)
+
+  /** q70: bloom-filter membership — the runtime-filter pattern: build a
+    * 2 KB bloom of the validated member ids (here: lang='en' docs) as a
+    * ≤512-row (word, bits) table via ONE bit_or aggregate, broadcast it,
+    * and probe every row with k hashed bit tests. A definite-miss
+    * (maybe_member = false) row can skip the expensive dedup/validation
+    * join entirely — at 100 TB you prune the fact-side shuffle with a
+    * filter that fits in L2, which is exactly Spark's own bloom-join
+    * rewrite made explicit. No false negatives by construction (spec +
+    * oracle both prove is_member ⇒ maybe_member); false positives are
+    * the tunable trade (k=3, 16384 bits). */
+  def bloomMembership(s: SparkSession, dir: String): DataFrame =
+    bloomMembership(Tables.documents(s, dir))
+
+  def bloomMembership(docs: DataFrame): DataFrame = {
+    val members = docs.filter(col("lang") === "en").select(col("doc_id"))
+    val words = members
+      .select(explode(bloomPosList(col("doc_id"))).as("p"))
+      .select(expr("p DIV 32").as("w"), (col("p") % 32).cast("int").as("b"))
+      .groupBy(col("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("bits"))
+    val probe = docs
+      .select(col("doc_id"), explode(bloomPosList(col("doc_id"))).as("p"))
+      .select(col("doc_id"), expr("p DIV 32").as("w"), (col("p") % 32).cast("int").as("b"))
+    val hits = probe.join(broadcast(words), Seq("w"), "left")
+      .select(col("doc_id"),
+        when(col("bits").isNotNull &&
+          expr("bits & shiftleft(CAST(1 AS BIGINT), b)") =!= 0L, 1L)
+          .otherwise(0L).as("hit"))
+      .groupBy(col("doc_id")).agg(sum(col("hit")).as("nhits"))
+    docs.select(col("doc_id"),
+        coalesce(col("lang") === "en", lit(false)).as("is_member"))
+      .join(hits, Seq("doc_id"))
+      .select(col("doc_id"), (col("nhits") === BloomK).as("maybe_member"),
+        col("is_member"))
+      .orderBy("doc_id")
+  }
+
+  /** q70 oracle: identical hash positions and bit packing. */
+  def bloomOracleSql: String = {
+    val posList = (key: String) => (0 until BloomK)
+      .map(r => s"CAST(('0x' || substring(md5('b$r:' || CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) % $BloomBits")
+      .mkString("[", ", ", "]")
+    s"""WITH m AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+       |pos AS (SELECT unnest(${posList("doc_id")}) AS p FROM m),
+       |words AS (SELECT p // 32 AS w,
+       |  bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+       |  FROM pos GROUP BY 1),
+       |probe AS (SELECT doc_id, unnest(${posList("doc_id")}) AS p FROM documents),
+       |hits AS (SELECT pb.doc_id,
+       |  CASE WHEN w2.bits IS NOT NULL
+       |    AND (w2.bits & (CAST(1 AS BIGINT) << CAST(pb.p % 32 AS INTEGER))) <> 0
+       |  THEN 1 ELSE 0 END AS hit
+       |  FROM (SELECT doc_id, p // 32 AS w, p FROM probe) pb
+       |  LEFT JOIN words w2 USING (w)),
+       |agg AS (SELECT doc_id, SUM(hit) AS nhits FROM hits GROUP BY doc_id)
+       |SELECT d.doc_id, agg.nhits = $BloomK AS maybe_member,
+       |  COALESCE(d.lang = 'en', FALSE) AS is_member
+       |FROM documents d JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
   /** q68 oracle: same md5-derived cells, same counters. */
   def cmsOracleSql: String = {
     val rs = (0 until D).mkString("[", ",", "]")

@@ -101,6 +101,21 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(exact * 2 >= out.length, s"only $exact/${out.length} exact")
   }
 
+  test("q70 bloom: no false negatives, false positives bounded") {
+    val out = operators.Sketch.bloomMembership(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      if (r.getAs[Boolean]("is_member"))
+        assert(r.getAs[Boolean]("maybe_member"),
+          s"doc ${r.getLong(0)}: bloom false negative — impossible by construction")
+    }
+    val nonMembers = out.filter(!_.getAs[Boolean]("is_member"))
+    val fps = nonMembers.count(_.getAs[Boolean]("maybe_member"))
+    // 16384 bits, k=3, |members| ≤ corpus: fp rate should stay tiny here
+    assert(fps.toDouble <= 0.05 * nonMembers.length + 1,
+      s"$fps false positives out of ${nonMembers.length} non-members")
+  }
+
   // --- q47/q49 sampling ---
 
   test("q47 keeps exactly the under-threshold hash buckets, deterministically") {
