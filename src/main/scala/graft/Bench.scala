@@ -65,7 +65,11 @@ object Bench {
     // Full names + cold/warm detail go to stderr and target/bench_detail
     // .json for humans — round 2's full-fidelity line outgrew the capture
     // and the driver recorded parsed:null.
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would render "35,123"
+    // and break the JSON
+    def r3(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def shortMap(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k.take(3) + "\":" + r3(v) }

@@ -91,17 +91,24 @@ object Search {
   def lmScore(s: SparkSession, dir: String): DataFrame = lmScore(Tables.documents(s, dir))
 
   def lmScore(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(TextAnalysis.words(col("text"))).as("tok"))
-    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // tokenize ONCE: the (doc, term, tf) aggregate is materialized and
+    // every downstream branch (vocab counts AND the per-doc score) reads
+    // it — without the barrier Spark re-evaluates the exploded token
+    // subtree per branch, tokenizing the corpus twice
+    val tf = docs.select(col("doc_id"),
+        explode(TextAnalysis.words(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
     val totals = vocab.agg(sum(col("cnt")).as("n_total"))
     val logp = vocab.crossJoin(broadcast(totals))
       .select(col("tok"),
         round(log(col("cnt").cast("double") / col("n_total").cast("double")) * 1e6)
           .as("logp_q"))
-    val perDoc = tok.join(logp, Seq("tok"))
+    val perDoc = tf.join(logp, Seq("tok"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("logp_q")).as("logp_sum"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf").cast("double") * col("logp_q")).as("logp_sum"))
     docs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -155,9 +162,13 @@ object Search {
   private val HashFold = 1125899906842624L // 2^50
 
   def tfidfTopTerms(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(TextAnalysis.words(col("text"))).as("tok"))
-    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    // same barriers as lmScore: tf is read by the df agg and the scoring
+    // join, scored by the heap ranking and the term-recovery join — each
+    // materialized once instead of re-deriving the tokenization per use
+    val tf = docs.select(col("doc_id"),
+        explode(TextAnalysis.words(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val idf = df.crossJoin(broadcast(nDocs))
@@ -168,6 +179,7 @@ object Search {
       .select(col("doc_id"), col("tok"),
         (TextAnalysis.md5Long(col("tok")) % HashFold).as("tok_hash"),
         (col("tf").cast("double") * col("idf_q")).as("score"))
+      .localCheckpoint()
     val top = scored.groupBy(col("doc_id"))
       .agg(Similarity.topKAgg(col("score"), col("tok_hash"), TfidfK).as("tk"))
       .select(col("doc_id"), posexplode(col("tk")))

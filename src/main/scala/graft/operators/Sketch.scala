@@ -37,11 +37,15 @@ object Sketch {
     cmsUserCounts(Tables.events(s, dir))
 
   def cmsUserCounts(events: DataFrame): DataFrame = {
-    val entries = events
+    // NULL keys are excluded on BOTH sides: Spark's concat_ws would drop
+    // the null (hashing "r:" prefixes) while the oracle's || yields NULL
+    // — filtering is the only semantics the two engines share
+    val keyed = events.filter(col("user_id").isNotNull)
+    val entries = keyed
       .select(explode(cells(col("user_id"))).as("rc"))
       .select(col("rc.r").as("r"), col("rc.c").as("c"))
     val sketch = entries.groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
-    val probes = events.filter(col("user_id") < ProbeMax)
+    val probes = keyed.filter(col("user_id") < ProbeMax)
       .groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
     val probeCells = probes
       .select(col("user_id"), col("true_cnt"), explode(cells(col("user_id"))).as("rc"))
@@ -76,7 +80,9 @@ object Sketch {
   def bloomMembership(s: SparkSession, dir: String): DataFrame =
     bloomMembership(Tables.documents(s, dir))
 
-  def bloomMembership(docs: DataFrame): DataFrame = {
+  def bloomMembership(docsIn: DataFrame): DataFrame = {
+    // same NULL-key rule as the CMS: concat_ws vs || disagree on nulls
+    val docs = docsIn.filter(col("doc_id").isNotNull)
     val members = docs.filter(col("lang") === "en").select(col("doc_id"))
     val words = members
       .select(explode(bloomPosList(col("doc_id"))).as("p"))
@@ -105,12 +111,14 @@ object Sketch {
     val posList = (key: String) => (0 until BloomK)
       .map(r => s"CAST(('0x' || substring(md5('b$r:' || CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) % $BloomBits")
       .mkString("[", ", ", "]")
-    s"""WITH m AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    s"""WITH m AS (SELECT doc_id FROM documents
+       |  WHERE doc_id IS NOT NULL AND lang = 'en'),
        |pos AS (SELECT unnest(${posList("doc_id")}) AS p FROM m),
        |words AS (SELECT p // 32 AS w,
        |  bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
        |  FROM pos GROUP BY 1),
-       |probe AS (SELECT doc_id, unnest(${posList("doc_id")}) AS p FROM documents),
+       |probe AS (SELECT doc_id, unnest(${posList("doc_id")}) AS p FROM documents
+       |  WHERE doc_id IS NOT NULL),
        |hits AS (SELECT pb.doc_id,
        |  CASE WHEN w2.bits IS NOT NULL
        |    AND (w2.bits & (CAST(1 AS BIGINT) << CAST(pb.p % 32 AS INTEGER))) <> 0
@@ -129,10 +137,11 @@ object Sketch {
     val cellSql = (rExpr: String, kExpr: String) =>
       s"CAST(('0x' || substring(md5(CAST($rExpr AS VARCHAR) || ':' || CAST($kExpr AS VARCHAR)), 1, 15)) AS BIGINT) % $W"
     s"""WITH entries AS (SELECT t.r, ${cellSql("t.r", "e.user_id")} AS c
-       |  FROM events e CROSS JOIN (SELECT unnest($rs) AS r) t),
+       |  FROM events e CROSS JOIN (SELECT unnest($rs) AS r) t
+       |  WHERE e.user_id IS NOT NULL),
        |sketch AS (SELECT r, c, COUNT(*) AS cnt FROM entries GROUP BY r, c),
        |probes AS (SELECT user_id, COUNT(*) AS true_cnt FROM events
-       |  WHERE user_id < $ProbeMax GROUP BY user_id),
+       |  WHERE user_id IS NOT NULL AND user_id < $ProbeMax GROUP BY user_id),
        |pc AS (SELECT p.user_id, p.true_cnt, t.r, ${cellSql("t.r", "p.user_id")} AS c
        |  FROM probes p CROSS JOIN (SELECT unnest($rs) AS r) t)
        |SELECT pc.user_id, MIN(s.cnt) AS est_cnt, pc.true_cnt

@@ -58,9 +58,22 @@ case class Int8QuantStats(child: Expression) extends UnaryExpression {
         if (scale == 0.0) 0L
         else {
           val y = x * scale
-          // round half AWAY from zero (Spark round() / DuckDB round()),
-          // not Math.round's half-toward-+inf
-          val r = if (y >= 0.0) math.floor(y + 0.5) else math.ceil(y - 0.5)
+          // round half AWAY from zero (Spark round() / DuckDB round()).
+          // floor(y+0.5) alone is wrong at edge doubles (the JDK-6430675
+          // class: y = 0.49999999999999994 has y+0.5 == 1.0). The
+          // correction compares f−0.5 (EXACT for |f| ≤ 128) against the
+          // true y — computing f−y instead would itself round to 0.5 and
+          // miss the overshoot. floor can never undershoot: y+0.5 only
+          // rounds past an integer n when the true value is on n's other
+          // side, and the two cases land on the same floor.
+          val r =
+            if (y >= 0.0) {
+              val f = math.floor(y + 0.5)
+              if (f - 0.5 > y) f - 1.0 else f
+            } else {
+              val c = math.ceil(y - 0.5)
+              if (c + 0.5 < y) c + 1.0 else c
+            }
           val c = if (r > 127.0) 127.0 else if (r < -127.0) -127.0 else r
           c.toLong
         }

@@ -150,7 +150,10 @@ class PropertySpec extends SparkTestBase {
     import graft.operators.Quantize
     val vecGen = Gen.chooseNum(1, 64).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(-1000000, 1000000).map(_ / 10000.0)))
-    val vecs = samples(vecGen, 200) :+ List.fill(8)(0.0) :+ List(-0.5, 0.5, 127.0)
+    val vecs = samples(vecGen, 200) :+ List.fill(8)(0.0) :+ List(-0.5, 0.5, 127.0) :+
+      // scale = 127/127 = 1, so these hit the rounding kernel with the
+      // JDK-6430675 edge doubles (floor(y+0.5) overshoots) and exact ties
+      List(127.0, 0.49999999999999994, -0.49999999999999994, 0.5, -0.5, 126.5)
     val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "e")
     val both = df.select(col("vec_id"),
         Quantize.int8Stats(col("e")).as("native"),
