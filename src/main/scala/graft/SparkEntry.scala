@@ -87,6 +87,7 @@ object SparkEntry {
     "q68_cms_counts"               -> (Sketch.cmsUserCounts _),
     "q69_tfidf_topterms"           -> (Search.tfidfTopTerms _),
     "q70_bloom_membership"         -> (Sketch.bloomMembership _),
+    "q71_dedup_incremental_text"   -> (ApproxDedup.dedupIncrementalText _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -501,6 +502,25 @@ object SparkEntry {
     "q68_cms_counts" -> Sketch.cmsOracleSql,
     "q69_tfidf_topterms" -> Search.tfidfOracleSql,
     "q70_bloom_membership" -> Sketch.bloomOracleSql,
+    // batch×corpus pairs fall out of the shared pair CTE because the
+    // split boundary orders them: corpus ids < boundary ≤ batch ids, and
+    // p already has a_id < b_id. LSH recall at τ=0.8 is ~1 (the q24
+    // argument), which this exact-Jaccard oracle checks.
+    "q71_dedup_incremental_text" ->
+      s"""WITH $jaccardPairCtes,
+        |m AS (SELECT b_id, a_id, CAST(common AS DOUBLE)/(na+nb-common) AS j,
+        |  ROW_NUMBER() OVER (PARTITION BY b_id
+        |    ORDER BY CAST(common AS DOUBLE)/(na+nb-common) DESC, a_id) AS rn
+        |  FROM p WHERE a_id < ${ApproxDedup.IncrementalCorpusMax}
+        |    AND b_id >= ${ApproxDedup.IncrementalCorpusMax}
+        |    AND CAST(common AS DOUBLE)/(na+nb-common) >= 0.8),
+        |best AS (SELECT b_id, a_id, j FROM m WHERE rn = 1)
+        |SELECT d.doc_id, COALESCE(best.a_id, d.doc_id) AS canonical_id,
+        |  best.a_id IS NOT NULL AS matched,
+        |  ROUND(COALESCE(best.j, 0.0), 9) AS best_j_r
+        |FROM documents d LEFT JOIN best ON d.doc_id = best.b_id
+        |WHERE d.doc_id >= ${ApproxDedup.IncrementalCorpusMax}
+        |ORDER BY d.doc_id""".stripMargin,
     "q51_group_quantiles" ->
       """WITH r AS (SELECT event_type, value, event_id,
         |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,

@@ -216,21 +216,26 @@ object ApproxDedup {
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashLsh(Tables.documents(s, dir))
 
-  def minhashLsh(docs: DataFrame): DataFrame = {
-    val sh = shingleSets(docs).filter(size(col("shingles")) > 0)
-    // The repartition is a materialization barrier: without it
-    // CollapseProject re-inlines the signature computation (native
-    // codegen, but still O(shingles × 128) per evaluation) into the
-    // 32-band projection below, recomputing it 32× per row. The band
-    // join needs a shuffle anyway, so the barrier costs nothing extra.
+  /** Slim (doc_id, band, band_key) rows from a shingle-set frame.
+    * The repartition is a materialization barrier: without it
+    * CollapseProject re-inlines the signature computation (native
+    * codegen, but still O(shingles × 128) per evaluation) into the
+    * 32-band projection, recomputing it 32× per row. The band join
+    * needs a shuffle anyway, so the barrier costs nothing extra; the
+    * shingle arrays stay out of the 32× exploded shuffle and are
+    * re-joined after pair dedup. */
+  private def bandRows(sh: DataFrame): DataFrame = {
     val sig = sh.select(col("doc_id"), signature(col("shingles")).as("sig"))
       .repartition(col("doc_id"))
-    // slim band rows: (doc_id, band, key) only — the shingle arrays stay
-    // out of the 32× exploded shuffle and are re-joined after pair dedup
-    val banded = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)),
           b => concat_ws(",", slice(col("sig"), b * Rows + 1, lit(Rows)).cast("array<string>")))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+  }
+
+  def minhashLsh(docs: DataFrame): DataFrame = {
+    val sh = shingleSets(docs).filter(size(col("shingles")) > 0)
+    val banded = bandRows(sh)
     val a = banded.select(col("doc_id").as("a_id"), col("band"), col("band_key"))
     val b = banded.select(col("doc_id").as("b_id"), col("band"), col("band_key"))
     val cand = a.join(b, Seq("band", "band_key")).filter(col("a_id") < col("b_id"))
@@ -246,6 +251,55 @@ object ApproxDedup {
       .select(col("a_id"), col("b_id"), col("common"),
         col("na").cast("long").as("na"), col("nb").cast("long").as("nb"), col("jaccard"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** Boundary for q71's deterministic corpus/batch split: doc_id <
+    * [[IncrementalCorpusMax]] plays the already-validated corpus. */
+  val IncrementalCorpusMax = 250L
+
+  /** q71: incremental TEXT dedup — the reference's daily-ingest shape
+    * (deduplicate_from_qdrant.py:160-186, batch loop :224-310) for
+    * documents, the text twin of q42's embedding variant: a new batch
+    * is candidate-joined against the ALREADY-VALIDATED corpus only
+    * (never batch × batch — pending docs can't canonicalize each
+    * other), via shared MinHash band keys; exact Jaccard verifies; each
+    * batch doc inherits the canonical id of its best J ≥ τ corpus match
+    * (ties → lowest id, via the bounded-heap top-1 aggregate) or mints
+    * itself.
+    *
+    * Scale: candidates are a corpus×batch bucket join on slim band
+    * rows, so daily-ingest work is O(batch · corpus / buckets), not
+    * O(corpus²); the heap agg ships ≤1 row per (partition, batch doc). */
+  def dedupIncrementalText(s: SparkSession, dir: String): DataFrame =
+    dedupIncrementalText(Tables.documents(s, dir), IncrementalCorpusMax)
+
+  def dedupIncrementalText(docs: DataFrame, corpusMax: Long): DataFrame = {
+    val sh = shingleSets(docs).filter(size(col("shingles")) > 0)
+    val banded = bandRows(sh)
+    val corpusB = banded.filter(col("doc_id") < corpusMax)
+      .select(col("doc_id").as("c_id"), col("band"), col("band_key"))
+    val batchB = banded.filter(col("doc_id") >= corpusMax)
+      .select(col("doc_id").as("b_id"), col("band"), col("band_key"))
+    val cand = batchB.join(corpusB, Seq("band", "band_key"))
+      .select("b_id", "c_id").dropDuplicates("b_id", "c_id")
+    val verified = cand
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), Seq("b_id"))
+      .join(sh.select(col("doc_id").as("c_id"), col("shingles").as("sc")), Seq("c_id"))
+      .withColumn("common", size(array_intersect(col("sb"), col("sc"))).cast("double"))
+      .withColumn("j", col("common") /
+        (size(col("sb")) + size(col("sc")) - col("common")).cast("double"))
+      .filter(col("j") >= Tau)
+    val best = verified.groupBy(col("b_id"))
+      .agg(Similarity.topKAgg(col("j"), col("c_id"), 1).as("tk"))
+      .select(col("b_id"), element_at(col("tk"), 1).as("m"))
+      .select(col("b_id"), col("m.id").as("c_id"), col("m.sim").as("j"))
+    docs.filter(col("doc_id") >= corpusMax).select(col("doc_id"))
+      .join(best.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("c_id"), col("doc_id")).as("canonical_id"),
+        col("c_id").isNotNull.as("matched"),
+        round(coalesce(col("j"), lit(0.0)), 9).as("best_j_r"))
+      .orderBy("doc_id")
   }
 
   /** Per-word 60-bit md5 hashes of a documents frame: (doc_id, hw). */

@@ -123,4 +123,23 @@ class ApproxDedupSpec extends SparkTestBase {
       .contains(r.getAs[Long]("neighbor_id")))
     assert(hits.nonEmpty)
   }
+
+  test("q71 incremental: corpus match inherits canonical, batch-only dups self-mint") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliett " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val docs = Seq(
+      (1L, base),                              // corpus
+      (2L, "completely different text here entirely unrelated words flowing onward"),
+      (10L, base + " extra"),                  // batch: near-dup of corpus doc 1
+      (11L, base + " extra"),                  // batch: near-dup of 10 AND of corpus 1
+      (12L, "unique batch document with its own strange vocabulary nothing shared at all " +
+        "spanning enough words to actually shingle properly today")
+    ).toDF("doc_id", "text")
+    val out = ApproxDedup.dedupIncrementalText(docs, corpusMax = 10L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.keySet === Set(10L, 11L, 12L)) // corpus docs are not re-emitted
+    assert(out(10L) === ((1L, true)))  // inherits the validated canonical
+    assert(out(11L) === ((1L, true)))  // via the corpus, NOT via batch doc 10
+    assert(out(12L) === ((12L, false))) // no corpus match -> mints itself
+  }
 }

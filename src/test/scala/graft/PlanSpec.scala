@@ -142,6 +142,26 @@ class PlanSpec extends SparkTestBase {
       s"HOF fused into pair scoring:\n${scoringLine.get}")
   }
 
+  test("q69: tf-idf ranks via the bounded heap, not a window sort") {
+    val p = plan(graft.operators.Search.tfidfTopTerms(spark, sfDir))
+    assert(p.contains("topk_sim_id"), s"expected heap aggregate:\n$p")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("row_number"),
+      s"tf-idf ranking fell back to a window sort:\n$p")
+  }
+
+  test("q70: bloom words ride a broadcast, probe side never shuffles for the join") {
+    val p = plan(graft.operators.Sketch.bloomMembership(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast bloom join:\n$p")
+    assert(!p.contains("SortMergeJoin") || !p.contains("CartesianProduct"),
+      s"bloom probe picked a heavyweight join:\n$p")
+  }
+
+  test("q65: IVF candidate scoring is an equi-join on the cell, never nested-loop") {
+    val p = plan(graft.operators.Similarity.ivfTopKExact(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"IVF pair stage planned a nested loop:\n$p")
+  }
+
   test("bucketed tables join co-located: no shuffle exchange on either side") {
     import graft.sources.Sinks
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "n_chars")
