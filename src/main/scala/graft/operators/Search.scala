@@ -109,14 +109,19 @@ object Search {
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
         sum(col("tf").cast("double") * col("logp_q")).as("logp_sum"))
+    // the average stays in integral micro-nats: ONE correctly-rounded
+    // division of exact integers then round-0, where even a true x.5
+    // boundary is an exactly-representable double both engines round
+    // away identically. A second /1e6 division plus round(·, 9) put the
+    // value on a 9th-decimal boundary where Spark's decimal-string
+    // HALF_UP and DuckDB's binary rounding disagreed by 1 ulp at sf0.001.
     docs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("logp_sum"), lit(0.0)).cast("long").as("logp_q_sum"),
-        round(when(col("n_tokens").isNull, lit(0.0))
-          .otherwise(col("logp_sum") / lit(1e6) / col("n_tokens").cast("double")), 9)
-          .as("avg_logp_r"))
+        coalesce(round(col("logp_sum") / col("n_tokens").cast("double")), lit(0.0))
+          .cast("long").as("avg_logp_micro"))
       .orderBy("doc_id")
   }
 
@@ -136,8 +141,7 @@ object Search {
       |SELECT d.doc_id,
       |  CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
       |  CAST(COALESCE(pd.s, 0) AS BIGINT) AS logp_q_sum,
-      |  ROUND(CASE WHEN pd.n_tokens IS NULL THEN 0.0
-      |    ELSE pd.s / 1000000.0 / CAST(pd.n_tokens AS DOUBLE) END, 9) AS avg_logp_r
+      |  CAST(COALESCE(round(pd.s / CAST(pd.n_tokens AS DOUBLE)), 0) AS BIGINT) AS avg_logp_micro
       |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** q69: top-3 tf-idf terms per document — the classic sparse

@@ -76,16 +76,16 @@ class CorpusOpsSpec extends SparkTestBase {
   test("q67 LM score: common-vocabulary docs outscore a rare-vocabulary doc") {
     val docs = Tables.documents(spark, sfDir)
     val out = operators.Search.lmScore(docs).collect()
-      .map(r => r.getLong(0) -> r.getAs[Double]("avg_logp_r")).toMap
+      .map(r => r.getLong(0) -> r.getAs[Long]("avg_logp_micro")).toMap
     assert(out.size === docs.count())
     // every token of every doc appears ≥1 time in its own corpus: the
-    // average log-prob is bounded by ln(1/N_total) from below and < 0
-    out.values.foreach(v => assert(v < 0.0))
+    // average log-prob (micro-nats) is strictly negative
+    out.values.foreach(v => assert(v < 0L))
     // a synthetic corpus: 9 docs sharing one word + 1 doc of unique words
     val planted = (0 until 9).map(i => (i.toLong, "common common common")) :+
       (9L, "zzq1 zzq2 zzq3")
     val pout = operators.Search.lmScore(planted.toDF("doc_id", "text")).collect()
-      .map(r => r.getLong(0) -> r.getAs[Double]("avg_logp_r")).toMap
+      .map(r => r.getLong(0) -> r.getAs[Long]("avg_logp_micro")).toMap
     (0 until 9).foreach(i => assert(pout(i.toLong) > pout(9L)))
   }
 
