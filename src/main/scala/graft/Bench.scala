@@ -37,6 +37,12 @@ object Bench {
     def measure(): (Map[String, Double], List[String]) = {
       var failed = List.empty[String]
       val times = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // queries are self-contained, so any persistent RDD still alive
+        // between them is a leftover localCheckpoint block — drop it NOW
+        // instead of waiting for the ContextCleaner, or block-manager
+        // pressure grows across the 70+-query sequence and the warm pass
+        // measures storage churn, not plan cost
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         // collect the previous queries' garbage OUTSIDE the timed section:
         // without this, mid-sequence queries absorb multi-second GC pauses
         // caused by earlier queries (r01 showed 42s vs 6.5s isolated for

@@ -23,12 +23,17 @@ object Sketch {
   val W = 512  // counters per row
   val ProbeMax = 25L
 
-  /** Cell column for hash row r: md5("r:key") folded to [0, W). */
-  private def cell(r: Int, key: Column): Column =
-    TextAnalysis.md5Long(concat_ws(":", lit(r.toString), key.cast("string"))) % W
-
-  private def cells(key: Column): Column =
-    array((0 until D).map(r => struct(lit(r).as("r"), cell(r, key).as("c"))): _*)
+  /** All D cells from ONE salted md5: hash row r takes bits [15r, 15r+15)
+    * of the 60-bit hash, reduced mod W — uniform because 2^15 is a
+    * multiple of W, and the chunks are independent. One digest per input
+    * row instead of D: digesting is the whole per-row cost of sketch
+    * construction, so this is a D× cut on the corpus pass. */
+  private def cells(key: Column): Column = {
+    val h = TextAnalysis.md5Long(concat_ws(":", lit("cms"), key.cast("string")))
+    array((0 until D).map(r =>
+      struct(lit(r).as("r"),
+        (shiftright(h, 15 * r).bitwiseAND(lit(32767L)) % W).as("c"))): _*)
+  }
 
   /** q68: CMS over the events stream keyed by user_id, probed for
     * user_id < [[ProbeMax]] — est_cnt (sketch) alongside true_cnt, so
@@ -60,12 +65,13 @@ object Sketch {
   val BloomBits = 16384 // 2^14 bits packed into 512 32-bit words (shift stays < 32: DuckDB overflow-checks BIGINT << 63)
   val BloomK = 3
 
-  /** Bit position for bloom hash r: md5("b<r>:key") folded to [0, BloomBits). */
-  private def bloomPos(r: Int, key: Column): Column =
-    TextAnalysis.md5Long(concat_ws(":", lit(s"b$r"), key.cast("string"))) % BloomBits
-
-  private def bloomPosList(key: Column): Column =
-    array((0 until BloomK).map(r => bloomPos(r, key)): _*)
+  /** All K bloom bit positions from ONE salted md5 — same 15-bit-chunk
+    * scheme as [[cells]] (2^15 is a multiple of BloomBits). */
+  private def bloomPosList(key: Column): Column = {
+    val h = TextAnalysis.md5Long(concat_ws(":", lit("bloom"), key.cast("string")))
+    array((0 until BloomK).map(r =>
+      shiftright(h, 15 * r).bitwiseAND(lit(32767L)) % BloomBits): _*)
+  }
 
   /** q70: bloom-filter membership — the runtime-filter pattern: build a
     * 2 KB bloom of the validated member ids (here: lang='en' docs) as a
@@ -109,7 +115,7 @@ object Sketch {
   /** q70 oracle: identical hash positions and bit packing. */
   def bloomOracleSql: String = {
     val posList = (key: String) => (0 until BloomK)
-      .map(r => s"CAST(('0x' || substring(md5('b$r:' || CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) % $BloomBits")
+      .map(r => s"((CAST(('0x' || substring(md5('bloom:' || CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) >> ${15 * r}) & 32767) % $BloomBits")
       .mkString("[", ", ", "]")
     s"""WITH m AS (SELECT doc_id FROM documents
        |  WHERE doc_id IS NOT NULL AND lang = 'en'),
@@ -131,11 +137,11 @@ object Sketch {
        |FROM documents d JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin
   }
 
-  /** q68 oracle: same md5-derived cells, same counters. */
+  /** q68 oracle: same single salted md5, same 15-bit chunk cells. */
   def cmsOracleSql: String = {
     val rs = (0 until D).mkString("[", ",", "]")
     val cellSql = (rExpr: String, kExpr: String) =>
-      s"CAST(('0x' || substring(md5(CAST($rExpr AS VARCHAR) || ':' || CAST($kExpr AS VARCHAR)), 1, 15)) AS BIGINT) % $W"
+      s"((CAST(('0x' || substring(md5('cms:' || CAST($kExpr AS VARCHAR)), 1, 15)) AS BIGINT) >> (15 * $rExpr)) & 32767) % $W"
     s"""WITH entries AS (SELECT t.r, ${cellSql("t.r", "e.user_id")} AS c
        |  FROM events e CROSS JOIN (SELECT unnest($rs) AS r) t
        |  WHERE e.user_id IS NOT NULL),
