@@ -88,6 +88,7 @@ object SparkEntry {
     "q69_tfidf_topterms"           -> (Search.tfidfTopTerms _),
     "q70_bloom_membership"         -> (Sketch.bloomMembership _),
     "q71_dedup_incremental_text"   -> (ApproxDedup.dedupIncrementalText _),
+    "q72_ann_ivf_indexed"          -> (IvfIndex.ivfIndexedTopK _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -498,6 +499,9 @@ object SparkEntry {
     "q64_group_sample" -> Sampling.groupSampleOracleSql,
     "q65_ann_ivf" -> Similarity.ivfExactOracleSql(),
     "q66_int8_quantize" -> Quantize.int8OracleSql,
+    // q72 reads the persisted exact IVF index; its result is defined to
+    // equal q65's in-memory pipeline, so it shares the generated oracle
+    "q72_ann_ivf_indexed" -> Similarity.ivfExactOracleSql(),
     "q67_lm_score" -> Search.lmScoreOracleSql,
     "q68_cms_counts" -> Sketch.cmsOracleSql,
     "q69_tfidf_topterms" -> Search.tfidfOracleSql,

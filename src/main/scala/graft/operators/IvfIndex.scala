@@ -21,6 +21,65 @@ object IvfIndex {
     assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
   }
 
+  /** [[build]] with the deterministic [[KMeansOp]] quantizer — the
+    * persisted twin of q65's in-memory pipeline. Same layout; the train
+    * loop, cell assignment, and stored doubles are all engine-exact, so
+    * the READ path ([[searchExact]]) is value-oracle-checkable. */
+  def buildExact(embeddings: DataFrame, path: String): Unit = {
+    val spark = embeddings.sparkSession
+    val (qv, cents) = KMeansOp.trainCents(embeddings)
+    val assigned = KMeansOp.assign(qv, cents).select(col("vec_id"), col("cell"))
+    spark.createDataFrame(cents.map { case (id, c) => (id, c) })
+      .toDF("cell", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids.parquet")
+    Dedup.normalized(embeddings).join(assigned, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+  }
+
+  /** Search the exact persisted index: probe ranking replays q65's
+    * exact-dist2 cell sort against the (collected, K-row) centroid
+    * table; the probed (query, cell) rows broadcast against the
+    * hive-partitioned corpus, so the scan physically reads only the
+    * probed cell directories (dynamic partition pruning — PlanSpec
+    * locks it in). Output is identical to [[Similarity.ivfTopKExact]],
+    * which is what lets q72 share q65's generated oracle. */
+  def searchExact(spark: SparkSession, path: String, queries: DataFrame,
+      nprobe: Int = 3, k: Int = 10): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids.parquet")
+      .orderBy("cell").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    val corpus = spark.read.parquet(s"$path/corpus")
+      .select(col("vec_id").as("__cand_id"), col("e").as("ec"),
+        col("nrm").as("nc"), col("cell"))
+    val qv = KMeansOp.quantized(queries)
+    val qq = dot(col("q"), col("q"))
+    val cellStructs = array(cents.map { case (id, c) =>
+      struct(KMeansOp.dist2(qq, c).as("d"), lit(id).as("cell")) }: _*)
+    val q = qv
+      .select(col("vec_id").as("query_id"),
+        explode(slice(array_sort(cellStructs), 1, nprobe)).as("pr"))
+      .select(col("query_id"), col("pr.cell").as("cell"))
+      .join(Dedup.normalized(queries).select(col("vec_id").as("query_id"),
+        col("e").as("eq"), col("nrm").as("nq")), Seq("query_id"))
+    val scored = broadcast(q).join(corpus, Seq("cell"))
+      .filter(col("query_id") =!= col("__cand_id"))
+      .select(col("query_id"), col("__cand_id"),
+        cosinePre(col("eq"), col("ec"), col("nq"), col("nc")).as("sim"))
+    Similarity.explodeTopKPerGroup(scored, "query_id", "neighbor_id", k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** q72: build + search the exact persisted index in one gated query —
+    * result equals q65 (shared oracle), but the candidates come off the
+    * cell-partitioned on-disk layout through partition pruning. */
+  def ivfIndexedTopK(s: SparkSession, dir: String): DataFrame = {
+    val em = graft.Tables.embeddings(s, dir)
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivf_exact_" + Integer.toHexString(dir.hashCode)).toString
+    buildExact(em, path)
+    searchExact(s, path, em.filter(col("vec_id") < 10))
+  }
+
   def search(spark: SparkSession, path: String, queries: DataFrame,
       nprobe: Int = 4, k: Int = 10): DataFrame = {
     val centers = spark.read.parquet(s"$path/centroids.parquet")

@@ -162,6 +162,17 @@ class PlanSpec extends SparkTestBase {
       s"IVF pair stage planned a nested loop:\n$p")
   }
 
+  test("q72: persisted IVF corpus scan is dynamically partition-pruned to probed cells") {
+    val em = graft.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_plan").toString
+    graft.operators.IvfIndex.buildExact(em, dir)
+    val p = graft.operators.IvfIndex
+      .searchExact(spark, dir, em.filter(col("vec_id") < 10))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"corpus scan reads every cell directory (no partition pruning):\n$p")
+  }
+
   test("bucketed tables join co-located: no shuffle exchange on either side") {
     import graft.sources.Sinks
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "n_chars")

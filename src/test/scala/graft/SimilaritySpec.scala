@@ -151,6 +151,18 @@ class SimilaritySpec extends SparkTestBase {
       === Similarity.lshTopK(em).collect().map(_.toString).toSet)
   }
 
+  test("persisted EXACT IVF index search equals the in-memory q65 pipeline") {
+    val em = graft.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_exact").toString
+    graft.operators.IvfIndex.buildExact(em, dir)
+    val fromIndex = graft.operators.IvfIndex
+      .searchExact(spark, dir, em.filter(col("vec_id") < 10))
+      .collect().map(_.toString).toSeq
+    val inMemory = Similarity.ivfTopKExact(em).collect().map(_.toString).toSeq
+    assert(fromIndex === inMemory)
+    assert(fromIndex.nonEmpty)
+  }
+
   test("persisted IVF index search equals in-memory ivfTopK") {
     val em = Tables.embeddings(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
