@@ -89,6 +89,7 @@ object SparkEntry {
     "q70_bloom_membership"         -> (Sketch.bloomMembership _),
     "q71_dedup_incremental_text"   -> (ApproxDedup.dedupIncrementalText _),
     "q72_ann_ivf_indexed"          -> (IvfIndex.ivfIndexedTopK _),
+    "q73_zorder"                   -> (ZOrder.zorderEvents _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -502,6 +503,7 @@ object SparkEntry {
     // q72 reads the persisted exact IVF index; its result is defined to
     // equal q65's in-memory pipeline, so it shares the generated oracle
     "q72_ann_ivf_indexed" -> Similarity.ivfExactOracleSql(),
+    "q73_zorder" -> ZOrder.zorderOracleSql,
     "q67_lm_score" -> Search.lmScoreOracleSql,
     "q68_cms_counts" -> Sketch.cmsOracleSql,
     "q69_tfidf_topterms" -> Search.tfidfOracleSql,

@@ -41,15 +41,23 @@ object Sketch {
   def cmsUserCounts(s: SparkSession, dir: String): DataFrame =
     cmsUserCounts(Tables.events(s, dir))
 
+  /** The d×w counter table for a stream or batch of keys — works
+    * unchanged as a streaming update-mode aggregate (the counter table
+    * IS the state, fixed-size by construction), which is the whole point
+    * of maintaining a sketch instead of exact per-key counts on an
+    * unbounded stream. */
+  def cmsSketch(events: DataFrame, key: String = "user_id"): DataFrame =
+    events.filter(col(key).isNotNull)
+      .select(explode(cells(col(key))).as("rc"))
+      .select(col("rc.r").as("r"), col("rc.c").as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+
   def cmsUserCounts(events: DataFrame): DataFrame = {
     // NULL keys are excluded on BOTH sides: Spark's concat_ws would drop
     // the null (hashing "r:" prefixes) while the oracle's || yields NULL
     // — filtering is the only semantics the two engines share
     val keyed = events.filter(col("user_id").isNotNull)
-    val entries = keyed
-      .select(explode(cells(col("user_id"))).as("rc"))
-      .select(col("rc.r").as("r"), col("rc.c").as("c"))
-    val sketch = entries.groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+    val sketch = cmsSketch(events)
     val probes = keyed.filter(col("user_id") < ProbeMax)
       .groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
     val probeCells = probes

@@ -253,4 +253,25 @@ class StreamingSpec extends SparkTestBase {
         r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
     assert(out.toSeq === Seq((7L, 1L, 2L, 3.0), (7L, 2L, 1L, 3.0), (8L, 1L, 1L, 4.0)))
   }
+
+  test("CMS sketch maintained over a stream equals the batch sketch on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = (1 to 60).map(i => E(i.toLong, ts(i % 60), (i % 7).toLong, "e", 1.0))
+    val src = MemoryStream[E]
+    val q = graft.operators.Sketch.cmsSketch(src.toDF())
+      .writeStream.format("memory").queryName("cms_stream").outputMode("complete").start()
+    try {
+      src.addData(events.take(30): _*)
+      q.processAllAvailable()
+      src.addData(events.drop(30): _*) // second micro-batch updates counters
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream").collect()
+        .map(r => (r.getAs[Int]("r"), r.getAs[Long]("c")) -> r.getAs[Long]("cnt")).toMap
+      val batch = graft.operators.Sketch.cmsSketch(events.toDF()).collect()
+        .map(r => (r.getAs[Int]("r"), r.getAs[Long]("c")) -> r.getAs[Long]("cnt")).toMap
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
 }
