@@ -137,27 +137,30 @@ object ApproxDedup {
   def ngramJaccardPairs(docs: DataFrame, dfCap: Long = DfCap): DataFrame = {
     val sized = shingleSets(docs).filter(size(col("shingles")) > 0)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("n"))
+    // every blocking stage (df agg, rarity windows, candidate self-join)
+    // keys on the 64-bit xxhash of the shingle, never the ~20-char
+    // string: same string → same hash, so no true pair is ever lost, a
+    // collision only adds a candidate the exact verification below
+    // discards, and every wide shuffle before verification ships 8-byte
+    // keys. The prefix filter holds under ANY consistent global rarity
+    // order, so ordering by (df, hs) instead of (df, shingle) changes
+    // only which prefix witnesses a pair, not the verified output.
     val e = sized.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val df = e.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("hs"))
+    val df = e.groupBy(col("hs")).agg(count(lit(1)).as("df"))
     // rank each doc's (kept) shingles rarest-first and keep the prefix
     // rows directly: one shuffle on doc_id feeding two Window passes over
     // the same sort — no per-doc array build (the previous
     // collect_list → sort_array → slice → re-explode materialized every
     // doc's full shingle list twice)
     val byRarity = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("hs"))
     val wholeDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val pe = e.join(df.filter(col("df") <= dfCap), Seq("shingle"))
+    val ph = e.join(df.filter(col("df") <= dfCap), Seq("hs"))
       .withColumn("rn", row_number().over(byRarity))
       .withColumn("m", count(lit(1)).over(wholeDoc))
       .filter(col("rn") <= (col("m") - ceil(col("m") * Tau) + 1).cast("int"))
-      .select(col("doc_id"), col("shingle"))
-    // the candidate self-join keys on a 64-bit hash of the prefix
-    // shingle, not the string: same string → same hash, so no true pair
-    // is ever lost, and a collision only adds a candidate the exact
-    // verification below discards — meanwhile the widest shuffle of the
-    // query ships 8-byte keys instead of ~20-char strings
-    val ph = pe.select(col("doc_id"), xxhash64(col("shingle")).as("hs"))
+      .select(col("doc_id"), col("hs"))
     val cand = ph.select(col("doc_id").as("a_id"), col("hs"))
       .join(ph.select(col("doc_id").as("b_id"), col("hs")), Seq("hs"))
       .filter(col("a_id") < col("b_id"))

@@ -34,9 +34,14 @@ object Cluster {
     * label = id through one final left join. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 25): DataFrame = {
-    // undirected adjacency, materialized once — every round re-reads it
+    // undirected adjacency, materialized once — every round re-reads it.
+    // Pre-partitioned by dst before the checkpoint: LogicalRDD keeps the
+    // partitioning, so the per-round neighbor join never re-shuffles the
+    // edge side (2|E| rows, the largest frame in the loop) — only the
+    // labels side moves each round.
     val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint()
     var labels = und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")).localCheckpoint()
@@ -48,16 +53,16 @@ object Cluster {
         .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nbr_label"))
       val prop = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // 2) pointer jumping: label <- label's label (labels are always
       // node ids, so the parent lookup is total) — halves tree height.
-      // The pre-round label rides along so the convergence check scans
-      // the checkpointed frame instead of re-joining against `labels`.
+      // The pre-round label rides along from `prop` so the convergence
+      // check scans the checkpointed frame: no extra join back to
+      // `labels`, one fewer shuffle per round.
       val parent = prop.select(col("id").as("pid"), col("label").as("plabel"))
       val jumped = prop.join(parent, prop("label") === parent("pid"))
-        .select(prop("id"), col("plabel").as("label"))
-        .join(labels.select(col("id"), col("label").as("old_label")), Seq("id"))
+        .select(prop("id"), prop("old_label"), col("plabel").as("label"))
         .localCheckpoint() // truncate lineage between rounds
       val changed = jumped.filter(col("label") =!= col("old_label")).limit(1).count()
       labels = jumped.select("id", "label")
