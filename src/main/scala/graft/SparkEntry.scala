@@ -90,6 +90,12 @@ object SparkEntry {
     "q71_dedup_incremental_text"   -> (ApproxDedup.dedupIncrementalText _),
     "q72_ann_ivf_indexed"          -> (IvfIndex.ivfIndexedTopK _),
     "q73_zorder"                   -> (ZOrder.zorderEvents _),
+    "q74_hll_distinct"             -> (Hll.hllDistinct _),
+    "q75_doc_chunks"               -> (Chunking.docChunks _),
+    "q76_bigram_counts"            -> (Curation.bigramCounts _),
+    "q77_winsorize"                -> (Analytics.winsorize _),
+    "q78_time_decay"               -> (Temporal.timeDecay _),
+    "q79_containment"              -> (ApproxDedup.containmentPairs _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -508,6 +514,40 @@ object SparkEntry {
     "q68_cms_counts" -> Sketch.cmsOracleSql,
     "q69_tfidf_topterms" -> Search.tfidfOracleSql,
     "q70_bloom_membership" -> Sketch.bloomOracleSql,
+    "q74_hll_distinct" -> Hll.hllOracleSql,
+    "q75_doc_chunks" -> Chunking.chunkOracleSql,
+    "q76_bigram_counts" -> Curation.bigramOracleSql,
+    "q77_winsorize" ->
+      """WITH r AS (SELECT event_type, value, event_id,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS n
+        | FROM events),
+        |b AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.01) THEN value END) AS lo,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.99) THEN value END) AS hi
+        | FROM r GROUP BY event_type)
+        |SELECT e.event_type, MAX(b.n_events) AS n_events,
+        |  MAX(b.lo) AS lo, MAX(b.hi) AS hi,
+        |  CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+        |  CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+        |  CAST(SUM(CAST(FLOOR(LEAST(GREATEST(e.value, b.lo), b.hi) * 1e6) AS BIGINT)) AS BIGINT) AS clamped_sum_micro
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q78_time_decay" -> Temporal.timeDecayOracleSql,
+    // ordered containment pairs from the shared unordered pair CTE:
+    // each unordered pair tests both directions
+    "q79_containment" ->
+      s"""WITH $jaccardPairCtes
+        |SELECT a_id, b_id, CAST(common AS BIGINT) AS common,
+        |  CAST(na AS BIGINT) AS na,
+        |  CAST(common AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+        |FROM p WHERE CAST(common AS DOUBLE) / CAST(na AS DOUBLE) >= 0.9e0
+        |UNION ALL
+        |SELECT b_id AS a_id, a_id AS b_id, CAST(common AS BIGINT) AS common,
+        |  CAST(nb AS BIGINT) AS na,
+        |  CAST(common AS DOUBLE) / CAST(nb AS DOUBLE) AS containment
+        |FROM p WHERE CAST(common AS DOUBLE) / CAST(nb AS DOUBLE) >= 0.9e0
+        |ORDER BY a_id, b_id""".stripMargin,
     // batch×corpus pairs fall out of the shared pair CTE because the
     // split boundary orders them: corpus ids < boundary ≤ batch ids, and
     // p already has a_id < b_id. LSH recall at τ=0.8 is ~1 (the q24

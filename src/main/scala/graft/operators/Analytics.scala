@@ -243,6 +243,46 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** q77: per-group winsorization — clamp `value` to the exact
+    * rank-selected [p01, p99] per event_type and report the clamp
+    * bounds, clamp counts, and the clamped sum. The outlier-taming step
+    * before any learned-from aggregate (feature scaling, reward
+    * normalization) — same rank-selection quantiles as q51, so the
+    * bounds are engine-exact data values, not interpolations.
+    *
+    * Scale notes: one sort-per-group window pass computes both bounds;
+    * the 5-row bounds table broadcasts back onto the scan, so the clamp
+    * itself is a narrow projection. The clamped sum is carried in
+    * floor-quantized micro-units: an exact integer, order-independent
+    * under Spark's unordered partial aggregation and bit-identical in
+    * the oracle. */
+  def winsorize(s: SparkSession, dir: String): DataFrame =
+    winsorize(Tables.events(s, dir))
+
+  def winsorize(events: DataFrame): DataFrame = {
+    val byValue = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val whole = Window.partitionBy(col("event_type"))
+    val ranked = events
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(byValue))
+      .withColumn("n", count(lit(1)).over(whole))
+    def pick(q: Double): Column =
+      max(when(col("rn") === ceil(col("n") * q), col("value")))
+    val bounds = ranked.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"), pick(0.01).as("lo"), pick(0.99).as("hi"))
+    val clamped = events.select(col("event_type"), col("value"))
+      .join(broadcast(bounds), Seq("event_type"))
+      .withColumn("cv", least(greatest(col("value"), col("lo")), col("hi")))
+    clamped.groupBy(col("event_type"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clamped_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clamped_hi"),
+        sum(floor(col("cv") * 1e6).cast("long")).as("clamped_sum_micro"))
+      .orderBy("event_type")
+  }
+
   /** q12: conditional (pivot-style) aggregation per entity. */
   def conditionalAgg(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)

@@ -176,6 +176,54 @@ object ApproxDedup {
       .select("a_id", "b_id", "common", "na", "nb", "jaccard")
   }
 
+  /** Containment threshold for [[containmentPairs]]. */
+  val TauC = 0.9
+
+  /** q79: shingle-containment near-dup pairs — the ASYMMETRIC relation
+    * Jaccard can't see: C(A→B) = |A∩B|/|A| ≥ τ catches a short doc
+    * quoted wholesale inside a long one (|B| ≫ |A| caps Jaccard at
+    * |A|/|B| however perfect the inclusion). Broder's containment
+    * (1997) — the dedup signal for quote/boilerplate inclusion.
+    *
+    * Same prefix-filter machinery as [[ngramJaccardPairs]], asymmetric:
+    * only the A side is cut to its (1−τ)|A|+1 rarest shingles (if A
+    * shares none of that prefix with B, common ≤ ⌈τ|A|⌉−1 < τ|A|), the
+    * B side posts ALL its (df-capped) shingles. Candidates verify with
+    * the exact intersection; containment is a ratio of exact integer
+    * counts. Output is ordered pairs: a near-identical pair appears in
+    * both directions, a strict inclusion only once. */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(s, dir))
+
+  def containmentPairs(docs: DataFrame): DataFrame = {
+    val sized = shingleSets(docs).filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("n"))
+    val e = sized.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("hs"))
+    val df = e.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+    val kept = e.join(df.filter(col("df") <= DfCap), Seq("hs"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("hs"))
+    val wholeDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val pref = kept
+      .withColumn("rn", row_number().over(byRarity))
+      .withColumn("m", count(lit(1)).over(wholeDoc))
+      .filter(col("rn") <= (col("m") - ceil(col("m") * TauC) + 1).cast("int"))
+      .select(col("doc_id").as("a_id"), col("hs"))
+    val all = kept.select(col("doc_id").as("b_id"), col("hs"))
+    val cand = pref.join(all, Seq("hs")).filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    cand
+      .join(sized.select(col("doc_id").as("a_id"), col("shingles").as("sa"),
+        col("n").as("na")), Seq("a_id"))
+      .join(sized.select(col("doc_id").as("b_id"), col("shingles").as("sb")), Seq("b_id"))
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("containment", col("common").cast("double") / col("na").cast("double"))
+      .filter(col("containment") >= TauC)
+      .select("a_id", "b_id", "common", "na", "containment")
+      .orderBy("a_id", "b_id")
+  }
+
   /** Naive blocked exact Jaccard (explode + full shingle equi-join) —
     * reference semantics for [[ngramJaccard]], used by specs. */
   def ngramJaccardNaive(s: SparkSession, dir: String): DataFrame =

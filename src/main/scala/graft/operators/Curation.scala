@@ -261,6 +261,41 @@ object Curation {
        |    ELSE 0.0 END AS dup_frac
        |FROM w LEFT JOIN pd USING (doc_id) ORDER BY w.doc_id""".stripMargin
 
+  /** q76: corpus-wide adjacent-word-pair (bigram) counts, top 50 — the
+    * statistic behind the first BPE merge step (Sennrich et al. 2016)
+    * and a cheap corpus-drift monitor. Non-distinct positional bigrams
+    * via the native [[org.apache.spark.sql.graftbridge.WordShingles]]
+    * kernel (k=2, distinct=false), so the per-row gram build is one
+    * codegen'd pass, no interpreted HOF.
+    *
+    * Scale notes: explode → ONE map-side-combined count shuffle on the
+    * gram; top-50 is a TakeOrderedAndProject (bounded per-partition
+    * heap), never a global sort. Ranking order (cnt DESC, gram ASC) is
+    * total, so the cut at 50 is deterministic across engines. */
+  def bigramCounts(s: SparkSession, dir: String): DataFrame =
+    bigramCounts(Tables.documents(s, dir))
+
+  def bigramCounts(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, WordShingles}
+    docs.filter(col("text").isNotNull)
+      .select(ColumnBridge.column(
+        WordShingles(ColumnBridge.expression(col("text")), 2, distinct = false)).as("gs"))
+      .select(explode(col("gs")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(50)
+  }
+
+  /** q76 oracle: same split, positional bigrams, total order, cut. */
+  def bigramOracleSql: String =
+    """WITH w AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |i AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+      |  FROM w WHERE len(ws) >= 2),
+      |g AS (SELECT ws[i] || ' ' || ws[i + 1] AS gram FROM i)
+      |SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g
+      |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 50""".stripMargin
+
   def corpusFilter(s: SparkSession, dir: String): DataFrame = corpusFilter(Tables.documents(s, dir))
 
   def corpusFilter(docs: DataFrame): DataFrame = {

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** HyperLogLog count-distinct (Flajolet et al. 2007) with md5-derived,
+  * engine-portable registers — the mergeable fixed-memory version of
+  * q38's exact COUNT(DISTINCT) for dashboards over an unbounded event
+  * stream (reference analog: the per-facet guid counts at app.py:140).
+  *
+  * Scale notes: the sketch is ONE map-side-combined aggregate whose
+  * whole shuffle is ≤ m rows per group (m = 256 registers) no matter
+  * how many events scan in — and register tables merge by MAX, so
+  * per-partition / per-day sketches union for free, which is the whole
+  * reason to keep a sketch instead of a distinct count. The register
+  * sum is carried as an EXACT integer (Σ 2^(52−M[j]) scaled by 2^52:
+  * every term is dyadic, so the BIGINT sum is order-independent and
+  * engine-exact), and the float estimate is one identically-associated
+  * multiply/divide chain on top — which is what lets a DuckDB oracle
+  * value-check the whole sketch, not just eyeball the estimate.
+  *
+  * The standard small/large-range corrections are deliberately NOT
+  * applied: linear counting needs ln(), whose libm rounding differs
+  * across engines; the raw estimator is deterministic everywhere. The
+  * zero-register count is emitted so a consumer can apply any
+  * correction downstream.
+  */
+object Hll {
+
+  val M = 256           // registers (b = 8 index bits)
+  val WBits = 52        // md5Long yields 60 bits: 8 index + 52 rank bits
+  val Pow52 = 4503599627370496L // 2^52
+
+  /** q74: distinct-user estimate per event_type — register table folded
+    * to (n_regs, intsum), raw HLL estimate, exact truth alongside. */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame =
+    hllDistinct(Tables.events(s, dir))
+
+  def hllDistinct(events: DataFrame): DataFrame = {
+    // NULL keys excluded on both sides (same rule as the CMS/bloom ops:
+    // the two engines disagree on null concat semantics)
+    val keyed = events.filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        TextAnalysis.md5Long(
+          concat_ws(":", lit("hll"), col("user_id").cast("string"))).as("h"))
+    // register = low 8 bits; rank = trailing zeros of the next 52 bits
+    // + 1, bounded by OR-ing in bit 51 — tz via bit_count((x&-x)-1),
+    // which both engines compute identically on BIGINT
+    val regs = keyed
+      .select(col("event_type"),
+        col("h").bitwiseAND(lit(255L)).as("j"),
+        expr("shiftright(h, 8) | CAST(2251799813685248 AS BIGINT)").as("x"))
+      .select(col("event_type"), col("j"),
+        expr("bit_count((x & -x) - 1) + 1").as("rank"))
+      .groupBy(col("event_type"), col("j"))
+      .agg(max(col("rank")).as("mj"))
+    val sk = regs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nr"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($WBits - mj AS INT))")).as("sp"))
+      .select(col("event_type"), col("nr").cast("long").as("n_hll_regs"),
+        (col("sp") + (lit(M.toLong) - col("nr")) * lit(Pow52)).as("hll_intsum"))
+    val tru = keyed.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("true_distinct"))
+    // raw estimate alpha_m * m^2 / S with S = intsum / 2^52; constants
+    // written as the same literals in the same association as the oracle
+    sk.join(tru, Seq("event_type"))
+      .select(col("event_type"), col("n_hll_regs"), col("hll_intsum"),
+        round(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+          * lit(65536.0) * lit(4.503599627370496e15)
+          / col("hll_intsum").cast("double"), 3).as("est_r"),
+        col("true_distinct").cast("long").as("true_distinct"))
+      .orderBy("event_type")
+  }
+
+  /** q74 oracle: identical hash, register split, rank bit-trick, exact
+    * integer register sum, and float-literal association. */
+  def hllOracleSql: String =
+    s"""WITH k AS (SELECT event_type, user_id,
+       |    CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM events WHERE user_id IS NOT NULL),
+       |r AS (SELECT event_type, h & 255 AS j,
+       |    bit_count((((h >> 8) | 2251799813685248) & -((h >> 8) | 2251799813685248)) - 1) + 1 AS rank
+       |  FROM k),
+       |m AS (SELECT event_type, j, MAX(rank) AS mj FROM r GROUP BY 1, 2),
+       |sk AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hll_regs,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST($WBits - mj AS INTEGER)) AS BIGINT)
+       |      + ($M - COUNT(*)) * $Pow52 AS hll_intsum
+       |  FROM m GROUP BY 1),
+       |t AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+       |SELECT sk.event_type, sk.n_hll_regs, sk.hll_intsum,
+       |  ROUND(0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0)
+       |    * 65536.0e0 * 4503599627370496.0e0
+       |    / CAST(sk.hll_intsum AS DOUBLE), 3) AS est_r,
+       |  t.true_distinct
+       |FROM sk JOIN t USING (event_type) ORDER BY event_type""".stripMargin
+}

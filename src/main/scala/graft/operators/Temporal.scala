@@ -96,6 +96,60 @@ object Temporal {
     * user with view.ts < purchase.ts <= view.ts + 30 min; the batch
     * analog of a stream-stream interval join (streaming variant in
     * Streams.intervalJoinStream). */
+  /** q78: time-decay weighted event counts per event_type — recency
+    * weighting with a 1-day half-life relative to the corpus's max
+    * timestamp (deterministic reference point, not wall-clock). Each
+    * event contributes 2^-k where k = full days before the reference;
+    * the decayed count is the freshness-weighted popularity signal a
+    * serving layer ranks by (the dashboard's "recent activity" panels,
+    * app.py:84-255, recomputed exactly; this is the fixed-cost form).
+    *
+    * Scale notes: weights are carried as EXACT integers (2^(30-k),
+    * weights below 2^-30 of the reference deliberately underflow to 0),
+    * so the whole query is one map-side-combined integer-sum aggregate
+    * plus a 1-row broadcast of the reference timestamp — order- and
+    * partition-independent by construction, no float accumulation
+    * anywhere. The float `decayed_r` is derived from the integer sum by
+    * one division at the end. */
+  val DecayBits = 30
+
+  def timeDecay(s: SparkSession, dir: String): DataFrame =
+    timeDecay(Tables.events(s, dir))
+
+  def timeDecay(events: DataFrame): DataFrame = {
+    val e = events.filter(col("ts").isNotNull)
+    val ref = e.agg(max(col("ts")).as("tref"))
+    e.select(col("event_type"), col("ts"))
+      .crossJoin(broadcast(ref))
+      .withColumn("k",
+        expr("(unix_timestamp(tref) - unix_timestamp(ts)) DIV 86400"))
+      .withColumn("wt",
+        when(col("k") <= DecayBits,
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST($DecayBits - k AS INT))"))
+          .otherwise(lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("wt")).as("decay_intsum"))
+      .select(col("event_type"), col("n_events").cast("long").as("n_events"),
+        col("decay_intsum"),
+        round(col("decay_intsum").cast("double") / lit(1073741824.0), 6)
+          .as("decayed_r"))
+      .orderBy("event_type")
+  }
+
+  /** q78 oracle: same day bucketing, integer weights, final division. */
+  def timeDecayOracleSql: String =
+    s"""WITH ref AS (SELECT MAX(ts) AS tref FROM events WHERE ts IS NOT NULL),
+       |k AS (SELECT event_type,
+       |    date_diff('second', ts, (SELECT tref FROM ref)) // 86400 AS k
+       |  FROM events WHERE ts IS NOT NULL),
+       |w AS (SELECT event_type, CASE WHEN k <= $DecayBits
+       |    THEN CAST(1 AS BIGINT) << CAST($DecayBits - k AS INTEGER)
+       |    ELSE CAST(0 AS BIGINT) END AS wt FROM k)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(wt) AS BIGINT) AS decay_intsum,
+       |  ROUND(CAST(SUM(wt) AS BIGINT) / 1073741824.0e0, 6) AS decayed_r
+       |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def intervalJoin(s: SparkSession, dir: String): DataFrame = intervalJoin(Tables.events(s, dir))
 
   def intervalJoin(events: DataFrame): DataFrame = {

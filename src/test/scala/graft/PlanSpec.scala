@@ -173,6 +173,32 @@ class PlanSpec extends SparkTestBase {
       s"corpus scan reads every cell directory (no partition pruning):\n$p")
   }
 
+  test("q74: hll sketch is aggregate-only — no window, no join before the estimate") {
+    val p = plan(graft.operators.Hll.hllDistinct(spark, sfDir))
+    assert(!p.contains("Window"), "register build must be a grouped agg, not a window")
+    assert(p.contains("partial_max") || p.contains("HashAggregate"),
+      "register max must be map-side combined")
+  }
+
+  test("q75: chunking is narrow — only the presentation sort exchanges") {
+    val p = plan(graft.operators.Chunking.docChunks(spark, sfDir))
+    assert(!p.contains("hashpartitioning"),
+      s"chunk explode must not shuffle:\n$p")
+  }
+
+  test("q76: bigram top-50 is a bounded TakeOrdered, not a global sort") {
+    val p = plan(graft.operators.Curation.bigramCounts(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit must fold into a bounded per-partition heap:\n$p")
+    assert(p.contains("word_shingles"), "gram build must run as the native kernel")
+  }
+
+  test("q79: containment candidates come from an equi-join, never nested-loop") {
+    val p = plan(graft.operators.ApproxDedup.containmentPairs(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"containment degenerated to a pairwise scan:\n$p")
+  }
+
   test("bucketed tables join co-located: no shuffle exchange on either side") {
     import graft.sources.Sinks
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "n_chars")

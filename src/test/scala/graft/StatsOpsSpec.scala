@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, ApproxDedup, Chunking, Curation, Hll, Temporal}
+
+/** Specs for the sketch/chunking/stats operators (q74-q79). */
+class StatsOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- q74 HLL ----
+
+  test("q74 hll: corrected estimate lands within the m=256 error envelope") {
+    val out = Hll.hllDistinct(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val raw = r.getAs[Double]("est_r")
+      val tru = r.getAs[Long]("true_distinct").toDouble
+      // the operator emits the deterministic RAW estimator plus the
+      // zero-register count; the standard small-range linear-counting
+      // correction (needs ln, engine-specific libm → applied downstream,
+      // here) recovers accuracy for n << m
+      val zeros = 256L - r.getAs[Long]("n_hll_regs")
+      val est = if (raw <= 2.5 * 256 && zeros > 0) 256.0 * math.log(256.0 / zeros) else raw
+      // 1.04/sqrt(256) = 6.5% standard error; allow 4 sigma + slack
+      assert(math.abs(est - tru) <= 0.26 * tru + 3,
+        s"${r.getAs[String]("event_type")}: corrected $est (raw $raw) vs true $tru")
+      assert(r.getAs[Long]("n_hll_regs") <= 256L)
+    }
+  }
+
+  test("q74 hll: register tables merge by max (sketch of union = merged sketches)") {
+    val events = Tables.events(spark, sfDir)
+    val whole = Hll.hllDistinct(events)
+      .select("event_type", "hll_intsum").as[(String, Long)].collect().toMap
+    // split on event_id parity, merge the two sketches' register tables
+    val lo = Hll.hllDistinct(events.filter(col("event_id") % 2 === 0))
+    val hi = Hll.hllDistinct(events.filter(col("event_id") % 2 === 1))
+    // intsum is a bijection of the register table only when registers
+    // agree; merging requires the raw tables, so rebuild them here the
+    // same way the operator does and take per-register max
+    def regTable(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        graft.operators.TextAnalysis.md5Long(
+          concat_ws(":", lit("hll"), col("user_id").cast("string"))).as("h"))
+      .select(col("event_type"), col("h").bitwiseAND(lit(255L)).as("j"),
+        expr("shiftright(h, 8) | CAST(2251799813685248 AS BIGINT)").as("x"))
+      .select(col("event_type"), col("j"), expr("bit_count((x & -x) - 1) + 1").as("rank"))
+      .groupBy("event_type", "j").agg(max("rank").as("mj"))
+    val merged = regTable(events.filter(col("event_id") % 2 === 0))
+      .unionByName(regTable(events.filter(col("event_id") % 2 === 1)))
+      .groupBy("event_type", "j").agg(max("mj").as("mj"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("nr"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - mj AS INT))")).as("sp"))
+      .select(col("event_type"),
+        (col("sp") + (lit(256L) - col("nr")) * lit(4503599627370496L)).as("intsum"))
+      .as[(String, Long)].collect().toMap
+    assert(merged == whole, "max-merged split sketches must equal the whole-corpus sketch")
+    assert(lo.count() > 0 && hi.count() > 0)
+  }
+
+  // ---- q75 chunking ----
+
+  test("q75 chunks: full coverage, stride arithmetic, short docs keep one chunk") {
+    val docs = Seq(
+      (1L, Array.fill(100)("w").mkString(" ")),    // 100 words -> 3 chunks
+      (2L, "a b c"),                                // short -> 1 chunk
+      (3L, (1 to 40).map(i => s"t$i").mkString(" ")) // exactly W -> 1 chunk
+    ).toDF("doc_id", "text")
+    val out = Chunking.docChunks(docs).collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc(1L).length == 3 && byDoc(2L).length == 1 && byDoc(3L).length == 1)
+    // chunk 0 starts at word 1; last chunk of doc 1 covers through word 100
+    val last1 = byDoc(1L).maxBy(_.getAs[Long]("chunk_idx"))
+    assert(last1.getAs[Long]("n_words") == 100 - 2 * 30)
+    // every word position is inside >= 1 chunk: sum of per-chunk spans
+    // with overlap removed equals total words
+    assert(byDoc(2L).head.getAs[String]("chunk_text") == "a b c")
+  }
+
+  test("q75 chunks: consecutive chunks overlap by window - stride words") {
+    val docs = Seq((7L, (1 to 75).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Chunking.docChunks(docs).orderBy("chunk_idx").collect()
+    assert(out.length == 3)
+    val c0 = out(0).getAs[String]("chunk_text").split(" ")
+    val c1 = out(1).getAs[String]("chunk_text").split(" ")
+    assert(c0.takeRight(10).sameElements(c1.take(10)), "10-word overlap")
+    assert(c0.head == "w1" && c1.head == "w31")
+  }
+
+  // ---- q76 bigrams ----
+
+  test("q76 bigrams: positional (non-distinct) counts match a hand count") {
+    val docs = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = Curation.bigramCounts(docs).as[(String, Long)].collect().toMap
+    assert(out == Map("x y" -> 3L, "y x" -> 1L, "y z" -> 1L))
+  }
+
+  // ---- q77 winsorize ----
+
+  test("q77 winsorize: bounds are data values, clamp counts consistent") {
+    val out = Analytics.winsorize(spark, sfDir).collect()
+    val events = Tables.events(spark, sfDir)
+    out.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val lo = r.getAs[Double]("lo"); val hi = r.getAs[Double]("hi")
+      assert(lo <= hi)
+      val vals = events.filter(col("event_type") === et).select("value")
+        .as[Double].collect()
+      assert(vals.contains(lo) && vals.contains(hi), "bounds must be exact data values")
+      assert(r.getAs[Long]("n_clamped_lo") == vals.count(_ < lo))
+      assert(r.getAs[Long]("n_clamped_hi") == vals.count(_ > hi))
+      val micro = vals.map(v => math.floor(math.min(math.max(v, lo), hi) * 1e6).toLong).sum
+      assert(r.getAs[Long]("clamped_sum_micro") == micro)
+    }
+  }
+
+  // ---- q78 time decay ----
+
+  test("q78 time decay: hand-computed dyadic weights on a tiny frame") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-06-15 12:00:00")
+    def at(days: Int) = new java.sql.Timestamp(ts0.getTime - days * 86400000L)
+    val events = Seq(
+      (1L, at(0), "click"), (2L, at(0), "click"), (3L, at(1), "click"),
+      (4L, at(40), "click"), (5L, at(2), "view")
+    ).toDF("event_id", "ts", "event_type")
+    val out = Temporal.timeDecay(events).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("decay_intsum")).toMap
+    val p30 = 1L << 30
+    // clicks: 2 events day0 + 1 day1 + 1 beyond the 2^-30 cut
+    assert(out("click") == 2 * p30 + p30 / 2)
+    // view is 2 days old relative to max ts (day0), weight 2^-2
+    assert(out("view") == p30 / 4)
+  }
+
+  test("q78 time decay: intsum bounded by n * 2^30 and deterministic") {
+    val a = Temporal.timeDecay(spark, sfDir).collect()
+    val b = Temporal.timeDecay(spark, sfDir).collect()
+    assert(a.sameElements(b))
+    a.foreach { r =>
+      assert(r.getAs[Long]("decay_intsum") <= r.getAs[Long]("n_events") * (1L << 30))
+    }
+  }
+
+  // ---- q79 containment ----
+
+  test("q79 containment: catches strict inclusion Jaccard misses, both dirs for twins") {
+    val quote = (1 to 30).map(i => s"q$i").mkString(" ")
+    val filler = (1 to 200).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),                    // short doc
+      (2L, quote + " " + filler),     // contains doc 1 wholesale
+      (3L, quote)                     // exact twin of doc 1
+    ).toDF("doc_id", "text")
+    val out = ApproxDedup.containmentPairs(docs).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("containment"))
+      .toMap
+    // 1 ⊂ 2: containment(1→2) = 1.0 even though Jaccard ~ 28/228 << τ
+    assert(out((1L, 2L)) == 1.0)
+    assert(!out.contains((2L, 1L)), "reverse direction fails τ: |2∩1|/|2| is small")
+    // twins appear in both directions
+    assert(out((1L, 3L)) == 1.0 && out((3L, 1L)) == 1.0)
+    // sanity: Jaccard at τ=0.8 does NOT pair 1 with 2
+    val jac = ApproxDedup.ngramJaccard(docs).select("a_id", "b_id")
+      .as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)))
+  }
+
+  test("q79 containment: agrees with a naive all-pairs computation at sf0.001") {
+    val docs = Tables.documents(spark, sfDir)
+    val sh = ApproxDedup.shingleSets(docs).filter(size(col("shingles")) > 0)
+      .select("doc_id", "shingles").as[(Long, Seq[String])].collect()
+    val naive = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a != b
+      common = sa.toSet.intersect(sb.toSet).size
+      if common.toDouble / sa.size >= 0.9
+    } yield (a, b)).toSet
+    val got = ApproxDedup.containmentPairs(docs).select("a_id", "b_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == naive)
+  }
+}
