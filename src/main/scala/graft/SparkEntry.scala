@@ -96,6 +96,9 @@ object SparkEntry {
     "q77_winsorize"                -> (Analytics.winsorize _),
     "q78_time_decay"               -> (Temporal.timeDecay _),
     "q79_containment"              -> (ApproxDedup.containmentPairs _),
+    "q80_rolling_features"         -> (Analytics.rollingFeatures _),
+    "q81_percentile_rank"          -> (Analytics.percentileRank _),
+    "q82_schema_merge"             -> (graft.sources.Ingest.schemaMergeRead _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -534,6 +537,28 @@ object SparkEntry {
         |FROM events e JOIN b USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q78_time_decay" -> Temporal.timeDecayOracleSql,
+    "q80_rolling_features" ->
+      """SELECT event_id, user_id,
+        |  CAST(COUNT(*) OVER w5 AS BIGINT) AS roll5_n,
+        |  CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) OVER w5 AS BIGINT) AS roll5_sum_micro,
+        |  CAST(COUNT(*) OVER wh AS BIGINT) AS hour_n
+        |FROM events
+        |WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        |  wh AS (PARTITION BY user_id
+        |    ORDER BY date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q81_percentile_rank" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n
+        | FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  CAST(rn - 1 AS DOUBLE) / CAST(GREATEST(n - 1, 1) AS DOUBLE) AS pct_rank,
+        |  CAST(rn AS DOUBLE) / CAST(n AS DOUBLE) AS cume
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q82_schema_merge" -> graft.sources.Ingest.schemaMergeOracleSql,
     // ordered containment pairs from the shared unordered pair CTE:
     // each unordered pair tests both directions
     "q79_containment" ->

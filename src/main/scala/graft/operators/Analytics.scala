@@ -283,6 +283,61 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** q80: per-user rolling event features — the feature-engineering
+    * window shapes a training pipeline derives online signals from, one
+    * of each frame kind: a ROWS frame (last 5 events incl. current:
+    * rolling count + micro-quantized rolling sum — exact integers) and a
+    * RANGE frame (events in the trailing hour by event-time value, which
+    * is tie-order-independent by definition: equal timestamps enter the
+    * frame together).
+    *
+    * Scale notes: ONE shuffle on user_id feeds both frames over the same
+    * (ts, event_id) sort; all arithmetic is integer-exact so the output
+    * is partition-order-independent. */
+  def rollingFeatures(s: SparkSession, dir: String): DataFrame =
+    rollingFeatures(Tables.events(s, dir))
+
+  def rollingFeatures(events: DataFrame): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val last5 = byTime.rowsBetween(-4, 0)
+    val lastHour = Window.partitionBy(col("user_id"))
+      .orderBy(unix_timestamp(col("ts")))
+      .rangeBetween(-3600L, 0L)
+    events.select(col("event_id"), col("user_id"), col("ts"),
+        floor(col("value") * 1e6).cast("long").as("vm"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(last5).as("roll5_n"),
+        sum(col("vm")).over(last5).as("roll5_sum_micro"),
+        count(lit(1)).over(lastHour).as("hour_n"))
+      .orderBy("event_id")
+  }
+
+  /** q81: per-language percentile rank of document length — the rank
+    * feature (percentile-normalized score) corpus selection thresholds
+    * on. Computed from explicit ROW_NUMBER over the unique (n_chars,
+    * doc_id) order so the 0-to-1 ratios are exact integer divisions,
+    * identical in any engine (the builtin percent_rank's n=1 edge case
+    * is engine-defined; (rn-1)/max(n-1,1) is not).
+    *
+    * Scale notes: one shuffle on lang + one sort; NULL lang forms its
+    * own partition in both engines. */
+  def percentileRank(s: SparkSession, dir: String): DataFrame =
+    percentileRank(Tables.documents(s, dir))
+
+  def percentileRank(docs: DataFrame): DataFrame = {
+    val byLen = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    val whole = Window.partitionBy(col("lang"))
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rn", row_number().over(byLen))
+      .withColumn("n", count(lit(1)).over(whole))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        ((col("rn") - 1).cast("double") / greatest(col("n") - 1, lit(1)).cast("double"))
+          .as("pct_rank"),
+        (col("rn").cast("double") / col("n").cast("double")).as("cume"))
+      .orderBy("doc_id")
+  }
+
   /** q12: conditional (pivot-style) aggregation per entity. */
   def conditionalAgg(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)

@@ -37,17 +37,21 @@ object Hll {
   def hllDistinct(s: SparkSession, dir: String): DataFrame =
     hllDistinct(Tables.events(s, dir))
 
-  def hllDistinct(events: DataFrame): DataFrame = {
+  /** The (event_type, j, mj) register table — a grouped MAX aggregate,
+    * which is exactly the state a streaming update-mode query maintains:
+    * the table is ≤ m rows per group forever, and MAX is monotone, so
+    * the stream sketch equals the batch sketch on the same events
+    * (StreamingSpec proves it). */
+  def registerTable(events: DataFrame): DataFrame = {
     // NULL keys excluded on both sides (same rule as the CMS/bloom ops:
     // the two engines disagree on null concat semantics)
-    val keyed = events.filter(col("user_id").isNotNull)
-      .select(col("event_type"), col("user_id"),
-        TextAnalysis.md5Long(
-          concat_ws(":", lit("hll"), col("user_id").cast("string"))).as("h"))
     // register = low 8 bits; rank = trailing zeros of the next 52 bits
     // + 1, bounded by OR-ing in bit 51 — tz via bit_count((x&-x)-1),
     // which both engines compute identically on BIGINT
-    val regs = keyed
+    events.filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        TextAnalysis.md5Long(
+          concat_ws(":", lit("hll"), col("user_id").cast("string"))).as("h"))
       .select(col("event_type"),
         col("h").bitwiseAND(lit(255L)).as("j"),
         expr("shiftright(h, 8) | CAST(2251799813685248 AS BIGINT)").as("x"))
@@ -55,6 +59,11 @@ object Hll {
         expr("bit_count((x & -x) - 1) + 1").as("rank"))
       .groupBy(col("event_type"), col("j"))
       .agg(max(col("rank")).as("mj"))
+  }
+
+  def hllDistinct(events: DataFrame): DataFrame = {
+    val keyed = events.filter(col("user_id").isNotNull)
+    val regs = registerTable(events)
     val sk = regs.groupBy(col("event_type"))
       .agg(count(lit(1)).as("nr"),
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($WBits - mj AS INT))")).as("sp"))

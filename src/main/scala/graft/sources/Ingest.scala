@@ -107,6 +107,44 @@ object Ingest {
     * has neither Kafka nor the connector, so specs drive
     * [[readJsonStream]] + [[parseJsonEnvelope]] over the identical
     * envelope contract instead (compile-level coverage only here). */
+  /** q82: schema-evolution read — the ingest reality that snapshot N+1
+    * grows a column snapshot N lacks (the reference's medallion layers
+    * accrete columns across runs, eu_raw_to_cleansed_merge.py:40-54).
+    * Writes two orders snapshots with divergent schemas (the older one
+    * lacks o_totalprice), then reads them back through Spark's
+    * mergeSchema union: old rows surface the missing column as NULL, no
+    * rewrite of the old snapshot needed.
+    *
+    * Scale notes: mergeSchema costs one footer read per FILE at planning
+    * time (not a data scan); at 100 TB you keep it OFF for stable tables
+    * and turn it on per-read exactly like this when layers genuinely
+    * drift. The snapshots are written once per source dir (immutable
+    * fixtures ⇒ existence check suffices, same rule as the q72 index). */
+  def schemaMergeRead(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_schema_merge_v1_" + Integer.toHexString(dir.hashCode))
+    val oldSnap = new java.io.File(base, "snap_old").toString
+    val newSnap = new java.io.File(base, "snap_new").toString
+    if (!new java.io.File(oldSnap, "_SUCCESS").exists() ||
+        !new java.io.File(newSnap, "_SUCCESS").exists()) {
+      val o = graft.Tables.orders(s, dir)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(oldSnap)
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(newSnap)
+    }
+    s.read.option("mergeSchema", "true").parquet(oldSnap, newSnap)
+      .orderBy("o_orderkey")
+  }
+
+  /** q82 oracle: the merged view recomputed from the source table. */
+  def schemaMergeOracleSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   def readKafkaStream(s: SparkSession, bootstrapServers: String, topic: String,
       startingOffsets: String = "earliest",
       maxOffsetsPerTrigger: Option[Long] = None,

@@ -37,19 +37,9 @@ class StatsOpsSpec extends SparkTestBase {
     val lo = Hll.hllDistinct(events.filter(col("event_id") % 2 === 0))
     val hi = Hll.hllDistinct(events.filter(col("event_id") % 2 === 1))
     // intsum is a bijection of the register table only when registers
-    // agree; merging requires the raw tables, so rebuild them here the
-    // same way the operator does and take per-register max
-    def regTable(df: org.apache.spark.sql.DataFrame) = df
-      .filter(col("user_id").isNotNull)
-      .select(col("event_type"),
-        graft.operators.TextAnalysis.md5Long(
-          concat_ws(":", lit("hll"), col("user_id").cast("string"))).as("h"))
-      .select(col("event_type"), col("h").bitwiseAND(lit(255L)).as("j"),
-        expr("shiftright(h, 8) | CAST(2251799813685248 AS BIGINT)").as("x"))
-      .select(col("event_type"), col("j"), expr("bit_count((x & -x) - 1) + 1").as("rank"))
-      .groupBy("event_type", "j").agg(max("rank").as("mj"))
-    val merged = regTable(events.filter(col("event_id") % 2 === 0))
-      .unionByName(regTable(events.filter(col("event_id") % 2 === 1)))
+    // agree; merging uses the raw tables and takes per-register max
+    val merged = Hll.registerTable(events.filter(col("event_id") % 2 === 0))
+      .unionByName(Hll.registerTable(events.filter(col("event_id") % 2 === 1)))
       .groupBy("event_type", "j").agg(max("mj").as("mj"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("nr"),
@@ -166,6 +156,61 @@ class StatsOpsSpec extends SparkTestBase {
     val jac = ApproxDedup.ngramJaccard(docs).select("a_id", "b_id")
       .as[(Long, Long)].collect().toSet
     assert(!jac.contains((1L, 2L)))
+  }
+
+  // ---- q80 rolling features ----
+
+  test("q80 rolling: hand-checked ROWS and RANGE frames on a tiny user") {
+    val t0 = java.sql.Timestamp.valueOf("2024-06-15 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val events = Seq(
+      (1L, at(0), 5L, "e", 1.0), (2L, at(10), 5L, "e", 2.0),
+      (3L, at(50), 5L, "e", 3.0), (4L, at(75), 5L, "e", 4.0),
+      (5L, at(80), 5L, "e", 5.0), (6L, at(200), 5L, "e", 6.0),
+      (7L, at(0), 9L, "e", 7.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Analytics.rollingFeatures(events).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("roll5_n"), r.getAs[Long]("roll5_sum_micro"), r.getAs[Long]("hour_n")))
+      .toMap
+    assert(out(1L) == ((1L, 1000000L, 1L)))
+    // e5@80min: ROWS frame = e1..e5 (n=5, Σv=15); RANGE hour = {e3@50, e4@75, e5@80}
+    assert(out(5L) == ((5L, 15000000L, 3L)))
+    // e6@200min: ROWS frame = e2..e6 (n=5, Σv=20); nothing else in its trailing hour
+    assert(out(6L) == ((5L, 20000000L, 1L)))
+    // the other user's lone event is isolated in both frames
+    assert(out(7L) == ((1L, 7000000L, 1L)))
+  }
+
+  // ---- q81 percentile rank ----
+
+  test("q81 percentile rank: exact ratios, bounds, singleton group edge") {
+    val docs = Seq(
+      (1L, "en", 10L), (2L, "en", 20L), (3L, "en", 30L), (4L, "de", 5L)
+    ).toDF("doc_id", "lang", "n_chars")
+    val out = Analytics.percentileRank(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("pct_rank"), r.getAs[Double]("cume"))).toMap
+    assert(out(1L) == ((0.0, 1.0 / 3)))
+    assert(out(2L) == ((0.5, 2.0 / 3)))
+    assert(out(3L) == ((1.0, 1.0)))
+    assert(out(4L) == ((0.0, 1.0))) // singleton group: defined, not NaN
+  }
+
+  // ---- q82 schema merge ----
+
+  test("q82 schema merge: old-snapshot rows surface the new column as NULL") {
+    val out = graft.sources.Ingest.schemaMergeRead(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = r.getAs[Long]("o_orderkey")
+      if (key % 2 == 0) assert(r.isNullAt(r.fieldIndex("o_totalprice")),
+        s"old-snapshot row $key must have NULL o_totalprice")
+      else assert(!r.isNullAt(r.fieldIndex("o_totalprice")))
+    }
+    val n = Tables.orders(spark, sfDir).count()
+    assert(rows.length.toLong == n, "no rows lost across snapshots")
   }
 
   test("q79 containment: agrees with a naive all-pairs computation at sf0.001") {

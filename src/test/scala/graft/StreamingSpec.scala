@@ -274,4 +274,28 @@ class StreamingSpec extends SparkTestBase {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("HLL register table maintained over a stream equals the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // MAX over (group, register) is monotone, so update-mode streaming
+    // state IS the sketch: fixed <= 256 rows per group however many
+    // events arrive — the streaming form of q74
+    val events = (1 to 80).map(i => E(i.toLong, ts(i % 60), (i % 13).toLong, s"e${i % 2}", 1.0))
+    val src = MemoryStream[E]
+    val q = graft.operators.Hll.registerTable(src.toDF())
+      .writeStream.format("memory").queryName("hll_stream").outputMode("complete").start()
+    try {
+      src.addData(events.take(40): _*)
+      q.processAllAvailable()
+      src.addData(events.drop(40): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hll_stream").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("j")) -> r.getAs[Int]("mj")).toMap
+      val batch = graft.operators.Hll.registerTable(events.toDF()).collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("j")) -> r.getAs[Int]("mj")).toMap
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
 }
