@@ -99,6 +99,9 @@ object SparkEntry {
     "q80_rolling_features"         -> (Analytics.rollingFeatures _),
     "q81_percentile_rank"          -> (Analytics.percentileRank _),
     "q82_schema_merge"             -> (graft.sources.Ingest.schemaMergeRead _),
+    "q83_heavy_hitters"            -> (Analytics.heavyHitters _),
+    "q84_profile_audit"            -> (Cleanse.profileAudit _),
+    "q85_event_gaps"               -> (Temporal.eventGaps _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -559,6 +562,15 @@ object SparkEntry {
         |  CAST(rn AS DOUBLE) / CAST(n AS DOUBLE) AS cume
         |FROM r ORDER BY doc_id""".stripMargin,
     "q82_schema_merge" -> graft.sources.Ingest.schemaMergeOracleSql,
+    "q83_heavy_hitters" ->
+      """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
+        |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, source, CAST(cnt AS BIGINT) AS cnt,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, source) AS rank FROM c)
+        |SELECT lang, source, cnt, rank FROM r WHERE rank <= 3
+        |ORDER BY lang, rank""".stripMargin,
+    "q84_profile_audit" -> Cleanse.profileAuditOracleSql,
+    "q85_event_gaps" -> Temporal.eventGapsOracleSql,
     // ordered containment pairs from the shared unordered pair CTE:
     // each unordered pair tests both directions
     "q79_containment" ->

@@ -338,6 +338,34 @@ object Analytics {
       .orderBy("doc_id")
   }
 
+  /** q83: heavy hitters — top-3 sources per language by document count,
+    * the dashboard "top contributors per facet" panel (app.py:146 top
+    * collections shape) and the skew-diagnosis step before any
+    * hot-key mitigation (q53's salted join needs to know WHICH keys are
+    * hot).
+    *
+    * Scale notes: the corpus-sized work is ONE map-combined count
+    * aggregate; the rank window then runs over the aggregated
+    * (lang, source) table whose cardinality is #distinct pairs — output
+    * -sized, not corpus-sized — so the window sort is scale-safe where
+    * a window over raw rows would not be. NULL facets are normalized to
+    * '' so grouping and ordering agree across engines. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyHitters(Tables.documents(s, dir))
+
+  def heavyHitters(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(coalesce(col("lang"), lit("")).as("lang"),
+        coalesce(col("source"), lit("")).as("source"))
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("cnt"))
+    val byCnt = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("source"))
+    counts.withColumn("rank", row_number().over(byCnt).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("lang", "source", "cnt", "rank")
+      .orderBy("lang", "rank")
+  }
+
   /** q12: conditional (pivot-style) aggregation per entity. */
   def conditionalAgg(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)

@@ -65,4 +65,41 @@ object Cleanse {
       .select("user_id", "event_type", "ts", "event_id", "k", "value")
       .orderBy("user_id", "event_type")
   }
+
+  /** q84: data-quality profile of the documents table — per-column
+    * null / empty-string / distinct counts in one row, the audit every
+    * ingest run logs before the cleanse rules (this is how the q13/q14
+    * required-field and ""→NULL thresholds get CHOSEN). One wide row
+    * beats per-column rows here: the whole profile is one scan.
+    *
+    * Scale notes: a single aggregate pass; the distinct counts make
+    * Catalyst plan an Expand (one stream per DISTINCT column), which is
+    * the standard exact-profile cost — swap in approx_count_distinct
+    * per column when 2% error is acceptable and the Expand matters. */
+  def profileAudit(s: SparkSession, dir: String): DataFrame =
+    profileAudit(Tables.documents(s, dir))
+
+  def profileAudit(docs: DataFrame): DataFrame = {
+    def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_null")
+    def empties(c: String) = sum(when(col(c) === "", 1L).otherwise(0L)).as(s"${c}_empty")
+    def uniq(c: String) = countDistinct(col(c)).as(s"${c}_distinct")
+    docs.agg(count(lit(1)).as("n_rows"),
+      nulls("text"), empties("text"), uniq("text"),
+      nulls("lang"), empties("lang"), uniq("lang"),
+      nulls("source"), empties("source"), uniq("source"))
+  }
+
+  /** q84 oracle: the same profile (COUNT(DISTINCT) skips NULLs in both
+    * engines). */
+  def profileAuditOracleSql: String = {
+    def cols(c: String) =
+      s"""CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}_null,
+         |  CAST(SUM(CASE WHEN $c = '' THEN 1 ELSE 0 END) AS BIGINT) AS ${c}_empty,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS ${c}_distinct""".stripMargin
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  ${cols("text")},
+       |  ${cols("lang")},
+       |  ${cols("source")}
+       |FROM documents""".stripMargin
+  }
 }

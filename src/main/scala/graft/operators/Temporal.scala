@@ -150,6 +150,53 @@ object Temporal {
        |  ROUND(CAST(SUM(wt) AS BIGINT) / 1073741824.0e0, 6) AS decayed_r
        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q85: inter-event gap histogram — seconds between each user's
+    * consecutive events (LAG over the unique (ts, event_id) order),
+    * bucketed into human bands. The sessionization-threshold diagnostic:
+    * q20's gap parameter should sit in this histogram's valley.
+    *
+    * Scale notes: one shuffle on user_id + sort feeds the lag; the
+    * histogram is a tiny map-combined count over the band label. Gap
+    * seconds come from truncated epoch arithmetic (engine-identical),
+    * never float durations. */
+  def eventGaps(s: SparkSession, dir: String): DataFrame =
+    eventGaps(Tables.events(s, dir))
+
+  def eventGaps(events: DataFrame): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapped = events.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_s", lag(unix_timestamp(col("ts")), 1).over(byTime))
+      .withColumn("gap_s", unix_timestamp(col("ts")) - col("prev_s"))
+    gapped
+      .withColumn("band",
+        when(col("gap_s").isNull, "0_first")
+          .when(col("gap_s") < 60, "1_under_1m")
+          .when(col("gap_s") < 3600, "2_under_1h")
+          .when(col("gap_s") < 86400, "3_under_1d")
+          .otherwise("4_over_1d"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n"),
+        sum(coalesce(col("gap_s"), lit(0L))).as("gap_sum_s"))
+      .orderBy("band")
+  }
+
+  /** q85 oracle: same lag order, truncated-second gaps, bands. */
+  def eventGapsOracleSql: String =
+    """WITH g AS (SELECT user_id,
+      |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+      |    - LAG(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts), 1)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      | FROM events WHERE ts IS NOT NULL),
+      |b AS (SELECT CASE WHEN gap_s IS NULL THEN '0_first'
+      |    WHEN gap_s < 60 THEN '1_under_1m'
+      |    WHEN gap_s < 3600 THEN '2_under_1h'
+      |    WHEN gap_s < 86400 THEN '3_under_1d'
+      |    ELSE '4_over_1d' END AS band, gap_s FROM g)
+      |SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(COALESCE(gap_s, 0)) AS BIGINT) AS gap_sum_s
+      |FROM b GROUP BY band ORDER BY band""".stripMargin
+
   def intervalJoin(s: SparkSession, dir: String): DataFrame = intervalJoin(Tables.events(s, dir))
 
   def intervalJoin(events: DataFrame): DataFrame = {

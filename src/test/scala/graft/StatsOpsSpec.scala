@@ -213,6 +213,56 @@ class StatsOpsSpec extends SparkTestBase {
     assert(rows.length.toLong == n, "no rows lost across snapshots")
   }
 
+  // ---- q83 heavy hitters ----
+
+  test("q83 heavy hitters: rank caps at 3, counts sum to facet totals") {
+    val docs = Seq(
+      (1L, "en", "a"), (2L, "en", "a"), (3L, "en", "b"), (4L, "en", "c"),
+      (5L, "en", "d"), (6L, "de", null)
+    ).toDF("doc_id", "lang", "source")
+    val out = Analytics.heavyHitters(docs).collect()
+    val en = out.filter(_.getAs[String]("lang") == "en")
+    assert(en.length == 3)
+    assert(en.map(r => (r.getAs[String]("source"), r.getAs[Long]("cnt"), r.getAs[Long]("rank"))).toSeq
+      == Seq(("a", 2L, 1L), ("b", 1L, 2L), ("c", 1L, 3L)))
+    val de = out.filter(_.getAs[String]("lang") == "de")
+    assert(de.map(r => (r.getAs[String]("source"), r.getAs[Long]("cnt"))).toSeq
+      == Seq(("", 1L)), "NULL source normalizes to ''")
+  }
+
+  // ---- q84 profile audit ----
+
+  test("q84 profile: null/empty/distinct counted per column in one row") {
+    val docs = Seq(
+      (1L, "x", "en", "s1"), (2L, "", "en", null), (3L, "y", null, "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = graft.operators.Cleanse.profileAudit(docs).collect().head
+    assert(r.getAs[Long]("n_rows") == 3)
+    assert(r.getAs[Long]("text_empty") == 1 && r.getAs[Long]("text_null") == 0)
+    assert(r.getAs[Long]("text_distinct") == 3)
+    assert(r.getAs[Long]("lang_null") == 1 && r.getAs[Long]("lang_distinct") == 1)
+    assert(r.getAs[Long]("source_null") == 1 && r.getAs[Long]("source_distinct") == 1)
+  }
+
+  // ---- q85 event gaps ----
+
+  test("q85 gaps: hand-checked bands and gap sums") {
+    val t0 = java.sql.Timestamp.valueOf("2024-06-15 10:00:00")
+    def at(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    val events = Seq(
+      (1L, at(0), 5L), (2L, at(30), 5L), (3L, at(2000), 5L),
+      (4L, at(0), 9L), (5L, at(90000), 9L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = Temporal.eventGaps(events).collect()
+      .map(r => r.getAs[String]("band") -> (r.getAs[Long]("n"), r.getAs[Long]("gap_sum_s")))
+      .toMap
+    assert(out("0_first") == ((2L, 0L)))
+    assert(out("1_under_1m") == ((1L, 30L)))      // 30s gap
+    assert(out("2_under_1h") == ((1L, 1970L)))    // 2000-30
+    assert(out("4_over_1d") == ((1L, 90000L)))
+    assert(!out.contains("3_under_1d"))
+  }
+
   test("q79 containment: agrees with a naive all-pairs computation at sf0.001") {
     val docs = Tables.documents(spark, sfDir)
     val sh = ApproxDedup.shingleSets(docs).filter(size(col("shingles")) > 0)
