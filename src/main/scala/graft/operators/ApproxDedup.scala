@@ -198,8 +198,8 @@ object ApproxDedup {
   def containmentPairs(docs: DataFrame): DataFrame = {
     val sized = shingleSets(docs).filter(size(col("shingles")) > 0)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("n"))
-    val e = sized.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("hs"))
+    val e = sized.select(col("doc_id"), explode(col("shingles")).as("shingle"), col("n"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("hs"), col("n"))
     val df = e.groupBy(col("hs")).agg(count(lit(1)).as("df"))
     val kept = e.join(df.filter(col("df") <= DfCap), Seq("hs"))
     val byRarity = org.apache.spark.sql.expressions.Window
@@ -209,14 +209,21 @@ object ApproxDedup {
       .withColumn("rn", row_number().over(byRarity))
       .withColumn("m", count(lit(1)).over(wholeDoc))
       .filter(col("rn") <= (col("m") - ceil(col("m") * TauC) + 1).cast("int"))
-      .select(col("doc_id").as("a_id"), col("hs"))
-    val all = kept.select(col("doc_id").as("b_id"), col("hs"))
-    val cand = pref.join(all, Seq("hs")).filter(col("a_id") =!= col("b_id"))
+      .select(col("doc_id").as("a_id"), col("hs"), col("n").as("na0"))
+    val all = kept.select(col("doc_id").as("b_id"), col("hs"), col("n").as("nb0"))
+    // size prune INSIDE the candidate join: |A∩B| ≤ |B|, so C ≥ τ forces
+    // |B| ≥ τ|A| — candidates with a too-small B never reach the
+    // exact-verify stage (τ|A| is float-exact at the integer boundary,
+    // and verification re-checks exactly regardless)
+    val cand = pref.join(all, Seq("hs"))
+      .filter(col("a_id") =!= col("b_id") && col("nb0") >= col("na0") * TauC)
       .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
     cand
       .join(sized.select(col("doc_id").as("a_id"), col("shingles").as("sa"),
         col("n").as("na")), Seq("a_id"))
-      .join(sized.select(col("doc_id").as("b_id"), col("shingles").as("sb")), Seq("b_id"))
+      .join(sized.select(col("doc_id").as("b_id"), col("shingles").as("sb"),
+        col("n").as("nb")), Seq("b_id"))
+      .filter(col("nb") >= col("na") * TauC)
       .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("containment", col("common").cast("double") / col("na").cast("double"))
       .filter(col("containment") >= TauC)
