@@ -102,6 +102,8 @@ object SparkEntry {
     "q83_heavy_hitters"            -> (Analytics.heavyHitters _),
     "q84_profile_audit"            -> (Cleanse.profileAudit _),
     "q85_event_gaps"               -> (Temporal.eventGaps _),
+    "q86_snapshot_diff"            -> (Merge.snapshotDiffQ _),
+    "q87_pagerank"                 -> (Cluster.pagerank _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -142,6 +144,35 @@ object SparkEntry {
       |SELECT doc_id, cluster_id,
       |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
       |FROM lab ORDER BY doc_id""".stripMargin
+
+  /** q87 oracle: the same integer fixed-point PageRank unrolled — edges
+    * from the shared pair CTE, per-round floor-div contributions, the
+    * isolated-node closed form via LEFT JOIN + COALESCE(base). */
+  private val pagerankSql: String = {
+    val R = operators.Cluster.PrMass
+    val rounds = (1 to operators.Cluster.PrRounds).map { i =>
+      val prev = if (i == 1) "rr0" else s"rr${i - 1}"
+      s"""rr$i AS (SELECT u.d AS id,
+         |  (SELECT base FROM consts) + 85 * CAST(SUM(p2.r // u.deg) AS BIGINT) // 100 AS r
+         |  FROM undeg u JOIN $prev p2 ON p2.id = u.s GROUP BY u.d)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $jaccardPairCtes,
+       |prs AS (SELECT a_id, b_id FROM p
+       |  WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.8),
+       |und AS (SELECT a_id AS s, b_id AS d FROM prs
+       |  UNION ALL SELECT b_id, a_id FROM prs),
+       |degs AS (SELECT s, COUNT(*) AS deg FROM und GROUP BY s),
+       |undeg AS (SELECT und.s, und.d, degs.deg FROM und JOIN degs USING (s)),
+       |consts AS (SELECT $R // COUNT(*) AS r0,
+       |  15 * ($R // COUNT(*)) // 100 AS base FROM documents),
+       |rr0 AS (SELECT DISTINCT s AS id, (SELECT r0 FROM consts) AS r FROM und),
+       |$rounds
+       |SELECT d.doc_id, COALESCE(rr${operators.Cluster.PrRounds}.r,
+       |  (SELECT base FROM consts)) AS pr_int
+       |FROM documents d LEFT JOIN rr${operators.Cluster.PrRounds}
+       |  ON rr${operators.Cluster.PrRounds}.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** DuckDB-equivalent SQL for each oracle-able query (same column names,
     * same ordering, DECIMAL-exact aggregates cast to DOUBLE). */
@@ -571,6 +602,8 @@ object SparkEntry {
         |ORDER BY lang, rank""".stripMargin,
     "q84_profile_audit" -> Cleanse.profileAuditOracleSql,
     "q85_event_gaps" -> Temporal.eventGapsOracleSql,
+    "q86_snapshot_diff" -> Merge.snapshotDiffOracleSql,
+    "q87_pagerank" -> pagerankSql,
     // ordered containment pairs from the shared unordered pair CTE:
     // each unordered pair tests both directions
     "q79_containment" ->

@@ -74,6 +74,62 @@ object Cluster {
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
+  /** Total integer PageRank mass and damping (85/100) for [[pagerank]]. */
+  val PrMass = 1000000000000L // 10^12
+  val PrRounds = 3
+
+  /** q87: PageRank over the near-dup pair graph — graph centrality as a
+    * curation signal: a doc whose near-dup neighborhood is large and
+    * well-connected is template/boilerplate-like; rank concentrates
+    * there. Fixed-point INTEGER arithmetic throughout (mass 10^12,
+    * floor-division contributions, damping 85/100 as integer mul/div):
+    * deterministic under any partitioning and replayable by the oracle's
+    * unrolled CTE chain — float PageRank would be neither.
+    *
+    * Scale notes: the edge list joins rank once per round on the source
+    * id (edge frame pre-joined with out-degrees and checkpointed once);
+    * each round is one equi-join + one map-combined integer-sum agg.
+    * Only edge-touched nodes iterate — an isolated node's rank is the
+    * closed-form base after round 1, applied in the final projection,
+    * so the per-round shuffles scan |E|, not |corpus|. Mass parked on
+    * isolated nodes leaks (no dangling redistribution) — deliberate,
+    * documented, and identical in the oracle. */
+  def pagerank(s: SparkSession, dir: String): DataFrame =
+    pagerank(Tables.documents(s, dir))
+
+  def pagerank(docs: DataFrame): DataFrame = {
+    val edges = ApproxDedup.ngramJaccardPairs(docs).select("a_id", "b_id")
+    pagerankGraph(docs.select(col("doc_id").as("id")), edges, docs.count())
+      .select(col("id").as("doc_id"), col("pr_int"))
+      .orderBy("doc_id")
+  }
+
+  /** Integer PageRank over explicit undirected pair edges; `nTotal` is
+    * the full node population (isolated nodes get the closed-form base
+    * without entering the iteration). */
+  def pagerankGraph(nodes: DataFrame, edges: DataFrame, nTotal: Long): DataFrame = {
+    val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // (src, dst, deg) materialized once; every round re-reads it
+    val undDeg = und.join(deg, Seq("src")).localCheckpoint()
+    val r0 = PrMass / nTotal
+    val base = 15L * r0 / 100L
+    var rank = undDeg.select(col("src").as("id")).distinct()
+      .withColumn("r", lit(r0)).localCheckpoint()
+    for (_ <- 1 to PrRounds) {
+      rank = undDeg
+        .join(rank.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), expr("r DIV deg").as("c"))
+        .groupBy(col("id"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("id"), (lit(base) + expr("85 * s DIV 100")).as("r"))
+        .localCheckpoint()
+    }
+    nodes.join(rank, Seq("id"), "left")
+      .select(col("id"), coalesce(col("r"), lit(base)).as("pr_int"))
+  }
+
   /** q46: transitive dedup clusters of the documents table — edges are
     * the exact 3-gram Jaccard ≥ 0.8 pairs (q23's output), nodes are all
     * documents (pair-free docs stay singleton clusters of themselves).

@@ -263,6 +263,42 @@ class StatsOpsSpec extends SparkTestBase {
     assert(!out.contains("3_under_1d"))
   }
 
+  // ---- q86 snapshot diff ----
+
+  test("q86 snapshot diff: added/removed/changed/unchanged classified null-safely") {
+    val vOld = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, null.asInstanceOf[String], 30.0))
+      .toDF("k", "st", "price")
+    val vNew = Seq((2L, "b", 25.0), (3L, null.asInstanceOf[String], 30.0), (4L, "d", 40.0))
+      .toDF("k", "st", "price")
+    val out = graft.operators.Merge.snapshotDiff(vOld, vNew, "k", Seq("st", "price"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("change")).toMap
+    assert(out == Map(1L -> "removed", 2L -> "changed", 3L -> "unchanged", 4L -> "added"))
+  }
+
+  // ---- q87 pagerank ----
+
+  test("q87 pagerank: hand-checked fixed-point ranks on a 3-node path + isolate") {
+    val nodes = Seq(1L, 2L, 3L, 9L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val out = graft.operators.Cluster.pagerankGraph(nodes, edges, 4L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pr_int")).toMap
+    // replay the integer recurrence in Scala
+    val R = graft.operators.Cluster.PrMass
+    val r0 = R / 4; val base = 15L * r0 / 100L
+    var r = Map(1L -> r0, 2L -> r0, 3L -> r0)
+    val deg = Map(1L -> 1L, 2L -> 2L, 3L -> 1L)
+    val inN = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L))
+    for (_ <- 1 to graft.operators.Cluster.PrRounds)
+      r = r.map { case (v, _) =>
+        v -> (base + 85L * inN(v).map(u => r(u) / deg(u)).sum / 100L) }
+    assert(out(1L) == r(1L) && out(2L) == r(2L) && out(3L) == r(3L))
+    assert(out(9L) == base, "isolated node takes the closed-form base")
+    // the middle of the path concentrates rank
+    assert(out(2L) > out(1L) && out(1L) == out(3L))
+    // leaky by design: total never exceeds the mass
+    assert(out.values.sum <= R)
+  }
+
   test("q79 containment: agrees with a naive all-pairs computation at sf0.001") {
     val docs = Tables.documents(spark, sfDir)
     val sh = ApproxDedup.shingleSets(docs).filter(size(col("shingles")) > 0)
