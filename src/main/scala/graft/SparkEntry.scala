@@ -104,6 +104,8 @@ object SparkEntry {
     "q85_event_gaps"               -> (Temporal.eventGaps _),
     "q86_snapshot_diff"            -> (Merge.snapshotDiffQ _),
     "q87_pagerank"                 -> (Cluster.pagerank _),
+    "q88_cohort_retention"         -> (Analytics.cohortRetention _),
+    "q89_feature_hash"             -> (TextAnalysis.featureHash _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -604,6 +606,16 @@ object SparkEntry {
     "q85_event_gaps" -> Temporal.eventGapsOracleSql,
     "q86_snapshot_diff" -> Merge.snapshotDiffOracleSql,
     "q87_pagerank" -> pagerankSql,
+    "q88_cohort_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT c.cohort_day,
+        |  CAST(date_diff('day', c.cohort_day, e.day) AS BIGINT) AS day_offset,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q89_feature_hash" -> TextAnalysis.featureHashOracleSql,
     // ordered containment pairs from the shared unordered pair CTE:
     // each unordered pair tests both directions
     "q79_containment" ->

@@ -366,6 +366,34 @@ object Analytics {
       .orderBy("lang", "rank")
   }
 
+  /** q88: cohort retention — users grouped by first-activity day
+    * (cohort), counted by how many distinct days later they return: the
+    * engagement matrix behind every retention dashboard. Self-join-free:
+    * one agg derives each user's cohort day, one distinct-activity agg
+    * joins back on user_id, and the matrix is a final count-distinct —
+    * all date arithmetic in whole days (engine-exact), no timestamps
+    * compared directly.
+    *
+    * Scale notes: two shuffles on user_id (cohort agg + join; AQE
+    * broadcasts the per-user cohort table when it fits) and one on the
+    * (cohort, offset) matrix key whose cardinality is days², not rows. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame =
+    cohortRetention(Tables.events(s, dir))
+
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val e = events.filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.distinct()
+      .join(cohorts, Seq("user_id"))
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** q12: conditional (pivot-style) aggregation per entity. */
   def conditionalAgg(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)

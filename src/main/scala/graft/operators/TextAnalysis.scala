@@ -204,6 +204,49 @@ object TextAnalysis {
   /** q34: CLIP-style text assembly — concat metadata fields + body,
     * truncate, casefold (extracting_embeddings.py:135-152 builds
     * title+subject+creator+type+description[:150]). */
+  /** Buckets for [[featureHash]] — small on purpose so the gated output
+    * stays a fixed wide row per doc (the driver's comparator needs
+    * scalar columns; at 2^18+ buckets you'd emit the sparse (bucket,
+    * cnt) pairs instead, same plan shape). */
+  val FhBuckets = 16
+
+  /** q89: feature hashing (the hashing trick, Weinberger et al. 2009) —
+    * per-document bag-of-words folded into a fixed 16-bucket count
+    * vector via the md5 bucket of each word, flattened to f0..f15
+    * columns. The fixed-width featurization step before any linear
+    * model / clustering over text; vocabulary-free, so new corpus
+    * batches never change the schema.
+    *
+    * Scale notes: narrow per-row work (split + hash + 16 conditional
+    * sums after one explode), one map-combined agg keyed by doc_id —
+    * no vocabulary table, no join, schema fixed regardless of corpus. */
+  def featureHash(s: SparkSession, dir: String): DataFrame =
+    featureHash(Tables.documents(s, dir))
+
+  def featureHash(docs: DataFrame): DataFrame = {
+    val words = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("w"))
+      .select(col("doc_id"),
+        (md5Long(concat_ws(":", lit("fh"), col("w"))) % FhBuckets).as("b"))
+    val aggs = (0 until FhBuckets).map(i =>
+      sum(when(col("b") === i, 1L).otherwise(0L)).as(s"f$i"))
+    words.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .orderBy("doc_id")
+  }
+
+  /** q89 oracle: identical hash buckets and conditional sums. */
+  def featureHashOracleSql: String = {
+    val cols = (0 until FhBuckets).map(i =>
+      s"CAST(SUM(CASE WHEN b = $i THEN 1 ELSE 0 END) AS BIGINT) AS f$i").mkString(",\n  ")
+    s"""WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |b AS (SELECT doc_id,
+       |  CAST(('0x' || substring(md5('fh:' || w), 1, 15)) AS BIGINT) % $FhBuckets AS b FROM w)
+       |SELECT doc_id,
+       |  $cols
+       |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   def preprocess(s: SparkSession, dir: String): DataFrame = preprocess(Tables.documents(s, dir))
 
   def preprocess(docs: DataFrame): DataFrame =

@@ -299,6 +299,41 @@ class StatsOpsSpec extends SparkTestBase {
     assert(out.values.sum <= R)
   }
 
+  // ---- q88 cohort retention ----
+
+  test("q88 cohort: offsets count distinct users per return day") {
+    val d = java.sql.Timestamp.valueOf("2024-06-01 08:00:00")
+    def at(day: Int, h: Int = 0) = new java.sql.Timestamp(d.getTime + (day * 24L + h) * 3600000L)
+    val events = Seq(
+      (1L, at(0), 5L), (2L, at(0, 3), 5L), (3L, at(2), 5L),   // user 5: cohort d0, returns d2
+      (4L, at(0), 6L), (5L, at(1), 6L),                       // user 6: cohort d0, returns d1
+      (6L, at(1), 7L)                                         // user 7: cohort d1
+    ).toDF("event_id", "ts", "user_id")
+    val out = Analytics.cohortRetention(events).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_day").toString,
+        r.getAs[Long]("day_offset")) -> r.getAs[Long]("n_users")).toMap
+    assert(out(("2024-06-01", 0L)) == 2) // users 5 and 6 on their cohort day
+    assert(out(("2024-06-01", 1L)) == 1) // user 6 returns next day
+    assert(out(("2024-06-01", 2L)) == 1) // user 5 returns on day 2
+    assert(out(("2024-06-02", 0L)) == 1) // user 7's own cohort
+    assert(out.size == 4)
+  }
+
+  // ---- q89 feature hash ----
+
+  test("q89 feature hash: bucket counts sum to the word count, fixed schema") {
+    val docs = Seq((1L, "a b c a"), (2L, "x")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.featureHash(docs).collect()
+    assert(out.head.schema.fieldNames.toSeq ==
+      ("doc_id" +: (0 until 16).map(i => s"f$i")))
+    val sums = out.map(r => r.getAs[Long]("doc_id") ->
+      (0 until 16).map(i => r.getAs[Long](s"f$i")).sum).toMap
+    assert(sums == Map(1L -> 4L, 2L -> 1L))
+    // same word -> same bucket: doc 1 has a bucket holding exactly 2 ('a' twice)
+    val d1 = out.find(_.getAs[Long]("doc_id") == 1L).get
+    assert((0 until 16).map(i => d1.getAs[Long](s"f$i")).count(_ == 2L) == 1)
+  }
+
   test("q79 containment: agrees with a naive all-pairs computation at sf0.001") {
     val docs = Tables.documents(spark, sfDir)
     val sh = ApproxDedup.shingleSets(docs).filter(size(col("shingles")) > 0)
