@@ -199,6 +199,18 @@ class PlanSpec extends SparkTestBase {
       s"containment degenerated to a pairwise scan:\n$p")
   }
 
+  test("q80: both rolling frames ride one user_id shuffle (plus the output sort)") {
+    val p = plan(Analytics.rollingFeatures(spark, sfDir))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected a single user_id exchange, got $hashEx:\n$p")
+  }
+
+  test("q87: pagerank rounds plan equi-joins only, never nested-loop") {
+    val p = plan(graft.operators.Cluster.pagerank(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pagerank degenerated to a pairwise scan:\n$p")
+  }
+
   test("bucketed tables join co-located: no shuffle exchange on either side") {
     import graft.sources.Sinks
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "n_chars")
