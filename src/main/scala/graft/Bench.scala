@@ -78,7 +78,10 @@ object Bench {
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def shortMap(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k.take(3) + "\":" + r3(v) }
+        // key = the qNN prefix (up to the first underscore), not a fixed
+        // take(3): "q100_x" must shorten to "q100", never collide with
+        // "q10_y"'s "q10"
+        .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
         .mkString("{", ",", "}")
     def fullMap(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }

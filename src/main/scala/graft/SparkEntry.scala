@@ -579,6 +579,7 @@ object SparkEntry {
         |  CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) OVER w5 AS BIGINT) AS roll5_sum_micro,
         |  CAST(COUNT(*) OVER wh AS BIGINT) AS hour_n
         |FROM events
+        |WHERE ts IS NOT NULL
         |WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
         |  wh AS (PARTITION BY user_id

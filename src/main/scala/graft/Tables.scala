@@ -38,4 +38,18 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Cache key for per-source-dir persisted artifacts (the q72 IVF
+    * index, q46/q87's pair table, q82's snapshots): fingerprints the
+    * path PLUS each table file's (size, mtime), so regenerated source
+    * data — same path, new content — can never satisfy an artifact's
+    * existence check and serve stale results. Local-FS fixtures only;
+    * production callers pass explicit artifact paths instead. */
+  def dirFingerprint(dir: String): String = {
+    val meta = names.map { n =>
+      val f = new java.io.File(s"$dir/$n.parquet")
+      s"$n:${f.length}:${f.lastModified}"
+    }
+    java.lang.Long.toHexString((dir + meta.mkString(",")).hashCode.toLong & 0xffffffffL)
+  }
 }

@@ -304,7 +304,10 @@ object Analytics {
     val lastHour = Window.partitionBy(col("user_id"))
       .orderBy(unix_timestamp(col("ts")))
       .rangeBetween(-3600L, 0L)
-    events.select(col("event_id"), col("user_id"), col("ts"),
+    // NULL ts filtered on both sides: the engines order NULLs at
+    // opposite ends, which would shift every frame (q78/q85/q88 rule)
+    events.filter(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
         floor(col("value") * 1e6).cast("long").as("vm"))
       .select(col("event_id"), col("user_id"),
         count(lit(1)).over(last5).as("roll5_n"),

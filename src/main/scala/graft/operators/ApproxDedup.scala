@@ -139,12 +139,17 @@ object ApproxDedup {
       .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("n"))
     // every blocking stage (df agg, rarity windows, candidate self-join)
     // keys on the 64-bit xxhash of the shingle, never the ~20-char
-    // string: same string → same hash, so no true pair is ever lost, a
-    // collision only adds a candidate the exact verification below
-    // discards, and every wide shuffle before verification ships 8-byte
-    // keys. The prefix filter holds under ANY consistent global rarity
-    // order, so ordering by (df, hs) instead of (df, shingle) changes
-    // only which prefix witnesses a pair, not the verified output.
+    // string: same string → same hash, so blocking recall is preserved,
+    // a collision in the candidate join only adds a candidate the exact
+    // verification below discards, and every wide shuffle before
+    // verification ships 8-byte keys. The prefix filter holds under ANY
+    // consistent global rarity order, so ordering by (df, hs) instead
+    // of (df, shingle) changes only which prefix witnesses a pair, not
+    // the verified output. One caveat folds into the df-cap trade: df
+    // is counted per HASH, so a collision with a hot shingle can push a
+    // rare shingle over the cap — exactly the "treated as hot" loss
+    // mode the cap already accepts for genuinely hot shingles, with
+    // collision probability on top.
     val e = sized.select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("hs"))
     val df = e.groupBy(col("hs")).agg(count(lit(1)).as("df"))

@@ -78,6 +78,24 @@ object Cluster {
   val PrMass = 1000000000000L // 10^12
   val PrRounds = 3
 
+  /** The τ=0.8 Jaccard pair table materialized ONCE per source dir and
+    * shared by every graph consumer (q46 clustering, q87 centrality) —
+    * at 100 TB the pair join is the expensive step and each downstream
+    * graph pass reads the materialized edges, exactly like q72 serves
+    * reads off the persisted IVF index. Deterministic pipeline +
+    * content-fingerprinted path (Tables.dirFingerprint covers size and
+    * mtime, and the literal version covers layout changes) ⇒ the
+    * existence check can never serve a stale artifact. */
+  private[operators] def pairsTable(s: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_jpairs_v1_" + Tables.dirFingerprint(dir)).toString
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      ApproxDedup.ngramJaccardPairs(Tables.documents(s, dir))
+        .select("a_id", "b_id")
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   /** q87: PageRank over the near-dup pair graph — graph centrality as a
     * curation signal: a doc whose near-dup neighborhood is large and
     * well-connected is template/boilerplate-like; rank concentrates
@@ -94,23 +112,6 @@ object Cluster {
     * so the per-round shuffles scan |E|, not |corpus|. Mass parked on
     * isolated nodes leaks (no dangling redistribution) — deliberate,
     * documented, and identical in the oracle. */
-  /** The τ=0.8 Jaccard pair table materialized ONCE per source dir and
-    * shared by every graph consumer (q46 clustering, q87 centrality) —
-    * at 100 TB the pair join is the expensive step and each downstream
-    * graph pass reads the materialized edges, exactly like q72 serves
-    * reads off the persisted IVF index. Deterministic pipeline +
-    * immutable fixtures ⇒ existence check suffices; versioned path so a
-    * stale layout can never survive a code change. */
-  private[operators] def pairsTable(s: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_jpairs_v1_" + Integer.toHexString(dir.hashCode)).toString
-    if (!new java.io.File(path, "_SUCCESS").exists())
-      ApproxDedup.ngramJaccardPairs(Tables.documents(s, dir))
-        .select("a_id", "b_id")
-        .write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
-  }
-
   def pagerank(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     pagerankGraph(docs.select(col("doc_id").as("id")),

@@ -51,22 +51,11 @@ object IvfIndex {
     val corpus = spark.read.parquet(s"$path/corpus")
       .select(col("vec_id").as("__cand_id"), col("e").as("ec"),
         col("nrm").as("nc"), col("cell"))
-    val qv = KMeansOp.quantized(queries)
-    val qq = dot(col("q"), col("q"))
-    val cellStructs = array(cents.map { case (id, c) =>
-      struct(KMeansOp.dist2(qq, c).as("d"), lit(id).as("cell")) }: _*)
-    val q = qv
-      .select(col("vec_id").as("query_id"),
-        explode(slice(array_sort(cellStructs), 1, nprobe)).as("pr"))
-      .select(col("query_id"), col("pr.cell").as("cell"))
-      .join(Dedup.normalized(queries).select(col("vec_id").as("query_id"),
-        col("e").as("eq"), col("nrm").as("nq")), Seq("query_id"))
-    val scored = broadcast(q).join(corpus, Seq("cell"))
-      .filter(col("query_id") =!= col("__cand_id"))
-      .select(col("query_id"), col("__cand_id"),
-        cosinePre(col("eq"), col("ec"), col("nq"), col("nc")).as("sim"))
-    Similarity.explodeTopKPerGroup(scored, "query_id", "neighbor_id", k)
-      .orderBy("query_id", "rank")
+    // probe + score through the ONE shared pipeline (Similarity
+    // .ivfProbeScore) so this read path can never drift from q65's
+    // in-memory path, whose generated oracle q72 shares
+    Similarity.ivfProbeScore(KMeansOp.quantized(queries),
+      Dedup.normalized(queries), cents, corpus, nprobe, k)
   }
 
   /** Layout version baked into the index path: bump when the stored
@@ -91,7 +80,7 @@ object IvfIndex {
   def ivfIndexedTopK(s: SparkSession, dir: String): DataFrame = {
     val em = graft.Tables.embeddings(s, dir)
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_ivf_exact_${LayoutVersion}_" + Integer.toHexString(dir.hashCode)).toString
+      s"graft_ivf_exact_${LayoutVersion}_" + graft.Tables.dirFingerprint(dir)).toString
     if (!indexReady(path)) buildExact(em, path)
     searchExact(s, path, em.filter(col("vec_id") < 10))
   }

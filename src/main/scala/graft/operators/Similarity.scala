@@ -325,12 +325,25 @@ object Similarity {
     val cand = v.join(assigned, Seq("vec_id"))
       .select(col("vec_id").as("__cand_id"), col("e").as("ec"),
         col("nrm").as("nc"), col("cell"))
-    // probe ranking: exact quantized dist2 to each centroid, ties by cell
-    // id — array_sort over (d, cell) structs = the oracle's ORDER BY
+    ivfProbeScore(qv.filter(col("vec_id") < 10), v, cents, cand, nprobe, k)
+  }
+
+  /** The exact-IVF probe-and-score pipeline shared by q65 (in-memory
+    * candidates) and q72 (cell-partitioned on-disk candidates) — ONE
+    * implementation so the persisted-index read path can never drift
+    * from the in-memory path whose generated oracle q72 shares.
+    * `qv`: quantized query vectors (vec_id, q); `v`: normalized query
+    * vectors (vec_id, e, nrm); `cand`: (__cand_id, ec, nc, cell).
+    * Probe ranking is exact quantized dist2 to each centroid, ties by
+    * cell id — array_sort over (d, cell) structs = the oracle's
+    * ORDER BY. */
+  private[operators] def ivfProbeScore(qv: DataFrame, v: DataFrame,
+      cents: Seq[(Long, Seq[Double])], cand: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
     val qq = dot(col("q"), col("q"))
     val cellStructs = array(cents.map { case (id, c) =>
       struct(KMeansOp.dist2(qq, c).as("d"), lit(id).as("cell")) }: _*)
-    val q = qv.filter(col("vec_id") < 10)
+    val q = qv
       .select(col("vec_id").as("query_id"),
         explode(slice(array_sort(cellStructs), 1, nprobe)).as("pr"))
       .select(col("query_id"), col("pr.cell").as("cell"))

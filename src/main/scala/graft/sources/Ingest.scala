@@ -122,7 +122,7 @@ object Ingest {
     * fixtures ⇒ existence check suffices, same rule as the q72 index). */
   def schemaMergeRead(s: SparkSession, dir: String): DataFrame = {
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_schema_merge_v1_" + Integer.toHexString(dir.hashCode))
+      "graft_schema_merge_v1_" + graft.Tables.dirFingerprint(dir))
     val oldSnap = new java.io.File(base, "snap_old").toString
     val newSnap = new java.io.File(base, "snap_new").toString
     if (!new java.io.File(oldSnap, "_SUCCESS").exists() ||

@@ -152,7 +152,7 @@ class PlanSpec extends SparkTestBase {
   test("q70: bloom words ride a broadcast, probe side never shuffles for the join") {
     val p = plan(graft.operators.Sketch.bloomMembership(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast bloom join:\n$p")
-    assert(!p.contains("SortMergeJoin") || !p.contains("CartesianProduct"),
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"bloom probe picked a heavyweight join:\n$p")
   }
 
