@@ -106,6 +106,8 @@ object SparkEntry {
     "q87_pagerank"                 -> (Cluster.pagerank _),
     "q88_cohort_retention"         -> (Analytics.cohortRetention _),
     "q89_feature_hash"             -> (TextAnalysis.featureHash _),
+    "q90_group_corr"               -> (Analytics.groupCorr _),
+    "q91_value_histogram"          -> (Analytics.valueHistogram _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -617,6 +619,8 @@ object SparkEntry {
         |FROM e JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q89_feature_hash" -> TextAnalysis.featureHashOracleSql,
+    "q90_group_corr" -> Analytics.groupCorrOracleSql,
+    "q91_value_histogram" -> Analytics.valueHistogramOracleSql,
     // ordered containment pairs from the shared unordered pair CTE:
     // each unordered pair tests both directions
     "q79_containment" ->

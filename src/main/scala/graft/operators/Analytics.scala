@@ -397,6 +397,102 @@ object Analytics {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** q90: per-group Pearson correlation between event value and the
+    * props payload's k field — the feature-correlation screen a pipeline
+    * runs before training on derived signals. The five raw moments
+    * (Σx, Σy, Σx², Σy², Σxy) are EXACT integer sums of milli-quantized
+    * values (order/partition-independent, emitted so the whole
+    * computation is value-proven); the correlation itself is one
+    * identically-associated double chain on top — sqrt is IEEE
+    * correctly-rounded everywhere, unlike ln/exp, so it is safe in a
+    * cross-engine expression.
+    *
+    * Scale notes: ONE map-side-combined aggregate over the scan, output
+    * rows = #groups. Milli (not micro) quantization keeps Σx² under
+    * 2^63 at 10^7 rows per group × values to ~10^6 — the documented
+    * scale/size trade. */
+  def groupCorr(s: SparkSession, dir: String): DataFrame =
+    groupCorr(Tables.events(s, dir))
+
+  def groupCorr(events: DataFrame): DataFrame = {
+    val e = events
+      .select(col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("value").isNotNull && col("k").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * 1e3).cast("long").as("x"),
+        col("k").cast("long").as("y"))
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("num",
+        col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+      .withColumn("den",
+        sqrt((col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+          * (col("n").cast("double") * col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double"))))
+      // zero-variance group → NULL, not NaN (NaN round-trips differently
+      // through the two engines' comparators)
+      .select(col("event_type"), col("n"), col("sx"), col("sy"),
+        col("sxx"), col("syy"), col("sxy"),
+        round(col("num") / when(col("den") === 0.0, lit(null)).otherwise(col("den")), 6)
+          .as("corr_r"))
+      .orderBy("event_type")
+  }
+
+  /** q90 oracle: identical quantization, exact moments, float chain. */
+  def groupCorrOracleSql: String =
+    """WITH e AS (SELECT event_type,
+      |  CAST(FLOOR(value * 1e3) AS BIGINT) AS x,
+      |  CAST(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS BIGINT) AS y
+      | FROM events
+      | WHERE value IS NOT NULL
+      |   AND TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL),
+      |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |  CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+      |  CAST(SUM(x * y) AS BIGINT) AS sxy
+      | FROM e GROUP BY event_type),
+      |d AS (SELECT *,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS num,
+      |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS den
+      | FROM m)
+      |SELECT event_type, n, sx, sy, sxx, syy, sxy,
+      |  ROUND(num / NULLIF(den, 0.0e0), 6) AS corr_r
+      |FROM d ORDER BY event_type""".stripMargin
+
+  /** q91: fixed-width value histogram per event_type (width 50) — the
+    * distribution panel behind q51's quantiles and q77's clamp bounds,
+    * as one map-combined count/sum aggregate whose output is
+    * #groups × #occupied buckets. Bucket = floor(value/50): integer,
+    * engine-identical; per-bucket micro-sums stay exact integers. */
+  def valueHistogram(s: SparkSession, dir: String): DataFrame =
+    valueHistogram(Tables.events(s, dir))
+
+  def valueHistogram(events: DataFrame): DataFrame =
+    events.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") / lit(50.0)).cast("long").as("bucket"),
+        floor(col("value") * 1e6).cast("long").as("vm"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("sum_micro"))
+      .orderBy("event_type", "bucket")
+
+  /** q91 oracle. */
+  def valueHistogramOracleSql: String =
+    """SELECT event_type, CAST(FLOOR(value / 50.0e0) AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** q12: conditional (pivot-style) aggregation per entity. */
   def conditionalAgg(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)

@@ -334,6 +334,43 @@ class StatsOpsSpec extends SparkTestBase {
     assert((0 until 16).map(i => d1.getAs[Long](s"f$i")).count(_ == 2L) == 1)
   }
 
+  // ---- q90 group correlation ----
+
+  test("q90 corr: perfectly correlated / anti-correlated hand data") {
+    val events = Seq(
+      ("a", 1.0, """{"k": 10}"""), ("a", 2.0, """{"k": 20}"""), ("a", 3.0, """{"k": 30}"""),
+      ("b", 1.0, """{"k": 30}"""), ("b", 2.0, """{"k": 20}"""), ("b", 3.0, """{"k": 10}"""),
+      ("c", 5.0, null.asInstanceOf[String])  // null props drop out
+    ).toDF("event_type", "value", "props")
+    val out = Analytics.groupCorr(events).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("corr_r"))).toMap
+    assert(out("a") == ((3L, 1.0)))
+    assert(out("b") == ((3L, -1.0)))
+    assert(!out.contains("c"))
+  }
+
+  test("q90 corr: zero-variance group yields NULL, not NaN") {
+    val events = Seq(
+      ("a", 2.0, """{"k": 7}"""), ("a", 2.0, """{"k": 7}""")
+    ).toDF("event_type", "value", "props")
+    val r = Analytics.groupCorr(events).collect().head
+    assert(r.isNullAt(r.fieldIndex("corr_r")))
+  }
+
+  // ---- q91 histogram ----
+
+  test("q91 histogram: buckets partition the rows, micro-sums exact") {
+    val out = Analytics.valueHistogram(spark, sfDir).collect()
+    val events = Tables.events(spark, sfDir)
+    val total = events.filter(col("value").isNotNull).count()
+    assert(out.map(_.getAs[Long]("n")).sum == total, "buckets partition all rows")
+    out.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0, "values are non-negative so buckets are too")
+    }
+  }
+
   test("q79 containment: agrees with a naive all-pairs computation at sf0.001") {
     val docs = Tables.documents(spark, sfDir)
     val sh = ApproxDedup.shingleSets(docs).filter(size(col("shingles")) > 0)
