@@ -36,11 +36,12 @@ object SemDedup {
   def semDedup(embeddings: DataFrame): DataFrame = {
     val v = Dedup.normalized(embeddings)
     // K×64 doubles — driver-side once, literal in the plan thereafter
-    val cents: Array[(Long, Seq[Double], Double)] = v.filter(col("vec_id") < K)
+    val cents: IndexedSeq[(Long, Seq[Double], Double)] = v.filter(col("vec_id") < K)
       .select(col("vec_id"), col("e"), col("nrm"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
+      .toIndexedSeq
     // sim to each centroid, in centroid-id order; argmax = first max
     // index (ties -> lowest centroid id, same rule as the oracle's
     // ORDER BY sim DESC, cid). The cluster id is the seeding vector's
