@@ -108,6 +108,9 @@ object SparkEntry {
     "q89_feature_hash"             -> (TextAnalysis.featureHash _),
     "q90_group_corr"               -> (Analytics.groupCorr _),
     "q91_value_histogram"          -> (Analytics.valueHistogram _),
+    "q92_facet_cube"               -> (Analytics.facetCube _),
+    "q93_dedup_survivor"           -> (Cluster.dedupSurvivor _),
+    "q94_source_gate"              -> (Analytics.sourceGate _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -621,6 +624,43 @@ object SparkEntry {
     "q89_feature_hash" -> TextAnalysis.featureHashOracleSql,
     "q90_group_corr" -> Analytics.groupCorrOracleSql,
     "q91_value_histogram" -> Analytics.valueHistogramOracleSql,
+    "q92_facet_cube" ->
+      """WITH d AS (SELECT COALESCE(lang, '') AS lang,
+        |  COALESCE(source, '') AS source, n_chars FROM documents)
+        |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM d GROUP BY CUBE (lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    // q93 replays q46's reachability closure, then picks each cluster's
+    // survivor by (n_chars DESC, doc_id) — the same total order the
+    // Spark side packs into its single heap score
+    "q93_dedup_survivor" ->
+      s"""WITH RECURSIVE $jaccardPairCtes,
+        |prs AS (SELECT a_id, b_id FROM p
+        |  WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.8),
+        |und AS (SELECT a_id AS s, b_id AS d FROM prs
+        |  UNION SELECT b_id, a_id FROM prs),
+        |reach(s, d) AS (SELECT doc_id, doc_id FROM documents
+        |  UNION SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s),
+        |lab AS (SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s),
+        |rr AS (SELECT lab.doc_id, lab.cluster_id, dd.n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY lab.cluster_id
+        |    ORDER BY dd.n_chars DESC, lab.doc_id) AS rn
+        |  FROM lab JOIN documents dd USING (doc_id)),
+        |sv AS (SELECT cluster_id, doc_id AS survivor_id FROM rr WHERE rn = 1)
+        |SELECT rr.doc_id, rr.cluster_id, sv.survivor_id,
+        |  rr.doc_id = sv.survivor_id AS is_survivor
+        |FROM rr JOIN sv USING (cluster_id) ORDER BY rr.doc_id""".stripMargin,
+    "q94_source_gate" ->
+      """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
+        |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, source,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, source) AS rank FROM c),
+        |top AS (SELECT lang, source FROM r WHERE rank <= 3)
+        |SELECT d.doc_id, COALESCE(d.lang, '') AS lang, COALESCE(d.source, '') AS source
+        |FROM documents d JOIN top t
+        |  ON COALESCE(d.lang, '') = t.lang AND COALESCE(d.source, '') = t.source
+        |ORDER BY d.doc_id""".stripMargin,
     // ordered containment pairs from the shared unordered pair CTE:
     // each unordered pair tests both directions
     "q79_containment" ->

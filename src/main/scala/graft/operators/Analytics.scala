@@ -493,6 +493,42 @@ object Analytics {
       |FROM events WHERE value IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q92: CUBE over the document facets — all four grouping combinations
+    * of (lang, source) in one pass (q08 is the ROLLUP half of this):
+    * the dashboard's facet-count matrix. Data NULLs are normalized to ''
+    * BEFORE the cube so they stay distinguishable from the cube's own
+    * subtotal NULLs — the standard disambiguation trap with nullable
+    * facet columns.
+    *
+    * Scale notes: Catalyst plans CUBE as one Expand (×4 streams) + one
+    * map-combined agg; output is facet-cardinality-sized. */
+  def facetCube(s: SparkSession, dir: String): DataFrame =
+    facetCube(Tables.documents(s, dir))
+
+  def facetCube(docs: DataFrame): DataFrame =
+    docs.select(coalesce(col("lang"), lit("")).as("lang"),
+        coalesce(col("source"), lit("")).as("source"), col("n_chars"))
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
+
+  /** q94: top-source gate — keep only documents from each language's
+    * top-3 sources (q83's heavy hitters), the "trusted high-volume
+    * sources" corpus-selection rule. The gate table is output-sized, so
+    * the semi join broadcasts and the corpus side never shuffles —
+    * corpus selection as a runtime filter, the q70 bloom pattern with
+    * an exact list. */
+  def sourceGate(s: SparkSession, dir: String): DataFrame =
+    sourceGate(Tables.documents(s, dir))
+
+  def sourceGate(docs: DataFrame): DataFrame = {
+    val top = heavyHitters(docs).select(col("lang"), col("source"))
+    docs.select(col("doc_id"), coalesce(col("lang"), lit("")).as("lang"),
+        coalesce(col("source"), lit("")).as("source"))
+      .join(broadcast(top), Seq("lang", "source"), "left_semi")
+      .orderBy("doc_id")
+  }
+
   /** q12: conditional (pivot-style) aggregation per entity. */
   def conditionalAgg(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)

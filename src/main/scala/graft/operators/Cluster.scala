@@ -154,6 +154,37 @@ object Cluster {
       .select(col("id"), coalesce(col("r"), lit(base)).as("pr_int"))
   }
 
+  /** q93: dedup survivorship — after q46's transitive clustering, ONE
+    * canonical document survives per cluster by the survivorship rule
+    * (longest text, ties → lowest doc_id); every member maps to its
+    * survivor. This is the keep/drop decision that actually shrinks the
+    * corpus — clusters say what's duplicated, survivorship says what
+    * ships (the reference keeps whichever validated point matched
+    * first, scan-order-dependent; this rule is deterministic).
+    *
+    * Scale notes: survivor selection runs as the bounded-heap top-1
+    * aggregate over a single packed score (n_chars·2^20 + (2^20−id):
+    * exact in double while ids < 2^20 and n_chars < 2^32, strictly
+    * dominated by n_chars) — ≤1 row per (partition, cluster) into the
+    * shuffle, no per-cluster window sort; edges come off the shared
+    * materialized pair table. */
+  def dedupSurvivor(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val labels = connectedComponents(
+      docs.select(col("doc_id").as("id")), pairsTable(s, dir))
+    val scored = labels
+      .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+      .select(col("label"), col("id").as("__cand_id"),
+        (col("n_chars") * lit(1048576L) + (lit(1048576L) - col("id")))
+          .cast("double").as("sim"))
+    val surv = Similarity.explodeTopKPerGroup(scored, "label", "survivor_id", 1)
+      .select(col("label"), col("survivor_id"))
+    labels.join(surv, Seq("label"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("survivor_id"), (col("id") === col("survivor_id")).as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
   /** q46: transitive dedup clusters of the documents table — edges are
     * the exact 3-gram Jaccard ≥ 0.8 pairs (q23's output), nodes are all
     * documents (pair-free docs stay singleton clusters of themselves).

@@ -371,6 +371,67 @@ class StatsOpsSpec extends SparkTestBase {
     }
   }
 
+  // ---- q92 facet cube ----
+
+  test("q92 cube: subtotal NULLs stay distinct from normalized '' facets") {
+    val docs = Seq(
+      (1L, "en", "a", 10L), (2L, "en", null, 20L), (3L, "de", "b", 30L)
+    ).toDF("doc_id", "lang", "source", "n_chars")
+    val out = Analytics.facetCube(docs).collect()
+      .map(r => (Option(r.getAs[String]("lang")), Option(r.getAs[String]("source")))
+        -> (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_chars"))).toMap
+    assert(out((Some("en"), Some(""))) == ((1L, 20L)), "data NULL became ''")
+    assert(out((Some("en"), None)) == ((2L, 30L)), "cube subtotal row is NULL")
+    assert(out((None, None)) == ((3L, 60L)), "grand total")
+    assert(out.size == 3 + 3 + 2 + 1) // cells + lang subtotals + source subtotals + total
+  }
+
+  // ---- q93 dedup survivor ----
+
+  test("q93 survivor: longest doc wins its cluster, ties to lowest id, singletons self-survive") {
+    val dup = ((1 to 40).map(i => s"w$i")).mkString(" ")
+    val docs = Seq(
+      (1L, dup), (2L, dup + " extra tail words here"), (3L, dup), // one cluster
+      (9L, "totally unrelated text that stands alone by itself now")
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val labels = graft.operators.Cluster.connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      graft.operators.ApproxDedup.ngramJaccardPairs(docs).select("a_id", "b_id"))
+    // survivorship over explicit frames mirrors the gated path's rule
+    val clustered = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clustered(1L) == clustered(2L) && clustered(2L) == clustered(3L))
+    assert(clustered(9L) == 9L)
+    val out = graft.operators.Cluster.dedupSurvivor(spark, sfDir).collect()
+    // gated-path invariants at sf0.001: every cluster has exactly one
+    // survivor, and it maximizes (n_chars, -doc_id) within the cluster
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    val chars = Tables.documents(spark, sfDir).select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byCluster.foreach { case (_, rows) =>
+      val survivors = rows.filter(_.getAs[Boolean]("is_survivor"))
+      assert(survivors.length == 1)
+      val s = survivors.head.getAs[Long]("survivor_id")
+      rows.foreach { r =>
+        val m = r.getAs[Long]("doc_id")
+        assert(r.getAs[Long]("survivor_id") == s)
+        assert((chars(s), -s) == Seq((chars(s), -s), (chars(m), -m)).max)
+      }
+    }
+  }
+
+  // ---- q94 source gate ----
+
+  test("q94 gate: kept docs all come from their language's top-3 sources") {
+    val out = Analytics.sourceGate(spark, sfDir).collect()
+    val top = Analytics.heavyHitters(Tables.documents(spark, sfDir)).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source"))).toSet
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(top.contains((r.getAs[String]("lang"), r.getAs[String]("source"))))
+    }
+    assert(out.length < Tables.documents(spark, sfDir).count(), "gate actually drops rows")
+  }
+
   test("q79 containment: agrees with a naive all-pairs computation at sf0.001") {
     val docs = Tables.documents(spark, sfDir)
     val sh = ApproxDedup.shingleSets(docs).filter(size(col("shingles")) > 0)
