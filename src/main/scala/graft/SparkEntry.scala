@@ -111,6 +111,8 @@ object SparkEntry {
     "q92_facet_cube"               -> (Analytics.facetCube _),
     "q93_dedup_survivor"           -> (Cluster.dedupSurvivor _),
     "q94_source_gate"              -> (Analytics.sourceGate _),
+    "q95_hopping_window"           -> (graft.streaming.Streams.q95 _),
+    "q96_rate_anomaly"             -> (Temporal.rateAnomaly _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -651,6 +653,19 @@ object SparkEntry {
         |SELECT rr.doc_id, rr.cluster_id, sv.survivor_id,
         |  rr.doc_id = sv.survivor_id AS is_survivor
         |FROM rr JOIN sv USING (cluster_id) ORDER BY rr.doc_id""".stripMargin,
+    // each event lands in exactly 2 second-aligned 10-min/5-min-slide
+    // windows: starts floor(t/300)*300 and that minus 300
+    "q95_hopping_window" ->
+      """WITH e AS (SELECT event_type, value,
+        |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS t FROM events),
+        |x AS (SELECT event_type, value,
+        |  (t // 300 - i) * 300 AS s FROM e, (SELECT unnest([0, 1]) AS i) u)
+        |SELECT TIMESTAMP '1970-01-01 00:00:00' + to_seconds(s) AS window_start,
+        |  TIMESTAMP '1970-01-01 00:00:00' + to_seconds(s + 600) AS window_end,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS VARCHAR) AS DOUBLE) AS total_value
+        |FROM x GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+    "q96_rate_anomaly" -> Temporal.rateAnomalyOracleSql,
     "q94_source_gate" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -196,6 +196,61 @@ object Temporal {
       |SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
       |  CAST(SUM(COALESCE(gap_s, 0)) AS BIGINT) AS gap_sum_s
       |FROM b GROUP BY band ORDER BY band""".stripMargin
+
+  /** q96: event-rate anomaly score — each hourly count z-scored against
+    * its trailing 24 OBSERVED hourly buckets (ROWS frame: calendar gaps
+    * collapse, deterministic and gap-robust), the ops-monitoring signal
+    * over the ingest stream. The moments under the z-score are exact
+    * integer window sums; the score itself is one fixed-association
+    * double chain (sqrt is IEEE-exact), zero-variance windows → NULL
+    * like q90.
+    *
+    * Scale notes: one map-combined hourly rollup (output = hours ×
+    * types), then the window runs over that output-sized table — never
+    * over raw events. */
+  def rateAnomaly(s: SparkSession, dir: String): DataFrame =
+    rateAnomaly(Tables.events(s, dir))
+
+  def rateAnomaly(events: DataFrame): DataFrame = {
+    val hourly = events.filter(col("ts").isNotNull)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val tw = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-24, -1)
+    def d(c: Column) = c.cast("double")
+    val scored = hourly
+      .withColumn("cnt", count(lit(1)).over(tw))
+      .withColumn("s1", sum(col("n")).over(tw))
+      .withColumn("s2", sum(col("n") * col("n")).over(tw))
+      .filter(col("cnt") >= 2)
+      .withColumn("den",
+        d(col("cnt")) * sqrt((d(col("cnt")) * d(col("s2")) - d(col("s1")) * d(col("s1")))
+          / (d(col("cnt")) * (d(col("cnt")) - lit(1.0)))))
+    scored.select(col("event_type"), col("hour"), col("n"), col("cnt"),
+        round((d(col("n")) * d(col("cnt")) - d(col("s1")))
+          / when(col("den") === 0.0, lit(null)).otherwise(col("den")), 6).as("z_r"))
+      .orderBy("event_type", "hour")
+  }
+
+  /** q96 oracle: identical moments, frame, and float chain. */
+  def rateAnomalyOracleSql: String =
+    """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      | FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      |w AS (SELECT event_type, hour, n,
+      |  CAST(COUNT(*) OVER tw AS BIGINT) AS cnt,
+      |  CAST(SUM(n) OVER tw AS BIGINT) AS s1,
+      |  CAST(SUM(n * n) OVER tw AS BIGINT) AS s2
+      | FROM h WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+      |   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, hour, n, cnt,
+      |  ROUND((CAST(n AS DOUBLE) * CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE))
+      |    / NULLIF(CAST(cnt AS DOUBLE)
+      |      * sqrt((CAST(cnt AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |        / (CAST(cnt AS DOUBLE) * (CAST(cnt AS DOUBLE) - 1.0e0))), 0.0e0), 6) AS z_r
+      |FROM w WHERE cnt >= 2 ORDER BY event_type, hour""".stripMargin
 
   def intervalJoin(s: SparkSession, dir: String): DataFrame = intervalJoin(Tables.events(s, dir))
 

@@ -33,6 +33,28 @@ object Streams {
         col("n_events"), col("total_value"))
   }
 
+  /** q95: HOPPING (sliding) window aggregation — 10-minute windows
+    * every 5 minutes, so each event lands in exactly 2 overlapping
+    * windows: the smoothing the dashboard's activity panels need where
+    * q19's tumbling windows jump at boundaries. Identical code for
+    * batch and stream (watermark added when streaming), like
+    * [[tumblingAgg]]. Value sums fold in DECIMAL so overlapping windows
+    * stay engine-exact.
+    *
+    * Scale notes: one shuffle on (window, event_type); the ×2 row
+    * expansion happens map-side inside Spark's window() Expand, before
+    * partial aggregation — state per window is one row, and a stream
+    * drops windows as the watermark passes, exactly like tumbling. */
+  def hoppingAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    in.groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,4)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
   /** Replay-safe dedup (q21): drop duplicate event_ids (within the
     * watermark horizon when streaming — Kafka redelivery shape). The
     * streaming path uses dropDuplicatesWithinWatermark: a bare
@@ -292,6 +314,11 @@ object Streams {
   /** q19: tumbling hourly aggregate over the events table. */
   def q19(s: SparkSession, dir: String): DataFrame =
     tumblingAgg(Tables.events(s, dir))
+      .orderBy("window_start", "event_type")
+
+  /** q95: batch run of the hopping-window aggregate. */
+  def q95(s: SparkSession, dir: String): DataFrame =
+    hoppingAgg(Tables.events(s, dir))
       .orderBy("window_start", "event_type")
 
   /** q20: batch sessionization with a 30-minute gap. */

@@ -432,6 +432,31 @@ class StatsOpsSpec extends SparkTestBase {
     assert(out.length < Tables.documents(spark, sfDir).count(), "gate actually drops rows")
   }
 
+  // ---- q96 rate anomaly ----
+
+  test("q96 anomaly: an outlier hour scores high, trailing window caps at 24") {
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 00:30:00")
+    def at(hour: Int, m: Int) = new java.sql.Timestamp(t0.getTime + (hour * 60L + m) * 60000L)
+    // 30 baseline hours alternating 4/6 events (mean 5, sd > 0), then 50
+    val rows = (0 until 30).flatMap(h =>
+      (0 until (4 + (h % 2) * 2)).map(m => at(h, m))) ++
+      (0 until 50).map(m => at(30, m))
+    val events = rows.zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts, "a") }
+      .toDF("event_id", "ts", "event_type")
+    val out = Temporal.rateAnomaly(events).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("hour").toString ->
+        (r.getAs[Long]("cnt"), r.getAs[Double]("z_r"))).toMap
+    // 32 observed hours (t0 at :30 splits the outlier block across two
+    // truncated hours) minus the first two (cnt<2 filtered)
+    assert(out.size == 30)
+    val (cnt, z) = out("2024-06-02 06:00:00.0") // t0 + 30h, truncated
+    assert(cnt == 24, "trailing window caps at 24 observed buckets")
+    assert(z > 10.0, s"outlier hour must score extreme, got $z")
+    assert(out.values.filter(_._1 == 24).map(_._2).count(math.abs(_) < 3) >= 5,
+      "baseline hours stay inside 3 sigma")
+  }
+
   test("q79 containment: agrees with a naive all-pairs computation at sf0.001") {
     val docs = Tables.documents(spark, sfDir)
     val sh = ApproxDedup.shingleSets(docs).filter(size(col("shingles")) > 0)

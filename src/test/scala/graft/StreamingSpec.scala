@@ -275,6 +275,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("hopping windows over a stream equal the batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = (1 to 90).map(i => E(i.toLong, ts(i % 50), (i % 5).toLong, s"e${i % 2}", i * 0.5))
+    val src = MemoryStream[E]
+    val q = Streams.hoppingAgg(src.toDF())
+      .writeStream.format("memory").queryName("hop_stream").outputMode("complete").start()
+    try {
+      src.addData(events.take(45): _*)
+      q.processAllAvailable()
+      src.addData(events.drop(45): _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[java.sql.Timestamp]("window_start"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))
+      val streamed = spark.table("hop_stream").collect().map(key).toSet
+      val batch = Streams.hoppingAgg(events.toDF()).collect().map(key).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+      // every event lands in exactly two windows
+      assert(batch.toSeq.map(_._3).sum == 2L * events.length)
+    } finally q.stop()
+  }
+
   test("HLL register table maintained over a stream equals the batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
