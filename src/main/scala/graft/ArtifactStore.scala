@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Shared store for derived artifacts that are built once per source dir
+  * and served many times (the q46/q87/q93 pair table, the q72 persisted
+  * IVF index, q82's schema-drift snapshots).
+  *
+  * Everything resolves through the Hadoop FileSystem API against a
+  * configurable warehouse root (`spark.graft.warehouse`, default: a
+  * `graft_warehouse` dir under the driver's tmpdir for local runs) — on a
+  * real cluster the root points at HDFS/S3A, where executors and any
+  * number of drivers see the same artifacts; `java.io.File` paths would
+  * silently rebuild per driver.
+  *
+  * Publish protocol (same story as Streams.upsertSink): build into a
+  * UNIQUE staging dir, then atomically rename to the final path. A
+  * concurrent builder racing to the same artifact loses the rename and
+  * drops its staging copy; readers either see the complete artifact or
+  * none — never a partial one, because the final path only ever appears
+  * via the rename of a fully-built staging dir. */
+object ArtifactStore {
+
+  def warehouseRoot(spark: SparkSession): Path = {
+    val dflt = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), "graft_warehouse")
+      .toUri.toString
+    new Path(spark.conf.get("spark.graft.warehouse", dflt))
+  }
+
+  /** Ensure the artifact `name` exists under the warehouse root, building
+    * it via `build(stagingPath)` when absent; returns the final path
+    * (string form, usable by spark.read). `build` must write the complete
+    * artifact under the single directory it is handed. */
+  def ensure(spark: SparkSession, name: String)(build: String => Unit): String = {
+    val root = warehouseRoot(spark)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fin = new Path(root, name)
+    if (!fs.exists(fin)) {
+      fs.mkdirs(root)
+      val staging = new Path(root,
+        s"_staging-$name-${java.util.UUID.randomUUID().toString.take(8)}")
+      build(staging.toString)
+      // exists-check first: some FileSystems rename INTO an existing dir
+      // rather than failing; a racing loser must drop its copy either way
+      val published = !fs.exists(fin) && fs.rename(staging, fin)
+      if (!published) fs.delete(staging, true)
+    }
+    fin.toString
+  }
+}

@@ -28,7 +28,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val warmDir = "/root/testdata/sf0.001"
-    val warmupDir = if (new java.io.File(warmDir).isDirectory) warmDir else sfDir
+    val warmupDir =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir))) warmDir
+      else sfDir
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmupDir).count()
       catch { case _: Throwable => () } // failures surface in the measured pass

@@ -48,10 +48,11 @@ object SparkEntry {
     "q33_fingerprint"              -> (TextAnalysis.fingerprint _),
     "q34_text_preprocess"          -> (TextAnalysis.preprocess _),
     "q35_multimodal_meta"          -> (Multimodal.multimodalMeta _),
-    // q36 is deliberately rows-only checked (no oracleSql entry): the
-    // batched featurizer stub is not SQL-expressible (see SURVEY.md §2g).
     // The gated surface is the FLAT variant — every output column scalar
-    // so the driver's sort/hash comparator can canonicalize it.
+    // so the driver's sort/hash comparator can canonicalize it. The stub's
+    // arithmetic is deterministic integer/double folds over the payload
+    // bytes, so the oracle replays it in SQL (Multimodal
+    // .imageFeaturizeOracleSql) — full value gate, not rows-only.
     "q36_image_featurize_stub"     -> (Multimodal.imageFeaturizeFlat _),
     "q37_promo_revenue"            -> (Analytics.promoRevenue _),
     "q38_count_distinct"           -> (Serving.countDistinct _),
@@ -323,7 +324,8 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | COUNT(*) AS n_events,
         | CAST(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS VARCHAR) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q20_sessionization" ->
       """WITH x AS (SELECT user_id, ts, event_id, value,
         |  epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
@@ -477,6 +479,7 @@ object SparkEntry {
       """SELECT doc_id,
         | lower(trim(substring(concat_ws(' ', COALESCE(source,''), COALESCE(lang,''), text), 1, 150))) AS clip_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q36_image_featurize_stub" -> Multimodal.imageFeaturizeOracleSql,
     "q35_multimodal_meta" ->
       """SELECT doc_id, hex(encode(text)) AS payload_hex,
         | CAST(strlen(text) AS BIGINT) AS n_bytes,
@@ -567,7 +570,7 @@ object SparkEntry {
       """WITH r AS (SELECT event_type, value, event_id,
         |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
         |  COUNT(*) OVER (PARTITION BY event_type) AS n
-        | FROM events),
+        | FROM events WHERE value IS NOT NULL),
         |b AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
         |  MAX(CASE WHEN rn = CEIL(n * 0.01) THEN value END) AS lo,
         |  MAX(CASE WHEN rn = CEIL(n * 0.99) THEN value END) AS hi
@@ -578,6 +581,7 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
         |  CAST(SUM(CAST(FLOOR(LEAST(GREATEST(e.value, b.lo), b.hi) * 1e6) AS BIGINT)) AS BIGINT) AS clamped_sum_micro
         |FROM events e JOIN b USING (event_type)
+        |WHERE e.value IS NOT NULL
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q78_time_decay" -> Temporal.timeDecayOracleSql,
     "q80_rolling_features" ->
@@ -657,7 +661,8 @@ object SparkEntry {
     // windows: starts floor(t/300)*300 and that minus 300
     "q95_hopping_window" ->
       """WITH e AS (SELECT event_type, value,
-        |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS t FROM events),
+        |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS t
+        |  FROM events WHERE ts IS NOT NULL),
         |x AS (SELECT event_type, value,
         |  (t // 300 - i) * 300 AS s FROM e, (SELECT unnest([0, 1]) AS i) u)
         |SELECT TIMESTAMP '1970-01-01 00:00:00' + to_seconds(s) AS window_start,

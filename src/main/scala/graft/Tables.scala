@@ -43,13 +43,23 @@ object Tables {
     * index, q46/q87's pair table, q82's snapshots): fingerprints the
     * path PLUS each table file's (size, mtime), so regenerated source
     * data — same path, new content — can never satisfy an artifact's
-    * existence check and serve stale results. Local-FS fixtures only;
-    * production callers pass explicit artifact paths instead. */
-  def dirFingerprint(dir: String): String = {
+    * existence check and serve stale results. Resolved through the
+    * Hadoop FileSystem API (works for hdfs:///s3a:// source dirs, not
+    * just local fixtures); 64 bits of md5 over the metadata string, so
+    * a cross-dir collision (which would silently serve the wrong cached
+    * artifact) needs ~2^32 distinct source dirs, vs 2^16 for the 32-bit
+    * String.hashCode this replaces. */
+  def dirFingerprint(spark: SparkSession, dir: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val meta = names.map { n =>
-      val f = new java.io.File(s"$dir/$n.parquet")
-      s"$n:${f.length}:${f.lastModified}"
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$n.parquet")
+      scala.util.Try {
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        s"$n:${st.getLen}:${st.getModificationTime}"
+      }.getOrElse(s"$n:0:0")
     }
-    java.lang.Long.toHexString((dir + meta.mkString(",")).hashCode.toLong & 0xffffffffL)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest((dir + meta.mkString(",")).getBytes("UTF-8"))
+    md.take(8).map(b => f"$b%02x").mkString
   }
 }

@@ -263,7 +263,11 @@ object Analytics {
     val byValue = Window.partitionBy(col("event_type"))
       .orderBy(col("value"), col("event_id"))
     val whole = Window.partitionBy(col("event_type"))
+    // NULL values filtered on both sides: the engines rank NULLs at
+    // opposite ends, which would shift the ceil(n·q)-selected bounds
+    // (same cross-engine rule as the null-ts filters in q78/q80/q85/q88)
     val ranked = events
+      .filter(col("value").isNotNull)
       .select(col("event_type"), col("value"), col("event_id"))
       .withColumn("rn", row_number().over(byValue))
       .withColumn("n", count(lit(1)).over(whole))
@@ -271,7 +275,8 @@ object Analytics {
       max(when(col("rn") === ceil(col("n") * q), col("value")))
     val bounds = ranked.groupBy(col("event_type"))
       .agg(max(col("n")).as("n_events"), pick(0.01).as("lo"), pick(0.99).as("hi"))
-    val clamped = events.select(col("event_type"), col("value"))
+    val clamped = events.filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
       .join(broadcast(bounds), Seq("event_type"))
       .withColumn("cv", least(greatest(col("value"), col("lo")), col("hi")))
     clamped.groupBy(col("event_type"))

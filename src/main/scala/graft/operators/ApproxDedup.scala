@@ -121,8 +121,15 @@ object ApproxDedup {
     * the gated q23 output stays exactly the uncapped result. */
   val DfCap = 1000L
 
+  /** Gated q23 entry: serves the shared materialized pair table
+    * ([[Cluster.pairsTable]] — the verified prefix-filter output written
+    * once per source dir), so q23 and its three graph consumers
+    * (q46/q87/q93) pay the pipeline exactly once between them. The
+    * frame-API overload below still computes inline. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    ngramJaccard(Tables.documents(s, dir))
+    Cluster.pairsTable(s, dir)
+      .select("a_id", "b_id", "common", "na", "nb", "jaccard")
+      .orderBy("a_id", "b_id")
 
   def ngramJaccard(docs: DataFrame): DataFrame = ngramJaccard(docs, DfCap)
 

@@ -79,20 +79,22 @@ object Cluster {
   val PrRounds = 3
 
   /** The τ=0.8 Jaccard pair table materialized ONCE per source dir and
-    * shared by every graph consumer (q46 clustering, q87 centrality) —
-    * at 100 TB the pair join is the expensive step and each downstream
-    * graph pass reads the materialized edges, exactly like q72 serves
-    * reads off the persisted IVF index. Deterministic pipeline +
-    * content-fingerprinted path (Tables.dirFingerprint covers size and
-    * mtime, and the literal version covers layout changes) ⇒ the
+    * shared by every consumer — q23 reads it verbatim (it IS q23's
+    * output), q46/q87/q93 use the (a_id, b_id) edges — at 100 TB the
+    * pair join is the expensive step and each downstream pass reads the
+    * materialized result, exactly like q72 serves reads off the
+    * persisted IVF index. Stored with the full verified columns
+    * (common/na/nb/jaccard ride along at ~24 bytes/pair). Resolved
+    * through [[graft.ArtifactStore]] (Hadoop FS + atomic staging
+    * rename); content-fingerprinted name (Tables.dirFingerprint covers
+    * size and mtime, the literal version covers layout changes) ⇒ the
     * existence check can never serve a stale artifact. */
   private[operators] def pairsTable(s: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_jpairs_v1_" + Tables.dirFingerprint(dir)).toString
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    val path = graft.ArtifactStore.ensure(s,
+      "jpairs_v2_" + Tables.dirFingerprint(s, dir)) { staging =>
       ApproxDedup.ngramJaccardPairs(Tables.documents(s, dir))
-        .select("a_id", "b_id")
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(staging)
+    }
     s.read.parquet(path)
   }
 
@@ -162,23 +164,22 @@ object Cluster {
     * ships (the reference keeps whichever validated point matched
     * first, scan-order-dependent; this rule is deterministic).
     *
-    * Scale notes: survivor selection runs as the bounded-heap top-1
-    * aggregate over a single packed score (n_chars·2^20 + (2^20−id):
-    * exact in double while ids < 2^20 and n_chars < 2^32, strictly
-    * dominated by n_chars) — ≤1 row per (partition, cluster) into the
-    * shuffle, no per-cluster window sort; edges come off the shared
+    * Scale notes: survivor selection is a declarative MAX over the
+    * lexicographic struct (n_chars, -doc_id) — partial-aggregable, so
+    * ≤1 row per (partition, cluster) enters the shuffle and no
+    * per-cluster window sort runs; exact at any id/n_chars magnitude
+    * (longs compared as longs, unlike a packed double score, which
+    * silently corrupts past 2^20 ids); edges come off the shared
     * materialized pair table. */
   def dedupSurvivor(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val labels = connectedComponents(
       docs.select(col("doc_id").as("id")), pairsTable(s, dir))
-    val scored = labels
+    val surv = labels
       .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
-      .select(col("label"), col("id").as("__cand_id"),
-        (col("n_chars") * lit(1048576L) + (lit(1048576L) - col("id")))
-          .cast("double").as("sim"))
-    val surv = Similarity.explodeTopKPerGroup(scored, "label", "survivor_id", 1)
-      .select(col("label"), col("survivor_id"))
+      .groupBy(col("label"))
+      .agg(max(struct(col("n_chars"), (-col("id")).as("neg_id"))).as("m"))
+      .select(col("label"), (-col("m.neg_id")).as("survivor_id"))
     labels.join(surv, Seq("label"))
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         col("survivor_id"), (col("id") === col("survivor_id")).as("is_survivor"))

@@ -58,30 +58,26 @@ object IvfIndex {
       Dedup.normalized(queries), cents, corpus, nprobe, k)
   }
 
-  /** Layout version baked into the index path: bump when the stored
+  /** Layout version baked into the index name: bump when the stored
     * schema or quantizer changes so a stale on-disk index can never
-    * satisfy [[indexReady]] after a code change. */
-  private val LayoutVersion = "v1"
-
-  /** A complete index exists at `path`: the corpus write committed
-    * (_SUCCESS) and the centroid table is present. Source tables are
-    * immutable test fixtures, so existence ⇒ up to date. */
-  private def indexReady(path: String): Boolean =
-    new java.io.File(path, "corpus/_SUCCESS").exists() &&
-      new java.io.File(path, "centroids.parquet").exists()
+    * satisfy the existence check after a code change. */
+  private val LayoutVersion = "v2"
 
   /** q72: build-once + search the exact persisted index in one gated
     * query — result equals q65 (shared oracle), but the candidates come
     * off the cell-partitioned on-disk layout through partition pruning.
-    * The build runs only when the index is absent: a persisted index is
-    * built once and served many times, so repeat invocations (and the
-    * bench's warm pass) measure the READ path, which is the number that
-    * matters for a serving layout. */
+    * The index lives in [[graft.ArtifactStore]] (Hadoop FS, built into a
+    * staging dir and atomically renamed — so the centroids and corpus
+    * appear together or not at all) and builds only when absent: a
+    * persisted index is built once and served many times, so repeat
+    * invocations (and the bench's warm pass) measure the READ path,
+    * which is the number that matters for a serving layout. */
   def ivfIndexedTopK(s: SparkSession, dir: String): DataFrame = {
     val em = graft.Tables.embeddings(s, dir)
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_ivf_exact_${LayoutVersion}_" + graft.Tables.dirFingerprint(dir)).toString
-    if (!indexReady(path)) buildExact(em, path)
+    val path = graft.ArtifactStore.ensure(s,
+      s"ivf_exact_${LayoutVersion}_" + graft.Tables.dirFingerprint(s, dir)) {
+      staging => buildExact(em, staging)
+    }
     searchExact(s, path, em.filter(col("vec_id") < 10))
   }
 

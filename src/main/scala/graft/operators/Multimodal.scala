@@ -97,4 +97,40 @@ object Multimodal {
       .select(col("doc_id") +: col("n_bytes") +:
         (0 until FeatureDim).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
       .orderBy("doc_id")
+
+  /** q36 oracle: [[featurizeStub]]'s arithmetic replayed in SQL over the
+    * UTF-8 bytes of `text` (recovered by parsing hex(encode(text)) two
+    * chars at a time) — the q40/q54 baked-constants technique applied to
+    * the stub itself. Every fold is a sequential left fold with the same
+    * seed and association as the Scala code (`list_prepend` +
+    * `list_reduce` ≡ `foldLeft`), so the doubles are bit-identical. */
+  val imageFeaturizeOracleSql: String =
+    """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |    CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents),
+      |u AS (SELECT doc_id, n_bytes,
+      |    list_transform(range(0, CAST(n_bytes AS INTEGER)),
+      |      i -> CAST(('0x' || substring(hx, CAST(i AS INTEGER)*2 + 1, 2)) AS BIGINT)) AS ub
+      |  FROM b),
+      |d AS (SELECT doc_id, n_bytes, ub,
+      |    list_transform(ub, x -> CAST(x AS DOUBLE)) AS ud FROM u),
+      |m AS (SELECT doc_id, n_bytes, ub, ud,
+      |    CASE WHEN n_bytes = 0 THEN CAST(0 AS DOUBLE) ELSE
+      |      list_reduce(list_prepend(CAST(0 AS DOUBLE), ud), (x,y) -> x+y) / len(ud)
+      |    END AS mean
+      |  FROM d)
+      |SELECT doc_id, n_bytes,
+      |  CAST(n_bytes AS DOUBLE) AS f0,
+      |  mean AS f1,
+      |  CASE WHEN n_bytes = 0 THEN CAST(0 AS DOUBLE) ELSE
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(ud, x -> (x - mean) * (x - mean))), (x,y) -> x+y) / len(ud)
+      |  END AS f2,
+      |  CASE WHEN n_bytes = 0 THEN CAST(0 AS DOUBLE)
+      |    ELSE list_aggregate(ud, 'min') END AS f3,
+      |  CASE WHEN n_bytes = 0 THEN CAST(0 AS DOUBLE)
+      |    ELSE list_aggregate(ud, 'max') END AS f4,
+      |  CASE WHEN n_bytes = 0 THEN CAST(0 AS DOUBLE) ELSE
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ub),
+      |      (a, x) -> (a * 31 + x) % 1000000007) AS DOUBLE) END AS f5
+      |FROM m ORDER BY doc_id""".stripMargin
 }

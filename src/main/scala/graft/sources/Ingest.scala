@@ -118,24 +118,23 @@ object Ingest {
     * Scale notes: mergeSchema costs one footer read per FILE at planning
     * time (not a data scan); at 100 TB you keep it OFF for stable tables
     * and turn it on per-read exactly like this when layers genuinely
-    * drift. The snapshots are written once per source dir (immutable
-    * fixtures ⇒ existence check suffices, same rule as the q72 index). */
+    * drift. The snapshots are written once per source dir into
+    * [[graft.ArtifactStore]] — both land under one staging dir that is
+    * atomically renamed, so a reader can never see one snapshot without
+    * the other. */
   def schemaMergeRead(s: SparkSession, dir: String): DataFrame = {
-    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_schema_merge_v1_" + graft.Tables.dirFingerprint(dir))
-    val oldSnap = new java.io.File(base, "snap_old").toString
-    val newSnap = new java.io.File(base, "snap_new").toString
-    if (!new java.io.File(oldSnap, "_SUCCESS").exists() ||
-        !new java.io.File(newSnap, "_SUCCESS").exists()) {
+    val base = graft.ArtifactStore.ensure(s,
+      "schema_merge_v2_" + graft.Tables.dirFingerprint(s, dir)) { staging =>
       val o = graft.Tables.orders(s, dir)
       o.filter(col("o_orderkey") % 2 === 0)
         .select("o_orderkey", "o_custkey")
-        .write.mode("overwrite").parquet(oldSnap)
+        .write.mode("overwrite").parquet(s"$staging/snap_old")
       o.filter(col("o_orderkey") % 2 === 1)
         .select("o_orderkey", "o_custkey", "o_totalprice")
-        .write.mode("overwrite").parquet(newSnap)
+        .write.mode("overwrite").parquet(s"$staging/snap_new")
     }
-    s.read.option("mergeSchema", "true").parquet(oldSnap, newSnap)
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$base/snap_old", s"$base/snap_new")
       .orderBy("o_orderkey")
   }
 

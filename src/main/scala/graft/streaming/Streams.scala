@@ -26,7 +26,11 @@ object Streams {
     * to streaming inputs — on batch it would be a plan-invalid no-op. */
   def tumblingAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
     val in = if (events.isStreaming) events.withWatermark("ts", watermark) else events
-    in.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+    // explicit null-ts filter: window() drops null-timestamp rows anyway
+    // (the analyzer inserts the filter), but making it visible keeps the
+    // operator and its oracle in lockstep (q78/q80/q85/q96 rule)
+    in.filter(col("ts").isNotNull)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(20,4)")).cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
@@ -47,7 +51,8 @@ object Streams {
     * drops windows as the watermark passes, exactly like tumbling. */
   def hoppingAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
     val in = if (events.isStreaming) events.withWatermark("ts", watermark) else events
-    in.groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+    in.filter(col("ts").isNotNull) // same null-ts parity rule as tumblingAgg
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(20,4)")).cast("double").as("total_value"))
       .select(col("window.start").as("window_start"),
