@@ -3,30 +3,43 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query wall-clock.
   *
-  * Three passes: (1) warmup at the smallest SF — pays codegen/
-  * footer-read/broadcast setup once so measurements reflect steady-state
-  * execution, not first-run JIT; (2) the measured COLD pass at the target
-  * SF (comparable to prior rounds' headline totals); (3) a second
-  * measured WARM pass at the same SF, which isolates plan cost from
-  * JVM/GC sequence noise (the r01 verdict flagged a 2.5× gap between the
-  * in-sequence bench and per-query isolation timings).
+  * Passes: (1) warmup at the smallest SF — pays codegen/footer-read/
+  * broadcast setup once so measurements reflect steady-state execution,
+  * not first-run JIT; (2) the measured COLD pass at the target SF
+  * (comparable to prior rounds' headline totals); (3) a second measured
+  * WARM pass at the same SF **on a fresh SparkSession** — JIT and the
+  * (JVM-static) codegen class cache stay hot, but block-manager/
+  * broadcast/checkpoint state from the cold pass is gone. Round 3's warm
+  * pass shared the session and measured exactly that accumulated state
+  * (69.1s warm vs 55.1s cold, q79 3.5→10.3s): storage churn, not plan
+  * cost. (4) the top-[[IsolatedN]] queries by cold time re-run one more
+  * time, EACH on its own fresh session → target/bench_isolated.json, so
+  * a regression in the in-sequence numbers is attributable to the plan
+  * vs sequence noise without re-deriving it by hand.
   *
   * A query that throws is NOT silently timed: it is recorded as -1 in
   * `queries`, listed in `failed`, excluded from totals, and the process
   * exits nonzero so a broken query can't masquerade as a speedup. */
 object Bench {
+
+  val IsolatedN = 10
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
 
+    var spark = newSession()
     val warmDir = "/root/testdata/sf0.001"
     val warmupDir =
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir))) warmDir
@@ -36,43 +49,61 @@ object Bench {
       catch { case _: Throwable => () } // failures surface in the measured pass
     }
 
-    def measure(): (Map[String, Double], List[String]) = {
+    def timeOne(s: SparkSession, name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        failed: String => Unit): Double = {
+      // queries are self-contained, so any persistent RDD still alive
+      // between them is a leftover localCheckpoint block — drop it NOW
+      // (blocking, so removal can't bleed into the next timed section)
+      // instead of waiting for the ContextCleaner
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // collect the previous queries' garbage OUTSIDE the timed section:
+      // without this, mid-sequence queries absorb multi-second GC pauses
+      // caused by earlier queries (r01 showed 42s vs 6.5s isolated for
+      // the same plan) and the timings stop reflecting plan cost
+      System.gc()
+      val t0 = System.nanoTime()
+      try { fn(s, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        failed(name)
+        -1.0
+      }
+    }
+
+    def measure(s: SparkSession): (Map[String, Double], List[String]) = {
       var failed = List.empty[String]
       val times = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        // queries are self-contained, so any persistent RDD still alive
-        // between them is a leftover localCheckpoint block — drop it NOW
-        // instead of waiting for the ContextCleaner, or block-manager
-        // pressure grows across the 70+-query sequence and the warm pass
-        // measures storage churn, not plan cost
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        // collect the previous queries' garbage OUTSIDE the timed section:
-        // without this, mid-sequence queries absorb multi-second GC pauses
-        // caused by earlier queries (r01 showed 42s vs 6.5s isolated for
-        // the same plan) and the timings stop reflecting plan cost
-        System.gc()
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            failed ::= name
-            false
-          }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        name -> timeOne(s, name, fn, failed ::= _)
       }.toMap
       (times, failed.reverse)
     }
 
-    val (cold, failedCold) = measure()
-    val (warm, failedWarm) = measure()
+    val (cold, failedCold) = measure(spark)
+    // fresh session between passes: keeps JIT warm but drops accumulated
+    // block-manager/broadcast state, so warm isolates PLAN cost
+    spark.stop()
+    spark = newSession()
+    val (warm, failedWarm) = measure(spark)
+    spark.stop()
     val failed = (failedCold ++ failedWarm).distinct
+
+    // isolated re-runs: top-N cold costs, each on its own fresh session
+    val isolated: Seq[(String, Double)] = cold.toSeq
+      .filter(_._2 >= 0).sortBy(-_._2).take(IsolatedN).map(_._1).sorted
+      .map { name =>
+        val s = newSession()
+        val t = timeOne(s, name, SparkEntry.queries(name), _ => ())
+        s.stop()
+        name -> t
+      }
 
     // The driver captures only a bounded tail of this process's stdout, so
     // the contract JSON line must stay SHORT: qNN keys (the contract's
     // example uses "q1"), 3-decimal timings, warm total as one scalar.
-    // Full names + cold/warm detail go to stderr and target/bench_detail
-    // .json for humans — round 2's full-fidelity line outgrew the capture
-    // and the driver recorded parsed:null.
+    // Full names + cold/warm/isolated detail go to target/bench_detail
+    // .json + bench_isolated.json for humans — round 2's full-fidelity
+    // line outgrew the capture and the driver recorded parsed:null.
     // Locale.ROOT: a comma-decimal default locale would render "35,123"
     // and break the JSON
     def r3(v: Double): String =
@@ -85,26 +116,27 @@ object Bench {
         // "q10_y"'s "q10"
         .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
         .mkString("{", ",", "}")
-    def fullMap(m: Map[String, Double]): String =
-      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+    def fullMap(m: Seq[(String, Double)]): String =
+      m.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     def total(m: Map[String, Double]): Double = m.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // file only — sbt folds the forked process's stderr back into its
-    // stdout log, so printing the long line anywhere would still reach
-    // the driver's capture ahead of the compact contract line
-    val detail = s"""{"metric":"total","value":${total(cold)},"unit":"sec"""" +
-      s""","queries":${fullMap(cold)},"queries_warm":${fullMap(warm)}""" +
-      s""","total_warm":${total(warm)},"failed":$failedJson,"sf":"$sfDir"}"""
-    try {
-      val out = java.nio.file.Paths.get("target", "bench_detail.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, detail.getBytes("UTF-8"))
-    } catch { case _: Throwable => () } // detail dump is best-effort
+    def dump(rel: String, content: String): Unit =
+      try {
+        val out = java.nio.file.Paths.get("target", rel)
+        java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.write(out, content.getBytes("UTF-8"))
+      } catch { case _: Throwable => () } // detail dumps are best-effort
+    dump("bench_detail.json",
+      s"""{"metric":"total","value":${total(cold)},"unit":"sec"""" +
+      s""","queries":${fullMap(cold.toSeq)},"queries_warm":${fullMap(warm.toSeq)}""" +
+      s""","total_warm":${total(warm)},"failed":$failedJson,"sf":"$sfDir"}""")
+    dump("bench_isolated.json",
+      s"""{"note":"top-$IsolatedN cold queries re-run on a fresh session each"""" +
+      s""","sf":"$sfDir","queries_isolated":${fullMap(isolated)}}""")
     println(s"""{"metric":"total","value":${r3(total(cold))},"unit":"sec"""" +
       s""","queries":${shortMap(cold)},"total_warm":${r3(total(warm))}""" +
       s""","failed":$failedJson,"sf":"$sfDir"}""")
-    spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -114,6 +114,7 @@ object SparkEntry {
     "q94_source_gate"              -> (Analytics.sourceGate _),
     "q95_hopping_window"           -> (graft.streaming.Streams.q95 _),
     "q96_rate_anomaly"             -> (Temporal.rateAnomaly _),
+    "q97_group_quantiles_2pass"    -> (Analytics.groupQuantiles2Pass _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -671,6 +672,7 @@ object SparkEntry {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM x GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
     "q96_rate_anomaly" -> Temporal.rateAnomalyOracleSql,
+    "q97_group_quantiles_2pass" -> Analytics.groupQuantiles2PassOracleSql,
     "q94_source_gate" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -243,6 +243,97 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Range-bucket count for [[groupQuantiles2Pass]]: each group's
+    * candidate bucket holds ~1/256 of the group, so the only sort runs
+    * over n/256 rows instead of n. */
+  val QuantileBuckets = 256
+
+  /** Internal null-group sentinel (NUL can't occur in a real event_type;
+    * lets the bucket/target equi-joins keep NULL groups that a plain
+    * using-column join would silently drop). */
+  private val NullKey = "\u0000"
+
+  /** q97: the SAME exact rank-selection quantiles as q51, restructured
+    * for 100 TB — q51's whole-group window sort puts each event_type's
+    * entire data on one reducer for a full sort (5 event types ⇒ 5
+    * reducers sort everything); this variant never sorts a whole group:
+    *
+    *  1. per-group (min, max, n) — one map-combined agg, 5 rows,
+    *     broadcast back;
+    *  2. range-bucket counts — one map-combined agg over (group,
+    *     bucket≤256), then cumulative counts over the ≤256-row-per-group
+    *     aggregate (output-sized window, the q83 rule);
+    *  3. rank r = ceil(q·n) lands in the unique bucket with
+    *     prev < r ≤ cum; only THAT bucket's rows (≈ n/256) are re-read,
+    *     sorted, and the (r − prev)-th smallest picked.
+    *
+    * Bucketing is any monotone value→bucket map (floats fine: monotone
+    * IEEE ops preserve order, equal values share a bucket), so the
+    * selected element is exactly q51's — the oracle is the same
+    * rank-selection SQL. Recursing into the candidate bucket would
+    * bound the sort further; one level suffices here. */
+  def groupQuantiles2Pass(s: SparkSession, dir: String): DataFrame =
+    groupQuantiles2Pass(Tables.events(s, dir))
+
+  def groupQuantiles2Pass(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val B = QuantileBuckets
+    val ev = events.filter(col("value").isNotNull)
+      .select(coalesce(col("event_type"), lit(NullKey)).as("gkey"),
+        col("value"), col("event_id"))
+    val stats = ev.groupBy(col("gkey"))
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        count(lit(1)).as("n"))
+    val bucketed = ev.join(broadcast(stats), Seq("gkey"))
+      .withColumn("bucket",
+        when(col("vmax") <= col("vmin"), lit(0))
+          .otherwise(least(floor((col("value") - col("vmin"))
+            / (col("vmax") - col("vmin")) * B).cast("int"), lit(B - 1))))
+    val bcounts = bucketed.groupBy(col("gkey"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val byBucket = Window.partitionBy(col("gkey")).orderBy(col("bucket"))
+    val cum = bcounts
+      .withColumn("cum", sum(col("cnt"))
+        .over(byBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev", col("cum") - col("cnt"))
+    val qFrame = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)).toDF("qname", "q")
+    val targets = cum
+      .join(broadcast(stats.select(col("gkey"), col("n"))), Seq("gkey"))
+      .crossJoin(broadcast(qFrame))
+      .withColumn("r", ceil(col("n") * col("q")))
+      .filter(col("prev") < col("r") && col("r") <= col("cum"))
+      .select(col("gkey"), col("bucket"), col("qname"),
+        (col("r") - col("prev")).as("k"))
+    val picked = bucketed.join(broadcast(targets), Seq("gkey", "bucket"))
+      .withColumn("rnk", row_number().over(Window
+        .partitionBy(col("gkey"), col("qname"))
+        .orderBy(col("value"), col("event_id"))))
+      .filter(col("rnk") === col("k"))
+    val sel = picked.groupBy(col("gkey"))
+      .agg(max(when(col("qname") === "p50", col("value"))).as("p50"),
+        max(when(col("qname") === "p90", col("value"))).as("p90"),
+        max(when(col("qname") === "p99", col("value"))).as("p99"))
+    stats.select(col("gkey"), col("n").as("n_events"))
+      .join(sel, Seq("gkey"))
+      .select(when(col("gkey") === NullKey, lit(null).cast("string"))
+          .otherwise(col("gkey")).as("event_type"),
+        col("n_events"), col("p50"), col("p90"), col("p99"))
+      .orderBy("event_type")
+  }
+
+  /** q97 oracle: q51's rank-selection SQL (non-null values). */
+  val groupQuantiles2PassOracleSql: String =
+    """WITH r AS (SELECT event_type, value, event_id,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |  COUNT(*) OVER (PARTITION BY event_type) AS n
+      | FROM events WHERE value IS NOT NULL)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+      |  MAX(CASE WHEN rn = CEIL(n * 0.5) THEN value END) AS p50,
+      |  MAX(CASE WHEN rn = CEIL(n * 0.9) THEN value END) AS p90,
+      |  MAX(CASE WHEN rn = CEIL(n * 0.99) THEN value END) AS p99
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q77: per-group winsorization — clamp `value` to the exact
     * rank-selected [p01, p99] per event_type and report the clamp
     * bounds, clamp counts, and the clamped sum. The outlier-taming step

@@ -233,4 +233,24 @@ class PlanSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS bt_plan_b")
     }
   }
+
+  test("q97: no window sorts a whole raw group — every window runs over " +
+      "an aggregate or a bucket-filtered join") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // sparkPlan (pre-AQE) so collect() can traverse the whole tree
+    val exec = Analytics.groupQuantiles2Pass(spark, sfDir)
+      .queryExecution.sparkPlan
+    val windows = exec.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the cum-count and rank windows")
+    windows.foreach { w =>
+      val guarded = w.child.collectFirst {
+        case a: HashAggregateExec => a     // cum window: over bucket counts
+        case j: BroadcastHashJoinExec => j // rank window: over target-bucket rows
+      }
+      assert(guarded.nonEmpty,
+        s"window runs over raw ungated rows (the q51 scale-killer):\n$w")
+    }
+  }
 }

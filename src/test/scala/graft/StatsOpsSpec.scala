@@ -457,6 +457,32 @@ class StatsOpsSpec extends SparkTestBase {
       "baseline hours stay inside 3 sigma")
   }
 
+  test("q97: two-pass bucket selection equals the q51 window-sort quantiles") {
+    val ev = Tables.events(spark, sfDir).filter(col("value").isNotNull)
+    val exact = Analytics.groupQuantiles(ev).collect().map(_.toString).toSeq
+    val twoPass = Analytics.groupQuantiles2Pass(ev).collect().map(_.toString).toSeq
+    assert(exact == twoPass)
+  }
+
+  test("q97: null values drop, a null group survives the bucket joins") {
+    val df = Seq(
+      (Some("a"), Some(1.0), 1L), (Some("a"), Some(2.0), 2L),
+      (Some("a"), Option.empty[Double], 3L),
+      (Option.empty[String], Some(5.0), 4L),
+      (Option.empty[String], Some(7.0), 5L),
+      (Some("b"), Some(3.0), 6L)
+    ).toDF("event_type", "value", "event_id")
+    val out = Analytics.groupQuantiles2Pass(df).collect()
+    // ascending with nulls first: (null), a, b
+    assert(out.length == 3)
+    val byKey = out.map(r => Option(r.getAs[String]("event_type")) ->
+      (r.getAs[Long]("n_events"), r.getAs[Double]("p50"),
+        r.getAs[Double]("p90"), r.getAs[Double]("p99"))).toMap
+    assert(byKey(None) == ((2L, 5.0, 7.0, 7.0)), "null group must survive")
+    assert(byKey(Some("a")) == ((2L, 1.0, 2.0, 2.0)), "null value must drop")
+    assert(byKey(Some("b")) == ((1L, 3.0, 3.0, 3.0)))
+  }
+
   test("q79 containment: agrees with a naive all-pairs computation at sf0.001") {
     val docs = Tables.documents(spark, sfDir)
     val sh = ApproxDedup.shingleSets(docs).filter(size(col("shingles")) > 0)
