@@ -94,12 +94,29 @@ object Streams {
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  case class SessionsState(sessions: List[SessionState])
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
 
-  /** Gap-based sessionization for streams: one open session of state per
-    * user, closed + emitted when an event arrives past the gap or the
-    * event-time timeout fires. */
+  /** Gap-based sessionization for streams — EXACT replay of the batch
+    * analog under any micro-batch split of the same events.
+    *
+    * State per user is the list of sessions the watermark has not yet
+    * passed (not just the single open one): a session is only emitted —
+    * and only dropped from state — once `end + gap ≤ watermark`, at
+    * which point no admissible event (ts > watermark) can extend or
+    * bridge it, so the emitted session is final and identical to the
+    * batch result. Until then every arriving event folds into the
+    * session set: it extends the session(s) within `gap` of it, merging
+    * the two neighbors it bridges, or starts its own. Out-of-order
+    * events within the watermark therefore land exactly where the batch
+    * sort would put them — including several late events spanning an
+    * old session across different micro-batches, the case the previous
+    * single-open-session state emitted as fragments.
+    *
+    * Scale notes: state per user is bounded by the watermark horizon
+    * (sessions older than it are evicted on the event-time timeout), and
+    * the per-batch fold touches only that user's surviving sessions. */
   def sessionizeStream(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -107,51 +124,37 @@ object Streams {
     events.withWatermark("ts", "1 hour")
       .selectExpr("event_id", "ts", "user_id", "value").as[Ev]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionsState, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionsState]) =>
           def toSession(st: SessionState): Session = Session(userId,
             new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.end),
             st.n, st.total)
-          if (state.hasTimedOut) {
-            val out = state.getOption.map(toSession).toSeq
-            state.remove()
-            out.iterator
-          } else {
-            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(st) if t >= st.start - gapMs && t - st.end <= gapMs =>
-                  // in or adjacent to the open session — extend BOTH ends:
-                  // a late event within the watermark can precede the
-                  // session's current start (cross-batch out-of-order)
-                  cur = Some(SessionState(math.min(st.start, t), math.max(st.end, t),
-                    st.n + 1, st.total + e.value))
-                case Some(st) if t < st.start - gapMs =>
-                  // late event more than a gap BEFORE the open session: it
-                  // belongs to an earlier, already-gone session. Emit it as
-                  // its own session rather than corrupting the open one.
-                  // (Known divergence from the batch analog when several
-                  // such events span one old session across micro-batches;
-                  // exact replay requires keeping closed sessions in state
-                  // until the watermark passes them.)
-                  closed ::= Session(userId, e.ts, e.ts, 1L, e.value)
-                case Some(st) =>
-                  closed ::= toSession(st)
-                  cur = Some(SessionState(t, t, 1L, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1L, e.value))
-              }
-            }
-            cur.foreach { st =>
-              state.update(st)
-              state.setTimeoutTimestamp(st.end + gapMs)
-            }
-            closed.reverse.iterator
+          // fold one event into the disjoint session list: merge with
+          // every session within `gap` (≤ 2: the one it bridges on each
+          // side), else start a new one
+          def insert(ss: List[SessionState], e: Ev): List[SessionState] = {
+            val t = e.ts.getTime
+            val (near, far) = ss.partition(st =>
+              t >= st.start - gapMs && t <= st.end + gapMs)
+            SessionState(
+              (t :: near.map(_.start)).min, (t :: near.map(_.end)).max,
+              near.map(_.n).sum + 1L, near.map(_.total).sum + e.value) :: far
           }
+          val existing = state.getOption.map(_.sessions).getOrElse(Nil)
+          val merged =
+            if (state.hasTimedOut) existing
+            else evs.foldLeft(existing)(insert)
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) = merged.partition(st => st.end + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionsState(open))
+            // wake when the earliest open session becomes final; the
+            // timestamp must sit strictly past the current watermark
+            state.setTimeoutTimestamp(math.max(open.map(_.end + gapMs).min, wm + 1))
+          }
+          closed.sortBy(st => (st.start, st.end)).map(toSession).iterator
       }.toDF()
   }
 
@@ -236,6 +239,142 @@ object Streams {
       tryCommitVersion(spark, path, batchId) // false = already committed: done
       ()
     }
+
+  /** Hash bucket of the merge key(s): pmod(hash(keys), n). The bucket of
+    * a key never changes, so a batch row and its base row always land in
+    * the same bucket. */
+  private[graft] def bucketExpr(keys: Seq[String], numBuckets: Int) =
+    pmod(hash(keys.map(col): _*), lit(numBuckets))
+
+  /** Bucketed incremental MERGE sink — [[upsertSink]]'s scale path. The
+    * plain sink rewrites the FULL snapshot every micro-batch (a 100 TB
+    * table rewritten per trigger); this one hash-buckets the snapshot by
+    * the merge key and each batch rewrites ONLY the buckets containing
+    * batch keys — per-trigger write cost is O(table/numBuckets ×
+    * touched buckets), not O(table).
+    *
+    * Layout: `path/v<id>/__bucket=<b>/…` holds the rewritten buckets of
+    * version `id`; `path/v<id>/_manifest` maps EVERY bucket to the
+    * version whose files currently hold it (untouched buckets keep
+    * pointing at older versions — their files are never rewritten, or
+    * even read). Publish order is the same stage → rename → claim
+    * protocol as [[upsertSink]], so readers resolving through
+    * `_commits` never see a partial version, and a foreachBatch replay
+    * recomputes the identical merge (the base resolves strictly below
+    * the replayed batchId). Old versions are swept by
+    * [[vacuumBucketed]] once no current manifest references them. */
+  def upsertSinkBucketed(stream: DataFrame, path: String, keys: Seq[String],
+      numBuckets: Int = 16, retainVersions: Int = 1):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      mergeBucketedBatch(batch, path, keys, numBuckets, batchId)
+      vacuumBucketed(batch.sparkSession, path, retainVersions)
+      ()
+    }
+
+  /** One bucketed merge (the foreachBatch body, callable directly for
+    * batch backfills): merge `batch` into the buckets it touches and
+    * publish version `batchId` with an updated manifest. */
+  def mergeBucketedBatch(batch: DataFrame, path: String, keys: Seq[String],
+      numBuckets: Int, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prevManifest: Map[Int, Long] =
+      latestCommittedVersion(spark, path).filter(_ < batchId)
+        .map(v => readManifest(spark, path, v)).getOrElse(Map.empty)
+    val bb = batch.withColumn("__bucket", bucketExpr(keys, numBuckets))
+    // ≤ numBuckets values — a bounded driver collect, not a data collect
+    val touched = bb.select("__bucket").distinct().collect()
+      .map(_.getInt(0)).sorted
+    val baseTouched = touched.toSeq.flatMap { b =>
+      prevManifest.get(b).map(v =>
+        spark.read.parquet(s"$path/v$v/__bucket=$b").withColumn("__bucket", lit(b)))
+    }.reduceOption(_ unionByName _)
+    val merged = baseTouched match {
+      case Some(base) => graft.operators.Merge.upsertSnapshot(base, bb, keys)
+      case None => bb
+    }
+    val staging = new org.apache.hadoop.fs.Path(dir,
+      s"_staging-v$batchId-${java.util.UUID.randomUUID().toString.take(8)}")
+    merged.write.mode("overwrite").partitionBy("__bucket").parquet(staging.toString)
+    // manifest rides INSIDE the staged version dir, so the rename
+    // publishes data + manifest atomically together
+    writeManifest(fs, staging, prevManifest ++ touched.map(_ -> batchId))
+    val target = new org.apache.hadoop.fs.Path(dir, s"v$batchId")
+    val published = !fs.exists(target) && fs.rename(staging, target)
+    if (!published) fs.delete(staging, true)
+    tryCommitVersion(spark, path, batchId)
+    ()
+  }
+
+  /** The latest bucketed snapshot: each bucket read from the version the
+    * manifest references, unioned. Returns None before the first commit
+    * or when the manifest is empty (only empty batches ever committed). */
+  def currentSnapshotBucketed(spark: SparkSession, path: String): Option[DataFrame] =
+    latestCommittedVersion(spark, path).flatMap { v =>
+      readManifest(spark, path, v).toSeq.sortBy(_._1)
+        .map { case (b, ver) => spark.read.parquet(s"$path/v$ver/__bucket=$b") }
+        .reduceOption(_ unionByName _)
+    }
+
+  /** `_commits`-driven retention for [[upsertSinkBucketed]] tables:
+    * deletes version dirs that (a) are not referenced by the LATEST
+    * committed manifest, (b) are at least `retainVersions` behind it
+    * (grace window for a reader that resolved the previous commit just
+    * before this one), and (c) are not the latest version itself (an
+    * empty batch publishes a manifest-only version whose dir must
+    * survive). Returns the swept version ids. */
+  def vacuumBucketed(spark: SparkSession, path: String,
+      retainVersions: Int = 1): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestCommittedVersion(spark, path) match {
+      case None => Nil
+      case Some(latest) =>
+        val referenced = readManifest(spark, path, latest).values.toSet
+        val versions = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+          .filter(n => n.length > 1 && n.head == 'v' && n.tail.forall(_.isDigit))
+          .map(_.tail.toLong)
+        val doomed = versions
+          .filter(v => v != latest && v <= latest - retainVersions && !referenced(v))
+          .sorted
+        doomed.foreach(v =>
+          fs.delete(new org.apache.hadoop.fs.Path(dir, s"v$v"), true))
+        doomed
+    }
+  }
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      versionDir: org.apache.hadoop.fs.Path, m: Map[Int, Long]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(versionDir, "_manifest"), true)
+    try out.write(m.toSeq.sorted.map { case (b, v) => s"$b:$v" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[graft] def readManifest(spark: SparkSession, path: String,
+      v: Long): Map[Int, Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/v$v/_manifest")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else readUtf8(fs, p).split("\n").iterator.filter(_.nonEmpty).map { line =>
+      val Array(b, ver) = line.split(":")
+      b.toInt -> ver.toLong
+    }.toMap
+  }
+
+  private def readUtf8(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
 
   /** Optimistic commit of snapshot version `v`: atomically claims
     * `_commits/<v>` via create-if-absent (atomic on HDFS and local FS; on

@@ -51,74 +51,75 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("sessionizeStream closes a session when the gap passes (event-time)") {
+  /** Drive sessionizeStream over the given micro-batch split, flush by
+    * advancing the watermark far past every event (twice: the watermark
+    * a batch runs with comes from the PREVIOUS batch's max event time),
+    * and return the emitted sessions minus the flush sentinels. */
+  private def runSessionSplit(name: String, batches: Seq[Seq[E]]):
+      Set[(Long, String, String, Long, Double)] = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val src = MemoryStream[E]
     val q = Streams.sessionizeStream(src.toDF(), gapSeconds = 600)
-      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
     try {
-      // user 1: two events 5 min apart (one session), then an event 40 min
-      // later -> closes the first session on arrival
-      src.addData(E(1, ts(0), 1, "a", 1.0), E(2, ts(5), 1, "a", 2.0))
-      q.processAllAvailable()
-      src.addData(E(3, ts(45), 1, "a", 3.0))
-      q.processAllAvailable()
-      val out = spark.table("sessions").collect()
-        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start").toString,
-          r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
-      assert(out.toSeq === Seq((1L, "2024-01-01 10:00:00.0", 2L, 3.0)))
+      batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+      src.addData(E(9000, tsAt(13, 0), 99, "z", 0.0)); q.processAllAvailable()
+      src.addData(E(9001, tsAt(13, 1), 99, "z", 0.0)); q.processAllAvailable()
+      spark.table(name).collect()
+        .filter(_.getAs[Long]("user_id") != 99L)
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("session_start").toString.take(19),
+          r.getAs[Timestamp]("session_end").toString.take(19),
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
     } finally q.stop()
+  }
+
+  test("sessionizeStream closes a session once the watermark passes its gap") {
+    val out = runSessionSplit("sessions", Seq(
+      Seq(E(1, ts(0), 1, "a", 1.0), E(2, ts(5), 1, "a", 2.0)),
+      Seq(E(3, ts(45), 1, "a", 3.0))))
+    assert(out === Set(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2L, 3.0),
+      (1L, "2024-01-01 10:45:00", "2024-01-01 10:45:00", 1L, 3.0)))
   }
 
   test("sessionizeStream: a late in-gap event from a later micro-batch moves session_start back") {
-    implicit val sqlCtx = spark.sqlContext
-    import spark.implicits._
-    val src = MemoryStream[E]
-    val q = Streams.sessionizeStream(src.toDF(), gapSeconds = 600)
-      .writeStream.format("memory").queryName("sess_late").outputMode("append").start()
-    try {
-      src.addData(E(1, ts(10), 1, "a", 1.0), E(2, ts(15), 1, "a", 2.0))
-      q.processAllAvailable()
+    val out = runSessionSplit("sess_late", Seq(
+      Seq(E(1, ts(10), 1, "a", 1.0), E(2, ts(15), 1, "a", 2.0)),
       // late arrival (within watermark) BEFORE the open session's start but
       // within the gap: must merge and extend the start backwards
-      src.addData(E(3, ts(4), 1, "a", 4.0))
-      q.processAllAvailable()
-      src.addData(E(4, ts(50), 1, "a", 0.5)) // > gap later: closes the session
-      q.processAllAvailable()
-      val out = spark.table("sess_late").collect()
-        .map(r => (r.getAs[Timestamp]("session_start").toString,
-          r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
-      assert(out.toSeq === Seq(("2024-01-01 10:04:00.0", 3L, 7.0)))
-    } finally q.stop()
+      Seq(E(3, ts(4), 1, "a", 4.0)),
+      Seq(E(4, ts(50), 1, "a", 0.5))))
+    assert(out === Set(
+      (1L, "2024-01-01 10:04:00", "2024-01-01 10:15:00", 3L, 7.0),
+      (1L, "2024-01-01 10:50:00", "2024-01-01 10:50:00", 1L, 0.5)))
   }
 
-  test("stream-closed sessions agree with batch sessionization on the same events") {
-    implicit val sqlCtx = spark.sqlContext
+  test("sessionizeStream replays the batch analog exactly under 1/2/3-batch splits") {
     import spark.implicits._
-    val evs = Seq(
-      E(1, ts(0), 1, "a", 1.0), E(2, ts(8), 1, "a", 2.0),   // session 1 of user 1
-      E(3, ts(40), 1, "a", 3.0),                             // session 2 closes session 1
-      E(4, ts(2), 2, "b", 4.0), E(5, ts(50), 2, "b", 5.0))  // user 2: session 2 closes session 1
-    val src = MemoryStream[E]
-    val q = Streams.sessionizeStream(src.toDF(), gapSeconds = 600)
-      .writeStream.format("memory").queryName("sess_consistency").outputMode("append").start()
-    try {
-      src.addData(evs: _*); q.processAllAvailable()
-      val streamed = spark.table("sess_consistency").collect()
-        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start").toString,
-          r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
-      val batch = Streams.sessionizeBatch(evs.toDF(), gapSeconds = 600).collect()
-        .map(r => (r.getAs[Long]("user_id"), r.getAs[Any]("session_start").toString.take(19),
-          r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
-      // every stream-closed session must exist in the batch result
-      streamed.foreach { s =>
-        val key = (s._1, s._2.take(19), s._3, s._4)
-        assert(batch.contains(key), s"stream session $s missing from batch $batch")
-      }
-      // the two sessions closed by later events were emitted
-      assert(streamed.map(x => (x._1, x._3)) === Set((1L, 2L), (2L, 1L)))
-    } finally q.stop()
+    // user 1: e3 arrives late and BRIDGES e1's and e2's sessions into one;
+    // user 2: two late events spanning one old session arrive in DIFFERENT
+    // micro-batches while a newer session is open — the case a single-open-
+    // session state would emit as two fragments
+    val e1 = E(1, ts(0), 1, "a", 1.0);  val e2 = E(2, ts(20), 1, "a", 2.0)
+    val e3 = E(3, ts(10), 1, "a", 4.0); val e4 = E(4, tsAt(11, 0), 1, "a", 0.5)
+    val g0 = E(7, ts(40), 2, "b", 8.0)
+    val f1 = E(5, ts(0), 2, "b", 1.0);  val f2 = E(6, ts(8), 2, "b", 2.0)
+    val all = Seq(e1, e2, e3, e4, g0, f1, f2)
+    val expected = Streams.sessionizeBatch(all.toDF(), gapSeconds = 600).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Any]("session_start").toString.take(19),
+        r.getAs[Any]("session_end").toString.take(19),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+    val one   = runSessionSplit("sess_split1", Seq(all))
+    val two   = runSessionSplit("sess_split2",
+      Seq(Seq(e1, e2, f1), Seq(e3, f2, g0, e4)))
+    val three = runSessionSplit("sess_split3",
+      Seq(Seq(e1, g0), Seq(e2, e3, f1), Seq(f2, e4)))
+    assert(one === expected, "1-batch split diverged from batch")
+    assert(two === expected, "2-batch split diverged from batch")
+    assert(three === expected, "3-batch split diverged from batch")
   }
 
   test("upsertSink: micro-batches MERGE into a versioned snapshot (Hadoop file:// URI)") {
@@ -141,6 +142,57 @@ class StreamingSpec extends SparkTestBase {
       assert(snap(1L) === ((1L, 1.0)))   // untouched
       assert(snap(2L) === ((9L, 20.0)))  // batch row won
       assert(snap(3L) === ((2L, 3.0)))   // inserted
+    } finally q.stop()
+  }
+
+  test("upsertSinkBucketed: only touched buckets rewrite; vacuum sweeps unreferenced versions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "file://" + java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bucketFiles(v: Long): Map[String, (Long, Long)] = {
+      val base = new org.apache.hadoop.fs.Path(s"$dir/v$v")
+      fs.listStatus(base).filter(_.isDirectory).flatMap(d =>
+        fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet")).map(f =>
+          s"${d.getPath.getName}/${f.getPath.getName}" ->
+            (f.getLen, f.getModificationTime))).toMap
+    }
+    val src = MemoryStream[E]
+    val q = Streams.upsertSinkBucketed(src.toDF(), dir, Seq("event_id"),
+      numBuckets = 4, retainVersions = 1).start()
+    try {
+      src.addData((1L to 8L).map(i => E(i, ts(i.toInt), i, "a", i.toDouble)): _*)
+      q.processAllAvailable()
+      val v0Files = bucketFiles(0)
+      assert(v0Files.nonEmpty)
+      val b1 = spark.range(1, 2).select(
+        Streams.bucketExpr(Seq("id"), 4)).first().getInt(0) // bucket of key 1
+      // batch 1 updates ONLY key 1 → only its bucket rewrites
+      src.addData(E(1, ts(30), 9, "b", 100.0))
+      q.processAllAvailable()
+      val m1 = Streams.readManifest(spark, dir, 1)
+      assert(m1(b1) === 1L, "touched bucket must point at the new version")
+      assert(m1.count(_._2 == 0L) === m1.size - 1, "all other buckets stay at v0")
+      // untouched v0 bucket files are byte-for-byte untouched on disk
+      val v0After = bucketFiles(0)
+      assert(v0After.view.filterKeys(!_.startsWith(s"__bucket=$b1")).toMap ===
+        v0Files.view.filterKeys(!_.startsWith(s"__bucket=$b1")).toMap)
+      // snapshot equals a full-table reference merge
+      val snap = Streams.currentSnapshotBucketed(spark, dir).get.collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          (r.getAs[Long]("user_id"), r.getAs[Double]("value"))).toMap
+      assert(snap.keySet === (1L to 8L).toSet)
+      assert(snap(1L) === ((9L, 100.0)) && snap(2L) === ((2L, 2.0)))
+      // batch 2 touches every bucket → v0 and v1 become unreferenced and
+      // fall past the retain window → swept; snapshot survives
+      src.addData((1L to 8L).map(i => E(i, ts(40 + i.toInt), i, "c", -i.toDouble)): _*)
+      q.processAllAvailable()
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v0")), "v0 not swept")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v1")), "v1 not swept")
+      val snap2 = Streams.currentSnapshotBucketed(spark, dir).get.collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).toMap
+      assert(snap2 === (1L to 8L).map(i => i -> -i.toDouble).toMap)
     } finally q.stop()
   }
 
