@@ -115,6 +115,8 @@ object SparkEntry {
     "q95_hopping_window"           -> (graft.streaming.Streams.q95 _),
     "q96_rate_anomaly"             -> (Temporal.rateAnomaly _),
     "q97_group_quantiles_2pass"    -> (Analytics.groupQuantiles2Pass _),
+    "q98_percentile_rank_2pass"    -> (Analytics.percentileRank2Pass _),
+    "q99_winsorize_2pass"          -> (Analytics.winsorize2Pass _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -184,6 +186,27 @@ object SparkEntry {
        |  ON rr${operators.Cluster.PrRounds}.id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** Winsorization oracle: exact rank-selected [p01, p99] clamp over
+    * non-null values — shared by q77 (window-sort plan) and q99 (its
+    * two-pass bucket-selection twin, identical output by construction). */
+  private val winsorizeSql: String =
+    """WITH r AS (SELECT event_type, value, event_id,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |  COUNT(*) OVER (PARTITION BY event_type) AS n
+      | FROM events WHERE value IS NOT NULL),
+      |b AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+      |  MAX(CASE WHEN rn = CEIL(n * 0.01) THEN value END) AS lo,
+      |  MAX(CASE WHEN rn = CEIL(n * 0.99) THEN value END) AS hi
+      | FROM r GROUP BY event_type)
+      |SELECT e.event_type, MAX(b.n_events) AS n_events,
+      |  MAX(b.lo) AS lo, MAX(b.hi) AS hi,
+      |  CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+      |  CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+      |  CAST(SUM(CAST(FLOOR(LEAST(GREATEST(e.value, b.lo), b.hi) * 1e6) AS BIGINT)) AS BIGINT) AS clamped_sum_micro
+      |FROM events e JOIN b USING (event_type)
+      |WHERE e.value IS NOT NULL
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
   /** DuckDB-equivalent SQL for each oracle-able query (same column names,
     * same ordering, DECIMAL-exact aggregates cast to DOUBLE). */
@@ -567,23 +590,11 @@ object SparkEntry {
     "q74_hll_distinct" -> Hll.hllOracleSql,
     "q75_doc_chunks" -> Chunking.chunkOracleSql,
     "q76_bigram_counts" -> Curation.bigramOracleSql,
-    "q77_winsorize" ->
-      """WITH r AS (SELECT event_type, value, event_id,
-        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
-        |  COUNT(*) OVER (PARTITION BY event_type) AS n
-        | FROM events WHERE value IS NOT NULL),
-        |b AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
-        |  MAX(CASE WHEN rn = CEIL(n * 0.01) THEN value END) AS lo,
-        |  MAX(CASE WHEN rn = CEIL(n * 0.99) THEN value END) AS hi
-        | FROM r GROUP BY event_type)
-        |SELECT e.event_type, MAX(b.n_events) AS n_events,
-        |  MAX(b.lo) AS lo, MAX(b.hi) AS hi,
-        |  CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
-        |  CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
-        |  CAST(SUM(CAST(FLOOR(LEAST(GREATEST(e.value, b.lo), b.hi) * 1e6) AS BIGINT)) AS BIGINT) AS clamped_sum_micro
-        |FROM events e JOIN b USING (event_type)
-        |WHERE e.value IS NOT NULL
-        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q77_winsorize" -> winsorizeSql,
+    // q99 computes q77's exact output through the two-pass bucket
+    // selection (no whole-group sort) — same oracle by construction
+    "q99_winsorize_2pass" -> winsorizeSql,
+    "q98_percentile_rank_2pass" -> Analytics.percentileRank2PassOracleSql,
     "q78_time_decay" -> Temporal.timeDecayOracleSql,
     "q80_rolling_features" ->
       """SELECT event_id, user_id,

@@ -275,32 +275,46 @@ object Analytics {
   def groupQuantiles2Pass(s: SparkSession, dir: String): DataFrame =
     groupQuantiles2Pass(Tables.events(s, dir))
 
-  def groupQuantiles2Pass(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
+  /** Monotone value→bucket map over the broadcast (vmin, vmax) range:
+    * monotone IEEE ops preserve order and equal values share a bucket,
+    * so buckets partition the per-group value order. */
+  private def bucketOf(value: Column): Column =
+    when(col("vmax") <= col("vmin"), lit(0))
+      .otherwise(least(floor((value - col("vmin"))
+        / (col("vmax") - col("vmin")) * QuantileBuckets).cast("int"),
+        lit(QuantileBuckets - 1)))
+
+  /** Per-(gkey, bucket) counts with running totals: `prev` = rows in
+    * strictly earlier buckets, `cum` = rows through this bucket. The
+    * window runs over the ≤[[QuantileBuckets]]-row-per-group aggregate
+    * (output-sized, the q83 rule), never raw rows. */
+  private def bucketCum(bucketed: DataFrame): DataFrame = {
+    val byBucket = Window.partitionBy(col("gkey")).orderBy(col("bucket"))
+    bucketed.groupBy(col("gkey"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt"))
+        .over(byBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev", col("cum") - col("cnt"))
+  }
+
+  /** Shared two-pass rank-selection core (q97/q99): for each quantile
+    * q, rank r = ceil(q·n) lands in the unique bucket with
+    * prev < r ≤ cum; only THAT bucket's rows (≈ n/256) are re-read,
+    * sorted, and the (r − prev)-th smallest picked. Input `ev` must
+    * carry (gkey, value, tb); returns (stats(gkey, vmin, vmax, n),
+    * picked(gkey, qname, value)). */
+  private def bucketRankSelect(ev: DataFrame,
+      qs: Seq[(String, Double)]): (DataFrame, DataFrame) = {
+    val spark = ev.sparkSession
     import spark.implicits._
-    val B = QuantileBuckets
-    val ev = events.filter(col("value").isNotNull)
-      .select(coalesce(col("event_type"), lit(NullKey)).as("gkey"),
-        col("value"), col("event_id"))
     val stats = ev.groupBy(col("gkey"))
       .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"),
         count(lit(1)).as("n"))
     val bucketed = ev.join(broadcast(stats), Seq("gkey"))
-      .withColumn("bucket",
-        when(col("vmax") <= col("vmin"), lit(0))
-          .otherwise(least(floor((col("value") - col("vmin"))
-            / (col("vmax") - col("vmin")) * B).cast("int"), lit(B - 1))))
-    val bcounts = bucketed.groupBy(col("gkey"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-    val byBucket = Window.partitionBy(col("gkey")).orderBy(col("bucket"))
-    val cum = bcounts
-      .withColumn("cum", sum(col("cnt"))
-        .over(byBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("prev", col("cum") - col("cnt"))
-    val qFrame = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)).toDF("qname", "q")
-    val targets = cum
+      .withColumn("bucket", bucketOf(col("value")))
+    val targets = bucketCum(bucketed)
       .join(broadcast(stats.select(col("gkey"), col("n"))), Seq("gkey"))
-      .crossJoin(broadcast(qFrame))
+      .crossJoin(broadcast(qs.toDF("qname", "q")))
       .withColumn("r", ceil(col("n") * col("q")))
       .filter(col("prev") < col("r") && col("r") <= col("cum"))
       .select(col("gkey"), col("bucket"), col("qname"),
@@ -308,19 +322,108 @@ object Analytics {
     val picked = bucketed.join(broadcast(targets), Seq("gkey", "bucket"))
       .withColumn("rnk", row_number().over(Window
         .partitionBy(col("gkey"), col("qname"))
-        .orderBy(col("value"), col("event_id"))))
+        .orderBy(col("value"), col("tb"))))
       .filter(col("rnk") === col("k"))
+      .select(col("gkey"), col("qname"), col("value"))
+    (stats, picked)
+  }
+
+  /** events → the (gkey, value, tb) frame the bucket machinery runs on;
+    * NULL values filtered (cross-engine rank rule), NULL group keys kept
+    * through the equi-joins via the sentinel. */
+  private def keyedEventValues(events: DataFrame): DataFrame =
+    events.filter(col("value").isNotNull)
+      .select(coalesce(col("event_type"), lit(NullKey)).as("gkey"),
+        col("value"), col("event_id").as("tb"))
+
+  private def unkey(gkey: Column): Column =
+    when(gkey === NullKey, lit(null).cast("string")).otherwise(gkey)
+
+  def groupQuantiles2Pass(events: DataFrame): DataFrame = {
+    val (stats, picked) = bucketRankSelect(keyedEventValues(events),
+      Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)))
     val sel = picked.groupBy(col("gkey"))
       .agg(max(when(col("qname") === "p50", col("value"))).as("p50"),
         max(when(col("qname") === "p90", col("value"))).as("p90"),
         max(when(col("qname") === "p99", col("value"))).as("p99"))
     stats.select(col("gkey"), col("n").as("n_events"))
       .join(sel, Seq("gkey"))
-      .select(when(col("gkey") === NullKey, lit(null).cast("string"))
-          .otherwise(col("gkey")).as("event_type"),
+      .select(unkey(col("gkey")).as("event_type"),
         col("n_events"), col("p50"), col("p90"), col("p99"))
       .orderBy("event_type")
   }
+
+  /** q99: q77's winsorization with the clamp bounds computed by the q97
+    * two-pass bucket selection instead of a whole-group window sort —
+    * identical output (the oracle is q77's SQL), scale-safe plan: the
+    * p01/p99 bounds come out of [[bucketRankSelect]], broadcast back
+    * onto the scan, and the clamp aggregation is the same exact
+    * micro-unit integer fold as q77. */
+  def winsorize2Pass(s: SparkSession, dir: String): DataFrame =
+    winsorize2Pass(Tables.events(s, dir))
+
+  def winsorize2Pass(events: DataFrame): DataFrame = {
+    val ev = keyedEventValues(events)
+    val (stats, picked) = bucketRankSelect(ev, Seq(("lo", 0.01), ("hi", 0.99)))
+    val bounds = stats.select(col("gkey"), col("n").as("n_events"))
+      .join(picked.groupBy(col("gkey"))
+        .agg(max(when(col("qname") === "lo", col("value"))).as("lo"),
+          max(when(col("qname") === "hi", col("value"))).as("hi")), Seq("gkey"))
+    ev.join(broadcast(bounds), Seq("gkey"))
+      .withColumn("cv", least(greatest(col("value"), col("lo")), col("hi")))
+      .groupBy(col("gkey"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clamped_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clamped_hi"),
+        sum(floor(col("cv") * 1e6).cast("long")).as("clamped_sum_micro"))
+      .select(unkey(col("gkey")).as("event_type"), col("n_events"),
+        col("lo"), col("hi"), col("n_clamped_lo"), col("n_clamped_hi"),
+        col("clamped_sum_micro"))
+      .orderBy("event_type")
+  }
+
+  /** q98: q81's per-row percentile ranks without the per-language
+    * whole-group window sort. The global rank of a row decomposes as
+    * (rows in strictly earlier buckets) + (rank within its own bucket)
+    * because buckets partition the value order — so the per-row window
+    * sorts only (gkey, bucket) slices of ~n/256 rows, with the bucket
+    * prefix totals ([[bucketCum]]) broadcast. Output identical to q81
+    * (same oracle modulo the explicit non-null filter). */
+  def percentileRank2Pass(s: SparkSession, dir: String): DataFrame =
+    percentileRank2Pass(Tables.documents(s, dir))
+
+  def percentileRank2Pass(docs: DataFrame): DataFrame = {
+    val d = docs.filter(col("n_chars").isNotNull)
+      .select(coalesce(col("lang"), lit(NullKey)).as("gkey"),
+        col("doc_id"), col("n_chars"))
+    val stats = d.groupBy(col("gkey"))
+      .agg(min(col("n_chars")).as("vmin"), max(col("n_chars")).as("vmax"),
+        count(lit(1)).as("n"))
+    val bucketed = d.join(broadcast(stats), Seq("gkey"))
+      .withColumn("bucket", bucketOf(col("n_chars")))
+    val prefix = bucketCum(bucketed).select(col("gkey"), col("bucket"), col("prev"))
+    bucketed.join(broadcast(prefix), Seq("gkey", "bucket"))
+      .withColumn("rn", col("prev") + row_number().over(Window
+        .partitionBy(col("gkey"), col("bucket"))
+        .orderBy(col("n_chars"), col("doc_id"))))
+      .select(col("doc_id"), unkey(col("gkey")).as("lang"), col("n_chars"),
+        ((col("rn") - 1).cast("double")
+          / greatest(col("n") - 1, lit(1)).cast("double")).as("pct_rank"),
+        (col("rn").cast("double") / col("n").cast("double")).as("cume"))
+      .orderBy("doc_id")
+  }
+
+  /** q98 oracle: q81's SQL over non-null lengths. */
+  val percentileRank2PassOracleSql: String =
+    """WITH r AS (SELECT doc_id, lang, n_chars,
+      |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+      |  COUNT(*) OVER (PARTITION BY lang) AS n
+      | FROM documents WHERE n_chars IS NOT NULL)
+      |SELECT doc_id, lang, n_chars,
+      |  CAST(rn - 1 AS DOUBLE) / CAST(GREATEST(n - 1, 1) AS DOUBLE) AS pct_rank,
+      |  CAST(rn AS DOUBLE) / CAST(n AS DOUBLE) AS cume
+      |FROM r ORDER BY doc_id""".stripMargin
 
   /** q97 oracle: q51's rank-selection SQL (non-null values). */
   val groupQuantiles2PassOracleSql: String =

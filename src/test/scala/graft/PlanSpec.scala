@@ -234,23 +234,28 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("q97: no window sorts a whole raw group — every window runs over " +
-      "an aggregate or a bucket-filtered join") {
+  test("q97/q98/q99: no window sorts a whole raw group — every window " +
+      "runs over an aggregate or a bucket-filtered join") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.HashAggregateExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-    // sparkPlan (pre-AQE) so collect() can traverse the whole tree
-    val exec = Analytics.groupQuantiles2Pass(spark, sfDir)
-      .queryExecution.sparkPlan
-    val windows = exec.collect { case w: WindowExec => w }
-    assert(windows.nonEmpty, "expected the cum-count and rank windows")
-    windows.foreach { w =>
-      val guarded = w.child.collectFirst {
-        case a: HashAggregateExec => a     // cum window: over bucket counts
-        case j: BroadcastHashJoinExec => j // rank window: over target-bucket rows
+    Seq(
+      Analytics.groupQuantiles2Pass(spark, sfDir),
+      Analytics.percentileRank2Pass(spark, sfDir),
+      Analytics.winsorize2Pass(spark, sfDir)
+    ).foreach { df =>
+      // sparkPlan (pre-AQE) so collect() can traverse the whole tree
+      val exec = df.queryExecution.sparkPlan
+      val windows = exec.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, "expected the cum-count and rank windows")
+      windows.foreach { w =>
+        val guarded = w.child.collectFirst {
+          case a: HashAggregateExec => a     // cum window: over bucket counts
+          case j: BroadcastHashJoinExec => j // rank window: over target-bucket rows
+        }
+        assert(guarded.nonEmpty,
+          s"window runs over raw ungated rows (the q51 scale-killer):\n$w")
       }
-      assert(guarded.nonEmpty,
-        s"window runs over raw ungated rows (the q51 scale-killer):\n$w")
     }
   }
 }

@@ -483,6 +483,15 @@ class StatsOpsSpec extends SparkTestBase {
     assert(byKey(Some("b")) == ((1L, 3.0, 3.0, 3.0)))
   }
 
+  test("q98/q99: two-pass twins equal their window-sort originals") {
+    val docs = Tables.documents(spark, sfDir)
+    assert(Analytics.percentileRank(docs).collect().map(_.toString).toSeq ==
+      Analytics.percentileRank2Pass(docs).collect().map(_.toString).toSeq)
+    val ev = Tables.events(spark, sfDir).filter(col("value").isNotNull)
+    assert(Analytics.winsorize(ev).collect().map(_.toString).toSeq ==
+      Analytics.winsorize2Pass(ev).collect().map(_.toString).toSeq)
+  }
+
   test("q79 containment: agrees with a naive all-pairs computation at sf0.001") {
     val docs = Tables.documents(spark, sfDir)
     val sh = ApproxDedup.shingleSets(docs).filter(size(col("shingles")) > 0)
