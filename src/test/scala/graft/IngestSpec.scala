@@ -107,6 +107,24 @@ class IngestSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("part=b"))
   }
 
+  test("ArtifactStore.ensure builds once, returns the same path, and leaves no staging") {
+    var builds = 0
+    val name = s"spec_artifact_${System.nanoTime()}"
+    def ensure() = ArtifactStore.ensure(spark, name) { dir =>
+      builds += 1
+      spark.range(3).write.parquet(dir)
+    }
+    val p1 = ensure(); val p2 = ensure()
+    assert(p1 === p2)
+    assert(builds === 1, "second ensure must serve the existing artifact")
+    assert(spark.read.parquet(p1).count() === 3)
+    val root = ArtifactStore.warehouseRoot(spark)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith(s"_staging-$name"))
+    assert(staged.isEmpty, s"staging dirs left behind: ${staged.mkString(",")}")
+  }
+
   test("sql extension functions are callable from plain SQL") {
     val dot = spark.sql(
       "SELECT dot_product_double(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
