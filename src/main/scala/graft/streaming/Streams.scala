@@ -414,16 +414,9 @@ object Streams {
       else None
     fromLog.orElse {
       val latest = new org.apache.hadoop.fs.Path(dir, "_LATEST")
-      if (fs.exists(latest)) {
-        val in = fs.open(latest)
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val chunk = new Array[Byte](256)
-          var n = in.read(chunk)
-          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-          scala.util.Try(new String(buf.toByteArray, "UTF-8").trim.toLong).toOption
-        } finally in.close()
-      } else None
+      if (fs.exists(latest))
+        scala.util.Try(readUtf8(fs, latest).trim.toLong).toOption
+      else None
     }
   }
 
