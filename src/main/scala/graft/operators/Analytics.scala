@@ -363,7 +363,10 @@ object Analytics {
     winsorize2Pass(Tables.events(s, dir))
 
   def winsorize2Pass(events: DataFrame): DataFrame = {
-    val ev = keyedEventValues(events)
+    // q77 (and its oracle's JOIN USING(event_type)) EXCLUDES the NULL
+    // group — the bounds join can never match it — so the twin must too;
+    // found by the PropertySpec random-frame cross-check, not the fixture
+    val ev = keyedEventValues(events.filter(col("event_type").isNotNull))
     val (stats, picked) = bucketRankSelect(ev, Seq(("lo", 0.01), ("hi", 0.99)))
     val bounds = stats.select(col("gkey"), col("n").as("n_events"))
       .join(picked.groupBy(col("gkey"))

@@ -171,4 +171,41 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("two-pass bucket selection equals the window-sort quantiles on random frames") {
+    import graft.operators.Analytics
+    // duplicates, negatives, single-element and all-equal groups, and a
+    // null group key all mixed in — the shapes the fixture can't cover
+    val groupGen = Gen.oneOf[Option[String]](Some("a"), Some("b"), Some("c"), None)
+    val valueGen = Gen.oneOf(
+      Gen.chooseNum(-1000L, 1000L).map(_ / 8.0), // duplicate-heavy grid
+      Gen.const(42.0),                           // all-equal runs
+      Gen.chooseNum(-1e6, 1e6))
+    val rowGen = Gen.zip(groupGen, valueGen)
+    (1 to 5).foreach { trial =>
+      val rows = samples(rowGen, 400 * trial).zipWithIndex
+        .map { case ((g, v), i) => (g, v, i.toLong) }
+      val df = rows.toDF("event_type", "value", "event_id")
+      val exact = Analytics.groupQuantiles(df).collect().map(_.toString).toSeq
+      val twoPass = Analytics.groupQuantiles2Pass(df).collect().map(_.toString).toSeq
+      assert(twoPass === exact, s"trial=$trial quantiles diverged")
+      val w = Analytics.winsorize(df).collect().map(_.toString).toSeq
+      val w2 = Analytics.winsorize2Pass(df).collect().map(_.toString).toSeq
+      assert(w2 === w, s"trial=$trial winsorize diverged")
+    }
+  }
+
+  test("two-pass percentile ranks equal the window-sort ranks on random frames") {
+    import graft.operators.Analytics
+    val langGen = Gen.oneOf[Option[String]](Some("en"), Some("es"), None)
+    val lenGen = Gen.oneOf(Gen.chooseNum(0L, 50L), Gen.const(7L))
+    (1 to 5).foreach { trial =>
+      val rows = samples(Gen.zip(langGen, lenGen), 300 * trial).zipWithIndex
+        .map { case ((l, n), i) => (i.toLong, l, n) }
+      val df = rows.toDF("doc_id", "lang", "n_chars")
+      val exact = Analytics.percentileRank(df).collect().map(_.toString).toSeq
+      val twoPass = Analytics.percentileRank2Pass(df).collect().map(_.toString).toSeq
+      assert(twoPass === exact, s"trial=$trial ranks diverged")
+    }
+  }
 }
