@@ -277,7 +277,13 @@ object Analytics {
 
   /** Monotone value→bucket map over the broadcast (vmin, vmax) range:
     * monotone IEEE ops preserve order and equal values share a bucket,
-    * so buckets partition the per-group value order. */
+    * so buckets partition the per-group value order.
+    *
+    * PRECONDITION (all two-pass twins): values must be FINITE — a NaN or
+    * ±Infinity poisons the range arithmetic into NaN buckets and rows
+    * would silently drop from the bucket joins. The window-sort
+    * originals tolerate non-finite values (engines sort NaN greatest);
+    * filter or clamp upstream before using the two-pass plans. */
   private def bucketOf(value: Column): Column =
     when(col("vmax") <= col("vmin"), lit(0))
       .otherwise(least(floor((value - col("vmin"))
