@@ -117,6 +117,8 @@ object SparkEntry {
     "q97_group_quantiles_2pass"    -> (Analytics.groupQuantiles2Pass _),
     "q98_percentile_rank_2pass"    -> (Analytics.percentileRank2Pass _),
     "q99_winsorize_2pass"          -> (Analytics.winsorize2Pass _),
+    "q100_csv_roundtrip"           -> (graft.sources.Ingest.csvRoundtrip _),
+    "q101_orc_roundtrip"           -> (graft.sources.Ingest.orcRoundtrip _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -619,6 +621,8 @@ object SparkEntry {
         |  CAST(rn AS DOUBLE) / CAST(n AS DOUBLE) AS cume
         |FROM r ORDER BY doc_id""".stripMargin,
     "q82_schema_merge" -> graft.sources.Ingest.schemaMergeOracleSql,
+    "q100_csv_roundtrip" -> graft.sources.Ingest.csvRoundtripOracleSql,
+    "q101_orc_roundtrip" -> graft.sources.Ingest.orcRoundtripOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -144,6 +144,65 @@ object Ingest {
       |  CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** q100: schema-enforced CSV read, gated as a value round-trip — the
+    * orders snapshot is exported once to CSV (header, default quoting)
+    * into the [[graft.ArtifactStore]] warehouse and read back through
+    * [[readCsv]] (explicit schema + FAILFAST); the oracle is the plain
+    * projection of the source table, so delimiter/quote/timestamp
+    * round-tripping is value-checked, not assumed. Java's shortest-
+    * round-trip double printing makes o_totalprice exact; o_orderdate is
+    * day-granular so the CSV timestamp format loses nothing.
+    *
+    * Scale notes: CSV is the interchange format pipelines INGEST, not
+    * store — no pushdown, no column pruning, full-row parse (the plan
+    * shows no PushedFilters, unlike every parquet scan here). The gated
+    * query exists to prove the reader correct; the scale guidance is
+    * "convert to parquet on first touch", which is what every other
+    * operator then reads. */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType)))
+    val path = graft.ArtifactStore.ensure(s,
+      "csv_orders_v1_" + graft.Tables.dirFingerprint(s, dir)) { staging =>
+      graft.Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate")
+        .write.option("header", "true").csv(staging)
+    }
+    readCsv(s, path, schema).orderBy("o_orderkey")
+  }
+
+  val csvRoundtripOracleSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** q101: ORC read path, gated the same way — events exported once to
+    * ORC and read back; ORC stores microsecond timestamps and binary
+    * doubles, so the round-trip is bit-exact including `ts` and the
+    * JSON `props` payload. Unlike CSV, ORC IS a storage format: the
+    * read supports predicate pushdown and column pruning like parquet,
+    * so a user migrating an ORC lake onto this library reads their
+    * files in place. */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.ArtifactStore.ensure(s,
+      "orc_events_v1_" + graft.Tables.dirFingerprint(s, dir)) { staging =>
+      graft.Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.orc(staging)
+    }
+    s.read.orc(path)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .orderBy("event_id")
+  }
+
+  val orcRoundtripOracleSql: String =
+    """SELECT event_id, ts, user_id, event_type, value, props
+      |FROM events ORDER BY event_id""".stripMargin
+
   def readKafkaStream(s: SparkSession, bootstrapServers: String, topic: String,
       startingOffsets: String = "earliest",
       maxOffsetsPerTrigger: Option[Long] = None,
