@@ -119,6 +119,7 @@ object SparkEntry {
     "q99_winsorize_2pass"          -> (Analytics.winsorize2Pass _),
     "q100_csv_roundtrip"           -> (graft.sources.Ingest.csvRoundtrip _),
     "q101_orc_roundtrip"           -> (graft.sources.Ingest.orcRoundtrip _),
+    "q102_dedup_canonical"         -> (Dedup.exactCanonical _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -379,6 +380,7 @@ object SparkEntry {
         |FROM d JOIN c ON d.content_hash IS NOT DISTINCT FROM c.ch
         |ORDER BY doc_id""".stripMargin,
     "q23_dedup_ngram_jaccard" -> exactJaccardSql,
+    "q102_dedup_canonical" -> Dedup.exactCanonicalOracleSql,
     // oracle for the LSH path is the exact blocked Jaccard: at 32x4
     // banding a J>=0.8 pair is missed with probability < 1e-7, so the
     // verified LSH output must equal the exact result.

@@ -45,6 +45,47 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The canonical text form exact dedup hashes: Unicode NFC (native
+    * [[org.apache.spark.sql.graftbridge.NfcNormalize]] kernel) → trim →
+    * lowercase → whitespace runs collapsed to one space. Without NFC,
+    * visually-identical strings with different codepoint sequences
+    * (é = U+00E9 vs e + combining U+0301 — endemic in scraped web text)
+    * hash differently and every such duplicate silently survives. */
+  def canonicalText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, NfcNormalize}
+    val nfc = ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+    regexp_replace(lower(trim(nfc)), "\\s+", " ")
+  }
+
+  /** q102: exact dedup over the CANONICALIZED text — q22's one-hash-
+    * shuffle pattern (narrow codegen'd canonicalization projection, one
+    * shuffle on the hash), but robust to the representation noise real
+    * corpora carry: combining-mark encodings, case, runs of whitespace. */
+  def exactCanonical(s: SparkSession, dir: String): DataFrame =
+    exactCanonical(Tables.documents(s, dir))
+
+  def exactCanonical(docs: DataFrame): DataFrame = {
+    val hashed = docs
+      .select(col("doc_id"), md5(canonicalText(col("text"))).as("canon_hash"))
+    val clusters = hashed.groupBy(col("canon_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("cluster_size"))
+      .withColumnRenamed("canon_hash", "__cluster_hash")
+    hashed.join(clusters, col("canon_hash") <=> col("__cluster_hash"))
+      .select("doc_id", "canon_hash", "canonical_id", "cluster_size")
+      .orderBy("doc_id")
+  }
+
+  /** q102 oracle: the same canonical form via DuckDB's nfc_normalize. */
+  val exactCanonicalOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g')) AS canon_hash
+      |  FROM documents),
+      |c AS (SELECT canon_hash AS ch, MIN(doc_id) AS canonical_id,
+      |  COUNT(*) AS cluster_size FROM d GROUP BY canon_hash)
+      |SELECT doc_id, canon_hash, canonical_id, cluster_size
+      |FROM d JOIN c ON d.canon_hash IS NOT DISTINCT FROM c.ch
+      |ORDER BY doc_id""".stripMargin
+
   /** All vecs with embedding cast to double + precomputed norm. */
   def normalized(s: SparkSession, dir: String): DataFrame = normalized(Tables.embeddings(s, dir))
 

@@ -41,6 +41,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(s) - Unicode NFC normalization (dedup canonicalization)"),
+      (args: Seq[Expression]) => {
+        arity(args, 1, "nfc_normalize")
+        NfcNormalize(args(0))
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(text, k) - distinct space-joined word k-grams"),
       (args: Seq[Expression]) => {

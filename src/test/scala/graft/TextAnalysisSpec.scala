@@ -110,4 +110,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.forall(_.getString(1).length <= 150))
     assert(out.forall(r => r.getString(1) === r.getString(1).toLowerCase))
   }
+
+  test("q102: NFC canonicalization merges combining-mark/case/whitespace variants") {
+    import spark.implicits._
+    val combining = "Cafe\u0301  AU   lait " // e + U+0301, case + ws runs
+    val df = Seq(
+      (1L, "Caf\u00e9 au lait"), // precomposed
+      (2L, " " + combining),
+      (3L, "something else")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.exactCanonical(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[Long]("cluster_size"))).toMap
+    assert(out(1L) === ((1L, 2L)), "representation variants must share a cluster")
+    assert(out(2L) === ((1L, 2L)))
+    assert(out(3L)._2 === 1L)
+    // the SQL-registered native kernel agrees, and NFC input passes through
+    val nfc = spark.sql("SELECT nfc_normalize('Cafe\u0301'), " +
+      "nfc_normalize('plain ascii')").collect()(0)
+    assert(nfc.getString(0) === "Caf\u00e9")
+    assert(nfc.getString(1) === "plain ascii")
+  }
 }
