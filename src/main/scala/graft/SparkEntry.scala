@@ -120,6 +120,7 @@ object SparkEntry {
     "q100_csv_roundtrip"           -> (graft.sources.Ingest.csvRoundtrip _),
     "q101_orc_roundtrip"           -> (graft.sources.Ingest.orcRoundtrip _),
     "q102_dedup_canonical"         -> (Dedup.exactCanonical _),
+    "q103_json_roundtrip"          -> (graft.sources.Ingest.jsonRoundtrip _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -625,6 +626,7 @@ object SparkEntry {
     "q82_schema_merge" -> graft.sources.Ingest.schemaMergeOracleSql,
     "q100_csv_roundtrip" -> graft.sources.Ingest.csvRoundtripOracleSql,
     "q101_orc_roundtrip" -> graft.sources.Ingest.orcRoundtripOracleSql,
+    "q103_json_roundtrip" -> graft.sources.Ingest.jsonRoundtripOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -203,6 +203,42 @@ object Ingest {
     """SELECT event_id, ts, user_id, event_type, value, props
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Timestamp format for the JSON-lines round-trip: Spark's default
+    * JSON format truncates to millis, silently corrupting µs event
+    * times — the explicit 6-S pattern round-trips microseconds. */
+  private val JsonTsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  /** q103: schema-enforced JSON-lines FILE read (the [[readJson]] path —
+    * q56 gates the Kafka-envelope from_json variant), gated as a value
+    * round-trip like q100/q101: events exported once to JSON lines,
+    * read back with explicit schema + FAILFAST; oracle = the source
+    * projection. Proves field typing, the µs timestamp format, and that
+    * the JSON `props` payload string survives re-quoting.
+    *
+    * Scale notes: same stance as CSV — JSON lines is an ingest format
+    * (full-row parse, no pushdown); land it to parquet on first touch. */
+  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val path = graft.ArtifactStore.ensure(s,
+      "json_events_v1_" + graft.Tables.dirFingerprint(s, dir)) { staging =>
+      graft.Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.option("timestampFormat", JsonTsFormat).json(staging)
+    }
+    s.read.schema(schema).option("mode", "FAILFAST")
+      .option("timestampFormat", JsonTsFormat).json(path)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .orderBy("event_id")
+  }
+
+  val jsonRoundtripOracleSql: String =
+    """SELECT event_id, ts, user_id, event_type, value, props
+      |FROM events ORDER BY event_id""".stripMargin
+
   def readKafkaStream(s: SparkSession, bootstrapServers: String, topic: String,
       startingOffsets: String = "earliest",
       maxOffsetsPerTrigger: Option[Long] = None,
