@@ -41,11 +41,21 @@ object ArtifactStore {
       fs.mkdirs(root)
       val staging = new Path(root,
         s"_staging-$name-${java.util.UUID.randomUUID().toString.take(8)}")
-      build(staging.toString)
+      // a build that throws must not strand its staging dir forever
+      var built = false
+      try { build(staging.toString); built = true }
+      finally if (!built) fs.delete(staging, true)
       // exists-check first: some FileSystems rename INTO an existing dir
       // rather than failing; a racing loser must drop its copy either way
       val published = !fs.exists(fin) && fs.rename(staging, fin)
       if (!published) fs.delete(staging, true)
+      // TOCTOU guard: between the exists-check and the rename, a racing
+      // loser on a FileSystem that renames INTO an existing dir can nest
+      // its staging copy inside the published artifact. Readers ignore it
+      // (underscore prefix), but the copy would leak — sweep it.
+      if (fs.exists(fin))
+        fs.listStatus(fin).filter(_.getPath.getName.startsWith("_staging-"))
+          .foreach(st => fs.delete(st.getPath, true))
     }
     fin.toString
   }

@@ -50,11 +50,21 @@ object Dedup {
     * lowercase → whitespace runs collapsed to one space. Without NFC,
     * visually-identical strings with different codepoint sequences
     * (é = U+00E9 vs e + combining U+0301 — endemic in scraped web text)
-    * hash differently and every such duplicate silently survives. */
+    * hash differently and every such duplicate silently survives.
+    *
+    * The whitespace class is an EXPLICIT ASCII set, not `\s`: Java's `\s`
+    * includes U+000B (vertical tab) while RE2's (the oracle engine's)
+    * does not, so `\s` on both sides still canonicalizes a document
+    * containing U+000B differently in engine vs oracle. The explicit
+    * class is engine-independent. Unicode spaces (U+00A0 …) are
+    * deliberately NOT collapsed — scraped text uses NBSP as a
+    * significant layout character, and NFC never rewrites them. */
+  private[graft] val canonicalWsClass = "[ \\t\\n\\x0B\\f\\r]+"
+
   def canonicalText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftbridge.{ColumnBridge, NfcNormalize}
     val nfc = ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
-    regexp_replace(lower(trim(nfc)), "\\s+", " ")
+    regexp_replace(lower(trim(nfc)), canonicalWsClass, " ")
   }
 
   /** q102: exact dedup over the CANONICALIZED text — q22's one-hash-
@@ -75,10 +85,12 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** q102 oracle: the same canonical form via DuckDB's nfc_normalize. */
+  /** q102 oracle: the same canonical form via DuckDB's nfc_normalize.
+    * The whitespace class matches [[canonicalWsClass]] character for
+    * character (see its doc for why `\s` would NOT be equivalent). */
   val exactCanonicalOracleSql: String =
     """WITH d AS (SELECT doc_id,
-      |  md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g')) AS canon_hash
+      |  md5(regexp_replace(lower(trim(nfc_normalize(text))), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS canon_hash
       |  FROM documents),
       |c AS (SELECT canon_hash AS ch, MIN(doc_id) AS canonical_id,
       |  COUNT(*) AS cluster_size FROM d GROUP BY canon_hash)

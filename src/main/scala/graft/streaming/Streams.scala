@@ -220,7 +220,7 @@ object Streams {
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      val merged = latestCommittedVersion(spark, path).filter(_ < batchId) match {
+      val merged = latestCommittedVersionBelow(spark, path, batchId) match {
         case Some(v) =>
           graft.operators.Merge.upsertSnapshot(
             spark.read.parquet(s"$path/v$v"), batch, keys)
@@ -281,7 +281,7 @@ object Streams {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prevManifest: Map[Int, Long] =
-      latestCommittedVersion(spark, path).filter(_ < batchId)
+      latestCommittedVersionBelow(spark, path, batchId)
         .map(v => readManifest(spark, path, v)).getOrElse(Map.empty)
     val bb = batch.withColumn("__bucket", bucketExpr(keys, numBuckets))
     // ≤ numBuckets values — a bounded driver collect, not a data collect
@@ -320,11 +320,15 @@ object Streams {
 
   /** `_commits`-driven retention for [[upsertSinkBucketed]] tables:
     * deletes version dirs that (a) are not referenced by the LATEST
-    * committed manifest, (b) are at least `retainVersions` behind it
-    * (grace window for a reader that resolved the previous commit just
-    * before this one), and (c) are not the latest version itself (an
-    * empty batch publishes a manifest-only version whose dir must
-    * survive). Returns the swept version ids. */
+    * committed manifest, (b) are MORE than `retainVersions` behind it —
+    * strictly `v < latest - retainVersions`, so with the default
+    * retainVersions=1 version latest-1 always survives one more commit
+    * (the grace window for a reader that resolved the previous commit
+    * just before this one; the sink vacuums after every trigger, so a
+    * `<=` sweep would hit that reader on every batch) — and (c) are not
+    * the latest version itself (an empty batch publishes a
+    * manifest-only version whose dir must survive). Returns the swept
+    * version ids. */
   def vacuumBucketed(spark: SparkSession, path: String,
       retainVersions: Int = 1): Seq[Long] = {
     val dir = new org.apache.hadoop.fs.Path(path)
@@ -337,7 +341,7 @@ object Streams {
           .filter(n => n.length > 1 && n.head == 'v' && n.tail.forall(_.isDigit))
           .map(_.tail.toLong)
         val doomed = versions
-          .filter(v => v != latest && v <= latest - retainVersions && !referenced(v))
+          .filter(v => v != latest && v < latest - retainVersions && !referenced(v))
           .sorted
         doomed.foreach(v =>
           fs.delete(new org.apache.hadoop.fs.Path(dir, s"v$v"), true))
@@ -397,6 +401,29 @@ object Streams {
     val claimed = fs.createNewFile(new org.apache.hadoop.fs.Path(commits, v.toString))
     if (claimed) writeLatestPointer(spark, path, v)
     claimed
+  }
+
+  /** Greatest committed version STRICTLY below `bound` — the merge-base
+    * resolution for replays and checkpoint resets. Scans the whole
+    * `_commits` log rather than filtering only the single latest commit:
+    * when the latest commit is >= bound (a checkpoint reset restarting
+    * batchIds at 0 against an existing table), older committed versions
+    * below bound must still be found — `latestCommittedVersion(...)
+    * .filter(_ < bound)` would yield None and silently merge against
+    * empty, publishing a manifest that lost every base row. */
+  def latestCommittedVersionBelow(spark: SparkSession, path: String,
+      bound: Long): Option[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits = new org.apache.hadoop.fs.Path(dir, "_commits")
+    val fromLog =
+      if (fs.exists(commits))
+        fs.listStatus(commits).toSeq
+          .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+          .filter(_ < bound).maxOption
+      else None
+    // pre-log tables: the _LATEST pointer is all there is
+    fromLog.orElse(latestCommittedVersion(spark, path).filter(_ < bound))
   }
 
   /** Highest committed version per the `_commits` log (source of truth);

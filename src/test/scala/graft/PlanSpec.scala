@@ -239,6 +239,21 @@ class PlanSpec extends SparkTestBase {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.HashAggregateExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.{ProjectExec, SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    // The node the window ACTUALLY sorts: walk through the window's own
+    // machinery (sort / shuffle / projection) only. collectFirst over the
+    // whole subtree would accept a regression that window-sorts raw rows
+    // as long as an agg or broadcast join appears ANYWHERE deeper (the
+    // stats join feeding the scan does), which is exactly the q51
+    // scale-killer this test exists to catch.
+    @scala.annotation.tailrec
+    def gate(p: SparkPlan): SparkPlan = p match {
+      case s: SortExec => gate(s.child)
+      case e: Exchange => gate(e.child)
+      case pr: ProjectExec => gate(pr.child)
+      case other => other
+    }
     Seq(
       Analytics.groupQuantiles2Pass(spark, sfDir),
       Analytics.percentileRank2Pass(spark, sfDir),
@@ -249,12 +264,18 @@ class PlanSpec extends SparkTestBase {
       val windows = exec.collect { case w: WindowExec => w }
       assert(windows.nonEmpty, "expected the cum-count and rank windows")
       windows.foreach { w =>
-        val guarded = w.child.collectFirst {
-          case a: HashAggregateExec => a     // cum window: over bucket counts
-          case j: BroadcastHashJoinExec => j // rank window: over target-bucket rows
+        val ok = gate(w.child) match {
+          // cum window: over the ≤256-row-per-group bucket-count aggregate
+          case _: HashAggregateExec => true
+          // rank window: over the (gkey, bucket) bucket-gate join — TWO
+          // join keys. The scale-killer's stats join is on gkey alone, so
+          // requiring the bucket key in the join distinguishes them.
+          case j: BroadcastHashJoinExec => j.leftKeys.length >= 2
+          case _ => false
         }
-        assert(guarded.nonEmpty,
-          s"window runs over raw ungated rows (the q51 scale-killer):\n$w")
+        assert(ok,
+          s"window runs over raw ungated rows (the q51 scale-killer); " +
+            s"gate node = ${gate(w.child).nodeName}:\n$w")
       }
     }
   }

@@ -184,16 +184,42 @@ class StreamingSpec extends SparkTestBase {
           (r.getAs[Long]("user_id"), r.getAs[Double]("value"))).toMap
       assert(snap.keySet === (1L to 8L).toSet)
       assert(snap(1L) === ((9L, 100.0)) && snap(2L) === ((2L, 2.0)))
-      // batch 2 touches every bucket → v0 and v1 become unreferenced and
-      // fall past the retain window → swept; snapshot survives
+      // batch 2 touches every bucket → v0 and v1 become unreferenced.
+      // v0 is past the retain window → swept; v1 (= latest-1) survives
+      // ONE more commit — the grace window for a reader that resolved
+      // the previous manifest just before this commit landed
       src.addData((1L to 8L).map(i => E(i, ts(40 + i.toInt), i, "c", -i.toDouble)): _*)
       q.processAllAvailable()
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v0")), "v0 not swept")
-      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v1")), "v1 not swept")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v1")),
+        "v1 is latest-1 and must survive the grace window")
       val snap2 = Streams.currentSnapshotBucketed(spark, dir).get.collect()
         .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).toMap
       assert(snap2 === (1L to 8L).map(i => i -> -i.toDouble).toMap)
+      // one more commit pushes v1 past the grace window → swept
+      src.addData(E(1, ts(60), 9, "d", 1000.0))
+      q.processAllAvailable()
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v1")),
+        "v1 not swept after the grace window elapsed")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v2")),
+        "v2 still referenced by the latest manifest (untouched buckets)")
     } finally q.stop()
+  }
+
+  test("latestCommittedVersionBelow: scans the whole log, not just the latest commit") {
+    // checkpoint-reset shape: the log holds commits {0, 2, 5}; a replayed
+    // batchId of 1 or 5 must find the greatest commit STRICTLY below it.
+    // Resolving via latestCommittedVersion(...).filter(_ < bound) yields
+    // None whenever the single latest commit is >= bound — the base would
+    // silently be empty and the merge would publish a manifest that lost
+    // every base row.
+    val dir = "file://" + java.nio.file.Files.createTempDirectory("graft_below").toString
+    Seq(0L, 2L, 5L).foreach(v => assert(Streams.tryCommitVersion(spark, dir, v)))
+    assert(Streams.latestCommittedVersion(spark, dir) === Some(5L))
+    assert(Streams.latestCommittedVersionBelow(spark, dir, 0) === None)
+    assert(Streams.latestCommittedVersionBelow(spark, dir, 1) === Some(0L))
+    assert(Streams.latestCommittedVersionBelow(spark, dir, 5) === Some(2L))
+    assert(Streams.latestCommittedVersionBelow(spark, dir, 9) === Some(5L))
   }
 
   test("upsertSink: replay heals a version published before a crash stole the claim") {
