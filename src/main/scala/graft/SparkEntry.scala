@@ -121,6 +121,7 @@ object SparkEntry {
     "q101_orc_roundtrip"           -> (graft.sources.Ingest.orcRoundtrip _),
     "q102_dedup_canonical"         -> (Dedup.exactCanonical _),
     "q103_json_roundtrip"          -> (graft.sources.Ingest.jsonRoundtrip _),
+    "q104_semdedup_trained"        -> (SemDedup.semDedupTrained(_, _)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -627,6 +628,7 @@ object SparkEntry {
     "q100_csv_roundtrip" -> graft.sources.Ingest.csvRoundtripOracleSql,
     "q101_orc_roundtrip" -> graft.sources.Ingest.orcRoundtripOracleSql,
     "q103_json_roundtrip" -> graft.sources.Ingest.jsonRoundtripOracleSql,
+    "q104_semdedup_trained" -> SemDedup.semDedupTrainedOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -36,12 +36,12 @@ object KMeansOp {
   val ScaleQ = 1000000.0
 
   /** vec_id + quantized integral-double vector. */
-  private[operators] def quantized(embeddings: DataFrame): DataFrame =
+  private[graft] def quantized(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"),
       transform(col("embedding"), x => round(x.cast("double") * ScaleQ)).as("q"))
 
   /** Squared-distance column to one centroid: qq − 2·q·c + cc. */
-  private[operators] def dist2(qq: Column, c: Seq[Double]): Column = {
+  private[graft] def dist2(qq: Column, c: Seq[Double]): Column = {
     val cLit = array(c.map(lit): _*)
     val cc = c.foldLeft(0.0)((acc, x) => acc + x * x) // same fold as list_reduce
     qq - lit(2.0) * dot(col("q"), cLit) + lit(cc)
@@ -53,13 +53,63 @@ object KMeansOp {
     * array, so sparse/shifted vec_id spaces stay in sync. Ties → first
     * position = lowest cell id (cents is vec_id-sorted), matching the
     * oracle's ORDER BY dist2, cell. */
-  private[operators] def assign(qv: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
+  private[graft] def assign(qv: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
     val qq = dot(col("q"), col("q"))
     val dists = array(cents.map { case (_, c) => dist2(qq, c) }: _*)
     val ids = array(cents.map { case (id, _) => lit(id) }: _*)
     qv.withColumn("cell",
       element_at(ids, array_position(dists, array_min(dists)).cast("int")))
   }
+
+  /** Above this K, [[assignAuto]] switches from the literal-matrix
+    * assignment to the broadcast path: a K×64 literal matrix per
+    * expression is ideal small-K codegen but blows up plan size and
+    * generated code as K grows toward a real IVF's 2¹⁶. */
+  val LiteralAssignMaxK = 64
+
+  /** Large-K assignment twin of [[assign]] (bit-identical, spec-checked):
+    * centroids ride in ONE broadcast row (packed array of
+    * struct(cell, c, cc)) instead of plan literals, and the argmin runs
+    * in the native [[org.apache.spark.sql.graftbridge.NearestCellDist2]]
+    * kernel. Plan size is O(1) in K, assignment stays shuffle-free
+    * (BroadcastNestedLoopJoin against a single row) — an
+    * argmin-by-groupBy formulation would instead re-shuffle the whole
+    * corpus by vec_id. */
+  private[graft] def assignBroadcast(qv: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame =
+    assignBroadcastDf(qv, centsToDf(qv.sparkSession, cents))
+
+  /** Centroids as a (cell, c) table — the form a PERSISTED coarse
+    * quantizer (e.g. the q72 IVF index's cells artifact) serves. */
+  private[graft] def centsToDf(spark: SparkSession,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("cell", "c")
+  }
+
+  /** [[assignBroadcast]] from a centroid TABLE: packs (cell, c) rows into
+    * one sorted array row in-plan (sort_array orders by the leading
+    * struct field = cell id, preserving the literal path's lowest-cell
+    * tie-break), broadcasts it, and projects the native argmin. The cc
+    * self-dot is folded once per centroid here, not per corpus row. */
+  private[graft] def assignBroadcastDf(qv: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, NearestCellDist2}
+    val packed = cents
+      .select(struct(col("cell").cast("long").as("cell"),
+        col("c"), dot(col("c"), col("c")).as("cc")).as("entry"))
+      .agg(sort_array(collect_list(col("entry"))).as("cells"))
+    qv.crossJoin(broadcast(packed))
+      .withColumn("cell", ColumnBridge.column(NearestCellDist2(
+        ColumnBridge.expression(col("q")), ColumnBridge.expression(col("cells")))))
+      .drop("cells")
+  }
+
+  /** Literal-matrix assignment for small K, broadcast kernel beyond
+    * [[LiteralAssignMaxK]] — same results either way (spec-checked). */
+  private[graft] def assignAuto(qv: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame =
+    if (cents.size <= LiteralAssignMaxK) assign(qv, cents)
+    else assignBroadcast(qv, cents)
 
   /** One Lloyd recenter: per-cell per-dimension means (exact sums of
     * integral doubles), empty cells keep the old centroid. */
@@ -83,17 +133,22 @@ object KMeansOp {
   /** q63: k-means train + final assignment — vec_id, cell, cell_size. */
   def kmeans(s: SparkSession, dir: String): DataFrame = kmeans(Tables.embeddings(s, dir))
 
-  /** The deterministic train loop: seed with the first K vec_ids,
+  /** The deterministic train loop: seed with the first `k` vec_ids,
     * [[Rounds]] Lloyd rounds. Returns (reusable quantized frame, final
-    * (cellId, centroid) pairs) — shared by q63 and the oracle-gated IVF
-    * path so the two can never drift on seed/rounds/arithmetic. */
-  private[operators] def trainCents(embeddings: DataFrame): (DataFrame, Seq[(Long, Seq[Double])]) = {
+    * (cellId, centroid) pairs) — shared by q63, the oracle-gated IVF
+    * path, and trained-centroid SemDeDup (q104) so they can never drift
+    * on seed/rounds/arithmetic. Assignment picks the literal or
+    * broadcast kernel by `k` ([[assignAuto]]); the recenter collect is
+    * k rows of 64 doubles — ~32 MB even at a 2¹⁶-cell IVF, bounded by
+    * construction. */
+  private[graft] def trainCents(embeddings: DataFrame,
+      k: Int = K): (DataFrame, Seq[(Long, Seq[Double])]) = {
     val qv = quantized(embeddings).localCheckpoint() // reused every round
-    var cents: Seq[(Long, Seq[Double])] = qv.filter(col("vec_id") < K)
+    var cents: Seq[(Long, Seq[Double])] = qv.filter(col("vec_id") < k)
       .orderBy("vec_id").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
     for (_ <- 1 to Rounds)
-      cents = recenter(assign(qv, cents), cents)
+      cents = recenter(assignAuto(qv, cents), cents)
     (qv, cents)
   }
 
@@ -115,9 +170,11 @@ object KMeansOp {
 
   /** WITH-body prefix replaying the train loop: `qv` (quantized vectors),
     * `c0..c$Rounds` (centroids per round; `c$Rounds` is final), `af`
-    * (final assignment: vec_id, q, cell). Shared by the q63 oracle and
-    * the generated IVF oracle (q65). */
-  def kmeansCtes: String = {
+    * (final assignment: vec_id, q, cell). Shared by the q63 oracle, the
+    * generated IVF oracle (q65), and the q104 trained-SemDeDup oracle. */
+  def kmeansCtes: String = kmeansCtes(K)
+
+  def kmeansCtes(k: Int): String = {
     def assignCte(cin: String, aout: String) =
       s"""$aout AS (SELECT vec_id, q, cell FROM (
          |  SELECT qv.vec_id, qv.q, $cin.cell,
@@ -139,7 +196,7 @@ object KMeansOp {
     s"""qv AS (SELECT vec_id,
        |  list_transform(embedding, x -> round(CAST(x AS DOUBLE) * $ScaleQ)) AS q
        | FROM embeddings),
-       |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, q AS c FROM qv WHERE vec_id < $K),
+       |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, q AS c FROM qv WHERE vec_id < $k),
        |$rounds,
        |${assignCte(s"c$Rounds", "af")}""".stripMargin
   }

@@ -54,6 +54,15 @@ object SemDedup {
     val assigned = v.select(col("vec_id"), col("e"), col("nrm"),
         element_at(centIds, array_position(simArr, array_max(simArr)).cast("int"))
           .as("cluster_id"))
+    dedupWithinCells(assigned, Tau)
+  }
+
+  /** The within-cell near-dedup stage shared by q59 and q104: pair join
+    * on cluster_id (a_id < b_id, cosine ≥ τ), neighborhood min/count,
+    * greedy-min canonical. `assigned` must carry
+    * (vec_id, e, nrm, cluster_id). */
+  private def dedupWithinCells(assignedIn: DataFrame, tau: Double): DataFrame = {
+    val assigned = assignedIn
       .localCheckpoint() // reused by both pair-join sides + the final join
     val a = assigned.select(col("cluster_id"), col("vec_id").as("a_id"),
       col("e").as("ea"), col("nrm").as("na"))
@@ -61,7 +70,7 @@ object SemDedup {
       col("e").as("eb"), col("nrm").as("nb"))
     val pairs = a.join(b, Seq("cluster_id"))
       .filter(col("a_id") < col("b_id"))
-      .filter(cosinePre(col("ea"), col("eb"), col("na"), col("nb")) >= Tau)
+      .filter(cosinePre(col("ea"), col("eb"), col("na"), col("nb")) >= tau)
       .select(col("a_id"), col("b_id"))
     val nbrs = pairs.select(col("a_id").as("vec_id"), col("b_id").as("nbr"))
       .unionByName(pairs.select(col("b_id").as("vec_id"), col("a_id").as("nbr")))
@@ -74,6 +83,41 @@ object SemDedup {
       .withColumn("is_dup",
         when(col("canonical_id") =!= col("vec_id"), 1L).otherwise(0L))
       .orderBy("vec_id")
+  }
+
+  /** Gated K for q104 — small enough that every test SF (20 vectors at
+    * sf0.001) still seeds it; the API takes any k. */
+  val TrainedK = 12
+
+  /** q104: SemDeDup on TRAINED k-means cells, configurable K — the scale
+    * path for q59's fixed first-K-vectors geometry. Cells come from the
+    * shared [[KMeansOp.trainCents]] Lloyd loop (same seed/rounds/exact
+    * integer arithmetic as q63/q65, so the oracle replays it as the same
+    * CTE chain), assignment picks the literal or broadcast-kernel path by
+    * k ([[KMeansOp.assignAuto]]), and the within-cell stage is q59's.
+    *
+    * Semantics note: cosines here are computed over the Lloyd loop's
+    * 10⁻⁶-quantized vectors (scaling cancels in cosine, so this differs
+    * from raw-float cosine only by the quantization's ~10⁻⁶ noise) —
+    * that keeps one corpus frame flowing through both assignment and
+    * pair stages with no self-join back to the raw table, and keeps
+    * every number bit-reproducible in any engine.
+    *
+    * Scale: trained centroids track the data distribution, so cell
+    * population concentrates near n/k instead of whatever the first K
+    * rows happened to be (SemDedupSpec shows the skewed-fixture gap);
+    * raising k caps the O(Σ cellᵢ²) pair volume — k ~ √n keeps it ~n³ᐟ².
+    * Mirrors deduplicate_from_qdrant.py:160-186 at scale. */
+  def semDedupTrained(s: SparkSession, dir: String): DataFrame =
+    semDedupTrained(Tables.embeddings(s, dir), TrainedK)
+
+  def semDedupTrained(embeddings: DataFrame, k: Int, tau: Double = Tau): DataFrame = {
+    val (qv, cents) = KMeansOp.trainCents(embeddings, k)
+    val assigned = KMeansOp.assignAuto(qv, cents)
+      .withColumn("nrm", sqrt(dot(col("q"), col("q"))))
+      .select(col("vec_id"), col("q").as("e"), col("nrm"),
+        col("cell").as("cluster_id"))
+    dedupWithinCells(assigned, tau)
   }
 
   /** q59 oracle: same centroid rule (vec_id < K) recomputed by DuckDB
@@ -108,4 +152,28 @@ object SemDedup {
        |  CAST(CASE WHEN LEAST(m.vec_id, COALESCE(ag.min_nbr, m.vec_id)) <> m.vec_id
        |    THEN 1 ELSE 0 END AS BIGINT) AS is_dup
        |FROM m LEFT JOIN ag USING (vec_id) ORDER BY m.vec_id""".stripMargin
+
+  /** q104 oracle: the shared k-means CTE chain at [[TrainedK]] (same
+    * replay as the q63/q65 oracles) feeding q59's pair/neighbor SQL,
+    * with cosines over the quantized `q` vectors — exactly the Spark
+    * side's arithmetic. */
+  def semDedupTrainedOracleSql: String = {
+    def lr(expr: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $expr)), (x,y) -> x+y)"
+    s"""WITH ${KMeansOp.kmeansCtes(TrainedK)},
+       |m AS (SELECT vec_id, CAST(cell AS BIGINT) AS cluster_id, q AS e,
+       |  sqrt(${lr("q[i]*q[i]")}) AS nrm FROM af),
+       |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM m a JOIN m b
+       |  ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+       |  WHERE ${lr("a.e[i]*b.e[i]")} / (a.nrm * b.nrm) >= $Tau),
+       |nb AS (SELECT a_id AS vec_id, b_id AS nbr FROM p
+       |       UNION ALL SELECT b_id, a_id FROM p),
+       |ag AS (SELECT vec_id, MIN(nbr) AS min_nbr, COUNT(*) AS n_neighbors FROM nb GROUP BY vec_id)
+       |SELECT m.vec_id, m.cluster_id,
+       |  LEAST(m.vec_id, COALESCE(ag.min_nbr, m.vec_id)) AS canonical_id,
+       |  COALESCE(ag.n_neighbors, 0) AS n_neighbors,
+       |  CAST(CASE WHEN LEAST(m.vec_id, COALESCE(ag.min_nbr, m.vec_id)) <> m.vec_id
+       |    THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+       |FROM m LEFT JOIN ag USING (vec_id) ORDER BY m.vec_id""".stripMargin
+  }
 }

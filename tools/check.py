@@ -15,7 +15,10 @@ only = set(sys.argv[3:])
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    src = f"{sf_dir}/{t}.parquet"
+    if os.path.isdir(src):  # Spark-written tables are directories of parts
+        src = f"{src}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 
