@@ -59,4 +59,48 @@ object ArtifactStore {
     }
     fin.toString
   }
+
+  /** [[ensure]] with retention for content-fingerprinted artifacts.
+    * Artifact names follow `<base>_<fingerprint>` (jpairs_v2_ab12…,
+    * ivf_exact_v3_…): every upstream data change mints a new fingerprint,
+    * so without retention each change orphans the previous artifact
+    * forever. After the artifact for the CURRENT fingerprint exists,
+    * this sweeps sibling fingerprints of the same base — they were built
+    * from source states that no longer exist, so no current-session
+    * reader can resolve them (a reader still holding one open is a
+    * session reading sources that already changed under it, which the
+    * fingerprint scheme never protected anyway). */
+  def ensureCurrent(spark: SparkSession, base: String, fingerprint: String)
+      (build: String => Unit): String = {
+    val name = s"${base}_$fingerprint"
+    val path = ensure(spark, name)(build)
+    val root = warehouseRoot(spark)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n != name && n.startsWith(base + "_") &&
+          // same base, different fingerprint — NOT a longer base that
+          // happens to share this prefix (fingerprints are bare hex)
+          n.substring(base.length + 1).forall(c => c.isDigit || (c >= 'a' && c <= 'f'))
+      }
+      .foreach(st => fs.delete(st.getPath, true))
+    path
+  }
+
+  /** Sweeps `_staging-*` dirs stranded by a crashed BUILDER PROCESS (the
+    * in-process failure path is covered by [[ensure]]'s try/finally; a
+    * kill -9 mid-build is not). Only dirs older than `graceMs` go — an
+    * in-flight build's staging dir is younger by construction. Returns
+    * the swept names. */
+  def vacuumStaging(spark: SparkSession, graceMs: Long = 3600L * 1000): Seq[String] = {
+    val root = warehouseRoot(spark)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val cutoff = System.currentTimeMillis() - graceMs
+    fs.listStatus(root).toSeq
+      .filter(st => st.getPath.getName.startsWith("_staging-") &&
+        st.getModificationTime < cutoff)
+      .map { st => fs.delete(st.getPath, true); st.getPath.getName }
+  }
 }

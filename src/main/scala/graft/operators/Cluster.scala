@@ -90,8 +90,8 @@ object Cluster {
     * size and mtime, the literal version covers layout changes) ⇒ the
     * existence check can never serve a stale artifact. */
   private[operators] def pairsTable(s: SparkSession, dir: String): DataFrame = {
-    val path = graft.ArtifactStore.ensure(s,
-      "jpairs_v2_" + Tables.dirFingerprint(s, dir)) { staging =>
+    val path = graft.ArtifactStore.ensureCurrent(s,
+      "jpairs_v2", Tables.dirFingerprint(s, dir)) { staging =>
       ApproxDedup.ngramJaccardPairs(Tables.documents(s, dir))
         .write.mode("overwrite").parquet(staging)
     }

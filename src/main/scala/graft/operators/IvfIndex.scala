@@ -74,8 +74,8 @@ object IvfIndex {
     * which is the number that matters for a serving layout. */
   def ivfIndexedTopK(s: SparkSession, dir: String): DataFrame = {
     val em = graft.Tables.embeddings(s, dir)
-    val path = graft.ArtifactStore.ensure(s,
-      s"ivf_exact_${LayoutVersion}_" + graft.Tables.dirFingerprint(s, dir)) {
+    val path = graft.ArtifactStore.ensureCurrent(s,
+      s"ivf_exact_$LayoutVersion", graft.Tables.dirFingerprint(s, dir)) {
       staging => buildExact(em, staging)
     }
     searchExact(s, path, em.filter(col("vec_id") < 10))

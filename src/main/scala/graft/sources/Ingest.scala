@@ -123,8 +123,8 @@ object Ingest {
     * atomically renamed, so a reader can never see one snapshot without
     * the other. */
   def schemaMergeRead(s: SparkSession, dir: String): DataFrame = {
-    val base = graft.ArtifactStore.ensure(s,
-      "schema_merge_v2_" + graft.Tables.dirFingerprint(s, dir)) { staging =>
+    val base = graft.ArtifactStore.ensureCurrent(s,
+      "schema_merge_v2", graft.Tables.dirFingerprint(s, dir)) { staging =>
       val o = graft.Tables.orders(s, dir)
       o.filter(col("o_orderkey") % 2 === 0)
         .select("o_orderkey", "o_custkey")
@@ -166,8 +166,8 @@ object Ingest {
       StructField("o_orderstatus", StringType),
       StructField("o_totalprice", DoubleType),
       StructField("o_orderdate", TimestampType)))
-    val path = graft.ArtifactStore.ensure(s,
-      "csv_orders_v1_" + graft.Tables.dirFingerprint(s, dir)) { staging =>
+    val path = graft.ArtifactStore.ensureCurrent(s,
+      "csv_orders_v1", graft.Tables.dirFingerprint(s, dir)) { staging =>
       graft.Tables.orders(s, dir)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate")
@@ -188,8 +188,8 @@ object Ingest {
     * so a user migrating an ORC lake onto this library reads their
     * files in place. */
   def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val path = graft.ArtifactStore.ensure(s,
-      "orc_events_v1_" + graft.Tables.dirFingerprint(s, dir)) { staging =>
+    val path = graft.ArtifactStore.ensureCurrent(s,
+      "orc_events_v1", graft.Tables.dirFingerprint(s, dir)) { staging =>
       graft.Tables.events(s, dir)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.orc(staging)
@@ -223,8 +223,8 @@ object Ingest {
       StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val path = graft.ArtifactStore.ensure(s,
-      "json_events_v1_" + graft.Tables.dirFingerprint(s, dir)) { staging =>
+    val path = graft.ArtifactStore.ensureCurrent(s,
+      "json_events_v1", graft.Tables.dirFingerprint(s, dir)) { staging =>
       graft.Tables.events(s, dir)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.option("timestampFormat", JsonTsFormat).json(staging)

@@ -125,6 +125,63 @@ class IngestSpec extends SparkTestBase {
     assert(staged.isEmpty, s"staging dirs left behind: ${staged.mkString(",")}")
   }
 
+  test("ArtifactStore: a build that throws leaves no staging dir and can retry") {
+    val name = s"spec_crash_${System.nanoTime()}"
+    val root = ArtifactStore.warehouseRoot(spark)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    intercept[RuntimeException] {
+      ArtifactStore.ensure(spark, name) { dir =>
+        spark.range(1).write.parquet(dir) // partial output, then the crash
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(fs.listStatus(root).map(_.getPath.getName)
+      .count(_.startsWith(s"_staging-$name")) === 0,
+      "failed build must clean its staging dir")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, name)),
+      "failed build must not publish")
+    // the retry builds cleanly
+    val p = ArtifactStore.ensure(spark, name)(d => spark.range(5).write.parquet(d))
+    assert(spark.read.parquet(p).count() === 5)
+  }
+
+  test("ArtifactStore.ensureCurrent: superseded fingerprints are swept, exactly one live artifact") {
+    val base = s"spec_ret_${System.nanoTime()}"
+    val root = ArtifactStore.warehouseRoot(spark)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def live() = fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith(base + "_") && !n.startsWith("_staging-")).toSeq
+    ArtifactStore.ensureCurrent(spark, base, "aaaa1111")(
+      d => spark.range(1).write.parquet(d))
+    ArtifactStore.ensureCurrent(spark, base, "bbbb2222")(
+      d => spark.range(2).write.parquet(d))
+    assert(live() === Seq(s"${base}_bbbb2222"),
+      "the old fingerprint must be swept once the current one exists")
+    // a DIFFERENT base sharing the prefix must never be swept
+    val sibling = s"${base}_extra"
+    ArtifactStore.ensureCurrent(spark, sibling, "cccc3333")(
+      d => spark.range(3).write.parquet(d))
+    ArtifactStore.ensureCurrent(spark, base, "dddd4444")(
+      d => spark.range(4).write.parquet(d))
+    assert(live().toSet === Set(s"${base}_dddd4444", s"${base}_extra_cccc3333"))
+  }
+
+  test("ArtifactStore.vacuumStaging sweeps only stale orphans") {
+    val root = ArtifactStore.warehouseRoot(spark)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val orphan = new org.apache.hadoop.fs.Path(root, s"_staging-dead-${System.nanoTime()}")
+    val young = new org.apache.hadoop.fs.Path(root, s"_staging-live-${System.nanoTime()}")
+    fs.mkdirs(orphan)
+    fs.mkdirs(young)
+    fs.setTimes(orphan, System.currentTimeMillis() - 7200L * 1000, -1)
+    val swept = ArtifactStore.vacuumStaging(spark) // default 1 h grace
+    assert(swept.contains(orphan.getName))
+    assert(!fs.exists(orphan), "stale orphan must be swept")
+    assert(fs.exists(young), "an in-flight build's staging dir must survive")
+    fs.delete(young, true)
+  }
+
   test("sql extension functions are callable from plain SQL") {
     val dot = spark.sql(
       "SELECT dot_product_double(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
