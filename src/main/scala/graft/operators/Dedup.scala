@@ -188,12 +188,29 @@ object Dedup {
     * batch vector; at 100 TB the corpus side is the big one and the
     * bucket key keeps the shuffle balanced. */
   def dedupIncremental(corpus: DataFrame, batch: DataFrame, tau: Double,
-      bits: Int, dim: Int = Similarity.Dim): DataFrame = {
+      bits: Int, dim: Int = Similarity.Dim): DataFrame =
+    dedupIncrementalPre(corpusSideEmb(corpus, bits, dim), batch, tau, bits, dim)
+
+  /** The derived corpus-side table (__cand_id, ec, nc, bucket) the
+    * incremental join probes — the piece worth PERSISTING: at
+    * daily-ingest scale the validated corpus is huge and append-mostly,
+    * so recomputing its norms and LSH buckets per batch run is the
+    * dominant wasted cost. Everything in it is deterministic doubles/
+    * ints, so a parquet round-trip is value-exact. */
+  def corpusSideEmb(corpus: DataFrame, bits: Int,
+      dim: Int = Similarity.Dim): DataFrame = {
     val planes = Similarity.hyperplanesFor(bits, dim)
-    val c = normalized(corpus)
+    normalized(corpus)
       .withColumn("bucket", Similarity.lshBucket(col("e"), planes))
       .select(col("vec_id").as("__cand_id"), col("e").as("ec"), col("nrm").as("nc"),
         col("bucket"))
+  }
+
+  /** [[dedupIncremental]] against an already-derived (possibly
+    * artifact-stored) corpus side. */
+  def dedupIncrementalPre(c: DataFrame, batch: DataFrame, tau: Double,
+      bits: Int, dim: Int = Similarity.Dim): DataFrame = {
+    val planes = Similarity.hyperplanesFor(bits, dim)
     val b = normalized(batch)
       .withColumn("bucket", Similarity.lshBucket(col("e"), planes))
       .select(col("vec_id"), col("e").as("eb"), col("nrm").as("nb"), col("bucket"))
@@ -212,13 +229,20 @@ object Dedup {
   }
 
   /** q42: [[dedupIncremental]] over a deterministic corpus/batch split of
-    * the embeddings table (validated corpus = vec_id % 5 ≠ 0). */
+    * the embeddings table (validated corpus = vec_id % 5 ≠ 0). The
+    * corpus side is a build-once [[graft.ArtifactStore]] table (same
+    * pattern as the q23 pair table and q72 IVF index): a daily-ingest
+    * pipeline pays the corpus normalize+bucket ONCE per corpus state,
+    * not once per batch run. */
   def dedupIncrementalQ(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    dedupIncremental(
-      emb.filter(col("vec_id") % 5 =!= 0),
-      emb.filter(col("vec_id") % 5 === 0),
-      IncrementalTau, IncrementalBits)
+    val corpusPath = graft.ArtifactStore.ensureCurrent(s, "inc_corpus_emb_v1",
+      Tables.dirFingerprint(s, dir)) { staging =>
+      corpusSideEmb(emb.filter(col("vec_id") % 5 =!= 0), IncrementalBits)
+        .write.mode("overwrite").parquet(staging)
+    }
+    dedupIncrementalPre(s.read.parquet(corpusPath),
+      emb.filter(col("vec_id") % 5 === 0), IncrementalTau, IncrementalBits)
   }
 
   /** Generated DuckDB oracle for q42 (same planes, same split). */
