@@ -473,6 +473,53 @@ object Streams {
     latestCommittedVersion(spark, path)
       .map(v => spark.read.parquet(s"$path/v$v"))
 
+  // ---- time travel ----
+  // The versioned layouts already retain history (every committed v<id>
+  // dir until vacuum); these readers expose it the way Delta's
+  // `versionAsOf` does for the reference's Delta tables. A version
+  // resolves ONLY through the `_commits` log — an uncommitted v<id> dir
+  // (crash between publish and claim) is not a readable snapshot.
+
+  /** Snapshot of [[upsertSink]]'s table AS OF committed version `v`;
+    * None when `v` was never committed or its dir was vacuumed. */
+  def readVersion(spark: SparkSession, path: String, v: Long): Option[DataFrame] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = fs.exists(new org.apache.hadoop.fs.Path(dir, s"_commits/$v"))
+    val present = fs.exists(new org.apache.hadoop.fs.Path(dir, s"v$v"))
+    if (committed && present) Some(spark.read.parquet(s"$path/v$v")) else None
+  }
+
+  /** [[currentSnapshot]] under the time-travel name, for API symmetry. */
+  def readLatest(spark: SparkSession, path: String): Option[DataFrame] =
+    currentSnapshot(spark, path)
+
+  /** Snapshot of [[upsertSinkBucketed]]'s table AS OF committed version
+    * `v`: resolves THAT version's manifest, so each bucket reads from
+    * whichever older version last rewrote it — exactly what a reader at
+    * the time of commit `v` saw. None when `v` was never committed, its
+    * manifest is empty, or a referenced bucket version was vacuumed
+    * (retention has outlived this snapshot; [[vacuumBucketed]] keeps
+    * everything the LATEST manifest references, so the current snapshot
+    * is never in that state). */
+  def readVersionBucketed(spark: SparkSession, path: String,
+      v: Long): Option[DataFrame] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, s"_commits/$v"))) None
+    else {
+      val m = readManifest(spark, path, v).toSeq.sortBy(_._1)
+      if (m.exists { case (b, ver) =>
+        !fs.exists(new org.apache.hadoop.fs.Path(dir, s"v$ver/__bucket=$b")) }) None
+      else m.map { case (b, ver) => spark.read.parquet(s"$path/v$ver/__bucket=$b") }
+        .reduceOption(_ unionByName _)
+    }
+  }
+
+  /** [[currentSnapshotBucketed]] under the time-travel name. */
+  def readLatestBucketed(spark: SparkSession, path: String): Option[DataFrame] =
+    currentSnapshotBucketed(spark, path)
+
   // ---- oracle-checked batch entries ----
 
   /** q19: tumbling hourly aggregate over the events table. */

@@ -206,6 +206,63 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("time travel: readVersion returns each committed snapshot unchanged by later commits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "file://" + java.nio.file.Files.createTempDirectory("graft_tt").toString
+    val src = MemoryStream[E]
+    val q = Streams.upsertSink(src.toDF(), dir, Seq("event_id")).start()
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Double]("value"))).sorted.toSeq
+    try {
+      src.addData(E(1, ts(0), 1, "a", 1.0), E(2, ts(1), 1, "a", 2.0))
+      q.processAllAvailable()
+      val v0 = snap(Streams.currentSnapshot(spark, dir).get)
+      src.addData(E(2, ts(2), 9, "b", 20.0), E(3, ts(3), 2, "a", 3.0))
+      q.processAllAvailable()
+      val v1 = snap(Streams.currentSnapshot(spark, dir).get)
+      src.addData(E(1, ts(4), 7, "c", -1.0))
+      q.processAllAvailable()
+      // every historical version reads back exactly as it was committed
+      assert(snap(Streams.readVersion(spark, dir, 0).get) === v0)
+      assert(snap(Streams.readVersion(spark, dir, 1).get) === v1)
+      assert(snap(Streams.readLatest(spark, dir).get) ===
+        snap(Streams.readVersion(spark, dir, 2).get))
+      // a version that was never committed is not a readable snapshot
+      assert(Streams.readVersion(spark, dir, 9).isEmpty)
+    } finally q.stop()
+  }
+
+  test("time travel: readVersionBucketed resolves THAT version's manifest") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "file://" + java.nio.file.Files.createTempDirectory("graft_ttb").toString
+    val src = MemoryStream[E]
+    // big retention so history survives for the reads below
+    val q = Streams.upsertSinkBucketed(src.toDF(), dir, Seq("event_id"),
+      numBuckets = 4, retainVersions = 100).start()
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value"))).sorted.toSeq
+    try {
+      src.addData((1L to 8L).map(i => E(i, ts(i.toInt), i, "a", i.toDouble)): _*)
+      q.processAllAvailable()
+      val v0 = snap(Streams.currentSnapshotBucketed(spark, dir).get)
+      src.addData(E(1, ts(30), 9, "b", 100.0)) // touches one bucket
+      q.processAllAvailable()
+      val v1 = snap(Streams.currentSnapshotBucketed(spark, dir).get)
+      src.addData(E(2, ts(40), 9, "c", -2.0))
+      q.processAllAvailable()
+      // v1's manifest mixes buckets from v0 and v1 — the as-of read must
+      // reproduce the mixed view, not the current one
+      assert(snap(Streams.readVersionBucketed(spark, dir, 0).get) === v0)
+      assert(snap(Streams.readVersionBucketed(spark, dir, 1).get) === v1)
+      assert(snap(Streams.readLatestBucketed(spark, dir).get) ===
+        snap(Streams.readVersionBucketed(spark, dir, 2).get))
+      assert(Streams.readVersionBucketed(spark, dir, 9).isEmpty)
+    } finally q.stop()
+  }
+
   test("latestCommittedVersionBelow: scans the whole log, not just the latest commit") {
     // checkpoint-reset shape: the log holds commits {0, 2, 5}; a replayed
     // batchId of 1 or 5 must find the greatest commit STRICTLY below it.
