@@ -239,17 +239,30 @@ object Ingest {
     """SELECT event_id, ts, user_id, event_type, value, props
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** The exact Kafka source option set the reference's ingest job wires
+    * (metadata_eu_to_raw.py:53-58: bootstrap servers, `subscribe`,
+    * `startingOffsets`, `failOnDataLoss`), plus the
+    * `maxOffsetsPerTrigger` batch-size bound a production stream adds.
+    * Split from [[readKafkaStream]] so IngestSpec can assert the wiring
+    * in this sandbox, where no spark-sql-kafka jar or broker exists and
+    * `.load()` cannot resolve the `kafka` provider. */
+  def kafkaSourceOptions(bootstrapServers: String, topic: String,
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None,
+      failOnDataLoss: Boolean = true): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets,
+      "failOnDataLoss" -> failOnDataLoss.toString) ++
+      maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString)
+
   def readKafkaStream(s: SparkSession, bootstrapServers: String, topic: String,
       startingOffsets: String = "earliest",
       maxOffsetsPerTrigger: Option[Long] = None,
-      failOnDataLoss: Boolean = true): DataFrame = {
-    val base = s.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .option("failOnDataLoss", failOnDataLoss.toString)
-    maxOffsetsPerTrigger
-      .foldLeft(base)((b, n) => b.option("maxOffsetsPerTrigger", n.toString))
+      failOnDataLoss: Boolean = true): DataFrame =
+    s.readStream.format("kafka")
+      .options(kafkaSourceOptions(bootstrapServers, topic, startingOffsets,
+        maxOffsetsPerTrigger, failOnDataLoss))
       .load()
-  }
 }

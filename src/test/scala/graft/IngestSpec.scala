@@ -182,6 +182,27 @@ class IngestSpec extends SparkTestBase {
     fs.delete(young, true)
   }
 
+  test("kafka source wiring matches the reference ingest job's options") {
+    // metadata_eu_to_raw.py:53-58 — subscribe + startingOffsets +
+    // failOnDataLoss on a bootstrap-server list. No broker or kafka jar
+    // exists in this sandbox, so the assertable seam is the option map
+    // readKafkaStream feeds to format("kafka")
+    val opts = graft.sources.Ingest.kafkaSourceOptions(
+      "kafka:9092", "europeana_metadata",
+      startingOffsets = "latest", failOnDataLoss = false)
+    assert(opts === Map(
+      "kafka.bootstrap.servers" -> "kafka:9092",
+      "subscribe" -> "europeana_metadata",
+      "startingOffsets" -> "latest",
+      "failOnDataLoss" -> "false"))
+    // the production additions: bounded batches, default earliest+strict
+    val bounded = graft.sources.Ingest.kafkaSourceOptions(
+      "k1:9092,k2:9092", "t", maxOffsetsPerTrigger = Some(50000L))
+    assert(bounded("maxOffsetsPerTrigger") === "50000")
+    assert(bounded("startingOffsets") === "earliest")
+    assert(bounded("failOnDataLoss") === "true")
+  }
+
   test("sql extension functions are callable from plain SQL") {
     val dot = spark.sql(
       "SELECT dot_product_double(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
