@@ -122,6 +122,8 @@ object SparkEntry {
     "q102_dedup_canonical"         -> (Dedup.exactCanonical _),
     "q103_json_roundtrip"          -> (graft.sources.Ingest.jsonRoundtrip _),
     "q104_semdedup_trained"        -> (SemDedup.semDedupTrained(_, _)),
+    "q105_frame_sample"            -> (Multimodal.frameSample _),
+    "q106_resize_stub"             -> (Multimodal.imageResizeFlat _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -629,6 +631,8 @@ object SparkEntry {
     "q101_orc_roundtrip" -> graft.sources.Ingest.orcRoundtripOracleSql,
     "q103_json_roundtrip" -> graft.sources.Ingest.jsonRoundtripOracleSql,
     "q104_semdedup_trained" -> SemDedup.semDedupTrainedOracleSql,
+    "q105_frame_sample" -> Multimodal.frameSampleOracleSql,
+    "q106_resize_stub" -> Multimodal.imageResizeOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),
