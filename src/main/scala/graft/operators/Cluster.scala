@@ -134,6 +134,10 @@ object Cluster {
     * the full node population (isolated nodes get the closed-form base
     * without entering the iteration). */
   def pagerankGraph(nodes: DataFrame, edges: DataFrame, nTotal: Long): DataFrame = {
+    // zero nodes: PrMass / nTotal would divide by zero; nodes is empty
+    // by definition, so the typed empty result is the answer
+    if (nTotal == 0L)
+      return nodes.select(col("id"), lit(0L).as("pr_int"))
     val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))

@@ -48,9 +48,19 @@ object IvfIndex {
     val cents = spark.read.parquet(s"$path/centroids.parquet")
       .orderBy("cell").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
-    val corpus = spark.read.parquet(s"$path/corpus")
-      .select(col("vec_id").as("__cand_id"), col("e").as("ec"),
-        col("nrm").as("nc"), col("cell"))
+    // an index built from an EMPTY corpus has no corpus part files at
+    // all (a partitioned write of zero rows emits only _SUCCESS), so
+    // the parquet read can't infer a schema — and there is nothing to
+    // read: serve the typed empty candidate set instead
+    val corpus =
+      if (cents.isEmpty)
+        Dedup.normalized(queries)
+          .select(col("vec_id").as("__cand_id"), col("e").as("ec"),
+            col("nrm").as("nc"), lit(null).cast("long").as("cell"))
+          .limit(0)
+      else spark.read.parquet(s"$path/corpus")
+        .select(col("vec_id").as("__cand_id"), col("e").as("ec"),
+          col("nrm").as("nc"), col("cell"))
     // probe + score through the ONE shared pipeline (Similarity
     // .ivfProbeScore) so this read path can never drift from q65's
     // in-memory path, whose generated oracle q72 shares

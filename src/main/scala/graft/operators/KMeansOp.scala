@@ -54,6 +54,12 @@ object KMeansOp {
     * position = lowest cell id (cents is vec_id-sorted), matching the
     * oracle's ORDER BY dist2, cell. */
   private[graft] def assign(qv: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    // zero centroids (empty corpus, or every vec_id ≥ k): there is no
+    // cell to assign — a zero-element array(...) literal is NullType and
+    // fails analysis, so emit the typed degenerate instead of a plan
+    // that can't resolve
+    if (cents.isEmpty)
+      return qv.withColumn("cell", lit(null).cast("long"))
     val qq = dot(col("q"), col("q"))
     val dists = array(cents.map { case (_, c) => dist2(qq, c) }: _*)
     val ids = array(cents.map { case (id, _) => lit(id) }: _*)

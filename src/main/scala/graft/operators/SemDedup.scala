@@ -42,18 +42,26 @@ object SemDedup {
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
       .toIndexedSeq
-    // sim to each centroid, in centroid-id order; argmax = first max
-    // index (ties -> lowest centroid id, same rule as the oracle's
-    // ORDER BY sim DESC, cid). The cluster id is the seeding vector's
-    // ACTUAL vec_id — the oracle keys cells the same way — not its
-    // array position, so sparse/shifted vec_id spaces stay in sync.
-    val simArr = array(cents.map { case (_, ce, cn) =>
-      dot(col("e"), array(ce.map(lit): _*)) / (col("nrm") * lit(cn))
-    }: _*)
-    val centIds = array(cents.map { case (id, _, _) => lit(id) }: _*)
-    val assigned = v.select(col("vec_id"), col("e"), col("nrm"),
+    // zero cells (empty corpus): a zero-element array(...) literal is
+    // NullType and fails analysis — emit the typed degenerate column
+    // and let the shared pair stage run (on no rows) as usual
+    val assigned = if (cents.isEmpty)
+      v.select(col("vec_id"), col("e"), col("nrm"),
+        lit(null).cast("long").as("cluster_id"))
+    else {
+      // sim to each centroid, in centroid-id order; argmax = first max
+      // index (ties -> lowest centroid id, same rule as the oracle's
+      // ORDER BY sim DESC, cid). The cluster id is the seeding vector's
+      // ACTUAL vec_id — the oracle keys cells the same way — not its
+      // array position, so sparse/shifted vec_id spaces stay in sync.
+      val simArr = array(cents.map { case (_, ce, cn) =>
+        dot(col("e"), array(ce.map(lit): _*)) / (col("nrm") * lit(cn))
+      }: _*)
+      val centIds = array(cents.map { case (id, _, _) => lit(id) }: _*)
+      v.select(col("vec_id"), col("e"), col("nrm"),
         element_at(centIds, array_position(simArr, array_max(simArr)).cast("int"))
           .as("cluster_id"))
+    }
     dedupWithinCells(assigned, Tau)
   }
 

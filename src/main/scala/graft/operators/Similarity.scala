@@ -340,13 +340,21 @@ object Similarity {
   private[operators] def ivfProbeScore(qv: DataFrame, v: DataFrame,
       cents: Seq[(Long, Seq[Double])], cand: DataFrame,
       nprobe: Int, k: Int): DataFrame = {
-    val qq = dot(col("q"), col("q"))
-    val cellStructs = array(cents.map { case (id, c) =>
-      struct(KMeansOp.dist2(qq, c).as("d"), lit(id).as("cell")) }: _*)
-    val q = qv
-      .select(col("vec_id").as("query_id"),
-        explode(slice(array_sort(cellStructs), 1, nprobe)).as("pr"))
-      .select(col("query_id"), col("pr.cell").as("cell"))
+    // zero cells (empty corpus): a zero-element array(...) literal is
+    // NullType and `pr.cell` fails analysis — no cells means no probes
+    val probes =
+      if (cents.isEmpty)
+        qv.select(col("vec_id").as("query_id"),
+          lit(null).cast("long").as("cell")).limit(0)
+      else {
+        val qq = dot(col("q"), col("q"))
+        val cellStructs = array(cents.map { case (id, c) =>
+          struct(KMeansOp.dist2(qq, c).as("d"), lit(id).as("cell")) }: _*)
+        qv.select(col("vec_id").as("query_id"),
+            explode(slice(array_sort(cellStructs), 1, nprobe)).as("pr"))
+          .select(col("query_id"), col("pr.cell").as("cell"))
+      }
+    val q = probes
       .join(v.select(col("vec_id").as("query_id"), col("e").as("eq"),
         col("nrm").as("nq")), Seq("query_id"))
     val scored = broadcast(q).join(cand, Seq("cell"))
