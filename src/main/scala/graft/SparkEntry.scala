@@ -276,7 +276,7 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
-        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST, n_customers""".stripMargin,
     "q09_distinct_facets" ->
       "SELECT DISTINCT c_mktsegment AS segment FROM customer ORDER BY segment",
     "q10_explode_tags" ->
@@ -394,12 +394,13 @@ object SparkEntry {
         |  list_transform(list_filter(string_split(text,' '), x -> x <> ''),
         |    w2 -> CAST(('0x'||substring(md5(w2),1,15)) AS BIGINT)) AS hw FROM documents),
         |sim AS (SELECT doc_id,
+        |  CASE WHEN hw IS NULL THEN NULL ELSE
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(range(0,60), j -> CASE WHEN
         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
         |        list_transform(hw, h -> 2*((h >> j) & 1) - 1)), (x,y) -> x+y) > 0
         |      THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE CAST(0 AS BIGINT) END)),
-        |    (x,y) -> x+y) AS simhash FROM w),
+        |    (x,y) -> x+y) END AS simhash FROM w),
         |banded AS (SELECT doc_id, simhash, t.b AS band,
         |  (simhash >> (CAST(t.b AS INTEGER)*15)) & 32767 AS band_key
         |  FROM sim, range(0,4) t(b)),
@@ -415,7 +416,7 @@ object SparkEntry {
         |  COALESCE(c.n_hamming_le3, 0) AS n_hamming_le3
         |FROM sim s LEFT JOIN counts c USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q26_dedup_embedding" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, e,
         |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm FROM v),
@@ -431,9 +432,10 @@ object SparkEntry {
         |SELECT e.vec_id,
         |  LEAST(e.vec_id, COALESCE(ag.min_nbr, e.vec_id)) AS canonical_id,
         |  COALESCE(ag.n_neighbors, 0) AS n_neighbors
-        |FROM embeddings e LEFT JOIN ag USING (vec_id) ORDER BY vec_id""".stripMargin,
+        |FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL) e
+        |LEFT JOIN ag USING (vec_id) ORDER BY vec_id""".stripMargin,
     "q27_ann_bruteforce_topk" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, e,
         |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm FROM v),
@@ -449,7 +451,7 @@ object SparkEntry {
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q28_ann_lsh_topk" -> Similarity.lshTopKOracleSql,
     "q29_knn_join" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, e,
         |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm FROM v),
@@ -501,11 +503,12 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q33_fingerprint" ->
       """SELECT doc_id,
+        | CASE WHEN text IS NULL THEN NULL ELSE
         | list_reduce(
         |   list_prepend(CAST(0 AS BIGINT),
         |     list_transform(list_filter(string_split(text,' '), w -> w <> ''),
         |       w -> CAST(('0x' || substring(md5(w),1,15)) AS BIGINT) % 1000000007)),
-        |   (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+        |   (acc, x) -> (acc * 31 + x) % 1000000007) END AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q34_text_preprocess" ->
       """SELECT doc_id,

@@ -135,7 +135,12 @@ object Analytics {
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_customers"),
         sum(dec(col("c_acctbal"))).cast("double").as("sum_acctbal"))
-      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+      // n_customers tiebreak: with NULL facet values in the data, the
+      // NULL-keyed data row, subtotal, and grand total all sort equal on
+      // (r_name, n_name) — without a total order the gate compare is
+      // nondeterministic
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"),
+        col("n_customers"))
   }
 
   /** q09: DISTINCT facet values (app.py:94-100 filter options). */
@@ -143,7 +148,9 @@ object Analytics {
     Tables.customer(s, dir)
       .select(col("c_mktsegment").as("segment"))
       .distinct()
-      .orderBy("segment")
+      // NULLS LAST: DuckDB's ORDER BY default — a NULL facet value
+      // would otherwise sort first here and last in the oracle
+      .orderBy(col("segment").asc_nulls_last)
 
   /** q10: explode/UNNEST word arrays + count (app.py:100 UNNEST(tags)). */
   def explodeTags(s: SparkSession, dir: String): DataFrame =
@@ -240,7 +247,9 @@ object Analytics {
     ranked.groupBy(col("event_type"))
       .agg(max(col("n")).as("n_events"),
         pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
-      .orderBy("event_type")
+      // NULLS LAST: match the oracle's DuckDB ORDER BY default for a
+      // NULL group key
+      .orderBy(col("event_type").asc_nulls_last)
   }
 
   /** Range-bucket count for [[groupQuantiles2Pass]]: each group's
@@ -356,7 +365,9 @@ object Analytics {
       .join(sel, Seq("gkey"))
       .select(unkey(col("gkey")).as("event_type"),
         col("n_events"), col("p50"), col("p90"), col("p99"))
-      .orderBy("event_type")
+      // NULLS LAST: q51 and the DuckDB oracle both order the NULL
+      // group last
+      .orderBy(col("event_type").asc_nulls_last)
   }
 
   /** q99: q77's winsorization with the clamp bounds computed by the q97

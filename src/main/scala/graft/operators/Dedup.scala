@@ -103,6 +103,11 @@ object Dedup {
 
   def normalized(embeddings: DataFrame): DataFrame =
     embeddings
+      // a NULL embedding is not a vector: every vector operator drops it
+      // at the scan (the oracles' base CTEs filter identically) — without
+      // this, a 100 TB corpus's failed-to-compute rows poison collected
+      // centroid models and emit NULL-similarity rows
+      .where(col("embedding").isNotNull)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("nrm", norm(col("e")))
 
@@ -156,7 +161,7 @@ object Dedup {
   /** Generated DuckDB oracle for q40 (same planes → same buckets). */
   def embeddingBlockedOracleSql: String = {
     val bucketExpr = Similarity.bucketSqlExpr(Similarity.hyperplanesFor(BlockedBits))
-    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE embedding IS NOT NULL),
        |n AS (SELECT vec_id, e,
        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm,
@@ -248,7 +253,7 @@ object Dedup {
   /** Generated DuckDB oracle for q42 (same planes, same split). */
   def dedupIncrementalOracleSql: String = {
     val bucketExpr = Similarity.bucketSqlExpr(Similarity.hyperplanesFor(IncrementalBits))
-    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE embedding IS NOT NULL),
        |n AS (SELECT vec_id, e,
        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm,
@@ -282,7 +287,9 @@ object Dedup {
       .unionByName(pairs.select(col("b_id").as("vec_id"), col("a_id").as("nbr")))
     val agg = neighbors.groupBy(col("vec_id"))
       .agg(min(col("nbr")).as("min_nbr"), count(lit(1)).as("n_neighbors"))
-    embeddings.select(col("vec_id"))
+    // enumerate only real vectors (NULL embeddings drop at the scan,
+    // same policy as normalized — the oracle filters identically)
+    embeddings.where(col("embedding").isNotNull).select(col("vec_id"))
       .join(agg, Seq("vec_id"), "left")
       .select(col("vec_id"),
         least(col("vec_id"), coalesce(col("min_nbr"), col("vec_id"))).as("canonical_id"),

@@ -37,8 +37,11 @@ object KMeansOp {
 
   /** vec_id + quantized integral-double vector. */
   private[graft] def quantized(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"),
-      transform(col("embedding"), x => round(x.cast("double") * ScaleQ)).as("q"))
+    embeddings
+      // NULL embeddings drop at the scan (same policy as Dedup.normalized)
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * ScaleQ)).as("q"))
 
   /** Squared-distance column to one centroid: qq − 2·q·c + cc. */
   private[graft] def dist2(qq: Column, c: Seq[Double]): Column = {
@@ -201,7 +204,7 @@ object KMeansOp {
     }.mkString(",\n")
     s"""qv AS (SELECT vec_id,
        |  list_transform(embedding, x -> round(CAST(x AS DOUBLE) * $ScaleQ)) AS q
-       | FROM embeddings),
+       | FROM embeddings WHERE embedding IS NOT NULL),
        |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, q AS c FROM qv WHERE vec_id < $k),
        |$rounds,
        |${assignCte(s"c$Rounds", "af")}""".stripMargin

@@ -73,12 +73,15 @@ object Multimodal {
     import docs.sparkSession.implicits._
     docs
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
+      // Option: a NULL payload (doc with no media) must flow through the
+      // encoder — it surfaces as NULL n_bytes/features, exactly what the
+      // oracle's strlen(NULL)/list ops propagate
+      .as[(Long, Option[Array[Byte]])]
       .mapPartitions { iter =>
         iter.grouped(BatchSize).flatMap { batch =>
           // one "model call" per micro-batch
           batch.map { case (id, bytes) =>
-            (id, bytes.length.toLong, featurizeStub(bytes).toSeq)
+            (id, bytes.map(_.length.toLong), bytes.map(featurizeStub(_).toSeq))
           }
         }
       }
@@ -180,12 +183,13 @@ object Multimodal {
     import docs.sparkSession.implicits._
     docs
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
+      // NULL payload -> NULL outputs, same as [[imageFeaturize]]
+      .as[(Long, Option[Array[Byte]])]
       .mapPartitions { iter =>
         iter.grouped(BatchSize).flatMap { batch =>
           // one "codec call" per micro-batch
           batch.map { case (id, bytes) =>
-            (id, bytes.length.toLong, resizeStub(bytes).toSeq)
+            (id, bytes.map(_.length.toLong), bytes.map(resizeStub(_).toSeq))
           }
         }
       }
@@ -265,7 +269,7 @@ object Multimodal {
       |    ELSE list_aggregate(ud, 'min') END AS f3,
       |  CASE WHEN n_bytes = 0 THEN CAST(0 AS DOUBLE)
       |    ELSE list_aggregate(ud, 'max') END AS f4,
-      |  CASE WHEN n_bytes = 0 THEN CAST(0 AS DOUBLE) ELSE
+      |  CASE WHEN n_bytes IS NULL THEN NULL WHEN n_bytes = 0 THEN CAST(0 AS DOUBLE) ELSE
       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ub),
       |      (a, x) -> (a * 31 + x) % 1000000007) AS DOUBLE) END AS f5
       |FROM m ORDER BY doc_id""".stripMargin

@@ -59,7 +59,10 @@ object Packing {
     val toks = docs.select(
         coalesce(col("source"), lit("")).as("source"),
         col("doc_id"),
-        size(TextAnalysis.words(col("text"))).cast("long").as("n_tokens"))
+        // NULL text packs as zero tokens (oracle coalesces identically);
+        // without this the non-nullable encoder field throws
+        coalesce(size(TextAnalysis.words(col("text"))).cast("long"), lit(0L))
+          .as("n_tokens"))
       .as[DocTok]
     toks.groupByKey(_.source)
       .flatMapGroups { (src, it) =>
@@ -85,7 +88,8 @@ object Packing {
         (TextAnalysis.md5Long(concat(col("doc_id").cast("string"), lit(":shard")))
           % shards).as("shard"),
         col("doc_id"),
-        size(TextAnalysis.words(col("text"))).cast("long").as("n_tokens"))
+        coalesce(size(TextAnalysis.words(col("text"))).cast("long"), lit(0L))
+          .as("n_tokens"))
       .as[DocTokS]
     toks.groupByKey(d => (d.source, d.shard))
       .flatMapGroups { (key: (String, Long), it: Iterator[DocTokS]) =>
@@ -100,7 +104,7 @@ object Packing {
     * recursive CTE stepping row_number+1 within each source. */
   def packSequencesOracleSql(budget: Long = Budget): String =
     s"""WITH RECURSIVE d AS (SELECT COALESCE(source, '') AS source, doc_id,
-       |  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens,
+       |  COALESCE(CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT), 0) AS n_tokens,
        |  ROW_NUMBER() OVER (PARTITION BY COALESCE(source, '') ORDER BY doc_id) AS rn
        | FROM documents),
        |p AS (

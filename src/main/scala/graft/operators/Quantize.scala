@@ -58,6 +58,8 @@ object Quantize {
 
   def int8Quantize(embeddings: DataFrame): DataFrame =
     embeddings
+      // NULL embeddings drop at the scan (same policy as Dedup.normalized)
+      .where(col("embedding").isNotNull)
       .select(col("vec_id"), int8Stats(toDouble(col("embedding"))).as("st"))
       .select(col("vec_id"),
         round(element_at(col("st"), 1), 9).as("scale_r"),
@@ -74,7 +76,7 @@ object Quantize {
     * accumulation. */
   def int8OracleSql: String = {
     val hashM = org.apache.spark.sql.graftbridge.Int8QuantStats.HashM
-    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE embedding IS NOT NULL),
        |m AS (SELECT vec_id, e,
        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(e, x -> abs(x))),
        |    (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS amax FROM v),

@@ -131,7 +131,7 @@ object SemDedup {
   /** q59 oracle: same centroid rule (vec_id < K) recomputed by DuckDB
     * from the table — argmax tie-break via ORDER BY sim DESC, cid. */
   def semDedupOracleSql: String =
-    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE embedding IS NOT NULL),
        |n AS (SELECT vec_id, e,
        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm FROM v),

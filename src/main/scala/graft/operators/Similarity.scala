@@ -193,7 +193,7 @@ object Similarity {
       case 0 => "bucket"
       case j => s"xor(bucket, CAST(1 AS BIGINT) << CAST(fo[$j].i AS INTEGER))"
     }.mkString("[", ", ", "]")
-    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE embedding IS NOT NULL),
        |n AS (SELECT vec_id, e,
        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm,
@@ -229,7 +229,7 @@ object Similarity {
     * so bucket assignment is reproduced exactly. */
   def lshTopKOracleSql: String = {
     val bucketExpr = bucketSqlExpr(hyperplanes)
-    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE embedding IS NOT NULL),
        |n AS (SELECT vec_id, e,
        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm,
@@ -376,7 +376,7 @@ object Similarity {
        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(range(1, len(embedding)+1),
        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), (x,y) -> x+y)) AS nrm
-       |  FROM embeddings),
+       |  FROM embeddings WHERE embedding IS NOT NULL),
        |pr AS (SELECT qv.vec_id AS query_id, $cR.cell,
        |    ROW_NUMBER() OVER (PARTITION BY qv.vec_id ORDER BY
        |      ${KMeansOp.dist2Sql(cR)}, $cR.cell) AS cell_rank
@@ -443,7 +443,7 @@ object Similarity {
     * buckets → same candidate set; ranking replayed as a window. */
   def knnJoinLshOracleSql(k: Int = 3, bits: Int = LshBits): String = {
     val bucketExpr = bucketSqlExpr(hyperplanesFor(bits))
-    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE embedding IS NOT NULL),
        |n AS (SELECT vec_id, e,
        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm,
