@@ -65,17 +65,24 @@ object ArtifactStore {
     * ivf_exact_v3_…): every upstream data change mints a new fingerprint,
     * so without retention each change orphans the previous artifact
     * forever. After the artifact for the CURRENT fingerprint exists,
-    * this sweeps sibling fingerprints of the same base — they were built
-    * from source states that no longer exist, so no current-session
-    * reader can resolve them (a reader still holding one open is a
-    * session reading sources that already changed under it, which the
-    * fingerprint scheme never protected anyway). */
-  def ensureCurrent(spark: SparkSession, base: String, fingerprint: String)
+    * this bounds the orphan growth by sweeping sibling fingerprints of
+    * the same base — but only BEYOND the `retainSiblings` most recently
+    * modified AND older than `graceMs`. Distinct fingerprints are NOT
+    * proof of a dead source: a session (or a fleet of drivers sharing
+    * the warehouse) legitimately serves several live source dirs at
+    * once — sf0.01 verify, sf0.1 bench, an injected robustness fixture —
+    * and an unconditional sweep here would delete artifacts out from
+    * under their readers on every dir switch and rebuild "build-once"
+    * work each time. The count bound caps disk growth; the age bound
+    * protects a reader that resolved a path and reads it lazily. */
+  def ensureCurrent(spark: SparkSession, base: String, fingerprint: String,
+      retainSiblings: Int = 8, graceMs: Long = 3600L * 1000)
       (build: String => Unit): String = {
     val name = s"${base}_$fingerprint"
     val path = ensure(spark, name)(build)
     val root = warehouseRoot(spark)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = System.currentTimeMillis() - graceMs
     fs.listStatus(root).toSeq
       .filter { st =>
         val n = st.getPath.getName
@@ -84,23 +91,35 @@ object ArtifactStore {
           // happens to share this prefix (fingerprints are bare hex)
           n.substring(base.length + 1).forall(c => c.isDigit || (c >= 'a' && c <= 'f'))
       }
+      .sortBy(-_.getModificationTime)
+      .drop(retainSiblings)
+      .filter(_.getModificationTime < cutoff)
       .foreach(st => fs.delete(st.getPath, true))
     path
   }
 
   /** Sweeps `_staging-*` dirs stranded by a crashed BUILDER PROCESS (the
     * in-process failure path is covered by [[ensure]]'s try/finally; a
-    * kill -9 mid-build is not). Only dirs older than `graceMs` go — an
-    * in-flight build's staging dir is younger by construction. Returns
-    * the swept names. */
+    * kill -9 mid-build is not). Only dirs whose NEWEST file anywhere in
+    * the tree is older than `graceMs` go: a directory's own mtime only
+    * changes when a direct child appears, so a long-running Spark write
+    * (committer creates `_temporary` at job start, then writes task
+    * files deep inside it) can leave the top-level mtime stale for the
+    * whole build — the recursive scan sees the task files still landing
+    * and spares the in-flight build. Returns the swept names. */
   def vacuumStaging(spark: SparkSession, graceMs: Long = 3600L * 1000): Seq[String] = {
     val root = warehouseRoot(spark)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
     val cutoff = System.currentTimeMillis() - graceMs
+    def newestMtime(p: Path): Long = {
+      val st = fs.getFileStatus(p)
+      val children = if (st.isDirectory) fs.listStatus(p).toSeq else Nil
+      (st.getModificationTime +: children.map(c => newestMtime(c.getPath))).max
+    }
     fs.listStatus(root).toSeq
       .filter(st => st.getPath.getName.startsWith("_staging-") &&
-        st.getModificationTime < cutoff)
+        newestMtime(st.getPath) < cutoff)
       .map { st => fs.delete(st.getPath, true); st.getPath.getName }
   }
 }

@@ -28,7 +28,7 @@ object IvfIndex {
   def buildExact(embeddings: DataFrame, path: String): Unit = {
     val spark = embeddings.sparkSession
     val (qv, cents) = KMeansOp.trainCents(embeddings)
-    val assigned = KMeansOp.assign(qv, cents).select(col("vec_id"), col("cell"))
+    val assigned = KMeansOp.assignAuto(qv, cents).select(col("vec_id"), col("cell"))
     spark.createDataFrame(cents.map { case (id, c) => (id, c) })
       .toDF("cell", "center")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids.parquet")

@@ -156,14 +156,17 @@ object KMeansOp {
     var cents: Seq[(Long, Seq[Double])] = qv.filter(col("vec_id") < k)
       .orderBy("vec_id").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
-    for (_ <- 1 to Rounds)
+    // zero seeds (empty corpus, or every vec_id >= k): there is nothing
+    // to train — running a round would feed recenter an all-NULL cell
+    // grouping and its collect would NPE on getLong
+    for (_ <- 1 to Rounds if cents.nonEmpty)
       cents = recenter(assignAuto(qv, cents), cents)
     (qv, cents)
   }
 
   def kmeans(embeddings: DataFrame): DataFrame = {
     val (qv, cents) = trainCents(embeddings)
-    val fin = assign(qv, cents).select(col("vec_id"), col("cell"))
+    val fin = assignAuto(qv, cents).select(col("vec_id"), col("cell"))
     val sizes = fin.groupBy(col("cell")).agg(count(lit(1)).as("cell_size"))
     fin.join(sizes, Seq("cell"))
       .select(col("vec_id"), col("cell"), col("cell_size"))

@@ -122,16 +122,22 @@ object Multimodal {
   def frameSample(s: SparkSession, dir: String): DataFrame = frameSample(Tables.documents(s, dir))
 
   def frameSample(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), hex(col("text").cast("binary")).as("hx"),
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"),
         octet_length(col("text")).cast("long").as("n_bytes"))
       .withColumn("n_frames", ceil(col("n_bytes") / lit(FrameBytes.toDouble)).cast("long"))
       .where(col("n_frames") > 0)
-      .withColumn("frame_idx", explode(array_distinct(
-        transform(sequence(lit(0), lit(FrameSampleK - 1)),
-          j => floor(j * col("n_frames") / lit(FrameSampleK.toDouble)).cast("long")))))
-      .select(col("doc_id"), col("frame_idx"),
-        col("hx").substr((col("frame_idx") * lit(2 * FrameBytes) + lit(1)).cast("int"),
-          lit(2 * FrameBytes)).as("frame_hex"))
+      // slice the ≤K frames out of the BINARY payload and hex only those
+      // ≤K·FrameBytes bytes BEFORE the explode — hexing the whole payload
+      // first would materialize a 2×-size string copy of the entire
+      // corpus and duplicate it per frame row through the generate
+      .select(col("doc_id"), explode(transform(
+        array_distinct(transform(sequence(lit(0), lit(FrameSampleK - 1)),
+          j => floor(j * col("n_frames") / lit(FrameSampleK.toDouble)).cast("long"))),
+        i => struct(i.as("frame_idx"),
+          hex(col("payload").substr((i * lit(FrameBytes) + lit(1)).cast("int"),
+            lit(FrameBytes))).as("frame_hex")))).as("fr"))
+      .select(col("doc_id"), col("fr.frame_idx").as("frame_idx"),
+        col("fr.frame_hex").as("frame_hex"))
       .orderBy("doc_id", "frame_idx")
 
   /** q105 oracle: the same frame geometry in SQL — hex the UTF-8 bytes,

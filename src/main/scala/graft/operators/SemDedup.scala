@@ -122,6 +122,10 @@ object SemDedup {
   def semDedupTrained(embeddings: DataFrame, k: Int, tau: Double = Tau): DataFrame = {
     val (qv, cents) = KMeansOp.trainCents(embeddings, k)
     val assigned = KMeansOp.assignAuto(qv, cents)
+      // no trained cells (no vec_id < k seeds) assigns every row a NULL
+      // cell; the oracle's empty-seed CTE chain emits zero rows, so drop
+      // unassignable rows rather than emit NULL-cluster singletons
+      .where(col("cell").isNotNull)
       .withColumn("nrm", sqrt(dot(col("q"), col("q"))))
       .select(col("vec_id"), col("q").as("e"), col("nrm"),
         col("cell").as("cluster_id"))

@@ -145,7 +145,8 @@ class IngestSpec extends SparkTestBase {
     assert(spark.read.parquet(p).count() === 5)
   }
 
-  test("ArtifactStore.ensureCurrent: superseded fingerprints are swept, exactly one live artifact") {
+  test("ArtifactStore.ensureCurrent: old fingerprints sweep past the retention bound, " +
+      "recent siblings survive (multi-dir sessions keep their artifacts)") {
     val base = s"spec_ret_${System.nanoTime()}"
     val root = ArtifactStore.warehouseRoot(spark)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -155,15 +156,24 @@ class IngestSpec extends SparkTestBase {
       d => spark.range(1).write.parquet(d))
     ArtifactStore.ensureCurrent(spark, base, "bbbb2222")(
       d => spark.range(2).write.parquet(d))
-    assert(live() === Seq(s"${base}_bbbb2222"),
-      "the old fingerprint must be swept once the current one exists")
+    // default retention: BOTH fingerprints live — a session serving two
+    // source dirs (sf0.01 verify + sf0.1 bench) must not rebuild its
+    // "build-once" artifacts on every dir switch, nor delete one out
+    // from under a concurrent reader
+    assert(live().toSet === Set(s"${base}_aaaa1111", s"${base}_bbbb2222"),
+      "recent sibling fingerprints must survive the default retention")
+    // retention bound 0 + no grace: the sweep really does bound growth
+    ArtifactStore.ensureCurrent(spark, base, "cccc3333",
+      retainSiblings = 0, graceMs = 0)(d => spark.range(3).write.parquet(d))
+    assert(live() === Seq(s"${base}_cccc3333"),
+      "past the retention bound, superseded fingerprints are swept")
     // a DIFFERENT base sharing the prefix must never be swept
     val sibling = s"${base}_extra"
-    ArtifactStore.ensureCurrent(spark, sibling, "cccc3333")(
-      d => spark.range(3).write.parquet(d))
-    ArtifactStore.ensureCurrent(spark, base, "dddd4444")(
+    ArtifactStore.ensureCurrent(spark, sibling, "dddd4444")(
       d => spark.range(4).write.parquet(d))
-    assert(live().toSet === Set(s"${base}_dddd4444", s"${base}_extra_cccc3333"))
+    ArtifactStore.ensureCurrent(spark, base, "eeee5555",
+      retainSiblings = 0, graceMs = 0)(d => spark.range(5).write.parquet(d))
+    assert(live().toSet === Set(s"${base}_eeee5555", s"${base}_extra_dddd4444"))
   }
 
   test("ArtifactStore.vacuumStaging sweeps only stale orphans") {
@@ -175,11 +185,24 @@ class IngestSpec extends SparkTestBase {
     fs.mkdirs(orphan)
     fs.mkdirs(young)
     fs.setTimes(orphan, System.currentTimeMillis() - 7200L * 1000, -1)
+    // in-flight long build: the TOP-LEVEL mtime is stale (a dir's mtime
+    // only changes when a direct child appears) but task files are still
+    // landing deep inside — the recursive scan must spare it
+    val inflight = new org.apache.hadoop.fs.Path(root, s"_staging-deep-${System.nanoTime()}")
+    val deepFile = new org.apache.hadoop.fs.Path(inflight, "_temporary/0/part-0")
+    fs.mkdirs(deepFile.getParent)
+    fs.create(deepFile).close()
+    fs.setTimes(inflight, System.currentTimeMillis() - 7200L * 1000, -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(inflight, "_temporary"),
+      System.currentTimeMillis() - 7200L * 1000, -1)
     val swept = ArtifactStore.vacuumStaging(spark) // default 1 h grace
     assert(swept.contains(orphan.getName))
     assert(!fs.exists(orphan), "stale orphan must be swept")
     assert(fs.exists(young), "an in-flight build's staging dir must survive")
+    assert(fs.exists(inflight),
+      "a long build with stale top-level mtime but fresh deep files must survive")
     fs.delete(young, true)
+    fs.delete(inflight, true)
   }
 
   test("kafka source wiring matches the reference ingest job's options") {

@@ -41,6 +41,18 @@ class KMeansSpec extends SparkTestBase {
     assert(sdCells.subsetOf(seedIds), s"clusters $sdCells must be seed vec_ids")
   }
 
+  test("no seeds (every vec_id >= K): train skips cleanly, outputs are empty like the oracle") {
+    // a sparse/shifted id space with nothing below K seeds no centroids;
+    // the oracle's empty-seed CTE chain emits zero rows, and the engine
+    // must do the same instead of NPE-ing in recenter's collect or
+    // emitting NULL-cluster singletons
+    val rng = new scala.util.Random(13)
+    val rows = (1000L until 1040L).map(i => (i, Array.fill(KMeansOp.Dim)(rng.nextFloat())))
+    val df = rows.toDF("vec_id", "embedding")
+    assert(KMeansOp.kmeans(df).count() === 0L)
+    assert(graft.operators.SemDedup.semDedupTrained(df, 8).count() === 0L)
+  }
+
   test("q63 on the corpus: partition-count independence, full coverage") {
     val emb = Tables.embeddings(spark, sfDir)
     val base = KMeansOp.kmeans(emb).collect()
