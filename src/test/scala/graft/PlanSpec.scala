@@ -234,6 +234,27 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q105: frame slices come off the binary column before the explode; " +
+      "one exchange total (the gated output sort)") {
+    val df = graft.operators.Multimodal.frameSample(spark, sfDir)
+    val p = plan(df)
+    // IsNotNull(text) reaches the scan and only (doc_id, text) is read
+    assert(p.contains("PushedFilters: [IsNotNull(text)]"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    // hex runs on per-frame substrings inside the generate's array — a
+    // regression to hexing the whole payload would hoist hex(...) into a
+    // projection below the Generate
+    assert(p.contains("hex(substr("), "hex must apply to the frame slice, not the payload")
+    // narrow pipeline: the only exchange is the output range sort
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val fin = exec match { case a: AdaptiveSparkPlanExec => a.executedPlan; case o => o }
+    val exchanges = fin.collect { case e: Exchange => e }
+    assert(exchanges.size <= 1, s"q105 must not shuffle beyond the output sort:\n$fin")
+  }
+
   test("q97/q98/q99: no window sorts a whole raw group — every window " +
       "runs over an aggregate or a bucket-filtered join") {
     import org.apache.spark.sql.execution.window.WindowExec
