@@ -377,7 +377,7 @@ object SparkEntry {
         |      FROM (SELECT * FROM events UNION ALL SELECT * FROM events))
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q22_dedup_exact" ->
-      """WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS content_hash FROM documents),
+      """WITH d AS (SELECT doc_id, md5(translate(lower(trim(text)), 'ς', 'σ')) AS content_hash FROM documents),
         |c AS (SELECT content_hash AS ch, MIN(doc_id) AS canonical_id, COUNT(*) AS cluster_size
         |      FROM d GROUP BY content_hash)
         |SELECT doc_id, content_hash, canonical_id, cluster_size
@@ -512,7 +512,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q34_text_preprocess" ->
       """SELECT doc_id,
-        | lower(trim(substring(concat_ws(' ', COALESCE(source,''), COALESCE(lang,''), text), 1, 150))) AS clip_text
+        | translate(lower(trim(substring(concat_ws(' ', COALESCE(source,''), COALESCE(lang,''), text), 1, 150))), 'ς', 'σ') AS clip_text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q36_image_featurize_stub" -> Multimodal.imageFeaturizeOracleSql,
     "q35_multimodal_meta" ->

@@ -34,7 +34,8 @@ object Dedup {
 
   def exact(docs: DataFrame): DataFrame = {
     val hashed = docs
-      .select(col("doc_id"), md5(lower(trim(col("text")))).as("content_hash"))
+      .select(col("doc_id"),
+        md5(TextAnalysis.lowerX(trim(col("text")))).as("content_hash"))
     val clusters = hashed.groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("cluster_size"))
       .withColumnRenamed("content_hash", "__cluster_hash")
@@ -64,7 +65,10 @@ object Dedup {
   def canonicalText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftbridge.{ColumnBridge, NfcNormalize}
     val nfc = ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
-    regexp_replace(lower(trim(nfc)), canonicalWsClass, " ")
+    // lowerX, not lower: İ/final-sigma case mappings diverge between
+    // engines (see TextAnalysis.lowerX) — NFC runs first so a decomposed
+    // I + combining-dot composes to İ before the fold
+    regexp_replace(TextAnalysis.lowerX(trim(nfc)), canonicalWsClass, " ")
   }
 
   /** q102: exact dedup over the CANONICALIZED text — q22's one-hash-
@@ -90,7 +94,7 @@ object Dedup {
     * character (see its doc for why `\s` would NOT be equivalent). */
   val exactCanonicalOracleSql: String =
     """WITH d AS (SELECT doc_id,
-      |  md5(regexp_replace(lower(trim(nfc_normalize(text))), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS canon_hash
+      |  md5(regexp_replace(translate(lower(trim(nfc_normalize(text))), 'ς', 'σ'), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS canon_hash
       |  FROM documents),
       |c AS (SELECT canon_hash AS ch, MIN(doc_id) AS canonical_id,
       |  COUNT(*) AS cluster_size FROM d GROUP BY canon_hash)

@@ -26,6 +26,19 @@ object TextAnalysis {
   def words(text: Column): Column =
     filter(split(text, " "), w => w =!= "")
 
+  /** Cross-engine lowercase. Java (Spark's non-ASCII path) applies the
+    * Unicode FULL + contextual case mapping: U+0130 'İ' → "i" + combining
+    * U+0307, and capital sigma takes the final form ς at word end — while
+    * DuckDB/utf8proc applies the simple mapping ('İ' → plain 'i', Σ → σ
+    * everywhere). Pre-folding İ and post-folding ς→σ (standard sigma
+    * folding, as search engines canonicalize) makes the result identical
+    * in both engines on ANY input; mirror the ς fold in the oracle
+    * (`translate(lower(x), 'ς', 'σ')`) — DuckDB needs no İ pre-fold since
+    * its simple mapping already lands on 'i'. Found by the UnicodeInject
+    * gate, invisible on ASCII fixtures. */
+  def lowerX(c: Column): Column =
+    translate(lower(translate(c, "İ", "i")), "ς", "σ")
+
   // Tiny function-word profiles for the language-ID heuristic.
   val profiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
@@ -252,7 +265,7 @@ object TextAnalysis {
   def preprocess(docs: DataFrame): DataFrame =
     docs.select(
         col("doc_id"),
-        lower(trim(substring(
+        lowerX(trim(substring(
           concat_ws(" ", coalesce(col("source"), lit("")), coalesce(col("lang"), lit("")), col("text")),
           1, 150))).as("clip_text"))
       .orderBy("doc_id")

@@ -111,6 +111,19 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.forall(r => r.getString(1) === r.getString(1).toLowerCase))
   }
 
+  test("lowerX folds the two cross-engine case-mapping traps (İ, final sigma)") {
+    import spark.implicits._
+    val out = Seq("İstanbul", "ΛΟΓΟΣ", "weiß ẞ", "Plain ASCII")
+      .toDF("t").select(TextAnalysis.lowerX(org.apache.spark.sql.functions.col("t")))
+      .collect().map(_.getString(0))
+    // plain 'i' (no combining dot U+0307 — Java's full mapping would add it)
+    assert(out(0) === "istanbul")
+    // simple sigma everywhere (Java's contextual rule would emit final ς)
+    assert(out(1) === "λογοσ")
+    assert(out(2) === "weiß ß")
+    assert(out(3) === "plain ascii")
+  }
+
   test("q102: NFC canonicalization merges combining-mark/case/whitespace variants") {
     import spark.implicits._
     val combining = "Cafe\u0301  AU   lait " // e + U+0301, case + ws runs
