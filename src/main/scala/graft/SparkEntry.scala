@@ -309,7 +309,7 @@ object SparkEntry {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q14_cleanse_ugc" ->
       """SELECT user_id, event_type, ts, event_id,
-        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value
+        | CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) AS k, value
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
         |        ORDER BY ts, event_id) AS rn
         |      FROM events WHERE ts > TIMESTAMP '2024-01-10 00:00:00') t
@@ -349,7 +349,7 @@ object SparkEntry {
       """SELECT event_id, strftime(ts, '%Y-%m-%d') AS event_date,
         | UPPER(event_type) AS event_type,
         | CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value,
-        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        | CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
     "q19_tumbling_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -689,11 +689,16 @@ object SparkEntry {
     // each event lands in exactly 2 second-aligned 10-min/5-min-slide
     // windows: starts floor(t/300)*300 and that minus 300
     "q95_hopping_window" ->
-      """WITH e AS (SELECT event_type, value,
-        |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS t
+      """WITH e AS (SELECT event_type, value, epoch_us(ts) AS tu
         |  FROM events WHERE ts IS NOT NULL),
+        |f AS (SELECT event_type, value,
+        |  -- FLOOR division: Spark's window() floors the epoch offset,
+        |  -- but DuckDB's // (and date_diff) truncate toward zero, which
+        |  -- mis-buckets pre-1970 fractional timestamps by one hop
+        |  CASE WHEN tu >= 0 OR tu % 300000000 = 0 THEN tu // 300000000
+        |       ELSE tu // 300000000 - 1 END AS b FROM e),
         |x AS (SELECT event_type, value,
-        |  (t // 300 - i) * 300 AS s FROM e, (SELECT unnest([0, 1]) AS i) u)
+        |  (b - i) * 300 AS s FROM f, (SELECT unnest([0, 1]) AS i) u)
         |SELECT TIMESTAMP '1970-01-01 00:00:00' + to_seconds(s) AS window_start,
         |  TIMESTAMP '1970-01-01 00:00:00' + to_seconds(s + 600) AS window_end,
         |  event_type, COUNT(*) AS n_events,

@@ -666,10 +666,10 @@ object Analytics {
   def groupCorrOracleSql: String =
     """WITH e AS (SELECT event_type,
       |  CAST(FLOOR(value * 1e3) AS BIGINT) AS x,
-      |  CAST(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS BIGINT) AS y
+      |  CAST(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) AS BIGINT) AS y
       | FROM events
       | WHERE value IS NOT NULL
-      |   AND TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL),
+      |   AND TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) IS NOT NULL),
       |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
       |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
       |  CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
