@@ -124,6 +124,8 @@ object SparkEntry {
     "q104_semdedup_trained"        -> (SemDedup.semDedupTrained(_, _)),
     "q105_frame_sample"            -> (Multimodal.frameSample _),
     "q106_resize_stub"             -> (Multimodal.imageResizeFlat _),
+    "q107_events_gate"             -> (Curation.eventsGate _),
+    "q108_embeddings_gate"         -> (Curation.embeddingsGate _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -636,6 +638,8 @@ object SparkEntry {
     "q104_semdedup_trained" -> SemDedup.semDedupTrainedOracleSql,
     "q105_frame_sample" -> Multimodal.frameSampleOracleSql,
     "q106_resize_stub" -> Multimodal.imageResizeOracleSql,
+    "q107_events_gate" -> Curation.eventsGateOracleSql,
+    "q108_embeddings_gate" -> Curation.embeddingsGateOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -323,4 +323,76 @@ object Curation {
           + col("ok_stopwords") === 4L, 1L).otherwise(0L))
       .orderBy("doc_id")
   }
+
+  /** Finite-domain bound for event measures: |value| below this keeps
+    * every downstream exact-decimal fold (DECIMAL(20,4) sums, micro-unit
+    * integer clamps) inside its range with headroom at any corpus size. */
+  val ValueBound = 1e12
+
+  /** q107: numeric quality gate on events — the boundary-validation step
+    * a production pipeline places between ingest and analytics. Under
+    * ANSI SQL (Spark 4's default) ONE corrupt measure — a NaN, an
+    * infinity, a 1e308 outlier — kills an entire 100 TB aggregation job
+    * with a cast overflow; the gate quarantines those rows instead, so
+    * the downstream exact-decimal operators (q11/q18/q19/q77/q90/q91/
+    * q95/q99…) run on a domain where their arithmetic is total. NULL
+    * values pass (they flow through aggregates by the gated NULL
+    * semantics); non-finite and out-of-range values drop.
+    *
+    * Scale notes: narrow codegen'd filter, pushes to the scan — free. */
+  def eventsGate(s: SparkSession, dir: String): DataFrame =
+    eventsGate(Tables.events(s, dir))
+
+  def eventsGate(events: DataFrame): DataFrame =
+    events
+      .where(col("value").isNull ||
+        (!isnan(col("value")) && abs(col("value")) < ValueBound))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .orderBy("event_id")
+
+  /** q107 oracle: the identical predicate — DuckDB `isfinite` excludes
+    * NaN and ±Inf exactly like the engine's isnan + abs bound. */
+  val eventsGateOracleSql: String =
+    """SELECT event_id, ts, user_id, event_type, value, props
+      |FROM events
+      |WHERE value IS NULL OR (isfinite(value) AND abs(value) < 1e12)
+      |ORDER BY event_id""".stripMargin
+
+  /** Component bound for embedding vectors: anything beyond it (or
+    * non-finite) poisons norms, cosines, and k-means sums. */
+  val EmbBound = 1e30
+
+  /** q108: numeric quality gate on embeddings — drops vectors that are
+    * NULL, wrongly-dimensioned, or carry a non-finite / out-of-range
+    * component, and proves the survivors by emitting their dimension and
+    * norm. A NaN component would otherwise flow into every cosine and
+    * centroid sum downstream (NaN-poisoned cells), so the vector family
+    * assumes gated input the same way the decimal family assumes q107. */
+  def embeddingsGate(s: SparkSession, dir: String): DataFrame =
+    embeddingsGate(Tables.embeddings(s, dir))
+
+  def embeddingsGate(embeddings: DataFrame): DataFrame = {
+    import graft.functions.VectorOps.{norm, toDouble}
+    embeddings
+      .where(col("embedding").isNotNull &&
+        size(col("embedding")) === Similarity.Dim &&
+        !exists(toDouble(col("embedding")),
+          x => isnan(x) || abs(x) > EmbBound))
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        round(norm(toDouble(col("embedding"))), 9).as("nrm_r"))
+      .orderBy("vec_id")
+  }
+
+  /** q108 oracle: same predicate and the shared exact norm fold. */
+  val embeddingsGateOracleSql: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = ${Similarity.Dim}
+       |    AND len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+       |          x -> NOT isfinite(x) OR abs(x) > 1e30)) = 0)
+       |SELECT vec_id, CAST(len(e) AS BIGINT) AS n_dims,
+       |  ROUND(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)), 9) AS nrm_r
+       |FROM v ORDER BY vec_id""".stripMargin
 }
