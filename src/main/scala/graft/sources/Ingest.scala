@@ -166,12 +166,13 @@ object Ingest {
       StructField("o_orderstatus", StringType),
       StructField("o_totalprice", DoubleType),
       StructField("o_orderdate", TimestampType)))
-    val path = graft.ArtifactStore.ensureCurrent(s,
-      "csv_orders_v1", graft.Tables.dirFingerprint(s, dir)) { staging =>
-      graft.Tables.orders(s, dir)
-        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-          "o_orderdate")
-        .write.option("header", "true").csv(staging)
+    val src = graft.Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate")
+    val path = graft.ArtifactStore.ensureCurrent(s, "csv_orders_v1",
+      graft.Tables.dirFingerprint(s, dir,
+        s"csv;header=true;${src.schema.catalogString}")) { staging =>
+      src.write.option("header", "true").csv(staging)
     }
     readCsv(s, path, schema).orderBy("o_orderkey")
   }
@@ -197,12 +198,13 @@ object Ingest {
   private val orcSafeTs = "ts IS NULL OR ts >= timestamp'1970-01-01 00:00:00'"
 
   def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val path = graft.ArtifactStore.ensureCurrent(s,
-      "orc_events_v2", graft.Tables.dirFingerprint(s, dir)) { staging =>
-      graft.Tables.events(s, dir)
-        .where(orcSafeTs)
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-        .write.orc(staging)
+    val src = graft.Tables.events(s, dir)
+      .where(orcSafeTs)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val path = graft.ArtifactStore.ensureCurrent(s, "orc_events_v2",
+      graft.Tables.dirFingerprint(s, dir,
+        s"orc;${src.schema.catalogString}")) { staging =>
+      src.write.orc(staging)
     }
     s.read.orc(path)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -235,11 +237,17 @@ object Ingest {
       StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val path = graft.ArtifactStore.ensureCurrent(s,
-      "json_events_v1", graft.Tables.dirFingerprint(s, dir)) { staging =>
-      graft.Tables.events(s, dir)
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-        .write.option("timestampFormat", JsonTsFormat).json(staging)
+    // v2: v1 artifacts were written from NTZ-typed ts (Spark ignores
+    // `timestampFormat` for NTZ columns → millis format the strict µs
+    // reader rejects); the semantics token keys the artifact on the
+    // normalized input schema + format so this class of staleness can't
+    // recur even without a manual bump
+    val src = graft.Tables.events(s, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val path = graft.ArtifactStore.ensureCurrent(s, "json_events_v2",
+      graft.Tables.dirFingerprint(s, dir,
+        s"json;tsfmt=$JsonTsFormat;${src.schema.catalogString}")) { staging =>
+      src.write.option("timestampFormat", JsonTsFormat).json(staging)
     }
     s.read.schema(schema).option("mode", "FAILFAST")
       .option("timestampFormat", JsonTsFormat).json(path)

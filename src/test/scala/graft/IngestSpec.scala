@@ -107,6 +107,35 @@ class IngestSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("part=b"))
   }
 
+  test("q103 regression: the strict µs reader REJECTS a millis-format artifact " +
+      "(the poisoned shape round 5's NTZ write produced)") {
+    // Reproduces the exact corruption: an NTZ-typed ts column ignores
+    // `timestampFormat` on write and lands in default millis format with
+    // no zone offset; the q103 reader (TimestampType schema, 6-digit-µs
+    // pattern, FAILFAST) must fail loudly on it, never silently parse.
+    val dir = java.nio.file.Files.createTempDirectory("graft_millis").toString + "/out"
+    Tables.events(spark, sfDir).limit(50)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(dir)
+    // confirm the written artifact really is millis-format (no offset)
+    val rawLine = spark.read.text(dir).head().getString(0)
+    assert(rawLine.matches(""".*"ts":"\d{4}-\d\d-\d\dT\d\d:\d\d:\d\d\.\d{3}".*"""),
+      s"expected the NTZ write to ignore timestampFormat; got: $rawLine")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    val strict = spark.read.schema(schema).option("mode", "FAILFAST")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(dir)
+    val e = intercept[Exception] { strict.collect() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.toString +: chain(t.getCause)
+    assert(chain(e).exists(m => m.contains("Malformed") || m.contains("FAILFAST")
+        || m.contains("BadRecord") || m.contains("DateTimeParseException")),
+      s"unexpected failure chain: ${chain(e).mkString(" <- ")}")
+  }
+
   test("ArtifactStore.ensure builds once, returns the same path, and leaves no staging") {
     var builds = 0
     val name = s"spec_artifact_${System.nanoTime()}"
