@@ -500,7 +500,7 @@ object SparkEntry {
     "q32_token_count" ->
       """SELECT doc_id,
         | len(list_filter(string_split(text,' '), w -> w <> '')) AS n_ws_tokens,
-        | len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_re_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS n_re_tokens,
         | length(text) AS n_chars_text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q33_fingerprint" ->

@@ -102,14 +102,21 @@ object TextAnalysis {
   }
 
   /** q32: token counting — whitespace tokens vs a BPE-ish regex
-    * tokenizer (alnum runs or single punctuation marks). */
+    * tokenizer (alnum runs or single punctuation marks).
+    *
+    * The "not whitespace" half of the token class is the EXPLICIT ASCII
+    * set, not `\s` — Java's `\s` contains U+000B, RE2's does not, so on
+    * a document carrying a vertical tab the two engines would disagree
+    * on whether VT is a punctuation token (the same divergence class
+    * [[Dedup.canonicalWsClass]] documents; caught by the unicode_ws
+    * injection fixture). */
   def tokenCount(s: SparkSession, dir: String): DataFrame = tokenCount(Tables.documents(s, dir))
 
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(
         col("doc_id"),
         size(words(col("text"))).cast("long").as("n_ws_tokens"),
-        size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("n_re_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0))).cast("long").as("n_re_tokens"),
         length(col("text")).cast("long").as("n_chars_text"))
       .orderBy("doc_id")
 

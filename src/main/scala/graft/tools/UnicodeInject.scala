@@ -40,7 +40,16 @@ object UnicodeInject {
     // final-sigma trap: Java lowercases ΛΟΓΟΣ with the contextual final
     // form (…ς), utf8proc with the simple mapping (…σ)
     ("ΛΟΓΟΣ ΤΕΛΟΣ Ελληνικά κείμενο τέλος",
-      "el", "unicode_greek"))
+      "el", "unicode_greek"),
+    // whitespace-class trap: Java's \s includes U+000B (vertical tab),
+    // RE2's does not — the canonical-dedup whitespace collapse must use
+    // an explicit char class to canonicalize this row identically in
+    // engine and oracle; two rows that differ only in ws runs must land
+    // in one cluster
+    ("mixed\u000Bwhitespace\t run \u000B\u000B collapse test",
+      "en", "unicode_ws"),
+    ("mixed whitespace\trun  collapse\ntest",
+      "en", "unicode_ws"))
 
   /** Write the injected copy of `srcDir` into `outDir` (documents get
     * the multibyte rows; every other table copies through unchanged). */

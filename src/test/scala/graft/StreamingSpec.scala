@@ -279,6 +279,59 @@ class StreamingSpec extends SparkTestBase {
     assert(Streams.latestCommittedVersionBelow(spark, dir, 9) === Some(5L))
   }
 
+  test("vacuum grace window: a reader holding the PREVIOUS manifest survives " +
+      "a concurrent commit + vacuum (round-6 task #5)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "file://" + java.nio.file.Files.createTempDirectory("graft_greader").toString
+    val src = MemoryStream[E]
+    val q = Streams.upsertSinkBucketed(src.toDF(), dir, Seq("event_id"),
+      numBuckets = 4, retainVersions = 1).start()
+    try {
+      src.addData((1L to 8L).map(i => E(i, ts(i.toInt), i, "a", i.toDouble)): _*)
+      q.processAllAvailable()
+      src.addData((1L to 8L).map(i => E(i, ts(10 + i.toInt), i, "b", 10.0 * i)): _*)
+      q.processAllAvailable()
+      // reader resolves the CURRENT latest (v1) lazily — plan built, not read
+      val held = Streams.readVersionBucketed(spark, dir, 1).get
+        .select("event_id", "value")
+      // a new commit lands and its sink-triggered vacuum runs: v0 (now
+      // latest-2, unreferenced) is swept, v1 (latest-1) is inside the
+      // grace window and must remain fully readable for the held plan
+      src.addData((1L to 8L).map(i => E(i, ts(30 + i.toInt), i, "c", -i.toDouble)): _*)
+      q.processAllAvailable()
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v0")), "v0 should be swept")
+      val got = held.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got === (1L to 8L).map(i => i -> 10.0 * i).toMap,
+        "the held previous-manifest reader lost files to the vacuum")
+    } finally q.stop()
+  }
+
+  test("mergeBucketedBatch: a checkpoint-reset REPLAY of the same batchId is " +
+      "idempotent and keeps the base (round-6 task #6)") {
+    import spark.implicits._
+    val dir = "file://" + java.nio.file.Files.createTempDirectory("graft_replayb").toString
+    def batch(rows: (Long, Double)*) =
+      rows.map { case (k, v) => E(k, ts(k.toInt), k, "a", v) }.toDF()
+    def snap() = Streams.currentSnapshotBucketed(spark, dir).get.collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).toMap
+    Streams.mergeBucketedBatch(batch(1L -> 1.0, 2L -> 2.0), dir, Seq("event_id"), 4, 0L)
+    Streams.mergeBucketedBatch(batch(2L -> 20.0, 3L -> 3.0), dir, Seq("event_id"), 4, 1L)
+    val expected = Map(1L -> 1.0, 2L -> 20.0, 3L -> 3.0)
+    assert(snap() === expected)
+    // checkpoint reset: batch 1 replays with the SAME id. The base must
+    // resolve strictly below the replayed id (v0), not the latest commit
+    // (v1 >= 1 would yield an empty base and silently drop row 1), and
+    // the already-published v1 dir must survive the losing re-publish.
+    Streams.mergeBucketedBatch(batch(2L -> 20.0, 3L -> 3.0), dir, Seq("event_id"), 4, 1L)
+    assert(snap() === expected, "replayed batch changed the snapshot")
+    // a LATER batch after the replay still merges on top correctly
+    Streams.mergeBucketedBatch(batch(1L -> -1.0), dir, Seq("event_id"), 4, 2L)
+    assert(snap() === Map(1L -> -1.0, 2L -> 20.0, 3L -> 3.0))
+  }
+
   test("upsertSink: replay heals a version published before a crash stole the claim") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -144,4 +144,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(nfc.getString(0) === "Caf\u00e9")
     assert(nfc.getString(1) === "plain ascii")
   }
+
+  test("q102: U+000B vertical tab collapses like every other ASCII whitespace " +
+      "(the \\s engine-vs-oracle divergence, round-6 task #6)") {
+    import spark.implicits._
+    // the two unicode_ws rows UnicodeInject plants: identical up to
+    // whitespace runs (incl. VT) \u2014 must land in ONE cluster, and their
+    // canonical form must be the single-space collapse both engines agree on
+    val ws = graft.tools.UnicodeInject.Samples.filter(_._3 == "unicode_ws")
+    assert(ws.size === 2, "UnicodeInject must carry the two ws-variant rows")
+    val df = ws.zipWithIndex.map { case ((t, _, _), i) => ((i + 1).toLong, t) }
+      .toDF("doc_id", "text")
+    val canon = df.select(graft.operators.Dedup.canonicalText(col("text")))
+      .collect().map(_.getString(0))
+    assert(canon(0) === "mixed whitespace run collapse test")
+    assert(canon(1) === canon(0), "ws-variant rows canonicalized differently")
+    val out = graft.operators.Dedup.exactCanonical(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_size")).toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L))
+    // U+00A0 (NBSP) is deliberately NOT in the collapse class: layout-
+    // significant in scraped text, and outside the explicit ASCII set
+    val nbsp = Seq((1L, "a\u00a0b"), (2L, "a b")).toDF("doc_id", "text")
+    assert(graft.operators.Dedup.exactCanonical(nbsp).collect()
+      .map(_.getAs[Long]("cluster_size")).forall(_ == 1L))
+  }
 }

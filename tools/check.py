@@ -22,6 +22,78 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 
+
+def split_cte_chain(sql):
+    """Split `WITH n1 AS (...), n2 AS (...), ... <final select>` into
+    ([(name, body), ...], final_select). Top-level only: tracks paren
+    depth and single-quoted strings. Returns None if the SQL is not a
+    plain WITH-chain."""
+    s = sql.strip()
+    if not s.upper().startswith("WITH"):
+        return None
+    i, n = 4, len(s)
+    ctes = []
+    while True:
+        while i < n and s[i] in " \t\n\r,":
+            i += 1
+        m = i
+        while i < n and (s[i].isalnum() or s[i] == "_"):
+            i += 1
+        name = s[m:i]
+        while i < n and s[i] in " \t\n\r":
+            i += 1
+        if not name or s[i:i + 2].upper() != "AS":
+            return None
+        i += 2
+        while i < n and s[i] in " \t\n\r":
+            i += 1
+        if i >= n or s[i] != "(":
+            return None
+        depth, i = 1, i + 1
+        body_start = i
+        in_str = False
+        while i < n and depth > 0:
+            c = s[i]
+            if in_str:
+                in_str = c != "'"
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        if depth != 0:
+            return None
+        ctes.append((name, s[body_start:i - 1]))
+        while i < n and s[i] in " \t\n\r":
+            i += 1
+        if i < n and s[i] == ",":
+            continue
+        return ctes, s[i:]
+
+
+def execute_materialized(con, sql):
+    """Bounded-memory replay of a WITH-chain oracle: each CTE becomes a
+    materialized TEMP TABLE in order, so DuckDB frees every intermediate
+    instead of spilling the whole inlined chain (the q87 pagerank oracle
+    at sf1 needs >74 GB inlined; materialized it runs in bounded memory —
+    each round's rank table is |V| rows). Results are identical: every
+    CTE in our oracles is deterministic and referenced downstream."""
+    parts = split_cte_chain(sql)
+    if parts is None:
+        raise RuntimeError("oracle is not a WITH-chain; cannot materialize")
+    ctes, final = parts
+    made = []
+    try:
+        for name, body in ctes:
+            con.execute(f'CREATE TEMP TABLE "{name}" AS {body}')
+            made.append(name)
+        return con.execute(final).df()
+    finally:
+        for name in reversed(made):
+            con.execute(f'DROP TABLE IF EXISTS "{name}"')
+
 def canon(v):
     if isinstance(v, float):
         return float(v)
@@ -36,7 +108,14 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: no result parquet"); fails += 1; continue
     try:
         mine = con.execute(f"SELECT * FROM '{res_glob[0]}'").df()
-        ref = con.execute(sql).df()
+        try:
+            ref = con.execute(sql).df()
+        except duckdb.Error:
+            # big-scale fallback: a WITH-chain that out-spills DuckDB
+            # (q87's unrolled pagerank at sf1) replays with each CTE
+            # materialized as a temp table — bounded memory, same values
+            print(f"NOTE {name}: direct oracle failed; replaying materialized")
+            ref = execute_materialized(con, sql)
     except Exception as e:
         print(f"FAIL {name}: {e}"); fails += 1; continue
     mc, rc = sorted(mine.columns), sorted(ref.columns)
