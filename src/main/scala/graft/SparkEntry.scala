@@ -126,6 +126,7 @@ object SparkEntry {
     "q106_resize_stub"             -> (Multimodal.imageResizeFlat _),
     "q107_events_gate"             -> (Curation.eventsGate _),
     "q108_embeddings_gate"         -> (Curation.embeddingsGate _),
+    "q109_postings_lookup"         -> (PostingsIndex.lookup _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -640,6 +641,7 @@ object SparkEntry {
     "q106_resize_stub" -> Multimodal.imageResizeOracleSql,
     "q107_events_gate" -> Curation.eventsGateOracleSql,
     "q108_embeddings_gate" -> Curation.embeddingsGateOracleSql,
+    "q109_postings_lookup" -> PostingsIndex.lookupOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -173,6 +173,25 @@ class PlanSpec extends SparkTestBase {
       s"corpus scan reads every cell directory (no partition pruning):\n$p")
   }
 
+  test("q109: postings lookup reads ONLY the queried terms' buckets — " +
+      "static partition pruning, no corpus scan") {
+    import graft.operators.PostingsIndex
+    val p = plan(PostingsIndex.lookup(spark, sfDir))
+    // the bucket IN (…) literals must land as partition filters on the
+    // index scan, not as a post-scan row filter
+    assert(p.contains("PartitionFilters") && p.contains("bucket"),
+      s"bucket predicate did not prune partitions:\n$p")
+    // serving path must never fall back to scanning documents.parquet
+    assert(!p.contains("documents.parquet"),
+      s"lookup re-scanned the corpus instead of the index:\n$p")
+    // engine-side bucket layout and driver-side literal buckets agree —
+    // a divergence would silently prune AWAY the queried terms
+    val dfB = graft.Tables.documents(spark, sfDir).sparkSession
+      .sql(s"SELECT pmod(cast(conv(substring(md5('${PostingsIndex.Terms.head}'), 1, 15), 16, 10) AS BIGINT), ${PostingsIndex.NumBuckets})")
+      .first().getLong(0)
+    assert(dfB === PostingsIndex.bucketOf(PostingsIndex.Terms.head))
+  }
+
   test("q74: hll sketch is aggregate-only — no window, no join before the estimate") {
     val p = plan(graft.operators.Hll.hllDistinct(spark, sfDir))
     assert(!p.contains("Window"), "register build must be a grouped agg, not a window")

@@ -25,6 +25,27 @@ class SearchSpec extends SparkTestBase {
     assert(score(1L) > score(3L)) // higher tf wins at equal length
   }
 
+  test("q109 postings lookup: conjunctive semantics on planted docs, " +
+      "served from the persisted index") {
+    import graft.operators.PostingsIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_postings").toString
+    Seq(
+      (1L, "spark join window extra words", "en", "s", 5L),
+      (2L, "spark spark join window", "en", "s", 4L),   // tf sum 4 → ranks first
+      (3L, "spark join only two terms", "en", "s", 5L), // conjunction fails
+      (4L, null.asInstanceOf[String], "en", "s", 0L)    // null text: no postings
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = PostingsIndex.lookup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score"))
+    assert(out.toSeq === Seq(2L -> 4L, 1L -> 3L),
+      s"conjunctive top-k wrong: ${out.mkString(",")}")
+    // build-once: a second lookup serves the SAME artifact path
+    val p1 = PostingsIndex.ensureIndex(spark, dir)
+    val p2 = PostingsIndex.ensureIndex(spark, dir)
+    assert(p1 === p2)
+  }
+
   test("q60 on the corpus: exactly TopN rows, scores positive and descending") {
     val out = Search.bm25(spark, sfDir).collect()
     assert(out.length === Search.TopN)
