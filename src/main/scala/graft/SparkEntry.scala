@@ -127,6 +127,7 @@ object SparkEntry {
     "q107_events_gate"             -> (Curation.eventsGate _),
     "q108_embeddings_gate"         -> (Curation.embeddingsGate _),
     "q109_postings_lookup"         -> (PostingsIndex.lookup _),
+    "q110_bpe_merges"              -> ((s: SparkSession, d: String) => BpeTrain.bpeMerges(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -642,6 +643,7 @@ object SparkEntry {
     "q107_events_gate" -> Curation.eventsGateOracleSql,
     "q108_embeddings_gate" -> Curation.embeddingsGateOracleSql,
     "q109_postings_lookup" -> PostingsIndex.lookupOracleSql,
+    "q110_bpe_merges" -> BpeTrain.bpeOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** q110: distributed byte-level BPE merge training (Sennrich et al.
+  * 2016; byte-level symbols as in GPT-2's tokenizer) — the actual
+  * tokenizer-training loop, of which q76's bigram counts are only the
+  * round-1 statistic.
+  *
+  * Shape: ONE corpus-sized shuffle builds the word histogram; every
+  * merge round after that runs on the VOCABULARY table (≪ corpus —
+  * this is why real BPE trainers operate on word histograms), as
+  * narrow string expressions plus one vocab-sized pair-count shuffle;
+  * the per-round argmax is a 1-row driver collect (bounded by
+  * construction, the q63/q104 precedent). At 100 TB the corpus is
+  * touched exactly once.
+  *
+  * Symbols are HEX-ENCODED UTF-8 BYTES ("43", "61", merged "4361"):
+  * byte-level sidesteps every cross-engine Unicode divergence (Java
+  * splits surrogate pairs, utf8proc doesn't — hex bytes are plain
+  * ASCII in both), and it is what production BPE uses anyway. A word's
+  * symbol sequence is a space-joined string; one merge round applies
+  * the round's best pair (max summed count, ties by pair string — a
+  * total order) to every word via a single-pass left-to-right scan
+  * with a pending-symbol accumulator: textbook BPE greedy semantics,
+  * including runs ("aaaa" under (a,a) → "aa aa"). The scan is the same
+  * fold, expression for expression, in the engine (`aggregate` HOF,
+  * string-encoded accumulator) and the oracle (DuckDB `list_reduce`) —
+  * see [[bpeOracleSql]].
+  *
+  * Rounds stop early when no pair reaches [[MinPairCount]]; merging a
+  * pair that appears once is pointless and a dried-up corpus stays
+  * dried (counts are unchanged when no merge applies), so the engine's
+  * break and the oracle's fixed [[Merges]]-round unroll agree. */
+object BpeTrain {
+
+  val Merges = 8
+  val MinPairCount = 2L
+
+  private val SEP = "\u0001"
+
+  /** "Caf" → "43 61 66": UTF-8 bytes as space-joined hex symbols. */
+  private def hexSeq(w: Column): Column =
+    trim(regexp_replace(hex(w.cast("binary")), "(..)", "$1 "))
+
+  /** Adjacent symbol pairs of a seq-string, as "L R" pair strings.
+    * Pair-string lexicographic order equals (L, R) tuple order: every
+    * symbol char is hex (> ' '), so the separator sorts first. */
+  private def pairsCol(seqStr: Column): Column = {
+    val arr = split(seqStr, " ")
+    zip_with(slice(arr, lit(1), size(arr) - 1), slice(arr, lit(2), size(arr) - 1),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** One merge round applied to a seq-string: the pending-symbol scan.
+    * Accumulator = "out<SEP>pending" (SEP = U+0001, never in a hex
+    * symbol); init = empty out, empty pending. Match consumes the
+    * pending L and the current R into out; otherwise pending flushes
+    * to out and the current symbol becomes pending. Finish flushes. */
+  private def mergeSeq(seqStr: Column, l: String, r: String): Column = {
+    val merged = l + r
+    def out(acc: Column) = substring_index(acc, SEP, 1)
+    def pend(acc: Column) = substring_index(acc, SEP, -1)
+    aggregate(
+      split(seqStr, " "),
+      lit(SEP),
+      (acc, x) =>
+        when(pend(acc) === l && x === lit(r),
+          concat(out(acc), lit(" " + merged + SEP)))
+        .otherwise(concat(
+          when(pend(acc) === "", out(acc))
+            .otherwise(concat(out(acc), lit(" "), pend(acc))),
+          lit(SEP), x)),
+      acc => trim(translate(acc, SEP, " ")))
+  }
+
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    bpeMerges(s, Tables.documents(s, dir))
+
+  def bpeMerges(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    // the one corpus-sized shuffle; everything after runs on the vocab
+    val hist = docs
+      .select(explode(TextAnalysis.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(hexSeq(col("w")).as("seq"), col("cnt"))
+      .cache()
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var cur = hist
+    var done = false
+    var round = 1
+    while (!done && round <= Merges) {
+      val best = cur
+        .select(explode(pairsCol(col("seq"))).as("pair"), col("cnt"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
+        .where(col("c") >= MinPairCount)
+        .orderBy(col("c").desc, col("pair"))
+        .limit(1).collect() // 1 row max — bounded by construction
+      if (best.isEmpty) done = true
+      else {
+        val pair = best.head.getAs[String]("pair")
+        val c = best.head.getAs[Long]("c")
+        val Array(l, r) = pair.split(" ", 2)
+        found += ((round.toLong, l, r, l + r, c))
+        cur = cur.select(mergeSeq(col("seq"), l, r).as("seq"), col("cnt"))
+        round += 1
+      }
+    }
+    hist.unpersist()
+    found.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** The oracle unrolls the same loop as chained CTEs — v0..vM vocab
+    * states, p_r pair counts, b_r the round's best pair (LEFT JOIN ON
+    * TRUE so an empty b_r leaves the vocab unchanged instead of
+    * emptying it), with the identical reduce-scan merge. */
+  val bpeOracleSql: String = {
+    // single-line continuations only: this fragment is interpolated into
+    // a string that is stripMargin'd AGAIN, and a line starting with ||
+    // would lose its first | to the margin strip
+    val scan =
+      "trim(replace(list_reduce(list_prepend(chr(2)||'I', string_split(v.seq,' ')), " +
+        "(acc, x) -> CASE " +
+        "WHEN acc = chr(2)||'I' THEN chr(1) || x " +
+        "WHEN split_part(acc, chr(1), 2) = b.bl AND x = b.br " +
+        "THEN split_part(acc, chr(1), 1) || ' ' || b.bm || chr(1) " +
+        "ELSE (CASE WHEN split_part(acc, chr(1), 2) = '' " +
+        "THEN split_part(acc, chr(1), 1) " +
+        "ELSE split_part(acc, chr(1), 1) || ' ' || split_part(acc, chr(1), 2) END) " +
+        "|| chr(1) || x END), chr(1), ' '))"
+    val rounds = (1 to Merges).map { i =>
+      s"""p$i AS (SELECT pair, SUM(cnt) AS c FROM (
+         |  SELECT unnest(list_transform(range(1, len(l)), j -> l[j] || ' ' || l[j+1])) AS pair, cnt
+         |  FROM (SELECT string_split(seq, ' ') AS l, cnt FROM v${i - 1})) GROUP BY pair),
+         |b$i AS (SELECT pair, c FROM p$i WHERE c >= $MinPairCount ORDER BY c DESC, pair LIMIT 1),
+         |v$i AS (SELECT CASE WHEN b.bl IS NULL THEN v.seq ELSE $scan END AS seq, v.cnt
+         |  FROM v${i - 1} v LEFT JOIN (SELECT split_part(pair,' ',1) AS bl,
+         |    split_part(pair,' ',2) AS br, replace(pair,' ','') AS bm FROM b$i) b ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to Merges).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS merge_rank, split_part(pair,' ',1) AS lhs,
+         | split_part(pair,' ',2) AS rhs, replace(pair,' ','') AS merged,
+         | CAST(c AS BIGINT) AS pair_count FROM b$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH hist AS (SELECT w, COUNT(*) AS cnt FROM (
+       |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents) GROUP BY w),
+       |v0 AS (SELECT trim(regexp_replace(hex(w), '(..)', '\\1 ', 'g')) AS seq, cnt
+       |  FROM hist),
+       |$rounds
+       |SELECT * FROM (
+       |$out
+       |) ORDER BY merge_rank""".stripMargin
+  }
+}

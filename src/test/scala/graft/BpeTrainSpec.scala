@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.BpeTrain
+
+class BpeTrainSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("q110: merge order follows pair frequency; merged symbols chain") {
+    // "ab" dominates (weight via repetition), then the merged "ab"+"c"
+    // 'a'=61 'b'=62 'c'=63
+    val docs = Seq(
+      (1L, "abc abc abc abc"),
+      (2L, "abc abc ab ab"),
+      (3L, "zq zq")
+    ).toDF("doc_id", "text")
+    val out = BpeTrain.bpeMerges(spark, docs).collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[String]("merged"), r.getAs[Long]("pair_count")))
+    // round 1: (61,62) i.e. a+b, count = 6 abc + 2 ab... every word
+    // contributes pair-per-occurrence × word count
+    assert(out.head === ((1L, "61", "62", "6162", 8L)), s"got ${out.head}")
+    // round 2: merged ab pairs with c — (6162, 63) count 6
+    assert(out(1) === ((2L, "6162", "63", "616263", 6L)), s"got ${out(1)}")
+    // ranks are dense from 1 and counts non-increasing per BPE greedy
+    assert(out.map(_._1).toSeq === (1L to out.length))
+    assert(out.map(_._5).toSeq.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("q110: runs of an identical pair merge textbook-greedy (aaaa -> aa aa)") {
+    // one word "aaaa" × 3: round-1 pair (61,61) counts 3 words × 3
+    // adjacent pairs = 9; the merge must produce TWO "6161" symbols per
+    // word (left-to-right non-overlap), so round 2 sees pair
+    // (6161,6161) with count 3 — the single-pass-with-shared-boundary
+    // bug would leave "6161 61 61" and round 2 would see (6161,61)
+    val docs = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val out = BpeTrain.bpeMerges(spark, docs).collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"), r.getAs[Long]("pair_count")))
+    assert(out(0) === (("61", "61", 9L)))
+    assert(out(1) === (("6161", "6161", 3L)), s"run merge not textbook: ${out(1)}")
+  }
+
+  test("q110: multibyte text merges over UTF-8 bytes (no surrogate splits)") {
+    // 'é' = C3 A9: the dominant pair is the multibyte char's own bytes
+    val docs = Seq((1L, "ééé ééé ééé")).toDF("doc_id", "text")
+    val out = BpeTrain.bpeMerges(spark, docs).collect()
+    assert(out.head.getAs[String]("lhs") === "C3")
+    assert(out.head.getAs[String]("rhs") === "A9")
+    assert(out.head.getAs[Long]("pair_count") === 9L)
+  }
+
+  test("q110: empty and all-null corpora yield zero merges, not a crash") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(BpeTrain.bpeMerges(spark, empty).count() === 0L)
+    val nulls = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(BpeTrain.bpeMerges(spark, nulls).count() === 0L)
+  }
+}
