@@ -128,6 +128,8 @@ object SparkEntry {
     "q108_embeddings_gate"         -> (Curation.embeddingsGate _),
     "q109_postings_lookup"         -> (PostingsIndex.lookup _),
     "q110_bpe_merges"              -> ((s: SparkSession, d: String) => BpeTrain.bpeMerges(s, d)),
+    "q111_pq_adc"                  -> (PqOp.pqAdcTopK _),
+    "q112_pq_rerank"               -> (PqOp.pqRerankTopK _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -644,6 +646,8 @@ object SparkEntry {
     "q108_embeddings_gate" -> Curation.embeddingsGateOracleSql,
     "q109_postings_lookup" -> PostingsIndex.lookupOracleSql,
     "q110_bpe_merges" -> BpeTrain.bpeOracleSql,
+    "q111_pq_adc" -> PqOp.pqAdcOracleSql,
+    "q112_pq_rerank" -> PqOp.pqRerankOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -1,0 +1,356 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorOps.cosinePre
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search") — the vector-compression half of the
+  * IVF-ADC layout every 100 TB ANN deployment ships: the 64-dim
+  * embedding splits into [[M]] subspaces of [[SubDim]] dims, each
+  * subspace gets its own [[Ks]]-centroid codebook (trained by the same
+  * deterministic Lloyd arithmetic as [[KMeansOp]]), and a vector is
+  * stored as M small codes (M bytes at Ks=256) instead of 256 floats.
+  * The reference stores raw CLIP vectors in Qdrant
+  * (extracting_embeddings.py:432-439); PQ is the standard compression
+  * those engines apply underneath.
+  *
+  * Search is ASYMMETRIC DISTANCE COMPUTATION (ADC): per query, a
+  * (M × Ks)-entry lookup table of exact query-subvector→centroid
+  * distances is computed ONCE (driver-side here — M·Ks·SubDim work,
+  * bounded by construction), then every candidate's approximate
+  * distance is M table lookups on its codes — no per-pair
+  * vector arithmetic at all. In the plan that is a NARROW projection
+  * over the encoded corpus (map-literal lookups + a fixed fold), no
+  * join, no shuffle before the bounded-heap top-k; at 100 TB the scan
+  * reads M code columns, not the 64-float vector.
+  *
+  * q112 is the serving refinement: ADC shortlists [[ShortlistK]]
+  * candidates per query, then ONLY those rows are fetched (a keyed
+  * join against the corpus, not a scan) and reranked by exact cosine —
+  * the two-stage retrieve-then-rerank pattern that makes PQ's
+  * approximation error irrelevant for final ranking.
+  *
+  * Engine-exact by construction, same conventions as [[KMeansOp]]:
+  * integral-double quantized vectors, exact integer recenter sums,
+  * fixed left-to-right folds for every float chain (the driver-side
+  * LUT uses the same fold order as the oracle's list_reduce), so
+  * engine and DuckDB agree bitwise. Ties: cell assignment prefers the
+  * lowest cell id; rankings order (dist asc, id asc) / (sim desc,
+  * id asc) — total orders both engines replay.
+  */
+object PqOp {
+
+  val M = 8
+  val SubDim = 8 // M * SubDim = KMeansOp.Dim
+  val Ks = 16
+  val Rounds = 2
+  val NQ = 8
+  val TopK = 5
+  // Serving shortlists run 10-100× the final k (FAISS's reorder_k):
+  // at 12 bits of code per vector the ADC margin between true
+  // neighbors and the pack is thin, and the shortlist is what buys
+  // recall back — 50 here gives recall@1 ≥ 7/8 on the test corpora
+  // (PqSpec) while the rerank still touches only K′ rows per query
+  val ShortlistK = 50
+
+  /** Subvector slice of the quantized vector for subspace `m`. */
+  private def subSlice(q: Column, m: Int): Column =
+    slice(q, m * SubDim + 1, SubDim)
+
+  /** Per-subspace Lloyd recenter — [[KMeansOp.recenter]] at SubDim. */
+  private def recenterSub(assigned: DataFrame,
+      old: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = {
+    val aggs = count(lit(1)).cast("double").as("n") +:
+      (1 to SubDim).map(i => sum(element_at(col("q"), i)).as(s"s$i"))
+    val rows = assigned.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), (1 to SubDim).map(i => r.getDouble(1 + i))))
+      .toMap
+    old.map { case (id, c) =>
+      rows.get(id) match {
+        case Some((n, sums)) => id -> sums.map(_ / n)
+        case None => id -> c
+      }
+    }
+  }
+
+  /** Train subspace `m`'s codebook: seed = first [[Ks]] vec_ids'
+    * subvectors, [[Rounds]] Lloyd rounds ([[KMeansOp]] conventions —
+    * the collects are Ks rows of SubDim doubles, bounded). */
+  private[graft] def trainSub(qv: DataFrame, m: Int): Seq[(Long, Seq[Double])] = {
+    val sub = qv.select(col("vec_id"), subSlice(col("q"), m).as("q"))
+    var cents: Seq[(Long, Seq[Double])] = sub.filter(col("vec_id") < Ks)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    for (_ <- 1 to Rounds if cents.nonEmpty)
+      cents = recenterSub(KMeansOp.assign(sub, cents), cents)
+    cents
+  }
+
+  /** PQ-encode: adds code0..code{M−1} (assigned cell per subspace) to
+    * the quantized frame — M narrow argmin projections, no shuffle. */
+  private[graft] def encode(qv: DataFrame,
+      books: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    var df = qv
+    for (m <- 0 until M) {
+      val sliced = df.withColumnRenamed("q", "__qfull")
+        .withColumn("q", subSlice(col("__qfull"), m))
+      df = KMeansOp.assign(sliced, books(m))
+        .withColumnRenamed("cell", s"code$m")
+        .drop("q").withColumnRenamed("__qfull", "q")
+    }
+    df
+  }
+
+  /** Driver-side exact subspace distance — the SAME fold order as
+    * [[KMeansOp.dist2]] and the oracle's list_reduce chains: qq and qc
+    * fold left over ascending dims, cc folds over the centroid, and
+    * the combination is (qq − 2·qc) + cc. */
+  private def lutDist(qsub: Seq[Double], c: Seq[Double]): Double = {
+    val qq = qsub.foldLeft(0.0)((a, x) => a + x * x)
+    val qc = qsub.indices.foldLeft(0.0)((a, i) => a + qsub(i) * c(i))
+    val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+    qq - 2.0 * qc + cc
+  }
+
+  /** ADC distance columns, one struct(query_id, dist) per query: dist =
+    * Σ_m LUT_m[code_m], the LUTs baked as map literals (M·Ks·NQ doubles
+    * — at production Ks=256 the maps ride a broadcast like
+    * [[KMeansOp.assignBroadcast]]'s centroids; at gate scale literals
+    * keep the whole projection in codegen). */
+  private def adcDistCols(queries: Seq[(Long, Seq[Double])],
+      books: Seq[Seq[(Long, Seq[Double])]]): Seq[Column] =
+    queries.map { case (qid, qvec) =>
+      val d = (0 until M).map { m =>
+        val qsub = qvec.slice(m * SubDim, (m + 1) * SubDim)
+        val entries = books(m).flatMap { case (cell, c) =>
+          Seq(lit(cell), lit(lutDist(qsub, c)))
+        }
+        element_at(map(entries: _*), col(s"code$m"))
+      }.reduce(_ + _)
+      struct(lit(qid).as("query_id"), d.as("dist"))
+    }
+
+  /** Unit-sphere quantization: the search metric is COSINE (the q27
+    * ground truth), and PQ's ADC distance is L2 — on the unit sphere
+    * L2² = 2 − 2·cos, so normalizing BEFORE quantization makes the ADC
+    * ranking cosine-consistent (the standard trick every cosine-metric
+    * PQ deployment uses). Raw-vector L2 would shortlist by magnitude
+    * and lose the true cosine neighbor. Zero vectors have no direction
+    * and drop at the scan (oracle filters identically). */
+  private[graft] def unitQuantized(embeddings: DataFrame): DataFrame = {
+    import graft.functions.VectorOps
+    embeddings.where(col("embedding").isNotNull)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", VectorOps.norm(col("e")))
+      .where(col("nrm") > 0.0)
+      .select(col("vec_id"),
+        transform(col("e"), x => round(x / col("nrm") * lit(KMeansOp.ScaleQ))).as("q"))
+  }
+
+  /** Shared chain: quantize → train M codebooks → encode → ADC-score
+    * the corpus for the query set. Returns (query_id, __cand_id, dist)
+    * or None when there is nothing to search (empty corpus / no seeds /
+    * no queries — the typed-degenerate contract). */
+  private def adcScored(embeddings: DataFrame): Option[DataFrame] = {
+    val qv = unitQuantized(embeddings).localCheckpoint()
+    val books = (0 until M).map(m => trainSub(qv, m))
+    val queries: Seq[(Long, Seq[Double])] =
+      qv.filter(col("vec_id") < NQ).orderBy("vec_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    if (books.exists(_.isEmpty) || queries.isEmpty) None
+    else {
+      val enc = encode(qv, books)
+      Some(enc
+        .select(col("vec_id").as("__cand_id"),
+          explode(array(adcDistCols(queries, books): _*)).as("qd"))
+        .select(col("qd.query_id").as("query_id"), col("__cand_id"),
+          col("qd.dist").as("dist"))
+        .where(col("query_id") =!= col("__cand_id")))
+    }
+  }
+
+  /** q111: ADC top-[[TopK]] per query — bounded-heap ranking (≤k rows
+    * per partition-query into the one shuffle), ties (dist, id). */
+  def pqAdcTopK(s: SparkSession, dir: String): DataFrame =
+    pqAdcTopK(Tables.embeddings(s, dir))
+
+  def pqAdcTopK(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    adcScored(embeddings) match {
+      case None => emptyResult(spark, "dist_r")
+      case Some(scored) =>
+        scored.select(col("query_id"), col("__cand_id"), negate(col("dist")).as("sim"))
+          .groupBy(col("query_id"))
+          .agg(Similarity.topKAgg(col("sim"), col("__cand_id"), TopK).as("tk"))
+          .select(col("query_id"), posexplode(col("tk")))
+          // report in ORIGINAL embedding units (÷ ScaleQ² — one IEEE
+          // division, identical both engines): the quantized-unit
+          // magnitudes (~1e12) are where DuckDB's float-based ROUND
+          // and Spark's BigDecimal ROUND disagree in the last ulp
+          .select(col("query_id"), col("col.id").as("neighbor_id"),
+            (col("pos") + 1).cast("long").as("rank"),
+            round(negate(col("col.sim")) / lit(KMeansOp.ScaleQ * KMeansOp.ScaleQ), 9).as("dist_r"))
+          .orderBy("query_id", "rank")
+    }
+  }
+
+  /** q112: two-stage serving read — ADC shortlist of [[ShortlistK]],
+    * exact-cosine rerank of ONLY those rows to top-[[TopK]]. The
+    * rerank is a keyed join (shortlist × corpus on vec_id), so full
+    * vectors are fetched for K′ rows per query, never scanned. */
+  def pqRerankTopK(s: SparkSession, dir: String): DataFrame =
+    pqRerankTopK(Tables.embeddings(s, dir))
+
+  def pqRerankTopK(embeddings: DataFrame): DataFrame =
+    pqRerankTopK(embeddings, ShortlistK)
+
+  /** Test hook: `shortlistK` ≥ corpus size degenerates to exact
+    * brute-force search — PqSpec proves the two-stage machinery equals
+    * q27's ranking bit-for-bit in that limit. */
+  private[graft] def pqRerankTopK(embeddings: DataFrame, shortlistK: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    adcScored(embeddings) match {
+      case None => emptyResult(spark, "sim_r")
+      case Some(scored) =>
+        val shortlist = scored
+          .select(col("query_id"), col("__cand_id"), negate(col("dist")).as("sim"))
+          .groupBy(col("query_id"))
+          .agg(Similarity.topKAgg(col("sim"), col("__cand_id"), shortlistK).as("tk"))
+          .select(col("query_id"), explode(col("tk.id")).as("neighbor_id"))
+        val v = Dedup.normalized(embeddings)
+        val qside = v.filter(col("vec_id") < NQ)
+          .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"))
+        val cside = v.select(col("vec_id").as("neighbor_id"),
+          col("e").as("ec"), col("nrm").as("nc"))
+        val reranked = shortlist
+          .join(cside, Seq("neighbor_id"))
+          .join(broadcast(qside), Seq("query_id"))
+          .select(col("query_id"), col("neighbor_id").as("__cand_id"),
+            cosinePre(col("eq"), col("ec"), col("nq"), col("nc")).as("sim"))
+        reranked.groupBy(col("query_id"))
+          .agg(Similarity.topKAgg(col("sim"), col("__cand_id"), TopK).as("tk"))
+          .select(col("query_id"), posexplode(col("tk")))
+          .select(col("query_id"), col("col.id").as("neighbor_id"),
+            (col("pos") + 1).cast("long").as("rank"),
+            round(col("col.sim"), 9).as("sim_r"))
+          .orderBy("query_id", "rank")
+    }
+  }
+
+  private def emptyResult(s: SparkSession, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("query_id", LongType), StructField("neighbor_id", LongType),
+        StructField("rank", LongType), StructField(scoreCol, DoubleType))))
+  }
+
+  // ------------------------------------------------------------------
+  // Oracle: the identical chain unrolled as DuckDB CTEs.
+
+  private def lr(dim: Int, expr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $dim+1), i -> $expr)), (x,y) -> x+y)"
+
+  /** Subspace dist2 between sub-table alias `qv`'s 16-dim q and
+    * centroid table `cin`'s c — [[KMeansOp.dist2Sql]] at SubDim. */
+  private def dist2Sub(cin: String): String =
+    s"${lr(SubDim, "qv.q[i]*qv.q[i]")} - 2.0 * ${lr(SubDim, s"qv.q[i]*$cin.c[i]")} + ${lr(SubDim, s"$cin.c[i]*$cin.c[i]")}"
+
+  /** Per-subspace Lloyd chain (qv_m / c0_m / a{r}_m / c{r}_m), the
+    * [[KMeansOp.kmeansCtes]] shape parameterized to a vector slice. */
+  private def subspaceCtes(m: Int): String = {
+    val lo = m * SubDim + 1
+    val hi = (m + 1) * SubDim
+    def assignCte(cin: String, aout: String) =
+      s"""$aout AS (SELECT vec_id, q, cell FROM (
+         |  SELECT qv.vec_id, qv.q, $cin.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY qv.vec_id ORDER BY
+         |      ${dist2Sub(cin)}, $cin.cell) AS rn
+         |  FROM qv_m$m qv CROSS JOIN $cin) WHERE rn = 1)""".stripMargin
+    def recenterCte(ain: String, cin: String, cout: String) =
+      s"""${cout}_s AS (SELECT cell, list(s ORDER BY dim) AS c FROM (
+         |  SELECT cell, t.i AS dim, SUM(q[t.i]) / CAST(COUNT(*) AS DOUBLE) AS s
+         |  FROM $ain CROSS JOIN range(1, $SubDim+1) t(i) GROUP BY cell, t.i)
+         | GROUP BY cell),
+         |$cout AS (SELECT $cin.cell, COALESCE(${cout}_s.c, $cin.c) AS c
+         |  FROM $cin LEFT JOIN ${cout}_s USING (cell))""".stripMargin
+    val rounds = (1 to Rounds).map { r =>
+      val cin = if (r == 1) s"c0_m$m" else s"c${r - 1}_m$m"
+      s"${assignCte(cin, s"a${r}_m$m")},\n${recenterCte(s"a${r}_m$m", cin, s"c${r}_m$m")}"
+    }.mkString(",\n")
+    s"""qv_m$m AS (SELECT vec_id, q[$lo:$hi] AS q FROM qv),
+       |c0_m$m AS (SELECT CAST(vec_id AS BIGINT) AS cell, q AS c FROM qv_m$m WHERE vec_id < $Ks),
+       |$rounds,
+       |${assignCte(s"c${Rounds}_m$m", s"enc_m$m")}""".stripMargin
+  }
+
+  /** WITH-body: quantize, M subspace chains, `enc` (vec_id + codes),
+    * `adc` ((query, cand) ADC distances via the final codebooks). */
+  private def adcCtes: String = {
+    val subs = (0 until M).map(subspaceCtes).mkString(",\n")
+    val encFrom = (0 until M).map(m =>
+      if (m == 0) s"enc_m$m e$m" else s"JOIN enc_m$m e$m USING (vec_id)").mkString(" ")
+    val codeCols = (0 until M).map(m => s"e$m.cell AS code$m").mkString(", ")
+    val cfJoins = (0 until M).map(m =>
+      s"JOIN c${Rounds}_m$m cf$m ON cf$m.cell = enc.code$m").mkString(" ")
+    // per-subspace ADC term: exact dist2 between the query's subvector
+    // (sliced from the full q at offset) and the candidate's assigned
+    // centroid — folds match the engine's driver-side LUT bitwise
+    val terms = (0 until M).map { m =>
+      val off = m * SubDim
+      s"${lr(SubDim, s"qs.q[$off+i]*qs.q[$off+i]")} - 2.0 * ${lr(SubDim, s"qs.q[$off+i]*cf$m.c[i]")} + ${lr(SubDim, s"cf$m.c[i]*cf$m.c[i]")}"
+    }.map(t => s"($t)").mkString(" + ")
+    s"""qv AS (SELECT vec_id, list_transform(e, x -> round(x / nrm * ${KMeansOp.ScaleQ})) AS q
+       | FROM (SELECT vec_id, e,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm
+       |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |    FROM embeddings WHERE embedding IS NOT NULL))
+       | WHERE nrm > 0),
+       |$subs,
+       |enc AS (SELECT e0.vec_id, $codeCols FROM $encFrom),
+       |qs AS (SELECT vec_id AS query_id, q FROM qv WHERE vec_id < $NQ),
+       |adc AS (SELECT qs.query_id, enc.vec_id AS neighbor_id, $terms AS dist
+       |  FROM qs CROSS JOIN enc $cfJoins
+       |  WHERE qs.query_id <> enc.vec_id)""".stripMargin
+  }
+
+  /** q111 oracle. */
+  def pqAdcOracleSql: String =
+    s"""WITH $adcCtes
+       |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+       |  ROUND(dist / ${KMeansOp.ScaleQ * KMeansOp.ScaleQ}, 9) AS dist_r
+       |FROM (SELECT query_id, neighbor_id, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+       |  FROM adc)
+       |WHERE rn <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** q112 oracle: shortlist by ADC, rerank by exact cosine. */
+  def pqRerankOracleSql: String =
+    s"""WITH $adcCtes,
+       |sl AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+       |    FROM adc) WHERE rn <= $ShortlistK),
+       |n0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |n AS (SELECT vec_id, e,
+       |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm FROM n0),
+       |rr AS (SELECT sl.query_id, sl.neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(q.e)+1), i -> q.e[i]*c.e[i])), (x,y) -> x+y)
+       |     / (q.nrm * c.nrm) AS sim
+       |  FROM sl JOIN n c ON c.vec_id = sl.neighbor_id
+       |  JOIN n q ON q.vec_id = sl.query_id)
+       |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, ROUND(sim, 9) AS sim_r
+       |FROM (SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM rr)
+       |WHERE rn <= $TopK ORDER BY query_id, rank""".stripMargin
+}
