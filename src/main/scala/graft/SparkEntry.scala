@@ -129,7 +129,8 @@ object SparkEntry {
     "q109_postings_lookup"         -> (PostingsIndex.lookup _),
     "q110_bpe_merges"              -> ((s: SparkSession, d: String) => BpeTrain.bpeMerges(s, d)),
     "q111_pq_adc"                  -> (PqOp.pqAdcTopK _),
-    "q112_pq_rerank"               -> (PqOp.pqRerankTopK _),
+    "q112_pq_rerank"               -> ((s: SparkSession, d: String) => PqOp.pqRerankTopK(s, d)),
+    "q113_bpe_encode"              -> ((s: SparkSession, d: String) => BpeTrain.bpeEncode(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -648,6 +649,7 @@ object SparkEntry {
     "q110_bpe_merges" -> BpeTrain.bpeOracleSql,
     "q111_pq_adc" -> PqOp.pqAdcOracleSql,
     "q112_pq_rerank" -> PqOp.pqRerankOracleSql,
+    "q113_bpe_encode" -> BpeTrain.bpeEncodeOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -80,13 +80,19 @@ object BpeTrain {
   def bpeMerges(s: SparkSession, dir: String): DataFrame =
     bpeMerges(s, Tables.documents(s, dir))
 
-  def bpeMerges(s: SparkSession, docs: DataFrame): DataFrame = {
-    import s.implicits._
+  /** The train loop, carrying the WORD through every round so the
+    * final vocab state can serve encoding (q113): returns (merge list,
+    * cached word histogram, final (w, seq, cnt) vocab). Callers that
+    * only need the merges unpersist `hist`; the encode path keeps it
+    * cached (vocab-sized, bounded) because the vocab is consumed
+    * lazily downstream. */
+  private def trainCore(docs: DataFrame):
+      (Seq[(Long, String, String, String, Long)], DataFrame, DataFrame) = {
     // the one corpus-sized shuffle; everything after runs on the vocab
     val hist = docs
       .select(explode(TextAnalysis.words(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(hexSeq(col("w")).as("seq"), col("cnt"))
+      .select(col("w"), hexSeq(col("w")).as("seq"), col("cnt"))
       .cache()
     val found = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var cur = hist
@@ -105,20 +111,60 @@ object BpeTrain {
         val c = best.head.getAs[Long]("c")
         val Array(l, r) = pair.split(" ", 2)
         found += ((round.toLong, l, r, l + r, c))
-        cur = cur.select(mergeSeq(col("seq"), l, r).as("seq"), col("cnt"))
+        cur = cur.select(col("w"), mergeSeq(col("seq"), l, r).as("seq"), col("cnt"))
         round += 1
       }
     }
+    (found.toSeq, hist, cur)
+  }
+
+  def bpeMerges(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val (found, hist, _) = trainCore(docs)
     hist.unpersist()
-    found.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+    found.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
       .orderBy("merge_rank")
   }
 
-  /** The oracle unrolls the same loop as chained CTEs — v0..vM vocab
+  /** q113: tokenize the corpus with the trained merges — the apply
+    * half of the tokenizer (q110 trains, this encodes). The corpus is
+    * NEVER re-scanned per merge: encoding happens on the VOCABULARY
+    * (each distinct word's final symbol seq → token count), and docs
+    * join that table on the word — the same histogram trick real BPE
+    * encoders use, so the per-doc cost is one explode + one vocab join
+    * + one agg regardless of merge count.
+    *
+    * Output value-proves per-word token counts without an array
+    * column: n_tokens (Σ tokens), n_bytes (Σ UTF-8 word bytes — the
+    * bytes/token compression signal), and tok_hash (Σ (md5-hash(w)
+    * mod 1000003) · tokens(w) — an order-independent exact integer
+    * fold over the word MULTISET, so a wrong count on any word
+    * breaks it). */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame =
+    bpeEncode(s, Tables.documents(s, dir))
+
+  def bpeEncode(s: SparkSession, docs: DataFrame): DataFrame = {
+    val (_, _, vocab) = trainCore(docs)
+    val vtok = vocab.select(col("w"),
+      size(split(col("seq"), " ")).cast("long").as("n_tok"))
+    val words = docs.select(col("doc_id"),
+      explode(TextAnalysis.words(col("text"))).as("w"))
+    val whash = TextAnalysis.md5Long(col("w")) % 1000003L
+    words.join(vtok, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(octet_length(col("w")).cast("long")).as("n_bytes"),
+        sum(whash * col("n_tok")).as("tok_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** The oracle chain shared by q110 and q113 — hist, v0..vM vocab
     * states, p_r pair counts, b_r the round's best pair (LEFT JOIN ON
     * TRUE so an empty b_r leaves the vocab unchanged instead of
-    * emptying it), with the identical reduce-scan merge. */
-  val bpeOracleSql: String = {
+    * emptying it), with the identical reduce-scan merge. `carryW`
+    * threads the word through every state for the encode join. */
+  private def chainCtes(carryW: Boolean): String = {
     // single-line continuations only: this fragment is interpolated into
     // a string that is stripMargin'd AGAIN, and a line starting with ||
     // would lose its first | to the margin strip
@@ -132,28 +178,49 @@ object BpeTrain {
         "THEN split_part(acc, chr(1), 1) " +
         "ELSE split_part(acc, chr(1), 1) || ' ' || split_part(acc, chr(1), 2) END) " +
         "|| chr(1) || x END), chr(1), ' '))"
+    val wSel = if (carryW) "v.w, " else ""
+    val w0Sel = if (carryW) "w, " else ""
     val rounds = (1 to Merges).map { i =>
       s"""p$i AS (SELECT pair, SUM(cnt) AS c FROM (
          |  SELECT unnest(list_transform(range(1, len(l)), j -> l[j] || ' ' || l[j+1])) AS pair, cnt
          |  FROM (SELECT string_split(seq, ' ') AS l, cnt FROM v${i - 1})) GROUP BY pair),
          |b$i AS (SELECT pair, c FROM p$i WHERE c >= $MinPairCount ORDER BY c DESC, pair LIMIT 1),
-         |v$i AS (SELECT CASE WHEN b.bl IS NULL THEN v.seq ELSE $scan END AS seq, v.cnt
+         |v$i AS (SELECT ${wSel}CASE WHEN b.bl IS NULL THEN v.seq ELSE $scan END AS seq, v.cnt
          |  FROM v${i - 1} v LEFT JOIN (SELECT split_part(pair,' ',1) AS bl,
          |    split_part(pair,' ',2) AS br, replace(pair,' ','') AS bm FROM b$i) b ON TRUE)""".stripMargin
     }.mkString(",\n")
+    s"""hist AS (SELECT w, COUNT(*) AS cnt FROM (
+       |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents) GROUP BY w),
+       |v0 AS (SELECT ${w0Sel}trim(regexp_replace(hex(w), '(..)', '\\1 ', 'g')) AS seq, cnt
+       |  FROM hist),
+       |$rounds""".stripMargin
+  }
+
+  val bpeOracleSql: String = {
     val out = (1 to Merges).map { i =>
       s"""SELECT CAST($i AS BIGINT) AS merge_rank, split_part(pair,' ',1) AS lhs,
          | split_part(pair,' ',2) AS rhs, replace(pair,' ','') AS merged,
          | CAST(c AS BIGINT) AS pair_count FROM b$i""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH hist AS (SELECT w, COUNT(*) AS cnt FROM (
-       |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-       |  FROM documents) GROUP BY w),
-       |v0 AS (SELECT trim(regexp_replace(hex(w), '(..)', '\\1 ', 'g')) AS seq, cnt
-       |  FROM hist),
-       |$rounds
+    s"""WITH ${chainCtes(carryW = false)}
        |SELECT * FROM (
        |$out
        |) ORDER BY merge_rank""".stripMargin
   }
+
+  /** q113 oracle: the carried-word chain's final state becomes the
+    * (w → token count) vocab; docs re-explode and join it — the same
+    * histogram-encode shape as the engine, fold for fold (strlen is
+    * DuckDB's BYTE length, = Spark octet_length). */
+  val bpeEncodeOracleSql: String =
+    s"""WITH ${chainCtes(carryW = true)},
+       |vocab AS (SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_tok FROM v$Merges),
+       |wx AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(strlen(w)) AS BIGINT) AS n_bytes,
+       |  CAST(SUM((CAST(('0x' || substring(md5(w),1,15)) AS BIGINT) % 1000003) * n_tok) AS BIGINT) AS tok_hash
+       |FROM wx JOIN vocab USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

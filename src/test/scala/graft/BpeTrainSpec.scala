@@ -48,6 +48,31 @@ class BpeTrainSpec extends SparkTestBase {
     assert(out.head.getAs[Long]("pair_count") === 9L)
   }
 
+  test("q113: encode tokenizes with the trained merges, word-exact") {
+    // corpus from the first test: merges are (a,b) then (ab,c), so
+    // "abc" encodes to ONE token, "ab" to one, "zq" to two bytes
+    val docs = Seq(
+      (1L, "abc abc abc abc"),
+      (2L, "abc abc ab ab"),
+      (3L, "zq zq")
+    ).toDF("doc_id", "text")
+    val out = BpeTrain.bpeEncode(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_bytes"))).toMap
+    // merges run dry at round 3: (a,b) c=8, (ab,c) c=6, then (z,q)
+    // c=2 meets MinPairCount — every vocab word ends fully merged
+    assert(out(1L) === ((4L, 4L, 12L)), s"doc1 ${out(1L)}")
+    assert(out(2L) === ((4L, 4L, 10L)), s"doc2 ${out(2L)}")
+    assert(out(3L) === ((2L, 2L, 4L)), s"doc3 ${out(3L)}")
+  }
+
+  test("q113: token counts never exceed byte counts and cover every word") {
+    val out = BpeTrain.bpeEncode(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("n_tokens") <= r.getAs[Long]("n_bytes")))
+    assert(out.forall(r => r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words")))
+  }
+
   test("q110: empty and all-null corpora yield zero merges, not a crash") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(BpeTrain.bpeMerges(spark, empty).count() === 0L)
