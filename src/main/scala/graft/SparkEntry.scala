@@ -131,6 +131,9 @@ object SparkEntry {
     "q111_pq_adc"                  -> (PqOp.pqAdcTopK _),
     "q112_pq_rerank"               -> ((s: SparkSession, d: String) => PqOp.pqRerankTopK(s, d)),
     "q113_bpe_encode"              -> ((s: SparkSession, d: String) => BpeTrain.bpeEncode(s, d)),
+    "q114_compaction"              -> (Compact.compactRead _),
+    "q115_below_avg"               -> (Analytics.belowAvgRevenue _),
+    "q116_lone_late_supplier"      -> (Analytics.loneLateSupplier _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -650,6 +653,9 @@ object SparkEntry {
     "q111_pq_adc" -> PqOp.pqAdcOracleSql,
     "q112_pq_rerank" -> PqOp.pqRerankOracleSql,
     "q113_bpe_encode" -> BpeTrain.bpeEncodeOracleSql,
+    "q114_compaction" -> Compact.compactOracleSql,
+    "q115_below_avg" -> Analytics.belowAvgRevenueOracleSql,
+    "q116_lone_late_supplier" -> Analytics.loneLateSupplierOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -748,6 +748,94 @@ object Analytics {
       .orderBy("doc_id")
   }
 
+  /** q115: correlated-scalar-subquery decorrelation (TPC-H Q17 shape —
+    * "revenue hiding in below-average-quantity lines"): lineitems whose
+    * quantity is under 20 % of their part's average, aggregated per
+    * brand. The correlated subquery (`avg(l_quantity) of the same
+    * part`) decorrelates into ONE per-part aggregate joined back to
+    * the fact — the rewrite Catalyst applies to scalar subqueries,
+    * written out explicitly; the oracle keeps the CORRELATED form, so
+    * the gate proves rewrite ≡ original.
+    *
+    * Exactness: quantities are integral, so `qty < 0.2·avg` is
+    * evaluated as `qty·5·cnt < sum` — pure int64 arithmetic, no float
+    * threshold both engines could round differently. Revenue follows
+    * the q01 DECIMAL convention.
+    *
+    * Scale notes: two shuffles of lineitem on l_partkey (the agg and
+    * the join — AQE merges them into one exchange reuse), part joins
+    * broadcast; never a per-row subquery. */
+  def belowAvgRevenue(s: SparkSession, dir: String): DataFrame =
+    belowAvgRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))
+
+  def belowAvgRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val li = lineitem
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice"))
+    val stats = li.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("sq"), count(lit(1)).as("cq"))
+    val p = part.select(col("p_partkey"), col("p_brand"))
+    li.join(stats, Seq("l_partkey"))
+      .where(col("qty") * lit(5L) * col("cq") < col("sq"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  val belowAvgRevenueOracleSql: String =
+    """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS revenue
+      |FROM lineitem l JOIN part ON p_partkey = l_partkey
+      |WHERE CAST(l_quantity AS BIGINT) * 5 *
+      |    (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      |  < (SELECT SUM(CAST(l_quantity AS BIGINT)) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** q116: EXISTS / NOT-EXISTS chain decorrelation (TPC-H Q21 shape —
+    * "the supplier who alone held up a multi-supplier order"): per
+    * supplier, count orders where it had a returned line, at least one
+    * OTHER supplier participated (EXISTS), and NO other supplier had a
+    * returned line (NOT EXISTS). The classic plan is three self-joins
+    * of the fact; here both existential tests decorrelate into ONE
+    * per-order aggregate (distinct-supplier count, distinct-late
+    * count, the lone late supplier id) — lineitem shuffles once by
+    * order key, and the oracle keeps the correlated EXISTS form.
+    *
+    * Counted per ORDER (distinct order-supplier), so a supplier with
+    * several returned lines in one order counts once. */
+  def loneLateSupplier(s: SparkSession, dir: String): DataFrame =
+    loneLateSupplier(Tables.lineitem(s, dir), Tables.supplier(s, dir))
+
+  def loneLateSupplier(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val li = lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_returnflag") === "R").as("late"))
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
+        min(when(col("late"), col("l_suppkey"))).as("late_supp"))
+      .where(col("n_supp") > 1 && col("n_late") === 1)
+    val sup = supplier.select(col("s_suppkey"), col("s_name"))
+    perOrder.groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(sup), col("late_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  val loneLateSupplierOracleSql: String =
+    """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R') l1
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
+
   /** q12: conditional (pivot-style) aggregation per entity. */
   def conditionalAgg(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)

@@ -99,4 +99,38 @@ class AnalyticsSpec extends SparkTestBase {
       assert(r.getAs[Double]("p90") <= r.getAs[Double]("p99"))
     }
   }
+
+  test("q115: only below-20%-of-avg lines survive, per-brand exact") {
+    import spark.implicits._
+    // part 1: quantities 1,9,10 (sum=20, cnt=3): threshold qty*15 < 20
+    // -> only qty=1 survives. part 2: 5,5 (sum=10,cnt=2): qty*10 < 10
+    // -> none survive (strict).
+    val li = Seq(
+      (1L, 1.0, 100.0), (1L, 9.0, 200.0), (1L, 10.0, 300.0),
+      (2L, 5.0, 400.0), (2L, 5.0, 500.0)
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq((1L, "B1"), (2L, "B2")).toDF("p_partkey", "p_brand")
+    val out = Analytics.belowAvgRevenue(li, part).collect()
+      .map(r => (r.getAs[String]("p_brand"), r.getAs[Long]("n_lines"),
+        r.getAs[Double]("revenue")))
+    assert(out.toSeq === Seq(("B1", 1L, 100.0)))
+  }
+
+  test("q116: lone late supplier in multi-supplier orders, once per order") {
+    import spark.implicits._
+    // order 10: supp 1 late (twice - counts once), supp 2 clean -> supp 1
+    // order 20: supp 1 late, sole supplier -> excluded (no EXISTS other)
+    // order 30: supp 1 and 2 both late -> excluded (NOT EXISTS fails)
+    // order 40: supp 2 late, supp 3 clean -> supp 2
+    val li = Seq(
+      (10L, 1L, "R"), (10L, 1L, "R"), (10L, 2L, "N"),
+      (20L, 1L, "R"),
+      (30L, 1L, "R"), (30L, 2L, "R"),
+      (40L, 2L, "R"), (40L, 3L, "N")
+    ).toDF("l_orderkey", "l_suppkey", "l_returnflag")
+    val sup = Seq((1L, "S1"), (2L, "S2"), (3L, "S3")).toDF("s_suppkey", "s_name")
+    val out = Analytics.loneLateSupplier(li, sup).collect()
+      .map(r => (r.getAs[String]("s_name"), r.getAs[Long]("numwait")))
+    assert(out.toSeq === Seq(("S1", 1L), ("S2", 1L)))
+  }
 }
