@@ -132,8 +132,9 @@ object SparkEntry {
     "q112_pq_rerank"               -> ((s: SparkSession, d: String) => PqOp.pqRerankTopK(s, d)),
     "q113_bpe_encode"              -> ((s: SparkSession, d: String) => BpeTrain.bpeEncode(s, d)),
     "q114_compaction"              -> (Compact.compactRead _),
-    "q115_below_avg"               -> (Analytics.belowAvgRevenue _),
-    "q116_lone_late_supplier"      -> (Analytics.loneLateSupplier _),
+    "q115_below_avg"               -> ((s: SparkSession, d: String) => Analytics.belowAvgRevenue(s, d)),
+    "q116_lone_late_supplier"      -> ((s: SparkSession, d: String) => Analytics.loneLateSupplier(s, d)),
+    "q117_label_propagation"       -> (Cluster.labelPropagation _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -174,6 +175,36 @@ object SparkEntry {
       |SELECT doc_id, cluster_id,
       |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
       |FROM lab ORDER BY doc_id""".stripMargin
+
+  /** q117 oracle: the same synchronous majority-vote label propagation
+    * unrolled — edges from the shared pair CTE, seeds fixed, majority
+    * tie-break (count desc, label asc), keep-previous when no labeled
+    * neighbor. */
+  private val labelPropSql: String = {
+    val rounds = (1 to operators.Cluster.LpRounds).map { r =>
+      s"""lpv$r AS (SELECT lpe.dst, l.label, COUNT(*) AS c
+         |  FROM lpe JOIN lp${r - 1} l ON l.doc_id = lpe.src
+         |  WHERE l.label IS NOT NULL GROUP BY lpe.dst, l.label),
+         |lpb$r AS (SELECT dst, label FROM (
+         |    SELECT dst, label, ROW_NUMBER() OVER (PARTITION BY dst ORDER BY c DESC, label) AS rn
+         |    FROM lpv$r) WHERE rn = 1),
+         |lp$r AS (SELECT l.doc_id,
+         |    CASE WHEN l.doc_id % ${operators.Cluster.LpSeedMod} = 0 THEN l.label
+         |         ELSE coalesce(b.label, l.label) END AS label
+         |  FROM lp${r - 1} l LEFT JOIN lpb$r b ON b.dst = l.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $jaccardPairCtes,
+      |lpj AS (SELECT a_id, b_id FROM p
+      |  WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.8),
+      |lpe AS (SELECT a_id AS src, b_id AS dst FROM lpj
+      |  UNION ALL SELECT b_id, a_id FROM lpj),
+      |lp0 AS (SELECT doc_id,
+      |  CASE WHEN doc_id % ${operators.Cluster.LpSeedMod} = 0 THEN coalesce(lang, '') END AS label
+      |  FROM documents),
+      |$rounds
+      |SELECT doc_id, coalesce(label, '') AS label
+      |FROM lp${operators.Cluster.LpRounds} ORDER BY doc_id""".stripMargin
+  }
 
   /** q87 oracle: the same integer fixed-point PageRank unrolled — edges
     * from the shared pair CTE, per-round floor-div contributions, the
@@ -656,6 +687,7 @@ object SparkEntry {
     "q114_compaction" -> Compact.compactOracleSql,
     "q115_below_avg" -> Analytics.belowAvgRevenueOracleSql,
     "q116_lone_late_supplier" -> Analytics.loneLateSupplierOracleSql,
+    "q117_label_propagation" -> labelPropSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -98,6 +98,64 @@ object Cluster {
     s.read.parquet(path)
   }
 
+  /** Rounds and seed rule for [[labelPropagation]]. */
+  val LpRounds = 3
+  val LpSeedMod = 10
+
+  /** q117: semi-supervised label propagation over the near-dup pair
+    * graph — the third graph consumer of the shared τ=0.8 pair table
+    * (q46 components, q87 centrality, here label spread): a sparse
+    * labeled subset (every [[LpSeedMod]]-th doc, labeled with its
+    * lang) propagates to its near-dup neighborhood by synchronous
+    * majority vote, [[LpRounds]] rounds. The metadata-repair move for
+    * scraped corpora: near-duplicate documents share provenance, so a
+    * doc with missing/untrusted metadata inherits the consensus of its
+    * duplicates.
+    *
+    * Deterministic by construction: seeds never flip; a non-seed takes
+    * the round's majority neighbor label (count desc, label asc — a
+    * total order) and KEEPS its previous label when no labeled
+    * neighbor exists; integer vote counts only.
+    *
+    * Scale notes: same loop shape as [[connectedComponents]] — the
+    * undirected edge frame is checkpointed once, pre-partitioned by
+    * src so each round only shuffles the (node-sized) label frame into
+    * the join plus one edge-sized vote aggregation; rounds are fixed,
+    * and only edge-touched nodes can ever change, so per-round work is
+    * O(|E|) regardless of corpus size. */
+  def labelPropagation(s: SparkSession, dir: String): DataFrame =
+    labelPropagationGraph(Tables.documents(s, dir),
+      pairsTable(s, dir).select("a_id", "b_id"))
+
+  def labelPropagationGraph(docs: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint()
+    var cur = docs.select(col("doc_id"),
+      when(col("doc_id") % LpSeedMod === 0, coalesce(col("lang"), lit("")))
+        .as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to LpRounds) {
+      val votes = und
+        .join(cur.select(col("doc_id").as("src"), col("label").as("slabel")),
+          Seq("src"))
+        .where(col("slabel").isNotNull)
+        .groupBy(col("dst"), col("slabel")).agg(count(lit(1)).as("c"))
+      val top = votes.groupBy(col("dst")).agg(max(col("c")).as("mc"))
+      val best = votes.join(top, Seq("dst"))
+        .where(col("c") === col("mc"))
+        .groupBy(col("dst")).agg(min(col("slabel")).as("blabel"))
+      cur = cur.join(best, cur("doc_id") === best("dst"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % LpSeedMod === 0, col("label"))
+            .otherwise(coalesce(col("blabel"), col("label"))).as("label"))
+        .localCheckpoint()
+    }
+    cur.select(col("doc_id"), coalesce(col("label"), lit("")).as("label"))
+      .orderBy("doc_id")
+  }
+
   /** q87: PageRank over the near-dup pair graph — graph centrality as a
     * curation signal: a doc whose near-dup neighborhood is large and
     * well-connected is template/boilerplate-like; rank concentrates

@@ -200,4 +200,31 @@ class CorpusOpsSpec extends SparkTestBase {
         s"pack over budget with $n docs: $tok")
     }
   }
+
+  test("q117: labels spread by majority vote; seeds fixed; ties take min label") {
+    import spark.implicits._
+    // seeds are doc_id % 10 == 0. Chain 0-1-2-3 spreads "en" one hop
+    // per round; 21 sees seeds 20("b") and 30("a") equally -> "a";
+    // 5 is isolated -> ""; seed 40 keeps its label despite neighbor 0.
+    val docs = Seq(
+      (0L, "en"), (1L, null), (2L, null), (3L, null), (5L, null),
+      (10L, "fr"), (11L, null),
+      (20L, "b"), (30L, "a"), (21L, null),
+      (40L, "de")
+    ).map { case (id, l) => (id, "t" + id, l) }.toDF("doc_id", "text", "lang")
+    val edges = Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L),
+      (10L, 11L),
+      (20L, 21L), (21L, 30L),
+      (0L, 40L)
+    ).toDF("a_id", "b_id")
+    val out = graft.operators.Cluster.labelPropagationGraph(docs, edges).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("label")).toMap
+    assert(out(1L) === "en" && out(2L) === "en" && out(3L) === "en")
+    assert(out(11L) === "fr")
+    assert(out(21L) === "a", s"tie must take min label, got ${out(21L)}")
+    assert(out(5L) === "")
+    assert(out(40L) === "de", "seed flipped")
+    assert(out(0L) === "en" && out(10L) === "fr")
+  }
 }
