@@ -135,6 +135,7 @@ object SparkEntry {
     "q115_below_avg"               -> ((s: SparkSession, d: String) => Analytics.belowAvgRevenue(s, d)),
     "q116_lone_late_supplier"      -> ((s: SparkSession, d: String) => Analytics.loneLateSupplier(s, d)),
     "q117_label_propagation"       -> (Cluster.labelPropagation _),
+    "q118_bigram_lm"               -> ((s: SparkSession, d: String) => Search.bigramLmScore(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -688,6 +689,7 @@ object SparkEntry {
     "q115_below_avg" -> Analytics.belowAvgRevenueOracleSql,
     "q116_lone_late_supplier" -> Analytics.loneLateSupplierOracleSql,
     "q117_label_propagation" -> labelPropSql,
+    "q118_bigram_lm" -> Search.bigramLmOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -243,4 +243,101 @@ object Search {
        |WHERE ROUND(${Terms.map(partSql).mkString("\n + ")}, 9) > 0.0
        |ORDER BY score_r DESC, doc_id LIMIT $TopN""".stripMargin
   }
+
+  /** q118: bigram LM scoring with STUPID BACKOFF (Brants et al. 2007) —
+    * the LM that actually runs at web scale: no discount
+    * normalization, just S(w2|w1) = c12/c1 when the bigram is attested
+    * in the reference corpus, back off to 0.4·c2/N on an unseen
+    * bigram, and to the 0.4·0.4/N floor on an OOV word. The reference
+    * corpus is the even-doc_id half and ALL docs score against it —
+    * the held-out shape CCNet-style filtering really runs (score the
+    * new crawl against a trusted LM; a doc full of unseen bigrams
+    * scores low). Extends q67's unigram signal with second-order
+    * structure: scrambled word salad and fluent text have identical
+    * unigram scores but very different bigram scores.
+    *
+    * Engine-exact per the q67 conventions: log-probs quantized to
+    * integral micro-nats per DISTINCT bigram (a table-sized
+    * projection), per-doc sums are exact integer arithmetic in
+    * doubles, one correctly-rounded division for the average.
+    *
+    * Scale notes: grams build in the native WordShingles kernel; the
+    * score table is distinct-bigram-sized and joins doc tfs by gram
+    * key (Zipf-skewed → AQE skew splits); the corpus is tokenized
+    * once into a checkpointed (doc, bigram, tf) frame shared by the
+    * stats and scoring branches. */
+  def bigramLmScore(s: SparkSession, dir: String): DataFrame =
+    bigramLmScore(Tables.documents(s, dir))
+
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, WordShingles}
+    def grams(d: DataFrame) = d.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(ColumnBridge.column(WordShingles(
+        ColumnBridge.expression(col("text")), 2, distinct = false))).as("bg"))
+    val tf = grams(docs).groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // tokenize once; stats + scoring both read it
+    val isRef = col("doc_id") % 2 === 0
+    val bi = grams(docs.filter(isRef)).groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val uni = docs.filter(isRef && col("text").isNotNull)
+      .select(explode(TextAnalysis.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).as("n_total"))
+    val scored = tf.select(col("bg")).distinct()
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+      .join(bi, Seq("bg"), "left")
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bg"), round(log(
+        when(col("c12").isNotNull,
+          col("c12").cast("double") / col("c1").cast("double"))
+        .when(col("c2").isNotNull,
+          lit(0.4) * col("c2").cast("double") / col("n_total").cast("double"))
+        .otherwise(lit(0.4) * lit(0.4) / col("n_total").cast("double"))
+      ) * 1e6).as("logp_q"))
+    val perDoc = tf.join(scored, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf").cast("double") * col("logp_q")).as("lsum"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lsum"), lit(0.0)).cast("long").as("logp_q_sum"),
+        coalesce(round(col("lsum") / col("n_bigrams").cast("double")), lit(0.0))
+          .cast("long").as("avg_logp_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** q118 oracle: identical stats halves, backoff CASE, quantization,
+    * and exact integer folds. */
+  def bigramLmOracleSql: String =
+    """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (
+      |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+      |  FROM w WHERE len(ws) >= 2)),
+      |tfb AS (SELECT doc_id, bg, COUNT(*) AS tf FROM g GROUP BY doc_id, bg),
+      |bi AS (SELECT bg, COUNT(*) AS c12 FROM g WHERE doc_id % 2 = 0 GROUP BY bg),
+      |uni AS (SELECT wrd, COUNT(*) AS c FROM (
+      |  SELECT doc_id, unnest(ws) AS wrd FROM w) WHERE doc_id % 2 = 0 GROUP BY wrd),
+      |tot AS (SELECT SUM(c) AS n_total FROM uni),
+      |sc AS (SELECT bgv.bg, round(ln(
+      |    CASE WHEN bi.c12 IS NOT NULL THEN CAST(bi.c12 AS DOUBLE) / CAST(u1.c AS DOUBLE)
+      |         WHEN u2.c IS NOT NULL THEN 0.4 * CAST(u2.c AS DOUBLE) / CAST(n_total AS DOUBLE)
+      |         ELSE 0.4 * 0.4 / CAST(n_total AS DOUBLE) END) * 1000000.0) AS logp_q
+      |  FROM (SELECT DISTINCT bg FROM tfb) bgv
+      |  LEFT JOIN bi USING (bg)
+      |  LEFT JOIN uni u1 ON u1.wrd = split_part(bgv.bg, ' ', 1)
+      |  LEFT JOIN uni u2 ON u2.wrd = split_part(bgv.bg, ' ', 2)
+      |  CROSS JOIN tot),
+      |pd AS (SELECT tfb.doc_id, SUM(tfb.tf) AS nb, SUM(tfb.tf * sc.logp_q) AS s
+      |  FROM tfb JOIN sc USING (bg) GROUP BY tfb.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(pd.nb, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(COALESCE(pd.s, 0) AS BIGINT) AS logp_q_sum,
+      |  CAST(COALESCE(round(pd.s / CAST(pd.nb AS DOUBLE)), 0) AS BIGINT) AS avg_logp_micro
+      |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
 }

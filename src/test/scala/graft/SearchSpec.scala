@@ -82,4 +82,23 @@ class SearchSpec extends SparkTestBase {
       assert(sc.zip(sc.tail).forall { case (a, b) => a >= b }, s"doc $id")
     }
   }
+
+  test("q118: the three backoff tiers order fluent > unseen-bigram > OOV") {
+    import spark.implicits._
+    // reference half (even ids) sees "the cat" / "cat sat" twice each;
+    // doc 1 repeats an attested sentence (every bigram c12/c1 = 1 ->
+    // logp 0), doc 3 uses attested WORDS in an unseen order (backoff to
+    // 0.4*c2/N), doc 5 is pure OOV (the 0.4*0.4/N floor)
+    val docs = Seq(
+      (0L, "the cat sat"), (2L, "the cat sat"),
+      (1L, "the cat sat"),
+      (3L, "cat the cat"),
+      (5L, "zz qq")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Search.bigramLmScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("avg_logp_micro")).toMap
+    assert(out(1L) === 0L, s"attested-bigram doc must score ln(1)=0, got ${out(1L)}")
+    assert(out(1L) > out(3L), s"fluent ${out(1L)} !> reordered ${out(3L)}")
+    assert(out(3L) > out(5L), s"backoff ${out(3L)} !> OOV floor ${out(5L)}")
+  }
 }
