@@ -136,6 +136,7 @@ object SparkEntry {
     "q116_lone_late_supplier"      -> ((s: SparkSession, d: String) => Analytics.loneLateSupplier(s, d)),
     "q117_label_propagation"       -> (Cluster.labelPropagation _),
     "q118_bigram_lm"               -> ((s: SparkSession, d: String) => Search.bigramLmScore(s, d)),
+    "q119_related_terms"           -> ((s: SparkSession, d: String) => Serving.relatedTerms(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -690,6 +691,7 @@ object SparkEntry {
     "q116_lone_late_supplier" -> Analytics.loneLateSupplierOracleSql,
     "q117_label_propagation" -> labelPropSql,
     "q118_bigram_lm" -> Search.bigramLmOracleSql,
+    "q119_related_terms" -> Serving.relatedTermsOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

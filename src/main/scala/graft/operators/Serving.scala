@@ -92,4 +92,85 @@ object Serving {
         col("value").cast("decimal(12,2)").cast("double").as("value"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .orderBy("event_id")
+
+  /** q119: related-terms discovery — the "related searches / related
+    * tags" panel (app.py:94-140's facet browse, upgraded from counts
+    * to associations): each doc contributes its top-5 SALIENT terms
+    * (distinct all-lowercase words of ≥ 5 chars, ranked longest-first
+    * then lexicographic — a deterministic, cross-engine total order),
+    * term pairs co-occurring in a doc aggregate corpus-wide, and the
+    * top-20 pairs ship with doc frequencies and LIFT
+    * (c12·N / (c1·c2) — association strength normalized for term
+    * popularity).
+    *
+    * Scale-honest by the per-doc cap: ≤ 5 terms ⇒ ≤ 10 pairs per doc
+    * regardless of doc length, so the pair stream grows linearly with
+    * the corpus — the unbounded per-doc word-pair explosion (O(w²))
+    * never happens. The length-desc/lex-asc cut is expressed as ONE
+    * sortable string key (lpad(999−len) ∥ word), identical in both
+    * engines; ASCII-only terms by construction so byte and char
+    * orders agree. Counts and products are exact integers; lift is
+    * one IEEE division, rounded.
+    *
+    * Scale notes: all narrow until the two count shuffles (term,
+    * pair); the doc-count and term-count tables broadcast back; top-20
+    * is a bounded TakeOrdered with a total (c12 desc, w1, w2) order. */
+  def relatedTerms(s: SparkSession, dir: String): DataFrame =
+    relatedTerms(graft.Tables.documents(s, dir))
+
+  def relatedTerms(docs: DataFrame): DataFrame = {
+    val sel = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(array_distinct(TextAnalysis.words(col("text"))),
+          w => w.rlike("^[a-z]{5,}$")).as("ws"))
+      .select(col("doc_id"),
+        transform(
+          slice(array_sort(transform(col("ws"),
+            w => concat(lpad((lit(999) - length(w)).cast("string"), 3, "0"), w))),
+            1, 5),
+          k => substring(k, 4, 999)).as("ts"))
+      .where(size(col("ts")) > 0)
+    val inc = sel.select(col("doc_id"), explode(col("ts")).as("term"))
+    val nDocs = sel.agg(count(lit(1)).as("n_docs"))
+    val tc = inc.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val pc = sel.select(col("doc_id"), explode(col("ts")).as("a"), col("ts"))
+      .select(col("doc_id"), col("a"), explode(col("ts")).as("b"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c12"))
+    pc.join(tc.select(col("term").as("a"), col("c").as("c1")), Seq("a"))
+      .join(tc.select(col("term").as("b"), col("c").as("c2")), Seq("b"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("a").as("w1"), col("b").as("w2"), col("c12"),
+        col("c1"), col("c2"),
+        round((col("c12") * col("n_docs")).cast("double") /
+          (col("c1") * col("c2")).cast("double"), 9).as("lift_r"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  /** q119 oracle: same salient-term cut (shared string key), pair and
+    * term counts, exact-integer lift numerators. */
+  def relatedTermsOracleSql: String =
+    """WITH s0 AS (SELECT doc_id,
+      |  list_filter(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')),
+      |    x -> regexp_full_match(x, '[a-z]{5,}')) AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |s1 AS (SELECT doc_id,
+      |  list_transform(
+      |    list_sort(list_transform(ws,
+      |      w -> lpad(CAST(999 - strlen(w) AS VARCHAR), 3, '0') || w))[1:5],
+      |    k -> k[4:]) AS ts FROM s0),
+      |sel AS (SELECT doc_id, ts FROM s1 WHERE len(ts) > 0),
+      |inc AS (SELECT doc_id, unnest(ts) AS term FROM sel),
+      |nn AS (SELECT COUNT(*) AS n_docs FROM sel),
+      |tc AS (SELECT term, COUNT(*) AS c FROM inc GROUP BY term),
+      |pc AS (SELECT a.term AS w1, b.term AS w2, COUNT(*) AS c12
+      |  FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.term < b.term
+      |  GROUP BY a.term, b.term)
+      |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+      |  CAST(t1.c AS BIGINT) AS c1, CAST(t2.c AS BIGINT) AS c2,
+      |  ROUND(CAST(c12 * n_docs AS DOUBLE) / CAST(t1.c * t2.c AS DOUBLE), 9) AS lift_r
+      |FROM pc JOIN tc t1 ON t1.term = pc.w1 JOIN tc t2 ON t2.term = pc.w2
+      |CROSS JOIN nn
+      |ORDER BY c12 DESC, w1, w2 LIMIT 20""".stripMargin
 }

@@ -103,4 +103,33 @@ class FrameApiSpec extends SparkTestBase {
       .filter(r => r.getAs[Long]("query_id") === 0L && r.getAs[Int]("rank") === 1)
     assert(top.head.getAs[Long]("neighbor_id") === 1L)
   }
+
+  test("q119: salient-term cap, pair lift, and the longest-first cut") {
+    import spark.implicits._
+    // docs 1/2/3 share {alpha,bravo} (distinct per doc): c12=3; alpha
+    // also appears in doc 4 so c1=4, bravo c2=3; N=5 docs carry at
+    // least one salient term -> lift = 3*5/(4*3) = 1.25.
+    // doc 5 has SEVEN salient words; only the 5 longest survive the
+    // cap, so the two 5-char words (abcde, vwxyz) must be absent.
+    val docs = Seq(
+      (1L, "alpha bravo noise x"),
+      (2L, "bravo alpha alpha"),
+      (3L, "alpha bravo"),
+      (4L, "alpha zulu!"),
+      (5L, "abcde vwxyz sixsix sevens eights nineni tennin")
+    ).map { case (id, t) => (id, t) }.toDF("doc_id", "text")
+    // zulu! fails [a-z]{5,} (punctuation); "noise"/"zulu" < 5 or non-match
+    val out = graft.operators.Serving.relatedTerms(docs).collect()
+      .map(r => ((r.getAs[String]("w1"), r.getAs[String]("w2")),
+        (r.getAs[Long]("c12"), r.getAs[Long]("c1"), r.getAs[Long]("c2"),
+         r.getAs[Double]("lift_r")))).toMap
+    val ab = out(("alpha", "bravo"))
+    assert(ab._1 === 3L && ab._2 === 4L && ab._3 === 3L)
+    // lift = c12*N/(c1*c2) = 3*5/(4*3) = 1.25 ... N = docs with terms
+    assert(math.abs(ab._4 - 1.25) < 1e-9, s"lift ${ab._4}")
+    val capped = out.keySet.flatMap(p => Set(p._1, p._2))
+    assert(!capped.contains("abcde") && !capped.contains("vwxyz"),
+      s"5-char words must lose the longest-first cut in doc 5: $capped")
+    assert(capped.contains("sixsix") && capped.contains("sevens"))
+  }
 }
