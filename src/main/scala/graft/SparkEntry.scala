@@ -137,6 +137,7 @@ object SparkEntry {
     "q117_label_propagation"       -> (Cluster.labelPropagation _),
     "q118_bigram_lm"               -> ((s: SparkSession, d: String) => Search.bigramLmScore(s, d)),
     "q119_related_terms"           -> ((s: SparkSession, d: String) => Serving.relatedTerms(s, d)),
+    "q120_hll_window"              -> ((s: SparkSession, d: String) => Hll.hllWindowDistinct(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -692,6 +693,7 @@ object SparkEntry {
     "q117_label_propagation" -> labelPropSql,
     "q118_bigram_lm" -> Search.bigramLmOracleSql,
     "q119_related_terms" -> Serving.relatedTermsOracleSql,
+    "q120_hll_window" -> Hll.hllWindowOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -104,4 +104,88 @@ object Hll {
        |    / CAST(sk.hll_intsum AS DOUBLE), 3) AS est_r,
        |  t.true_distinct
        |FROM sk JOIN t USING (event_type) ORDER BY event_type""".stripMargin
+
+  /** q120: trailing-3-hour distinct-user estimates per hour, computed
+    * by MERGING the hourly HLL register tables — the reason sketches
+    * exist at 100 TB: the raw events aggregate ONCE into ≤ m-row
+    * hourly registers, and every window after that is register-wise
+    * MAX over sketch-sized data (each register row replicates to the
+    * ≤ 3 window-ends it serves). A raw re-scan per window would read
+    * the corpus W times; the sketch path reads it once — the same
+    * merge that unions per-partition or per-day sketches for free.
+    *
+    * `true_distinct` rides along as the verification column (the q74
+    * stance): the oracle value-checks the merged registers through the
+    * exact dyadic intsum AND the window truth; at scale you drop the
+    * truth column, it is the expensive one. Windows are the OBSERVED
+    * hours only (left-semi on the hour set); NULL user/ts excluded as
+    * in every sketch op. */
+  def hllWindowDistinct(s: SparkSession, dir: String): DataFrame =
+    hllWindowDistinct(Tables.events(s, dir))
+
+  def hllWindowDistinct(events: DataFrame): DataFrame = {
+    val keyed = events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+    val regs = keyed
+      .select(col("hour"), TextAnalysis.md5Long(
+        concat_ws(":", lit("hll"), col("user_id").cast("string"))).as("h"))
+      .select(col("hour"), col("h").bitwiseAND(lit(255L)).as("j"),
+        expr("shiftright(h, 8) | CAST(2251799813685248 AS BIGINT)").as("x"))
+      .select(col("hour"), col("j"), expr("bit_count((x & -x) - 1) + 1").as("rank"))
+      .groupBy(col("hour"), col("j")).agg(max(col("rank")).as("mj"))
+    val hours = keyed.select(col("hour")).distinct()
+    def windowEnds(c: Column) =
+      explode(array((0 to 2).map(k => c + expr(s"INTERVAL $k HOUR")): _*))
+    val merged = regs
+      .select(windowEnds(col("hour")).as("wh"), col("j"), col("mj"))
+      .join(hours.select(col("hour").as("wh")), Seq("wh"), "left_semi")
+      .groupBy(col("wh"), col("j")).agg(max(col("mj")).as("mj"))
+    val sk = merged.groupBy(col("wh"))
+      .agg(count(lit(1)).as("nr"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($WBits - mj AS INT))")).as("sp"))
+      .select(col("wh"), col("nr").cast("long").as("n_hll_regs"),
+        (col("sp") + (lit(M.toLong) - col("nr")) * lit(Pow52)).as("hll_intsum"))
+    val tru = keyed
+      .select(windowEnds(col("hour")).as("wh"), col("user_id"))
+      .join(hours.select(col("hour").as("wh")), Seq("wh"), "left_semi")
+      .groupBy(col("wh")).agg(countDistinct(col("user_id")).as("true_distinct"))
+    sk.join(tru, Seq("wh"))
+      .select(col("wh").as("window_end_hour"), col("n_hll_regs"), col("hll_intsum"),
+        round(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+          * lit(65536.0) * lit(4.503599627370496e15)
+          / col("hll_intsum").cast("double"), 3).as("est_r"),
+        col("true_distinct").cast("long").as("true_distinct"))
+      .orderBy("window_end_hour")
+  }
+
+  /** q120 oracle: identical registers, replicate-and-MAX merge over
+    * observed window ends, dyadic intsum, float-literal association,
+    * exact window truth. */
+  def hllWindowOracleSql: String =
+    s"""WITH k AS (SELECT date_trunc('hour', ts) AS hour, user_id,
+       |    CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |r AS (SELECT hour, h & 255 AS j,
+       |    bit_count((((h >> 8) | 2251799813685248) & -((h >> 8) | 2251799813685248)) - 1) + 1 AS rank
+       |  FROM k),
+       |m AS (SELECT hour, j, MAX(rank) AS mj FROM r GROUP BY 1, 2),
+       |hrs AS (SELECT DISTINCT hour FROM k),
+       |rep AS (SELECT m.hour + INTERVAL (t.o) HOUR AS wh, j, mj
+       |  FROM m CROSS JOIN (SELECT unnest([0, 1, 2]) AS o) t),
+       |mg AS (SELECT wh, j, MAX(mj) AS mj FROM rep
+       |  WHERE wh IN (SELECT hour FROM hrs) GROUP BY 1, 2),
+       |sk AS (SELECT wh, CAST(COUNT(*) AS BIGINT) AS n_hll_regs,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST($WBits - mj AS INTEGER)) AS BIGINT)
+       |      + ($M - COUNT(*)) * $Pow52 AS hll_intsum
+       |  FROM mg GROUP BY 1),
+       |tru AS (SELECT wh, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
+       |  FROM (SELECT k.hour + INTERVAL (t.o) HOUR AS wh, user_id
+       |    FROM k CROSS JOIN (SELECT unnest([0, 1, 2]) AS o) t)
+       |  WHERE wh IN (SELECT hour FROM hrs) GROUP BY 1)
+       |SELECT sk.wh AS window_end_hour, sk.n_hll_regs, sk.hll_intsum,
+       |  ROUND(0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0)
+       |    * 65536.0e0 * 4503599627370496.0e0
+       |    / CAST(sk.hll_intsum AS DOUBLE), 3) AS est_r,
+       |  tru.true_distinct
+       |FROM sk JOIN tru ON tru.wh = sk.wh ORDER BY window_end_hour""".stripMargin
 }

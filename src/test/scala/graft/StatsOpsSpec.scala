@@ -505,4 +505,30 @@ class StatsOpsSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toSet
     assert(got == naive)
   }
+
+  test("q120: merged window sketch equals the sketch of the unioned hours") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // three consecutive hours with overlapping user sets; the trailing-3
+    // window ending at h2 covers everything, so its merged registers
+    // must equal the one-shot sketch of ALL events (mergeability), and
+    // every window truth is the exact distinct over its hours
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    val events = (
+      (1 to 40).map(u => (u.toLong, ts(10, u % 60), u.toLong, "view", 1.0, "{}")) ++
+      (21 to 60).map(u => (100 + u.toLong, ts(11, u % 60), u.toLong, "view", 1.0, "{}")) ++
+      (41 to 80).map(u => (200 + u.toLong, ts(12, u % 60), u.toLong, "view", 1.0, "{}"))
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val win = graft.operators.Hll.hllWindowDistinct(events).collect()
+    assert(win.length === 3)
+    val byHour = win.map(r => r.getAs[java.sql.Timestamp]("window_end_hour").toLocalDateTime.getHour ->
+      (r.getAs[Long]("hll_intsum"), r.getAs[Long]("true_distinct"))).toMap
+    assert(byHour(10)._2 === 40L)   // users 1..40
+    assert(byHour(11)._2 === 60L)   // 1..60
+    assert(byHour(12)._2 === 80L)   // 1..80 (all three hours)
+    val full = graft.operators.Hll.hllDistinct(events).collect()
+    assert(full.length === 1)
+    assert(byHour(12)._1 === full.head.getAs[Long]("hll_intsum"),
+      "trailing window over all hours must merge to the one-shot sketch")
+  }
 }

@@ -150,5 +150,9 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: col {c} row {i}: {x!r} vs {y!r}"); fails += 1
     else:
         print(f"OK   {name}: {len(mine)} rows")
+# a requested query that is absent from oracle_sql.json (stale dump, or
+# a typo'd name) must FAIL loudly, not vanish into a vacuous ALL OK
+for q in sorted(only - set(oracle)):
+    print(f"FAIL {q}: not in oracle_sql.json (stale Verify dump?)"); fails += 1
 print("----", "ALL OK" if fails == 0 else f"{fails} FAILURES")
 sys.exit(1 if fails else 0)
