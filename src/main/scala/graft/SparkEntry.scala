@@ -138,6 +138,8 @@ object SparkEntry {
     "q118_bigram_lm"               -> ((s: SparkSession, d: String) => Search.bigramLmScore(s, d)),
     "q119_related_terms"           -> ((s: SparkSession, d: String) => Serving.relatedTerms(s, d)),
     "q120_hll_window"              -> ((s: SparkSession, d: String) => Hll.hllWindowDistinct(s, d)),
+    "q121_corpus_overlap"          -> ((s: SparkSession, d: String) => Curation.corpusOverlap(s, d)),
+    "q122_event_transitions"       -> ((s: SparkSession, d: String) => Temporal.eventTransitions(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -208,6 +210,31 @@ object SparkEntry {
       |SELECT doc_id, coalesce(label, '') AS label
       |FROM lp${operators.Cluster.LpRounds} ORDER BY doc_id""".stripMargin
   }
+
+  /** q121 oracle: A/B split, exact-hash membership, cross-boundary
+    * filter over the shared τ=0.8 pair CTE, per-language rollup. */
+  private val corpusOverlapSql: String =
+    s"""WITH $jaccardPairCtes,
+      |coj AS (SELECT a_id, b_id FROM p
+      |  WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.8),
+      |ah AS (SELECT DISTINCT md5(text) AS h FROM documents
+      |  WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+      |eb AS (SELECT DISTINCT d.doc_id FROM documents d JOIN ah ON md5(d.text) = ah.h
+      |  WHERE d.doc_id % 2 = 1 AND d.text IS NOT NULL),
+      |nrb AS (SELECT DISTINCT doc_id FROM (
+      |  SELECT a_id AS doc_id FROM coj WHERE a_id % 2 = 1 AND b_id % 2 = 0
+      |  UNION ALL SELECT b_id FROM coj WHERE b_id % 2 = 1 AND a_id % 2 = 0)),
+      |ob AS (SELECT d.doc_id, coalesce(d.lang, '') AS lang,
+      |    CASE WHEN eb.doc_id IS NOT NULL THEN 1 ELSE 0 END AS ex,
+      |    CASE WHEN nrb.doc_id IS NOT NULL THEN 1 ELSE 0 END AS nr
+      |  FROM documents d LEFT JOIN eb ON eb.doc_id = d.doc_id
+      |  LEFT JOIN nrb ON nrb.doc_id = d.doc_id
+      |  WHERE d.doc_id % 2 = 1)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_incoming,
+      |  CAST(SUM(ex) AS BIGINT) AS exact_dups,
+      |  CAST(SUM(nr) AS BIGINT) AS near_dups,
+      |  ROUND(CAST(SUM(nr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS near_frac_r
+      |FROM ob GROUP BY lang ORDER BY lang""".stripMargin
 
   /** q87 oracle: the same integer fixed-point PageRank unrolled — edges
     * from the shared pair CTE, per-round floor-div contributions, the
@@ -694,6 +721,8 @@ object SparkEntry {
     "q118_bigram_lm" -> Search.bigramLmOracleSql,
     "q119_related_terms" -> Serving.relatedTermsOracleSql,
     "q120_hll_window" -> Hll.hllWindowOracleSql,
+    "q121_corpus_overlap" -> corpusOverlapSql,
+    "q122_event_transitions" -> Temporal.eventTransitionsOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -395,4 +395,51 @@ object Curation {
        |  ROUND(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)), 9) AS nrm_r
        |FROM v ORDER BY vec_id""".stripMargin
+
+  /** q121: corpus-overlap report — the contamination audit run before
+    * mixing corpora (or before trusting an eval set, the q44 concern
+    * at corpus granularity): treating the even-doc_id half as the
+    * EXISTING corpus A and the odd half as the INCOMING corpus B, how
+    * much of B already exists in A? Reported per incoming language:
+    * exact duplicates (content-hash membership) and near-duplicates
+    * (a τ=0.8 Jaccard partner across the A/B boundary), with the
+    * near-dup fraction.
+    *
+    * Scale notes: the exact test is a hash left-semi join (B never
+    * carries text past the hash projection); the near-dup test is a
+    * FILTER over the shared materialized pair table (Cluster
+    * .pairsTable) — the expensive pair join is built once per source
+    * and every consumer reads it, so the audit itself is two
+    * output-sized aggregations. */
+  def corpusOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    corpusOverlap(docs, Cluster.pairsTable(s, dir).select("a_id", "b_id"))
+  }
+
+  def corpusOverlap(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val isB = col("doc_id") % 2 === 1
+    val aHash = docs.filter(!isB && col("text").isNotNull)
+      .select(md5(col("text")).as("h")).distinct()
+    val exactB = docs.filter(isB && col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(aHash, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    // odd ids with an even-side partner in the tau=0.8 pair table
+    val nearB = pairs.filter(col("a_id") % 2 === 1 && col("b_id") % 2 === 0)
+      .select(col("a_id").as("doc_id"))
+      .unionByName(pairs.filter(col("b_id") % 2 === 1 && col("a_id") % 2 === 0)
+        .select(col("b_id").as("doc_id")))
+      .distinct()
+    docs.filter(isB)
+      .select(col("doc_id"), coalesce(col("lang"), lit("")).as("lang"))
+      .join(exactB.withColumn("is_exact", lit(1L)), Seq("doc_id"), "left")
+      .join(nearB.withColumn("is_near", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_incoming"),
+        sum(coalesce(col("is_exact"), lit(0L))).as("exact_dups"),
+        sum(coalesce(col("is_near"), lit(0L))).as("near_dups"))
+      .withColumn("near_frac_r",
+        round(col("near_dups").cast("double") / col("n_incoming").cast("double"), 9))
+      .orderBy("lang")
+  }
 }

@@ -289,4 +289,54 @@ object Temporal {
       |  ON v.user_id = p.user_id AND p.ts > v.ts
       | AND p.ts <= v.ts + INTERVAL $IntervalSeconds SECONDS
       |ORDER BY view_event_id, purchase_event_id""".stripMargin
+
+  /** q122: behavioral transition motifs — per-user event-type Markov
+    * transitions ((prev → next) counts over each user's time-ordered
+    * stream) with the corpus-wide transition probability per source
+    * type. The sequence-mining complement of q50's fixed funnel: the
+    * funnel asks "did view→click→purchase happen", this surfaces WHICH
+    * transitions dominate (and is the input a session-recommendation
+    * model trains on).
+    *
+    * Determinism: each user's order is (ts, event_id) — event_id is
+    * unique, so LAG sees one total order in any engine; NULL ts rows
+    * are excluded (no deterministic position). Probabilities are one
+    * integer division per output row.
+    *
+    * Scale notes: ONE shuffle by user_id feeds the LAG window; the
+    * transition count then aggregates on (prev, next) — output-sized
+    * (|event types|²) — and the per-source totals broadcast back. */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame =
+    eventTransitions(Tables.events(s, dir))
+
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = tr.groupBy(col("prev_type")).agg(sum(col("cnt")).as("tot"))
+    tr.join(totals, Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("cnt"),
+        round(col("cnt").cast("double") / col("tot").cast("double"), 9).as("p_r"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** q122 oracle: identical order, LAG, counts, one division. */
+  def eventTransitionsOracleSql: String =
+    """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+      |l AS (SELECT event_type,
+      |    LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM e),
+      |t AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
+      |  FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |s AS (SELECT prev_type, SUM(cnt) AS tot FROM t GROUP BY 1)
+      |SELECT t.prev_type, t.next_type, CAST(t.cnt AS BIGINT) AS cnt,
+      |  ROUND(CAST(t.cnt AS DOUBLE) / CAST(s.tot AS DOUBLE), 9) AS p_r
+      |FROM t JOIN s USING (prev_type)
+      |ORDER BY prev_type, next_type""".stripMargin
 }

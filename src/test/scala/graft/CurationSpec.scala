@@ -128,4 +128,23 @@ class CurationSpec extends SparkTestBase {
       val m = r.getAs[Double]("mean_word_len"); m > 0.0 && m < 50.0
     })
   }
+
+  test("q121: exact and near overlap classify per incoming language") {
+    import spark.implicits._
+    // A (even): 0 "same text" en, 2 "other" fr, 4 "x" en
+    // B (odd): 1 "same text" (exact dup, en), 3 near-dup of 2 via the
+    // planted pair, 5 clean (fr), 7 clean null-lang
+    val docs = Seq(
+      (0L, "same text", "en"), (2L, "other words", "fr"), (4L, "x y", "en"),
+      (1L, "same text", "en"), (3L, "other words-ish", "fr"),
+      (5L, "fresh thing", "fr"), (7L, "lonely", null)
+    ).toDF("doc_id", "text", "lang")
+    val pairs = Seq((2L, 3L), (5L, 7L)).toDF("a_id", "b_id") // odd-odd pair must not count
+    val out = graft.operators.Curation.corpusOverlap(docs, pairs).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_incoming"), r.getAs[Long]("exact_dups"), r.getAs[Long]("near_dups"))).toMap
+    assert(out("en") === ((1L, 1L, 0L)))   // doc 1: exact
+    assert(out("fr") === ((2L, 0L, 1L)))   // doc 3 near; doc 5 clean (5-7 is odd-odd)
+    assert(out("") === ((1L, 0L, 0L)))     // doc 7
+  }
 }

@@ -86,4 +86,27 @@ class TemporalSpec extends SparkTestBase {
       assert(byId(canon)._1 === cluster)
     }
   }
+
+  test("q122: transition counts follow each user's (ts, event_id) order") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-03-01 10:$m%02d:00")
+    val events = Seq(
+      (1L, ts(1), 1L, "view", 1.0, "{}"),
+      (2L, ts(2), 1L, "click", 1.0, "{}"),
+      (3L, ts(3), 1L, "view", 1.0, "{}"),
+      (4L, ts(1), 2L, "view", 1.0, "{}"),
+      (5L, ts(2), 2L, "click", 1.0, "{}"),
+      // same ts as event 5: event_id breaks the tie -> click precedes purchase
+      (6L, ts(2), 2L, "purchase", 1.0, "{}"),
+      (7L, null.asInstanceOf[Timestamp], 2L, "view", 1.0, "{}") // excluded
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.operators.Temporal.eventTransitions(events).collect()
+      .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type")) ->
+        (r.getAs[Long]("cnt"), r.getAs[Double]("p_r"))).toMap
+    assert(out(("view", "click")) === ((2L, 1.0)))
+    assert(out(("click", "view")) === ((1L, 0.5)))
+    assert(out(("click", "purchase")) === ((1L, 0.5)))
+    assert(out.size === 3)
+  }
 }
