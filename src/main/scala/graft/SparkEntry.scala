@@ -140,6 +140,11 @@ object SparkEntry {
     "q120_hll_window"              -> ((s: SparkSession, d: String) => Hll.hllWindowDistinct(s, d)),
     "q121_corpus_overlap"          -> ((s: SparkSession, d: String) => Curation.corpusOverlap(s, d)),
     "q122_event_transitions"       -> ((s: SparkSession, d: String) => Temporal.eventTransitions(s, d)),
+    "q123_top_supplier"            -> ((s: SparkSession, d: String) => Analytics.topSupplier(s, d)),
+    "q124_nation_concentration"    -> ((s: SparkSession, d: String) => Analytics.nationConcentration(s, d)),
+    "q125_big_orders"              -> ((s: SparkSession, d: String) => Analytics.bigOrders(s, d)),
+    "q126_dormant_customers"       -> ((s: SparkSession, d: String) => Analytics.dormantCustomers(s, d)),
+    "q127_dominant_supplier"       -> ((s: SparkSession, d: String) => Analytics.dominantSupplier(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -723,6 +728,11 @@ object SparkEntry {
     "q120_hll_window" -> Hll.hllWindowOracleSql,
     "q121_corpus_overlap" -> corpusOverlapSql,
     "q122_event_transitions" -> Temporal.eventTransitionsOracleSql,
+    "q123_top_supplier" -> Analytics.topSupplierOracleSql,
+    "q124_nation_concentration" -> Analytics.nationConcentrationOracleSql,
+    "q125_big_orders" -> Analytics.bigOrdersOracleSql,
+    "q126_dormant_customers" -> Analytics.dormantCustomersOracleSql,
+    "q127_dominant_supplier" -> Analytics.dominantSupplierOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -836,6 +836,201 @@ object Analytics {
       |      AND l3.l_returnflag = 'R')
       |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
 
+  /** q123: argmax over an aggregated view, ties kept (TPC-H Q15 shape —
+    * "the top-revenue supplier(s) of the quarter"). The view is the
+    * per-supplier revenue aggregate over a fixed ship-date window; the
+    * answer is every supplier whose revenue EQUALS the view's max. The
+    * max is a 1-row aggregate of the (tiny, supplier-sized) view,
+    * broadcast back as a cross join — never a per-row subquery, never a
+    * whole-view window sort. Revenue follows the q01/q02 DECIMAL
+    * convention, so the equality compare is exact in both engines (a
+    * float-summed revenue could tie in one engine and not the other).
+    * Oracle keeps the scalar-subquery form, proving the decorrelation. */
+  def topSupplier(s: SparkSession, dir: String): DataFrame =
+    topSupplier(Tables.lineitem(s, dir), Tables.supplier(s, dir))
+
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("2000-07-01")))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(12,4)") - dec(col("l_discount")))).as("rev_dec"))
+    val top = rev.agg(max(col("rev_dec")).as("max_rev"))
+    rev.join(broadcast(top)).where(col("rev_dec") === col("max_rev"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val topSupplierOracleSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey AS s_suppkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS rev_dec
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '2000-07-01 00:00:00'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier USING (s_suppkey)
+      |WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** q124: group share vs a global total (TPC-H Q11 shape — "nations
+    * holding an outsized share of supplier capital"): nations whose
+    * supplier account-balance sum exceeds 1/20 of the corpus-wide sum.
+    * The global total is ONE 1-row aggregate broadcast back over the
+    * 25-row nation aggregate; the threshold compare is
+    * `v·20 > total` in exact DECIMAL, no float fraction both engines
+    * could round differently. Oracle keeps the scalar-subquery form.
+    * At 100 TB the same plan holds: two map-combined aggs over the
+    * supplier scan, a 1-row broadcast, zero extra shuffles. */
+  def nationConcentration(s: SparkSession, dir: String): DataFrame =
+    nationConcentration(Tables.supplier(s, dir), Tables.nation(s, dir))
+
+  def nationConcentration(supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val perNation = supplier.groupBy(col("s_nationkey"))
+      .agg(sum(dec(col("s_acctbal"))).as("v_dec"), count(lit(1)).as("n_supp"))
+    val total = supplier.agg(sum(dec(col("s_acctbal"))).as("t_dec"))
+    perNation.join(broadcast(total))
+      .where(col("v_dec") * lit(20) > col("t_dec"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_supp"),
+        col("v_dec").cast("double").as("acctbal_sum"))
+      .orderBy(col("acctbal_sum").desc, col("n_name"))
+  }
+
+  val nationConcentrationOracleSql: String =
+    """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_supp,
+      |  CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS acctbal_sum
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name
+      |HAVING SUM(CAST(s_acctbal AS DECIMAL(12,4))) * 20 >
+      |  (SELECT SUM(CAST(s_acctbal AS DECIMAL(12,4))) FROM supplier)
+      |ORDER BY acctbal_sum DESC, n_name""".stripMargin
+
+  /** q125: IN-subquery on a HAVING aggregate (TPC-H Q18 shape — "large
+    * volume orders"): orders whose lineitem quantity total exceeds 250,
+    * with their customer. The IN-set decorrelates into the per-order
+    * quantity aggregate joined straight back to orders (the aggregate
+    * IS the probe side, no separate semi-join pass); quantities are
+    * integral so the threshold is pure int64. Customer joins on the
+    * shuffled order side — at 100 TB both sides shuffle on their keys
+    * once, and AQE reuses the lineitem exchange between agg and join. */
+  def bigOrders(s: SparkSession, dir: String): DataFrame =
+    bigOrders(Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir))
+
+  def bigOrders(lineitem: DataFrame, orders: DataFrame, customer: DataFrame): DataFrame = {
+    val qty = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .where(col("total_qty") > 250L)
+    orders.join(qty, col("o_orderkey") === col("l_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
+  val bigOrdersOracleSql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, total_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |      FROM lineitem GROUP BY 1) q ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+      |ORDER BY total_qty DESC, o_orderkey""".stripMargin
+
+  /** q126: anti-join + above-global-average filter (TPC-H Q22 shape —
+    * "well-funded customers gone quiet"): customers whose balance beats
+    * the positive-balance average and who placed NO order in 2001+.
+    * The global average decorrelates into a 1-row (sum, count)
+    * aggregate broadcast back, and `bal > sum/cnt` is evaluated as
+    * `bal_µ·cnt > sum_µ` over micro-unit int64 (a float division both
+    * engines could round differently never happens); the NOT EXISTS is
+    * a left-anti join against the date-filtered orders — the filter
+    * pushes to the orders scan, so the anti side is small. Aggregated
+    * per market segment like Q22's per-country rollup. */
+  def dormantCustomers(s: SparkSession, dir: String): DataFrame =
+    dormantCustomers(Tables.customer(s, dir), Tables.orders(s, dir))
+
+  def dormantCustomers(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val cust = customer.select(col("c_custkey"), col("c_mktsegment"),
+      (dec(col("c_acctbal")) * lit(10000)).cast("long").as("bal_mu"))
+    val stats = cust.where(col("bal_mu") > 0L)
+      .agg(sum(col("bal_mu")).as("sum_mu"), count(lit(1)).as("n_pos"))
+    val recent = orders
+      .filter(col("o_orderdate") >= to_timestamp(lit("2001-01-01")))
+      .select(col("o_custkey"))
+    cust.join(broadcast(stats))
+      .where(col("bal_mu") * col("n_pos") > col("sum_mu"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("bal_mu")).as("acctbal_mu"))
+      .orderBy("c_mktsegment")
+  }
+
+  val dormantCustomersOracleSql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,4)) * 10000 AS BIGINT) AS bal_mu
+      |  FROM customer)
+      |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+      |  CAST(SUM(bal_mu) AS BIGINT) AS acctbal_mu
+      |FROM cust c
+      |WHERE bal_mu * (SELECT COUNT(*) FROM cust WHERE bal_mu > 0)
+      |      > (SELECT SUM(bal_mu) FROM cust WHERE bal_mu > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** q127: per-group share dominance (TPC-H Q20 family — "the supplier
+    * that owns a part's volume"): for every (part, supplier), flag
+    * shipments exceeding 2× the part's average per-supplier share
+    * (`q·n_supp > 2·total`, pure int64 — the correlated per-part
+    * subqueries decorrelate into one per-part aggregate joined back),
+    * then count dominated parts per supplier. Both aggregates shuffle
+    * lineitem on l_partkey once (AQE reuses the exchange); the
+    * supplier name join is a broadcast. */
+  def dominantSupplier(s: SparkSession, dir: String): DataFrame =
+    dominantSupplier(Tables.lineitem(s, dir), Tables.supplier(s, dir))
+
+  def dominantSupplier(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_partkey"), col("l_suppkey"),
+      col("l_quantity").cast("long").as("qty"))
+    val perPair = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("qty")).as("q"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("t"), countDistinct(col("l_suppkey")).as("ns"))
+    perPair.join(perPart, Seq("l_partkey"))
+      .where(col("q") * col("ns") > col("t") * lit(2L))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominated"), sum(col("q")).as("qty_sum"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("n_dominated"), col("qty_sum"))
+      .orderBy(col("n_dominated").desc, col("s_name"))
+  }
+
+  val dominantSupplierOracleSql: String =
+    """WITH pair AS (
+      |  SELECT l_partkey, l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_dominated,
+      |  CAST(SUM(q) AS BIGINT) AS qty_sum
+      |FROM pair p JOIN supplier ON s_suppkey = p.l_suppkey
+      |WHERE p.q * (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem l2
+      |             WHERE l2.l_partkey = p.l_partkey)
+      |      > 2 * (SELECT SUM(CAST(l_quantity AS BIGINT)) FROM lineitem l2
+      |             WHERE l2.l_partkey = p.l_partkey)
+      |GROUP BY s_name ORDER BY n_dominated DESC, s_name""".stripMargin
+
   /** q12: conditional (pivot-style) aggregation per entity. */
   def conditionalAgg(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)

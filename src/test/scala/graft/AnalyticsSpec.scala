@@ -133,4 +133,56 @@ class AnalyticsSpec extends SparkTestBase {
       .map(r => (r.getAs[String]("s_name"), r.getAs[Long]("numwait")))
     assert(out.toSeq === Seq(("S1", 1L), ("S2", 1L)))
   }
+
+  test("q123: argmax keeps exact-decimal TIES; window filter applies") {
+    import spark.implicits._
+    // supp 1: 100.10 + 99.90 = 200.00; supp 2: 200.00 in one line (tie);
+    // supp 3: 150.00 (loses); supp 4: 999.0 but OUTSIDE the window.
+    val in = "2000-02-01 00:00:00"
+    val out18 = "1999-06-01 00:00:00"
+    val li = Seq(
+      (1L, 100.10, 0.0, in), (1L, 99.90, 0.0, in),
+      (2L, 200.00, 0.0, in),
+      (3L, 150.00, 0.0, in),
+      (4L, 999.00, 0.0, out18)
+    ).toDF("l_suppkey", "l_extendedprice", "l_discount", "sd")
+      .withColumn("l_shipdate", to_timestamp(col("sd"))).drop("sd")
+    val sup = Seq((1L, "S1"), (2L, "S2"), (3L, "S3"), (4L, "S4"))
+      .toDF("s_suppkey", "s_name")
+    val out = Analytics.topSupplier(li, sup).collect()
+      .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[Double]("total_revenue")))
+    assert(out.toSeq === Seq((1L, 200.0), (2L, 200.0)))
+  }
+
+  test("q126: strict above-positive-average balance AND no recent order") {
+    import spark.implicits._
+    // positive balances: 100, 300 -> avg 200. cust 1 (100) below; cust 2
+    // (300) above but ordered in 2001 -> anti-joined away; cust 3 (300)
+    // above, old order only -> kept; cust 4 (-50) negative, never above.
+    val cust = Seq(
+      (1L, "A", 100.0), (2L, "A", 300.0), (3L, "B", 300.0), (4L, "B", -50.0)
+    ).toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val od = Seq((2L, "2001-05-01 00:00:00"), (3L, "1999-01-01 00:00:00"))
+      .toDF("o_custkey", "od")
+      .withColumn("o_orderdate", to_timestamp(col("od"))).drop("od")
+    val out = Analytics.dormantCustomers(cust, od).collect()
+      .map(r => (r.getAs[String]("c_mktsegment"), r.getAs[Long]("n_custs"),
+        r.getAs[Long]("acctbal_mu")))
+    assert(out.toSeq === Seq(("B", 1L, 3000000L)))
+  }
+
+  test("q127: dominance needs share strictly over 2x the average share") {
+    import spark.implicits._
+    // part 1, three suppliers, qtys 8/1/1 (total 10): 8*3=24 > 2*10 ->
+    // supp 1 dominates. part 2, two suppliers 6/4: 6*2=12 < 20 -> nobody.
+    val li = Seq(
+      (1L, 1L, 8.0), (1L, 2L, 1.0), (1L, 3L, 1.0),
+      (2L, 1L, 6.0), (2L, 2L, 4.0)
+    ).toDF("l_partkey", "l_suppkey", "l_quantity")
+    val sup = Seq((1L, "S1"), (2L, "S2"), (3L, "S3")).toDF("s_suppkey", "s_name")
+    val out = Analytics.dominantSupplier(li, sup).collect()
+      .map(r => (r.getAs[String]("s_name"), r.getAs[Long]("n_dominated"),
+        r.getAs[Long]("qty_sum")))
+    assert(out.toSeq === Seq(("S1", 1L, 8L)))
+  }
 }
