@@ -145,6 +145,7 @@ object SparkEntry {
     "q125_big_orders"              -> ((s: SparkSession, d: String) => Analytics.bigOrders(s, d)),
     "q126_dormant_customers"       -> ((s: SparkSession, d: String) => Analytics.dormantCustomers(s, d)),
     "q127_dominant_supplier"       -> ((s: SparkSession, d: String) => Analytics.dominantSupplier(s, d)),
+    "q128_binary_ingest"           -> (graft.sources.Ingest.binaryIngest _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -733,6 +734,7 @@ object SparkEntry {
     "q125_big_orders" -> Analytics.bigOrdersOracleSql,
     "q126_dormant_customers" -> Analytics.dormantCustomersOracleSql,
     "q127_dominant_supplier" -> Analytics.dominantSupplierOracleSql,
+    "q128_binary_ingest" -> graft.sources.Ingest.binaryIngestOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

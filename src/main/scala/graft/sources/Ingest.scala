@@ -259,6 +259,61 @@ object Ingest {
     """SELECT event_id, ts, user_id, event_type, value, props
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** q128: `binaryFile` source ingest, gated as a value round-trip —
+    * the read path a raw media corpus (image/audio dumps, one file per
+    * asset) enters the pipeline through, the file-sourced twin of q35's
+    * in-table binary column. Each non-null document payload is exported
+    * once as `<doc_id>.bin` (distributed: executors write their
+    * partitions straight to the artifact FS — no driver collect), then
+    * read back via `spark.read.format("binaryFile")` with a
+    * `pathGlobFilter`, keyed by the id recovered from the path, and
+    * value-proven by byte length + content md5 against the source
+    * table.
+    *
+    * Scale notes: binaryFile surfaces (path, modificationTime, length,
+    * content) with column pruning — a metadata-only query (length
+    * audit, manifest build) never opens the files; here md5(content)
+    * deliberately reads the bytes. Listing cost is the driver-side
+    * file-status scan, so at 100 TB the corpus should be landed to
+    * parquet/sequence files on first touch (same stance as CSV) —
+    * this op IS that first touch. */
+  def binaryIngest(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val path = graft.ArtifactStore.ensureCurrent(s, "bin_docs_v1",
+      graft.Tables.dirFingerprint(s, dir,
+        s"binfiles;utf8;${src.schema.catalogString}")) { staging =>
+      import s.implicits._
+      // executors re-derive FS config locally: the artifact root is
+      // reachable from every node by contract (warehouse doc), and the
+      // default Configuration resolves the same file:///hdfs:// schemes
+      src.as[(Long, Array[Byte])].foreachPartition {
+        (it: Iterator[(Long, Array[Byte])]) =>
+          if (it.hasNext) {
+            val base = new org.apache.hadoop.fs.Path(staging)
+            val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            it.foreach { case (id, bytes) =>
+              val out = fs.create(
+                new org.apache.hadoop.fs.Path(base, f"$id%012d.bin"), true)
+              try out.write(bytes) finally out.close()
+            }
+          }
+      }
+    }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(path)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("content_hash"))
+      .orderBy("doc_id")
+  }
+
+  val binaryIngestOracleSql: String =
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+      | md5(text) AS content_hash
+      |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
+
   /** The exact Kafka source option set the reference's ingest job wires
     * (metadata_eu_to_raw.py:53-58: bootstrap servers, `subscribe`,
     * `startingOffsets`, `failOnDataLoss`), plus the

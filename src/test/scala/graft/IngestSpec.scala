@@ -255,6 +255,23 @@ class IngestSpec extends SparkTestBase {
     assert(bounded("failOnDataLoss") === "true")
   }
 
+  test("q128: binaryFile ingest round-trips every non-null payload by id and md5") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = graft.sources.Ingest.binaryIngest(spark, sfDir).collect()
+    val srcRows = docs.filter("text IS NOT NULL")
+      .selectExpr("doc_id", "octet_length(text) AS n", "md5(text) AS h")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1).toLong, r.getString(2))).toMap
+    assert(out.length === srcRows.size)
+    out.foreach { r =>
+      val (n, h) = srcRows(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_bytes") === n)
+      assert(r.getAs[String]("content_hash") === h)
+    }
+    // ids are unique — the path-derived key is a real key
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length === out.length)
+  }
+
   test("sql extension functions are callable from plain SQL") {
     val dot = spark.sql(
       "SELECT dot_product_double(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
