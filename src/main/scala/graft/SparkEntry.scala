@@ -146,6 +146,8 @@ object SparkEntry {
     "q126_dormant_customers"       -> ((s: SparkSession, d: String) => Analytics.dormantCustomers(s, d)),
     "q127_dominant_supplier"       -> ((s: SparkSession, d: String) => Analytics.dominantSupplier(s, d)),
     "q128_binary_ingest"           -> (graft.sources.Ingest.binaryIngest _),
+    "q129_ann_recall"              -> (Similarity.annRecall _),
+    "q130_embed_standardize"       -> (Quantize.standardize _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -735,6 +737,8 @@ object SparkEntry {
     "q126_dormant_customers" -> Analytics.dormantCustomersOracleSql,
     "q127_dominant_supplier" -> Analytics.dominantSupplierOracleSql,
     "q128_binary_ingest" -> graft.sources.Ingest.binaryIngestOracleSql,
+    "q129_ann_recall" -> Similarity.annRecallOracleSql,
+    "q130_embed_standardize" -> Quantize.standardizeOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -100,4 +100,84 @@ object Quantize {
        |      (a, b) -> a + b) END, 9) AS err_r
        |FROM q ORDER BY vec_id""".stripMargin
   }
+
+  /** q130: per-dimension corpus STANDARDIZATION (z-scoring) — the
+    * whitening-lite preprocessing run before distance-based ops
+    * (clustering, ANN, near-dup thresholds) so no dimension dominates
+    * by scale. Two passes: ONE map-combined 64-row moment aggregate
+    * (count / sum / sum-of-squares per dimension over KMeansOp's
+    * quantized integral vectors — sums exact in DECIMAL, so the
+    * moments are order-independent), broadcast back onto the exploded
+    * corpus for the z computation.
+    *
+    * Exactness: z = (n·x_q − s) / √(n·ss − s²) — numerator an exact
+    * int64 (≤ n·10⁶, well under 2⁵³), variance numerator an exact
+    * DECIMAL(38,0) cast once to double (correctly rounded in Spark;
+    * the oracle routes the same value through VARCHAR because DuckDB's
+    * int128→double cast is not correctly rounded), then one IEEE sqrt
+    * + divide — bit-identical across engines. Zero-variance dims z=0.
+    *
+    * Gated surface per vector: ±2σ outlier-dim counts (exact ints),
+    * z min/max, and the dim-0 z as a direct value witness — all
+    * order-independent, no float aggregation.
+    *
+    * Scale notes: moments are one partial-agg shuffle of 64×P rows;
+    * the join-back is a 64-row broadcast; nothing else shuffles. At
+    * 100 TB the explode inflates the scan 64× — fuse the explode and
+    * the final per-vector fold into one mapPartitions (or a native
+    * Expression over the array) if the scan cost shows; the moment
+    * pass is already minimal. */
+  def standardize(s: SparkSession, dir: String): DataFrame =
+    standardize(Tables.embeddings(s, dir))
+
+  def standardize(embeddings: DataFrame): DataFrame = {
+    val ex = KMeansOp.quantized(embeddings)
+      .select(col("vec_id"), posexplode(col("q")))
+      .toDF("vec_id", "d", "xq")
+      .withColumn("xq", col("xq").cast("long"))
+    val stats = ex.groupBy(col("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xq")).as("s"),
+        sum((col("xq").cast("decimal(19,0)") * col("xq").cast("decimal(19,0)")))
+          .as("ss"))
+      .withColumn("var_num",
+        col("ss") * col("n").cast("decimal(19,0)")
+          - col("s").cast("decimal(19,0)") * col("s").cast("decimal(19,0)"))
+    val zed = ex.join(broadcast(stats), Seq("d"))
+      .withColumn("z",
+        when(col("var_num") === lit(0), lit(0.0))
+          .otherwise((col("n") * col("xq") - col("s")).cast("double")
+            / sqrt(col("var_num").cast("double"))))
+    zed.groupBy(col("vec_id"))
+      .agg(
+        sum(when(col("z") > 2.0, 1L).otherwise(0L)).as("n_hi"),
+        sum(when(col("z") < -2.0, 1L).otherwise(0L)).as("n_lo"),
+        min(col("z")).as("z_min"),
+        max(col("z")).as("z_max"),
+        max(when(col("d") === 0, col("z"))).as("z_dim0"))
+      .orderBy("vec_id")
+  }
+
+  val standardizeOracleSql: String =
+    s"""WITH qv AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * ${KMeansOp.ScaleQ}) AS BIGINT)) AS q
+       | FROM embeddings WHERE embedding IS NOT NULL),
+       |ex AS (SELECT vec_id, u.d AS d, u.xq AS xq FROM (
+       |  SELECT vec_id, unnest(list_transform(range(1, len(q)+1),
+       |    i -> {'d': i-1, 'xq': q[i]})) AS u FROM qv)),
+       |st AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(xq) AS BIGINT) AS s, SUM(xq*xq) AS ss FROM ex GROUP BY d),
+       |sv AS (SELECT d, n, s,
+       |  CAST(ss AS HUGEINT)*n - CAST(s AS HUGEINT)*s AS var_num FROM st),
+       |z AS (SELECT vec_id, d,
+       |  CASE WHEN var_num = 0 THEN 0.0
+       |    ELSE CAST(n*xq - s AS DOUBLE) / sqrt(CAST(CAST(var_num AS VARCHAR) AS DOUBLE))
+       |  END AS z
+       |  FROM ex JOIN sv USING (d))
+       |SELECT vec_id,
+       |  CAST(SUM(CASE WHEN z > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+       |  CAST(SUM(CASE WHEN z < -2 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+       |  MIN(z) AS z_min, MAX(z) AS z_max,
+       |  MAX(CASE WHEN d = 0 THEN z END) AS z_dim0
+       |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin
 }

@@ -247,6 +247,89 @@ object Similarity {
        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q129: ANN recall audit — the evaluation every approximate-index
+    * rollout runs before trusting it: per query, how many of the exact
+    * top-10 (q27) the single-bucket LSH (q28) and the 3-probe
+    * multiprobe (q54) candidate sets recovered. Output is pure integers
+    * (truth size, hit counts), so the gate is exact — no float recall
+    * ratio two engines could round differently; the multiprobe column
+    * ≥ the LSH column BY CONSTRUCTION (its candidate set is a
+    * superset), and the spec asserts that dominance.
+    *
+    * Scale notes: composes the three gated pipelines (queries stay a
+    * 10-row broadcast; candidates flow through the same bucket joins),
+    * then two output-sized (10×10-row) left joins + one aggregate —
+    * the audit itself costs nothing beyond the searches it audits. */
+  def annRecall(s: SparkSession, dir: String): DataFrame =
+    annRecall(graft.Tables.embeddings(s, dir))
+
+  def annRecall(embeddings: DataFrame): DataFrame = {
+    val truth = bruteForceTopK(embeddings).select(col("query_id"), col("neighbor_id"))
+    val lsh = lshTopK(embeddings)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit_lsh"))
+    val mp = lshTopKMultiprobe(embeddings, 3)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit_mp"))
+    truth.join(lsh, Seq("query_id", "neighbor_id"), "left")
+      .join(mp, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit_lsh"), lit(0L))).as("hits_lsh"),
+        sum(coalesce(col("hit_mp"), lit(0L))).as("hits_multiprobe"))
+      .orderBy("query_id")
+  }
+
+  /** Generated oracle for q129: the q27/q28/q54 chains (same planes,
+    * same folds, same tie order) composed under prefixed CTE names,
+    * joined on (query, neighbor) exactly like the engine. */
+  def annRecallOracleSql: String = {
+    val bucketExpr = bucketSqlExpr(hyperplanes)
+    val structs = hyperplanes.zipWithIndex
+      .map { case (p, i) => s"{'m': abs(${dotSqlExpr(p)}), 'i': $i}" }
+      .mkString("[", ", ", "]")
+    val probeList = (0 until 3).map {
+      case 0 => "bucket"
+      case j => s"xor(bucket, CAST(1 AS BIGINT) << CAST(fo[$j].i AS INTEGER))"
+    }.mkString("[", ", ", "]")
+    val cosSql =
+      """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(range(1, len(q2.e)+1), i -> q2.e[i]*c.e[i])), (x,y) -> x+y)
+        |   / (q2.nrm * c.nrm)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE embedding IS NOT NULL),
+       |n AS (SELECT vec_id, e,
+       |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm,
+       |  $bucketExpr AS bucket FROM v),
+       |bp AS (SELECT q2.vec_id AS query_id, c.vec_id AS neighbor_id, $cosSql AS sim
+       |  FROM n q2 JOIN n c ON q2.vec_id < 10 AND q2.vec_id <> c.vec_id),
+       |bt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM bp) WHERE rank <= 10),
+       |lp AS (SELECT q2.vec_id AS query_id, c.vec_id AS neighbor_id, $cosSql AS sim
+       |  FROM n q2 JOIN n c ON q2.bucket = c.bucket
+       |   AND q2.vec_id < 10 AND q2.vec_id <> c.vec_id),
+       |lt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM lp) WHERE rank <= 10),
+       |mq AS (SELECT vec_id, e, nrm, bucket, list_sort($structs) AS fo
+       |  FROM n WHERE vec_id < 10),
+       |probed AS (SELECT vec_id, e, nrm, unnest($probeList) AS bucket FROM mq),
+       |mpp AS (SELECT DISTINCT q2.vec_id AS query_id, c.vec_id AS neighbor_id, $cosSql AS sim
+       |  FROM probed q2 JOIN n c ON q2.bucket = c.bucket AND q2.vec_id <> c.vec_id),
+       |mt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM mpp) WHERE rank <= 10)
+       |SELECT bt.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |  CAST(SUM(CASE WHEN lt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_lsh,
+       |  CAST(SUM(CASE WHEN mt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_multiprobe
+       |FROM bt
+       |LEFT JOIN lt ON bt.query_id = lt.query_id AND bt.neighbor_id = lt.neighbor_id
+       |LEFT JOIN mt ON bt.query_id = mt.query_id AND bt.neighbor_id = mt.neighbor_id
+       |GROUP BY bt.query_id ORDER BY bt.query_id""".stripMargin
+  }
+
   /** IVF (inverted-file) top-k: k-means coarse quantizer over the
     * corpus, queries probe their `nprobe` nearest cells and score only
     * those candidates. The standard billion-scale ANN layout: at 100 TB

@@ -55,6 +55,31 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out.size === docs.count())
   }
 
+  test("q130 standardize: planted frame z-scores exact; zero-variance dim -> 0") {
+    import spark.implicits._
+    // dim0 values (quantized): 0, 1e6, 2e6 -> mean 1e6, pop-var num
+    // n*ss - s^2 = 3*5e12 - 9e12 = 6e12; z = (3x - 3e6)/sqrt(6e12).
+    // dim1 constant -> var 0 -> z = 0 for every row.
+    val em = Seq(
+      (0L, Array(0.0f, 0.5f)), (1L, Array(1.0f, 0.5f)), (2L, Array(2.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = operators.Quantize.standardize(em).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("z_min"), r.getAs[Double]("z_max"), r.getAs[Double]("z_dim0"))).toMap
+    val z0 = (3.0 * 0 - 3e6) / math.sqrt(6e12)
+    val z2 = (3.0 * 2e6 - 3e6) / math.sqrt(6e12)
+    assert(out(0L) === ((z0, 0.0, z0)))     // dim1 z=0 is the max for row 0
+    assert(out(1L) === ((0.0, 0.0, 0.0)))   // at the mean, both dims 0
+    assert(out(2L) === ((0.0, z2, z2)))
+    // outlier counts on the corpus: every z in [-2,2] has no flags
+    val corpus = operators.Quantize.standardize(spark, sfDir).collect()
+    corpus.foreach { r =>
+      val ok = r.getAs[Double]("z_min") >= -2.0 && r.getAs[Double]("z_max") <= 2.0
+      val flagged = r.getAs[Long]("n_hi") + r.getAs[Long]("n_lo") > 0
+      assert(ok !== flagged, s"vec ${r.getLong(0)} flag/range disagree")
+    }
+  }
+
   // --- q66/q67/q68 quantization, LM score, CMS ---
 
   test("q66 int8 quantization: scale/codes well-formed, error bounded by half-step") {

@@ -151,6 +151,27 @@ class SimilaritySpec extends SparkTestBase {
       === Similarity.lshTopK(em).collect().map(_.toString).toSet)
   }
 
+  test("q129 recall audit: multiprobe dominates LSH, counts bounded by truth") {
+    val em = Tables.embeddings(spark, sfDir)
+    val out = Similarity.annRecall(em).collect()
+    assert(out.length === 10) // one row per query
+    out.foreach { r =>
+      val (t, l, m) = (r.getAs[Long]("n_truth"), r.getAs[Long]("hits_lsh"),
+        r.getAs[Long]("hits_multiprobe"))
+      assert(t === 10L)
+      assert(l >= 0L && l <= t)
+      assert(m >= l, s"query ${r.getLong(0)}: multiprobe candidates are a " +
+        "superset of the single bucket, recall cannot drop")
+    }
+    // the audit agrees with the pipelines it audits, recomputed directly
+    val truth = Similarity.bruteForceTopK(em).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lshHits = Similarity.lshTopK(em).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .count(truth.contains)
+    assert(out.map(_.getAs[Long]("hits_lsh")).sum === lshHits.toLong)
+  }
+
   test("persisted EXACT IVF index search equals the in-memory q65 pipeline") {
     val em = graft.Tables.embeddings(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_exact").toString
