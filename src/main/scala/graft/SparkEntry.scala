@@ -148,6 +148,7 @@ object SparkEntry {
     "q128_binary_ingest"           -> (graft.sources.Ingest.binaryIngest _),
     "q129_ann_recall"              -> (Similarity.annRecall _),
     "q130_embed_standardize"       -> (Quantize.standardize _),
+    "q131_session_window"          -> (graft.streaming.Streams.q131 _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -739,6 +740,7 @@ object SparkEntry {
     "q128_binary_ingest" -> graft.sources.Ingest.binaryIngestOracleSql,
     "q129_ann_recall" -> Similarity.annRecallOracleSql,
     "q130_embed_standardize" -> Quantize.standardizeOracleSql,
+    "q131_session_window" -> graft.streaming.Streams.sessionizeBuiltinOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

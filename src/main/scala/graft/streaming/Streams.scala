@@ -536,6 +536,60 @@ object Streams {
   def q20(s: SparkSession, dir: String): DataFrame =
     sessionizeBatch(Tables.events(s, dir))
 
+  /** Sessionization via Spark's NATIVE `session_window` operator — the
+    * same gap semantics q20 hand-rolls, expressed as the built-in
+    * Catalyst session window so the whole session assignment happens
+    * inside ONE aggregate (no lag window, no cumulative-flag pass), and
+    * the identical code runs under Structured Streaming with a
+    * watermark (merging session state is Spark's, not ours).
+    *
+    * BOUNDARY CONTRACT, spec-pinned: the built-in merges an event whose
+    * ts is within the CLOSED interval [prev, prev+gap] — a gap of
+    * exactly `gapSeconds` stays in-session, identical to q20's
+    * `gap_us > gap → new` rule (verified empirically on a planted
+    * 1799/1800/1801 s triple; StreamingSpec asserts the two
+    * implementations agree INCLUDING at the boundary).
+    *
+    * `session_seq` (the per-user ordinal q20 exposes as session_id) is
+    * recovered by a row_number over the AGGREGATED session-sized frame
+    * — scale-safe where a raw-event window would not be. NULL ts rows
+    * carry no event time and are excluded explicitly (the oracle
+    * filters identically). */
+  def sessionizeBuiltin(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val agg = events
+      .where(col("ts").isNotNull)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSeconds seconds"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,4)")).cast("double").as("total_value"))
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("session_start"))
+    agg.withColumn("session_seq", row_number().over(seq).cast("long"))
+      .select("user_id", "session_seq", "session_start", "session_end",
+        "n_events", "total_value")
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** q131: [[sessionizeBuiltin]] over the events table. */
+  def q131(s: SparkSession, dir: String): DataFrame =
+    sessionizeBuiltin(Tables.events(s, dir))
+
+  val sessionizeBuiltinOracleSql: String =
+    """WITH x AS (SELECT user_id, ts, event_id, value,
+      |  epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+      | FROM events WHERE ts IS NOT NULL
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |y AS (SELECT user_id, ts, value,
+      |  SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      | FROM x)
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      | MIN(ts) AS session_start, MAX(ts) AS session_end,
+      | COUNT(*) AS n_events,
+      | CAST(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS VARCHAR) AS DOUBLE) AS total_value
+      |FROM y GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
   /** q21: replay dedup — events unioned with themselves (simulated Kafka
     * redelivery), then deduped back to the original stream. */
   def q21(s: SparkSession, dir: String): DataFrame = {

@@ -122,6 +122,56 @@ class StreamingSpec extends SparkTestBase {
     assert(three === expected, "3-batch split diverged from batch")
   }
 
+  test("q131 builtin session_window equals q20's lag form INCLUDING the " +
+      "exactly-gap boundary (closed-interval merge)") {
+    import spark.implicits._
+    def at(sec: Long) = new Timestamp(Timestamp.valueOf("2024-01-01 10:00:00").getTime + sec * 1000)
+    // gaps of exactly 1799 s (in-session), exactly 1800 s (the boundary:
+    // the built-in merges the CLOSED interval, same as lag's `> gap`),
+    // then 1801 s (new session for both); second user off the boundary
+    val ev = Seq(
+      E(1, at(0), 1, "a", 1.0),
+      E(2, at(1799), 1, "a", 2.0),
+      E(3, at(1799 + 1800), 1, "a", 4.0),
+      E(4, at(1799 + 1800 + 1801), 1, "a", 8.0),
+      E(5, at(100), 2, "b", 1.0), E(6, at(5000), 2, "b", 2.0)).toDF()
+    def shape(df: org.apache.spark.sql.DataFrame, seqCol: String) =
+      df.collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long](seqCol),
+        r.getAs[Any]("session_start").toString, r.getAs[Any]("session_end").toString,
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSeq
+    val builtin = shape(Streams.sessionizeBuiltin(ev), "session_seq")
+    val lagForm = shape(Streams.sessionizeBatch(ev), "session_id")
+    assert(builtin === lagForm)
+    // and the boundary really was exercised: user 1 has TWO sessions,
+    // the first holding the 1799 s and exactly-1800 s gaps (3 events)
+    assert(builtin.filter(_._1 == 1L).map(_._5) === Seq(3L, 1L))
+  }
+
+  test("q131 builtin session_window runs under Structured Streaming and " +
+      "emits the watermark-closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[E]
+    // streaming append mode: the per-user ordinal (a batch row_number) is
+    // batch-only; the streaming surface is the session intervals, same
+    // groupBy(session_window) core sessionizeBuiltin wraps
+    val sessions = src.toDF().withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "1800 seconds"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("swq131")
+      .outputMode("append").start()
+    try {
+      src.addData(E(1, ts(0), 1, "a", 1.0), E(2, ts(5), 1, "a", 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past the first session's close
+      src.addData(E(3, tsAt(14, 0), 1, "a", 3.0))
+      q.processAllAvailable()
+      val closed = spark.table("swq131").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+      assert(closed.toSeq === Seq((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("upsertSink: micro-batches MERGE into a versioned snapshot (Hadoop file:// URI)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
