@@ -149,6 +149,10 @@ object SparkEntry {
     "q129_ann_recall"              -> (Similarity.annRecall _),
     "q130_embed_standardize"       -> (Quantize.standardize _),
     "q131_session_window"          -> (graft.streaming.Streams.q131 _),
+    "q132_status_pivot"            -> ((s: SparkSession, d: String) => Reshape.statusPivot(s, d)),
+    "q133_metrics_unpivot"         -> ((s: SparkSession, d: String) => Reshape.nationMetricsUnpivot(s, d)),
+    "q134_grouping_sets"           -> ((s: SparkSession, d: String) => Reshape.facetGroupingSets(s, d)),
+    "q135_scd2"                    -> ((s: SparkSession, d: String) => Temporal.scd2(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -741,6 +745,10 @@ object SparkEntry {
     "q129_ann_recall" -> Similarity.annRecallOracleSql,
     "q130_embed_standardize" -> Quantize.standardizeOracleSql,
     "q131_session_window" -> graft.streaming.Streams.sessionizeBuiltinOracleSql,
+    "q132_status_pivot" -> Reshape.statusPivotOracleSql,
+    "q133_metrics_unpivot" -> Reshape.nationMetricsUnpivotOracleSql,
+    "q134_grouping_sets" -> Reshape.facetGroupingSetsOracleSql,
+    "q135_scd2" -> Temporal.scd2OracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

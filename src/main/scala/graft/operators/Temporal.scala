@@ -339,4 +339,58 @@ object Temporal {
       |  ROUND(CAST(t.cnt AS DOUBLE) / CAST(s.tot AS DOUBLE), 9) AS p_r
       |FROM t JOIN s USING (prev_type)
       |ORDER BY prev_type, next_type""".stripMargin
+
+  /** q135: SCD Type-2 dimension build — the slowly-changing-dimension
+    * history a warehouse derives when an entity's attribute changes over
+    * time. Per user, the event_type sequence (ordered by ts with
+    * event_id as the unique tiebreaker — fixture ts values can
+    * collide after a regen, and a nondeterministic lag order would make
+    * the whole history nondeterministic) collapses into runs of equal
+    * state; each run becomes one versioned row with
+    * [valid_from, valid_to) validity and an is_current flag on the open
+    * interval. This is the standing shape behind the reference's
+    * "latest state wins" MERGE (eu_raw_to_cleansed_merge.py:62-69) when
+    * the pipeline must keep the superseded versions instead of
+    * overwriting them.
+    *
+    * Scale notes: the lag pass, the row_number, and the lead all share
+    * ONE window spec (partition user_id, order ts/event_id) — Spark
+    * plans a single exchange + a single sort and evaluates the later
+    * windows on the already-sorted runs; no self-join, no whole-table
+    * second shuffle. State is per-user-bounded, so 100 TB of events
+    * stream through as ordinary window processing. */
+  def scd2(s: SparkSession, dir: String): DataFrame =
+    scd2(Tables.events(s, dir))
+
+  def scd2(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val runs = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    runs
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  /** q135 oracle: the same run-collapse in window SQL. */
+  def scd2OracleSql: String =
+    """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+      |c AS (SELECT user_id, ts, event_id, event_type,
+      |    LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM e),
+      |r AS (SELECT user_id, ts, event_id, event_type FROM c
+      |  WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+      |  event_type AS state, ts AS valid_from,
+      |  LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |  (LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+      |FROM r ORDER BY user_id, version""".stripMargin
 }

@@ -285,6 +285,12 @@ object Ingest {
       graft.Tables.dirFingerprint(s, dir,
         s"binfiles;utf8;${src.schema.catalogString}")) { staging =>
       import s.implicits._
+      // driver creates the staging dir up front: a zero-row export (no
+      // partition writes a file) must still commit an EMPTY directory,
+      // not leave the rename source missing — empty in, empty out
+      val stagingPath = new org.apache.hadoop.fs.Path(staging)
+      stagingPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .mkdirs(stagingPath)
       // executors re-derive FS config locally: the artifact root is
       // reachable from every node by contract (warehouse doc), and the
       // default Configuration resolves the same file:///hdfs:// schemes
