@@ -153,6 +153,9 @@ object SparkEntry {
     "q133_metrics_unpivot"         -> ((s: SparkSession, d: String) => Reshape.nationMetricsUnpivot(s, d)),
     "q134_grouping_sets"           -> ((s: SparkSession, d: String) => Reshape.facetGroupingSets(s, d)),
     "q135_scd2"                    -> ((s: SparkSession, d: String) => Temporal.scd2(s, d)),
+    "q136_trade_volume"            -> ((s: SparkSession, d: String) => Analytics.tradeVolume(s, d)),
+    "q137_market_share"            -> ((s: SparkSession, d: String) => Analytics.marketShare(s, d)),
+    "q138_triangle_support"        -> ((s: SparkSession, d: String) => Cluster.triangleSupport(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -178,6 +181,21 @@ object SparkEntry {
       |  CAST(common AS DOUBLE)/(na+nb-common) AS jaccard
       |FROM p WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.8
       |ORDER BY a_id, b_id""".stripMargin
+
+  /** q138 oracle: ordered-edge triangle enumeration over the τ=0.8
+    * Jaccard pairs — each a<b<c counted once by the wedge (a,b),(b,c)
+    * closed by (a,c); every role credits its doc. */
+  private val triangleSupportSql: String =
+    s"""WITH $jaccardPairCtes,
+      |pr AS (SELECT a_id, b_id FROM p
+      |  WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.8),
+      |tri AS (SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+      |  FROM pr e1 JOIN pr e2 ON e2.a_id = e1.b_id
+      |  JOIN pr e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+      |roles AS (SELECT a AS doc_id FROM tri
+      |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |FROM roles GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q46 oracle: transitive closure (recursive reachability) over the
     * τ=0.8 Jaccard pair edges; cluster id = min reachable doc_id. */
@@ -749,6 +767,9 @@ object SparkEntry {
     "q133_metrics_unpivot" -> Reshape.nationMetricsUnpivotOracleSql,
     "q134_grouping_sets" -> Reshape.facetGroupingSetsOracleSql,
     "q135_scd2" -> Temporal.scd2OracleSql,
+    "q136_trade_volume" -> Analytics.tradeVolumeOracleSql,
+    "q137_market_share" -> Analytics.marketShareOracleSql,
+    "q138_triangle_support" -> triangleSupportSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -1031,6 +1031,130 @@ object Analytics {
       |             WHERE l2.l_partkey = p.l_partkey)
       |GROUP BY s_name ORDER BY n_dominated DESC, s_name""".stripMargin
 
+  /** q136: nation-to-nation trade volume (TPC-H Q7 shape) — revenue
+    * flowing between two named nations per ship year, both directions.
+    * The scale-critical move is FILTER-EARLY: supplier and customer are
+    * each pre-filtered to the two target nations via a broadcast of the
+    * 2-row nation slice BEFORE touching the fact table, so the
+    * lineitem⋈supplier and orders⋈customer joins run against 2/25 of
+    * the dimension rows and AQE sees small enough sides to broadcast —
+    * the naive shape (join everything, filter the nation pair at the
+    * end) drags the full fact join tree through the shuffle first.
+    * Revenue in exact DECIMAL per the q01 convention. */
+  def tradeVolume(s: SparkSession, dir: String): DataFrame =
+    tradeVolume(Tables.lineitem(s, dir), Tables.orders(s, dir),
+      Tables.customer(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir))
+
+  def tradeVolume(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val nations = nation.filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(12,4)") - dec(col("l_discount")))).as("rev_dec"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        col("rev_dec").cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val tradeVolumeOracleSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+      |    (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  AND n1.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n1.n_name <> n2.n_name
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** q137: regional market share of one supplier nation (TPC-H Q8
+    * shape) — for customers in ASIA, per order year: total revenue and
+    * the slice supplied by NATION_2. The share division is deliberately
+    * NOT computed (a cross-engine float division); both the numerator
+    * and denominator ship as exact DECIMAL sums and the consumer divides.
+    * One pass: the nation marker rides the supplier dimension into a
+    * conditional aggregate — never two scans (one per sum) of the fact
+    * table. Region filter pre-shrinks customer via the broadcast
+    * nation⋈region slice exactly like q136's filter-early move. */
+  def marketShare(s: SparkSession, dir: String): DataFrame =
+    marketShare(Tables.lineitem(s, dir), Tables.orders(s, dir),
+      Tables.customer(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir),
+      Tables.region(s, dir))
+
+  def marketShare(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame = {
+    val asiaNations = nation
+      .join(broadcast(region.filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey"))), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val sup = supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), (col("n_name") === "NATION_2").as("is_target"))
+    val rev = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(12,4)") - dec(col("l_discount")))
+    lineitem
+      .join(orders.filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(rev).cast("double").as("rev_total"),
+        sum(when(col("is_target"), rev).otherwise(lit(0).cast("decimal(12,4)")))
+          .cast("double").as("rev_nation"))
+      .orderBy("o_year")
+  }
+
+  val marketShareOracleSql: String =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+      |    (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE) AS rev_total,
+      |  CAST(CAST(SUM(CASE WHEN ns.n_name = 'NATION_2'
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,4)) *
+      |      (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))
+      |    ELSE CAST(0 AS DECIMAL(12,4)) END) AS VARCHAR) AS DOUBLE) AS rev_nation
+      |FROM lineitem
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation nc ON nc.n_nationkey = c_nationkey
+      |JOIN region ON r_regionkey = nc.n_regionkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ns ON ns.n_nationkey = s_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q12: conditional (pivot-style) aggregation per entity. */
   def conditionalAgg(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)

@@ -276,4 +276,43 @@ object Cluster {
         col("cluster_size"))
       .orderBy("doc_id")
   }
+
+  /** q138: per-document triangle support over the near-dup pair graph —
+    * the fourth consumer of the shared τ=0.8 pair table. Triangle count
+    * separates genuine duplicate CLIQUES (a template stamped many times
+    * — every pair matches, triangles abound) from transitive CHAINS
+    * (A≈B≈C but A≉C — zero triangles), which q46's components cannot
+    * distinguish; survivor selection in a chain-shaped "cluster" is the
+    * classic over-deletion bug in corpus dedup.
+    *
+    * Algorithm: edges are already ordered (a_id < b_id by
+    * construction), so each triangle a<b<c is enumerated exactly once
+    * by the wedge join e1=(a,b), e2=(b,c) closed by e3=(a,c). Each
+    * output role (a, b, c) credits its document via one explode-free
+    * union. Scale notes: the wedge join shuffles edges on the shared
+    * middle vertex and the closing join on (min,max) — both are plain
+    * hash joins over |E|-sized inputs, no fact-table pass at all; the
+    * skew risk is a high-degree vertex whose wedge count is deg², the
+    * standard mitigation (degree-ordered edge direction) is documented
+    * at the call site and unnecessary at τ=0.8 where degrees are
+    * near-dup-cluster-bounded. */
+  def triangleSupport(s: SparkSession, dir: String): DataFrame = {
+    val edges = pairsTable(s, dir).select(col("a_id"), col("b_id"))
+    triangleSupport(edges)
+  }
+
+  def triangleSupport(edges: DataFrame): DataFrame = {
+    val e1 = edges.select(col("a_id").as("a"), col("b_id").as("b"))
+    val e2 = edges.select(col("a_id").as("b2"), col("b_id").as("c"))
+    val e3 = edges.select(col("a_id").as("a3"), col("b_id").as("c3"))
+    val tri = e1.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(col("a").as("doc_id"))
+      .unionAll(tri.select(col("b").as("doc_id")))
+      .unionAll(tri.select(col("c").as("doc_id")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
 }

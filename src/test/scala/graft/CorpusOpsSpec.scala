@@ -6,6 +6,22 @@ import graft.operators.{Cluster, Packing, Sampling}
 class CorpusOpsSpec extends SparkTestBase {
   import spark.implicits._
 
+  // --- q138 triangle support ---
+
+  test("triangleSupport: cliques count triangles, chains count none") {
+    // 1-2-3-4 clique (4 triangles, each node in 3), 5-6-7 chain (0),
+    // 8-9-10 triangle (1 each)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L),
+      (8L, 9L), (8L, 10L), (9L, 10L)).toDF("a_id", "b_id")
+    val out = Cluster.triangleSupport(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      8L -> 1L, 9L -> 1L, 10L -> 1L),
+      s"chain nodes must be absent, clique nodes credited per-triangle: $out")
+  }
+
   // --- q46 connected components ---
 
   test("connectedComponents closes a chain transitively and keeps singletons") {
