@@ -156,6 +156,8 @@ object SparkEntry {
     "q136_trade_volume"            -> ((s: SparkSession, d: String) => Analytics.tradeVolume(s, d)),
     "q137_market_share"            -> ((s: SparkSession, d: String) => Analytics.marketShare(s, d)),
     "q138_triangle_support"        -> ((s: SparkSession, d: String) => Cluster.triangleSupport(s, d)),
+    "q139_partition_checksum"      -> ((s: SparkSession, d: String) => Cleanse.partitionChecksum(s, d)),
+    "q140_incremental_agg"         -> ((s: SparkSession, d: String) => Merge.incrementalAgg(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -770,6 +772,8 @@ object SparkEntry {
     "q136_trade_volume" -> Analytics.tradeVolumeOracleSql,
     "q137_market_share" -> Analytics.marketShareOracleSql,
     "q138_triangle_support" -> triangleSupportSql,
+    "q139_partition_checksum" -> Cleanse.partitionChecksumOracleSql,
+    "q140_incremental_agg" -> Merge.incrementalAggOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

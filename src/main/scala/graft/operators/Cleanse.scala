@@ -102,4 +102,47 @@ object Cleanse {
        |  ${cols("source")}
        |FROM documents""".stripMargin
   }
+
+  /** q139: bucketed content checksum — the merkle-lite anti-entropy
+    * audit two replicas of a 100 TB corpus exchange to find divergent
+    * key ranges without moving data: 64 buckets × (row count,
+    * order-independent content checksum, min/max content hash). The
+    * checksum is the int64 SUM of each row's first-8-hex-chars of
+    * md5(text) — commutative/associative, so partial aggregation
+    * combines freely across 1000 executors, and any single-row
+    * corruption shifts the bucket sum. Compare two runs bucket-wise;
+    * only mismatched buckets need a row-level diff (q86). ONE
+    * map-combined aggregate pass, 64 output rows, no shuffle beyond the
+    * 64-group exchange.
+    *
+    * Cross-engine: md5 of the UTF-8 bytes is identical everywhere;
+    * Spark's `conv(hex,16,10)` and DuckDB's `CAST('0x'||hex AS BIGINT)`
+    * parse the same 32-bit value, and 10⁹ rows × 2³² fits int64 with
+    * 2³⁰ headroom. NULL text hashes as the empty string, so a
+    * NULL↔''-flip corruption still needs the min/max columns — which
+    * catch it lexicographically. */
+  def partitionChecksum(s: SparkSession, dir: String): DataFrame =
+    partitionChecksum(Tables.documents(s, dir))
+
+  def partitionChecksum(documents: DataFrame): DataFrame = {
+    val h = md5(coalesce(col("text"), lit("")))
+    documents
+      .select(pmod(col("doc_id"), lit(64L)).as("bucket"),
+        h.as("h"),
+        expr("cast(conv(substring(md5(coalesce(text, '')), 1, 8), 16, 10) as bigint)").as("h8"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h8")).as("checksum"),
+        min(col("h")).as("min_hash"),
+        max(col("h")).as("max_hash"))
+      .orderBy("bucket")
+  }
+
+  def partitionChecksumOracleSql: String =
+    """SELECT doc_id % 64 AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST('0x' || substr(md5(COALESCE(text, '')), 1, 8) AS BIGINT)) AS BIGINT) AS checksum,
+      |  MIN(md5(COALESCE(text, ''))) AS min_hash,
+      |  MAX(md5(COALESCE(text, ''))) AS max_hash
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -48,4 +48,39 @@ class EtlSpec extends SparkTestBase {
       assert(rs.forall(_.getAs[Long]("cluster_size") === ids.length))
     }
   }
+
+  test("q139 checksum: a single-char corruption moves exactly its bucket's checksum") {
+    import spark.implicits._
+    val docs = (0L until 128L).map(i => (i, s"doc body $i", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corrupted = docs.withColumn("text",
+      when(col("doc_id") === 77L, lit("doc body 77X")).otherwise(col("text")))
+    val a = Cleanse.partitionChecksum(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = Cleanse.partitionChecksum(corrupted).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val moved = a.keySet.filter(k => a(k) != b(k))
+    assert(moved == Set(77L % 64L), s"expected only bucket 13 to move, got $moved")
+    assert(a(13L)._1 == b(13L)._1, "row count must not move on content corruption")
+  }
+
+  test("q140 incremental maintenance ≡ direct recompute (group migration + retirement)") {
+    import spark.implicits._
+    // old = %7≠0: {3 F, 15 Z, 11 O, 22 O, 9 P}; new = %5≠0 with evens
+    // repriced to U: {3 F, 14 U(added), 11 O, 22 U(migrated O→U), 9 P};
+    // 15 removed — status Z's only member, so Z must RETIRE from output
+    val orders = Seq(
+      (3L, 1L, "F", 100.0), (14L, 1L, "F", 200.0), (15L, 1L, "Z", 300.0),
+      (11L, 2L, "O", 50.0), (22L, 2L, "O", 60.0), (9L, 2L, "P", 70.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(lit("2024-01-01")))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+    val out = Merge.incrementalAgg(orders).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // new snapshot: 3(F,100), 14(U,210), 11(O,50), 22(U,70), 9(P,70) — 35 dropped
+    assert(out == Map(
+      "F" -> (1L, 100.0), "U" -> (2L, 280.0),
+      "O" -> (1L, 50.0), "P" -> (1L, 70.0)),
+      s"maintained aggregate diverged: $out — Z must be retired, F->U migration applied")
+  }
 }
