@@ -319,4 +319,35 @@ class PlanSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q136: nation filter reaches the supplier/customer scans; dims broadcast") {
+    val p = plan(Analytics.tradeVolume(spark, sfDir))
+    // filter-early contract: the 2-row nation slice broadcasts into the
+    // dim scans, so the fact join tree never sees out-of-pair suppliers
+    assert(p.contains("BroadcastHashJoin"), "nation slice must broadcast")
+    assert(p.contains("PushedFilters: [In(n_name") ||
+      p.contains("PushedFilters: [Or(EqualTo(n_name"),
+      s"nation-name filter must push into the nation scan:\n$p")
+  }
+
+  test("q137: ONE aggregate pass computes numerator and denominator") {
+    val exec = Analytics.marketShare(spark, sfDir).queryExecution.sparkPlan
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val finalAggs = exec.collect {
+      case a: HashAggregateExec if a.aggregateExpressions.exists(
+        _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Final) => a
+    }
+    assert(finalAggs.size == 1,
+      s"num+den must share one conditional aggregate, got ${finalAggs.size} final aggs")
+    assert(finalAggs.head.aggregateExpressions.size == 2,
+      "the single agg carries both sums")
+  }
+
+  test("q139: checksum is one map-combined aggregate over a 2-column scan") {
+    val p = plan(graft.operators.Cleanse.partitionChecksum(spark, sfDir))
+    assert(!p.contains("Window") && !p.contains("Join"), "audit must be agg-only")
+    val read = p.substring(p.indexOf("ReadSchema"))
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("lang"), s"scan must read only (doc_id, text):\n$read")
+  }
 }
