@@ -158,6 +158,8 @@ object SparkEntry {
     "q138_triangle_support"        -> ((s: SparkSession, d: String) => Cluster.triangleSupport(s, d)),
     "q139_partition_checksum"      -> ((s: SparkSession, d: String) => Cleanse.partitionChecksum(s, d)),
     "q140_incremental_agg"         -> ((s: SparkSession, d: String) => Merge.incrementalAgg(s, d)),
+    "q141_split_leakage"           -> ((s: SparkSession, d: String) => Curation.splitLeakage(s, d)),
+    "q142_ngram_novelty"           -> ((s: SparkSession, d: String) => Curation.ngramNovelty(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -774,6 +776,8 @@ object SparkEntry {
     "q138_triangle_support" -> triangleSupportSql,
     "q139_partition_checksum" -> Cleanse.partitionChecksumOracleSql,
     "q140_incremental_agg" -> Merge.incrementalAggOracleSql,
+    "q141_split_leakage" -> Curation.splitLeakageOracleSql(jaccardPairCtes),
+    "q142_ngram_novelty" -> Curation.ngramNoveltyOracleSql(jaccardPairCtes),
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

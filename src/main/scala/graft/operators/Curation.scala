@@ -442,4 +442,93 @@ object Curation {
         round(col("near_dups").cast("double") / col("n_incoming").cast("double"), 9))
       .orderBy("lang")
   }
+
+  /** q141: cross-split near-duplicate leakage audit — the check every
+    * training-data pipeline must run BEFORE trusting its held-out
+    * numbers: a near-dup pair straddling train and val/test leaks the
+    * evaluation. The split assignment is deterministic and id-hash
+    * based (md5 of the id's decimal string, first 4 hex chars mod 10 →
+    * 0-7 train, 8 val, 9 test): hash-based so it's uncorrelated with
+    * ingest order, id-based (not content-based) so near-dup VARIANTS of
+    * a doc don't auto-land in one split — exactly the leak this audits.
+    * Pairs come from the shared τ=0.8 table (5th consumer); each side's
+    * split is computed directly from its doc id (no join back to
+    * documents — the split function is id-local by design), so the
+    * audit costs ONE pass over the |pairs|-sized table. Output = the
+    * offending pairs with both split labels; empty output = clean
+    * split. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame =
+    splitLeakage(Cluster.pairsTable(s, dir))
+
+  /** The split label of a doc id — exposed so sampling/export operators
+    * can reuse the identical assignment. */
+  def splitName(c: String): Column = {
+    val bucket = pmod(
+      expr(s"cast(conv(substring(md5(cast($c as string)), 1, 4), 16, 10) as bigint)"),
+      lit(10L))
+    when(bucket <= 7, lit("train")).when(bucket === 8, lit("val")).otherwise(lit("test"))
+  }
+
+  def splitLeakage(pairs: DataFrame): DataFrame =
+    pairs
+      .select(col("a_id"), col("b_id"),
+        splitName("a_id").as("split_a"),
+        splitName("b_id").as("split_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .orderBy("a_id", "b_id")
+
+  /** q141 oracle: same pairs, same id-hash split arithmetic. */
+  def splitLeakageOracleSql(jaccardPairCtes: String): String =
+    s"""WITH $jaccardPairCtes,
+      |pr AS (SELECT a_id, b_id FROM p
+      |  WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.8),
+      |sp AS (SELECT a_id, b_id,
+      |  CAST('0x' || substr(md5(CAST(a_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 AS ba,
+      |  CAST('0x' || substr(md5(CAST(b_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 AS bb
+      |  FROM pr)
+      |SELECT a_id, b_id,
+      |  CASE WHEN ba <= 7 THEN 'train' WHEN ba = 8 THEN 'val' ELSE 'test' END AS split_a,
+      |  CASE WHEN bb <= 7 THEN 'train' WHEN bb = 8 THEN 'val' ELSE 'test' END AS split_b
+      |FROM sp
+      |WHERE (CASE WHEN ba <= 7 THEN 'train' WHEN ba = 8 THEN 'val' ELSE 'test' END)
+      |   <> (CASE WHEN bb <= 7 THEN 'train' WHEN bb = 8 THEN 'val' ELSE 'test' END)
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** q142: n-gram novelty — per document, how many of its 3-gram
+    * shingles appear in NO earlier document (first_seen = corpus-min
+    * doc_id). The marginal-contribution signal behind dedup-aware data
+    * valuation: a doc whose shingles all first appeared elsewhere adds
+    * nothing even if no single pair crosses the q23 threshold
+    * (boilerplate assembled from many sources — invisible to pairwise
+    * dedup, obvious here).
+    *
+    * Scale notes: one explode + ONE shuffle on the shingle for the
+    * min-aggregate, one shuffle back on doc_id for the per-doc counts —
+    * both |shingle-occurrence|-sized, the same cost class as q23's
+    * blocking join. No pairwise anything. */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame =
+    ngramNovelty(Tables.documents(s, dir))
+
+  def ngramNovelty(documents: DataFrame): DataFrame = {
+    val sh = ApproxDedup.shingleSets(documents)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val firstSeen = sh.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .orderBy("doc_id")
+  }
+
+  /** q142 oracle: reuses the shared shingle CTE (`e` = exploded
+    * distinct 3-grams per doc). */
+  def ngramNoveltyOracleSql(jaccardPairCtes: String): String =
+    s"""WITH $jaccardPairCtes,
+      |fs AS (SELECT shingle, MIN(doc_id) AS first_doc
+      |  FROM e GROUP BY 1)
+      |SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN fs.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      |FROM e JOIN fs USING (shingle)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -147,4 +147,24 @@ class CurationSpec extends SparkTestBase {
     assert(out("fr") === ((2L, 0L, 1L)))   // doc 3 near; doc 5 clean (5-7 is odd-odd)
     assert(out("") === ((1L, 0L, 0L)))     // doc 7
   }
+
+  test("q141: only cross-split pairs surface, with the documented id-hash labels") {
+    // md5-bucket ground truth: 1→val, 2→train, 3→test, 4/5→train
+    val pairs = Seq((1L, 2L), (2L, 4L), (1L, 3L), (4L, 5L))
+      .toDF("a_id", "b_id")
+    val out = Curation.splitLeakage(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq((1L, 2L, "val", "train"), (1L, 3L, "val", "test")),
+      s"train-train pairs (2,4)/(4,5) must not appear: ${out.toSeq}")
+  }
+
+  test("q142: novelty credits the min-doc_id first occurrence only") {
+    val d = docs(
+      (1L, "a b c d"),    // shingles {abc, bcd} — both first here
+      (2L, "a b c x"),    // {abc (seen in 1), bcx (novel)}
+      (3L, "a b"))        // <3 words: no shingles, absent from output
+    val out = Curation.ngramNovelty(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> ((2L, 2L)), 2L -> ((2L, 1L))), s"got $out")
+  }
 }
