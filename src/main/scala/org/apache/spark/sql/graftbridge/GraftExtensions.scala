@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn expects $n arguments, got ${args.length}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // plan-time guardrail: large×large cartesian joins fail fast (see
+    // GuardCartesianProduct; spark.graft.guard.cartesianMinBytes)
+    ext.injectOptimizerRule(GuardCartesianProduct)
+
     ext.injectFunction((
       FunctionIdentifier("dot_product_double"),
       info("dot_product_double", "dot_product_double(a, b) - left-to-right dot product of two array<double>"),

@@ -343,6 +343,22 @@ class PlanSpec extends SparkTestBase {
       "the single agg carries both sums")
   }
 
+  test("cartesian guard: large×large condition-less joins fail at PLAN time; " +
+      "stat-row and small-corpus cartesians pass") {
+    val big = spark.range(100000000L)   // ~800 MB estimated, never executed
+    val e = intercept[IllegalStateException] {
+      big.crossJoin(spark.range(100000000L)).queryExecution.optimizedPlan
+    }
+    assert(e.getMessage.contains("GRAFT_GUARD_CARTESIAN"))
+    // the legitimate shapes: 1-row stat side / small exact-twin corpus
+    spark.range(1).crossJoin(spark.range(100000000L)).queryExecution.optimizedPlan
+    spark.range(10000L).crossJoin(spark.range(10000L)).queryExecution.optimizedPlan
+    // and the guard is a conf, not a hardcode
+    spark.conf.set("spark.graft.guard.cartesianMinBytes", "-1")
+    try big.crossJoin(spark.range(100000000L)).queryExecution.optimizedPlan
+    finally spark.conf.unset("spark.graft.guard.cartesianMinBytes")
+  }
+
   test("q139: checksum is one map-combined aggregate over a 2-column scan") {
     val p = plan(graft.operators.Cleanse.partitionChecksum(spark, sfDir))
     assert(!p.contains("Window") && !p.contains("Join"), "audit must be agg-only")
