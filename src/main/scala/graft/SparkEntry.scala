@@ -160,6 +160,8 @@ object SparkEntry {
     "q140_incremental_agg"         -> ((s: SparkSession, d: String) => Merge.incrementalAgg(s, d)),
     "q141_split_leakage"           -> ((s: SparkSession, d: String) => Curation.splitLeakage(s, d)),
     "q142_ngram_novelty"           -> ((s: SparkSession, d: String) => Curation.ngramNovelty(s, d)),
+    "q143_epoch_shuffle"           -> ((s: SparkSession, d: String) => Sampling.epochShuffle(s, d)),
+    "q144_text_roundtrip"          -> ((s: SparkSession, d: String) => graft.sources.Ingest.textRoundtrip(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -778,6 +780,8 @@ object SparkEntry {
     "q140_incremental_agg" -> Merge.incrementalAggOracleSql,
     "q141_split_leakage" -> Curation.splitLeakageOracleSql(jaccardPairCtes),
     "q142_ngram_novelty" -> Curation.ngramNoveltyOracleSql(jaccardPairCtes),
+    "q143_epoch_shuffle" -> Sampling.epochShuffleOracleSql,
+    "q144_text_roundtrip" -> graft.sources.Ingest.textRoundtripOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

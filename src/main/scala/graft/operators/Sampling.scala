@@ -172,4 +172,72 @@ object Sampling {
        |SELECT doc_id, lang, mix_bucket, thresh_ppm
        |FROM t WHERE mix_bucket < thresh_ppm ORDER BY doc_id""".stripMargin
   }
+
+  /** Epochs and range-bucket count for [[epochShuffle]]. */
+  val ShuffleEpochs = 2
+  val ShuffleBuckets = 64
+
+  /** q143: deterministic global epoch shuffle — every training run
+    * needs each epoch's documents in a fresh pseudo-random order, with
+    * a stable GLOBAL position per doc (the sharded data loader seeks by
+    * offset). The naive formulation — `row_number() OVER (ORDER BY
+    * hash)` — is a single-partition window: one task sorts the whole
+    * corpus, the canonical scale-killer. This operator decomposes it:
+    * the 48-bit order hash is RANGE-bucketed by its top bits
+    * (`h >> 42` → 64 buckets, so bucket asc + h asc IS the global
+    * order), positions are ranked per bucket in parallel, and the
+    * global position is recovered by adding each bucket's offset — a
+    * ≤64-row cumulative count, broadcast back. The ORACLE computes the
+    * naive global row_number directly, so the gate value-proves the
+    * decomposition ≡ the single-sort semantics — same contract style
+    * as q97's two-pass quantiles.
+    *
+    * Epoch reshuffling falls out of hashing (epoch, doc_id) together:
+    * each epoch is an independent permutation, and the fixed epoch
+    * count is a narrow explode, not a data copy, until the final
+    * projection. */
+  def epochShuffle(s: SparkSession, dir: String): DataFrame =
+    epochShuffle(Tables.documents(s, dir))
+
+  def epochShuffle(documents: DataFrame): DataFrame = {
+    val h = expr(
+      "cast(conv(substring(md5(concat(cast(epoch as string), ':', cast(doc_id as string))), 1, 12), 16, 10) as bigint)")
+    // id-less docs cannot hold a seekable position — excluded in both
+    // engine and oracle (and a NULL h would order NULLS FIRST here vs
+    // NULLS LAST in the oracle's window)
+    val keyed = documents.select(col("doc_id"))
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(ShuffleEpochs - 1))).as("epoch"))
+      .withColumn("h", h)
+      .withColumn("bucket", shiftright(col("h"), 42)) // 2^48 / 2^42 = 64 ranges
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    val offsets = keyed.groupBy(col("epoch"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("epoch")).orderBy(col("bucket"))
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("epoch"), col("bucket"), col("off"))
+    keyed
+      .withColumn("r", row_number().over(wb).cast("long"))
+      .join(broadcast(offsets), Seq("epoch", "bucket"))
+      .select(col("doc_id"), col("epoch"),
+        (col("off") + col("r") - 1L).as("position"))
+      .orderBy("epoch", "position")
+  }
+
+  /** q143 oracle: the NAIVE single-sort global row_number — the gate
+    * proves the bucketed decomposition matches it value-for-value. */
+  def epochShuffleOracleSql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, epoch,
+       |    CAST(('0x' || substring(md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+       |  FROM documents CROSS JOIN (SELECT unnest(range(0, $ShuffleEpochs)) AS epoch)
+       |  WHERE doc_id IS NOT NULL)
+       |SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id) - 1 AS BIGINT) AS position
+       |FROM k ORDER BY epoch, position""".stripMargin
 }

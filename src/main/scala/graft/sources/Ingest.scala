@@ -259,6 +259,57 @@ object Ingest {
     """SELECT event_id, ts, user_id, event_type, value, props
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** q144: `text` source ingest — delimited LOG LINES parsed back into
+    * typed columns, the shape every app/server log enters a pipeline
+    * in, gated as a value round-trip like q100/q101/q103. Events are
+    * formatted once as `event_id|ts_µs|user_id|value|event_type` lines
+    * (the free-text field LAST, parsed with a split LIMIT so embedded
+    * delimiters survive — the standard syslog trick), read back via
+    * `spark.read.text` + split/cast. The timestamp rides as integer
+    * microseconds (no format string to disagree on) and the double
+    * round-trips through Java's shortest representation exactly.
+    *
+    * Line-format contract, enforced identically in engine and oracle:
+    * a line-oriented source cannot carry NULL fields or newlines in the
+    * payload — those rows are EXCLUDED at export (in production,
+    * quarantined via the q107 gate pattern), not silently mangled.
+    *
+    * Scale notes: same stance as CSV — full-row parse, no pushdown;
+    * land to parquet on first touch. The parse itself is one narrow
+    * codegen'd projection. */
+  def textRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.events(s, dir)
+    val clean = e.filter(
+      col("event_id").isNotNull && col("ts").isNotNull &&
+        col("user_id").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull && !col("event_type").rlike("[\\n\\r]"))
+    val src = clean.select(concat_ws("|",
+      col("event_id"), unix_micros(col("ts")), col("user_id"),
+      col("value").cast("string"), col("event_type")).as("value"))
+    val path = graft.ArtifactStore.ensureCurrent(s, "log_events_v1",
+      graft.Tables.dirFingerprint(s, dir,
+        s"text;pipe5;${src.schema.catalogString}")) { staging =>
+      src.write.text(staging)
+    }
+    val parts = split(col("value"), "\\|", 5)
+    s.read.text(path)
+      .select(
+        parts.getItem(0).cast("long").as("event_id"),
+        timestamp_micros(parts.getItem(1).cast("long")).as("ts"),
+        parts.getItem(2).cast("long").as("user_id"),
+        parts.getItem(3).cast("double").as("value"),
+        parts.getItem(4).as("event_type"))
+      .orderBy("event_id")
+  }
+
+  val textRoundtripOracleSql: String =
+    """SELECT event_id, ts, user_id, value, event_type
+      |FROM events
+      |WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+      |  AND value IS NOT NULL AND event_type IS NOT NULL
+      |  AND NOT regexp_matches(event_type, '[\n\r]')
+      |ORDER BY event_id""".stripMargin
+
   /** q128: `binaryFile` source ingest, gated as a value round-trip —
     * the read path a raw media corpus (image/audio dumps, one file per
     * asset) enters the pipeline through, the file-sourced twin of q35's

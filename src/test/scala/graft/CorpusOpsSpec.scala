@@ -22,6 +22,27 @@ class CorpusOpsSpec extends SparkTestBase {
       s"chain nodes must be absent, clique nodes credited per-triangle: $out")
   }
 
+  // --- q143 epoch shuffle ---
+
+  test("q143: positions are a 0..n-1 permutation per epoch, epochs reshuffle, " +
+      "and the plan never funnels through a single partition") {
+    val docs = (0L until 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val out = Sampling.epochShuffle(docs).collect()
+    val byEpoch = out.groupBy(_.getInt(1))
+    assert(byEpoch.keySet == Set(0, 1))
+    byEpoch.foreach { case (e, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (0L until 200L),
+        s"epoch $e positions must be a dense permutation")
+    }
+    val perm0 = byEpoch(0).sortBy(_.getLong(2)).map(_.getLong(0)).toSeq
+    val perm1 = byEpoch(1).sortBy(_.getLong(2)).map(_.getLong(0)).toSeq
+    assert(perm0 != perm1, "epochs must be independent permutations")
+    assert(perm0 != (0L until 200L).toSeq, "epoch order must not be ingest order")
+    val plan = Sampling.epochShuffle(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global index must come from the bucketed decomposition, not a 1-task sort:\n$plan")
+  }
+
   // --- q46 connected components ---
 
   test("connectedComponents closes a chain transitively and keeps singletons") {

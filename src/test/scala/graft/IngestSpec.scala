@@ -285,4 +285,22 @@ class IngestSpec extends SparkTestBase {
     assert(sig.length === 8)
     assert(sig.forall(v => v >= 0 && v < 2147483647L))
   }
+
+  test("q144: embedded delimiters in the free-text field survive the line round-trip; " +
+      "newline payloads are excluded, not mangled") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_textsrc").toString
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-02 03:04:05.123456"), 2L, "weird|type|x", 1.5, "{}"),
+      (2L, Timestamp.valueOf("2024-01-02 03:04:06"), 2L, "line\nbreak", 2.5, "{}"),
+      (3L, Timestamp.valueOf("2024-01-02 03:04:07"), 3L, "plain", 0.1 + 0.2, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Ingest.textRoundtrip(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L), "newline row must be excluded")
+    assert(out(0).getString(4) == "weird|type|x", "split LIMIT must keep embedded pipes")
+    assert(out(0).getTimestamp(1) == Timestamp.valueOf("2024-01-02 03:04:05.123456"),
+      "µs precision must survive the integer-micros encoding")
+    assert(out(1).getDouble(3) == 0.1 + 0.2, "double must round-trip bit-exact")
+  }
 }
