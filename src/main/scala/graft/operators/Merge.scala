@@ -140,25 +140,47 @@ object Merge {
         when(col("o_orderkey") % 2 === 0, lit("U")).otherwise(col("o_orderstatus")).as("st"),
         when(col("o_orderkey") % 2 === 0, dec(col("o_totalprice")) + dec(lit(10)))
           .otherwise(dec(col("o_totalprice"))).as("p"))
+    // pc0 = count of NON-NULL prices: SUM over an all-NULL group is
+    // NULL, not 0, and the maintained sum must reproduce that — so the
+    // non-null contribution count rolls forward alongside the sum
     val aggOld = vo.groupBy(col("st"))
-      .agg(count(lit(1)).as("n0"), sum(col("p")).as("p0"))
+      .agg(count(lit(1)).as("n0"), sum(col("p")).as("p0"),
+        count(col("p")).as("pc0"))
     // changelog: full-outer key join, unchanged rows filtered out BEFORE
     // any aggregation — at scale this frame is the CDC feed itself
-    val o = vo.select(col("o_orderkey").as("k"), col("st").as("ost"), col("p").as("op"))
-    val n = vn.select(col("o_orderkey").as("k"), col("st").as("nst"), col("p").as("np"))
+    // explicit presence markers: "old row exists" must NOT be inferred
+    // from a payload column — a present row with NULL status is data,
+    // not absence (the null sweep's exact trap)
+    val o = vo.select(col("o_orderkey").as("k"), col("st").as("ost"),
+      col("p").as("op"), lit(1).as("ok"))
+    val n = vn.select(col("o_orderkey").as("k"), col("st").as("nst"),
+      col("p").as("np"), lit(1).as("nk"))
+    // unchanged = present on BOTH sides with null-safe-equal payloads; a
+    // one-sided all-NULL payload row must still classify as add/remove
     val changed = o.join(n, Seq("k"), "full_outer")
-      .filter(!(col("ost") <=> col("nst") && col("op") <=> col("np")))
-    val minus = changed.filter(col("ost").isNotNull)
-      .select(col("ost").as("st"), lit(-1L).as("dn"), (-col("op")).as("dp"))
-    val plus = changed.filter(col("nst").isNotNull)
-      .select(col("nst").as("st"), lit(1L).as("dn"), col("np").as("dp"))
+      .filter(!(col("ok").isNotNull && col("nk").isNotNull &&
+        col("ost") <=> col("nst") && col("op") <=> col("np")))
+    val minus = changed.filter(col("ok").isNotNull)
+      .select(col("ost").as("st"), lit(-1L).as("dn"), (-col("op")).as("dp"),
+        when(col("op").isNotNull, -1L).otherwise(0L).as("dpc"))
+    val plus = changed.filter(col("nk").isNotNull)
+      .select(col("nst").as("st"), lit(1L).as("dn"), col("np").as("dp"),
+        when(col("np").isNotNull, 1L).otherwise(0L).as("dpc"))
     val delta = minus.unionAll(plus).groupBy(col("st"))
-      .agg(sum(col("dn")).as("dn"), sum(col("dp")).as("dp"))
-    aggOld.join(delta, Seq("st"), "full_outer")
-      .select(col("st").as("o_orderstatus"),
+      .agg(sum(col("dn")).as("dn"), sum(col("dp")).as("dp"),
+        sum(col("dpc")).as("dpc"))
+    // NULL-SAFE group-key join: a NULL status is a legitimate group (the
+    // null-payload injection fixture has one), and a plain equi-join
+    // would silently SPLIT it into an old-side and a delta-side row —
+    // the null sweep caught exactly that
+    val d2 = delta.select(col("st").as("dst"), col("dn"), col("dp"), col("dpc"))
+    aggOld.join(d2, col("st") <=> col("dst"), "full_outer")
+      .select(coalesce(col("st"), col("dst")).as("o_orderstatus"),
         (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
-        (coalesce(col("p0"), lit(0).cast("decimal(12,4)")) +
-          coalesce(col("dp"), lit(0).cast("decimal(12,4)"))).cast("double").as("total_price"))
+        when(coalesce(col("pc0"), lit(0L)) + coalesce(col("dpc"), lit(0L)) > 0,
+          (coalesce(col("p0"), lit(0).cast("decimal(12,4)")) +
+            coalesce(col("dp"), lit(0).cast("decimal(12,4)"))).cast("double"))
+          .as("total_price"))
       .filter(col("n_orders") > 0)
       .orderBy("o_orderstatus")
   }
@@ -174,5 +196,5 @@ object Merge {
       |  FROM orders WHERE o_orderkey % 5 <> 0)
       |SELECT st AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
       |  CAST(CAST(SUM(p) AS VARCHAR) AS DOUBLE) AS total_price
-      |FROM vn GROUP BY 1 ORDER BY 1""".stripMargin
+      |FROM vn GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
 }

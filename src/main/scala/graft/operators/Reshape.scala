@@ -100,7 +100,7 @@ object Reshape {
       |  UNION ALL SELECT n_name, 'bal_sum', bal_sum FROM w
       |  UNION ALL SELECT n_name, 'bal_max', bal_max FROM w
       |  UNION ALL SELECT n_name, 'bal_min', bal_min FROM w)
-      |ORDER BY n_name, metric""".stripMargin
+      |ORDER BY n_name NULLS FIRST, metric""".stripMargin
 
   /** q134: custom GROUPING SETS — the corpus facet report that wants
     * (source×lang), (lang), and the grand total but NOT the (source)
