@@ -162,6 +162,7 @@ object SparkEntry {
     "q142_ngram_novelty"           -> ((s: SparkSession, d: String) => Curation.ngramNovelty(s, d)),
     "q143_epoch_shuffle"           -> ((s: SparkSession, d: String) => Sampling.epochShuffle(s, d)),
     "q144_text_roundtrip"          -> ((s: SparkSession, d: String) => graft.sources.Ingest.textRoundtrip(s, d)),
+    "q145_quality_budget"          -> ((s: SparkSession, d: String) => Sampling.qualityBudget(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -782,6 +783,7 @@ object SparkEntry {
     "q142_ngram_novelty" -> Curation.ngramNoveltyOracleSql(jaccardPairCtes),
     "q143_epoch_shuffle" -> Sampling.epochShuffleOracleSql,
     "q144_text_roundtrip" -> graft.sources.Ingest.textRoundtripOracleSql,
+    "q145_quality_budget" -> Sampling.qualityBudgetOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -229,6 +229,88 @@ object Sampling {
       .orderBy("epoch", "position")
   }
 
+  /** Bucket width for [[qualityBudget]]'s rank-key range split. */
+  val BudgetBucketWidth = 4096L
+
+  /** q145: quality-budget (top-p) selection — per language, keep the
+    * best-scoring documents until their character mass reaches HALF the
+    * group's total; the "spend the token budget on the best data" knob
+    * (nucleus-style selection applied to corpus curation). Score =
+    * space-density (spaces·10⁶ div n_chars, exact int64 — the q31
+    * quality family's cheapest proxy), order (score DESC, doc_id) total.
+    *
+    * A doc is kept iff 2·(char mass strictly ahead of it) < total — the
+    * crossing doc is kept, everything after is cut. The naive window
+    * (`SUM OVER (ORDER BY score DESC)` per group — the ORACLE) sorts
+    * each group whole on one reducer; this engine never does:
+    *
+    *  1. per-group char total — one agg, broadcast;
+    *  2. score range-bucketed (÷[[BudgetBucketWidth]], ≤245 buckets);
+    *     per-(group, bucket) char sums; cumulative over the bucket
+    *     TABLE descending (output-sized window, the q83 rule);
+    *  3. buckets wholly ahead of the threshold keep ALL their docs with
+    *     no per-doc work; buckets wholly behind drop; only the ONE
+    *     crossing bucket (≈ n/245 rows) runs a per-doc cumulative.
+    *
+    * Same contract style as q97/q143: the oracle computes the naive
+    * whole-group window, the gate value-proves the decomposition. */
+  def qualityBudget(s: SparkSession, dir: String): DataFrame =
+    qualityBudget(Tables.documents(s, dir))
+
+  def qualityBudget(documents: DataFrame): DataFrame = {
+    val d = documents
+      .filter(col("doc_id").isNotNull && col("text").isNotNull && col("n_chars") > 0)
+      .select(col("doc_id"), coalesce(col("lang"), lit("")).as("lang"), col("n_chars"),
+        expr("(cast(length(text) - length(replace(text, ' ', '')) as bigint) * 1000000) div n_chars")
+          .as("rk"))
+    val totals = d.groupBy(col("lang")).agg(sum(col("n_chars")).as("tot"))
+    val bucketed = d.withColumn("bucket", expr(s"rk div $BudgetBucketWidth"))
+    val bcum = bucketed.groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("n_chars")).as("bchars"))
+      .withColumn("bprev", coalesce(
+        sum(col("bchars")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("bucket").desc)
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .join(broadcast(totals), Seq("lang"))
+    // whole buckets strictly inside the budget: even their LAST doc has
+    // prev < tot/2
+    val fullKeep = bcum.filter(lit(2L) * (col("bprev") + col("bchars")) <= col("tot"))
+      .select(col("lang"), col("bucket"))
+    val keptWhole = bucketed.join(broadcast(fullKeep), Seq("lang", "bucket"), "left_semi")
+      .select(col("doc_id"), col("lang"))
+    // the single crossing bucket per group: per-doc cumulative over
+    // ONLY its rows, offset by the bucket prefix
+    val boundary = bcum.filter(
+      lit(2L) * col("bprev") < col("tot") &&
+        lit(2L) * (col("bprev") + col("bchars")) > col("tot"))
+      .select(col("lang"), col("bucket"), col("bprev"), col("tot"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("rk").desc, col("doc_id"))
+      .rowsBetween(Long.MinValue, -1)
+    val keptBoundary = bucketed
+      .join(broadcast(boundary), Seq("lang", "bucket"))
+      .withColumn("prev", col("bprev") + coalesce(sum(col("n_chars")).over(wDoc), lit(0L)))
+      .filter(lit(2L) * col("prev") < col("tot"))
+      .select(col("doc_id"), col("lang"))
+    keptWhole.unionAll(keptBoundary).orderBy("lang", "doc_id")
+  }
+
+  /** q145 oracle: the NAIVE per-group whole-sort cumulative window. */
+  def qualityBudgetOracleSql: String =
+    """WITH d AS (SELECT doc_id, COALESCE(lang, '') AS lang, n_chars,
+      |    (CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) * 1000000) // n_chars AS rk
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND n_chars > 0),
+      |r AS (SELECT doc_id, lang, n_chars, tot,
+      |    cum - n_chars AS prev
+      |  FROM (SELECT *,
+      |      SUM(n_chars) OVER (PARTITION BY lang ORDER BY rk DESC, doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |      SUM(n_chars) OVER (PARTITION BY lang) AS tot
+      |    FROM d))
+      |SELECT doc_id, lang FROM r WHERE 2 * prev < tot
+      |ORDER BY lang, doc_id""".stripMargin
+
   /** q143 oracle: the NAIVE single-sort global row_number — the gate
     * proves the bucketed decomposition matches it value-for-value. */
   def epochShuffleOracleSql: String =

@@ -43,6 +43,30 @@ class CorpusOpsSpec extends SparkTestBase {
       s"global index must come from the bucketed decomposition, not a 1-task sort:\n$plan")
   }
 
+  // --- q145 quality budget ---
+
+  test("q145: kept mass is the minimal best-first prefix reaching half the group") {
+    val src = Tables.documents(spark, sfDir)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull && col("n_chars") > 0)
+      .select(col("doc_id"), coalesce(col("lang"), lit("")).as("lang"), col("n_chars"),
+        expr("(cast(length(text) - length(replace(text, ' ', '')) as bigint) * 1000000) div n_chars").as("rk"))
+    val kept = Sampling.qualityBudget(spark, sfDir)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val all = src.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    all.groupBy(_._2).foreach { case (lang, rows) =>
+      val tot = rows.map(_._3).sum
+      val ordered = rows.sortBy(r => (-r._4, r._1)) // score desc, doc_id
+      var prev = 0L
+      ordered.foreach { case (id, _, chars, _) =>
+        val shouldKeep = 2 * prev < tot
+        assert(kept.contains(id) == shouldKeep,
+          s"lang=$lang doc=$id prev=$prev tot=$tot: kept=${kept.contains(id)} expected=$shouldKeep")
+        prev += chars
+      }
+    }
+  }
+
   // --- q46 connected components ---
 
   test("connectedComponents closes a chain transitively and keeps singletons") {
