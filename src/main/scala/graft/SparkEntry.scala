@@ -163,6 +163,8 @@ object SparkEntry {
     "q143_epoch_shuffle"           -> ((s: SparkSession, d: String) => Sampling.epochShuffle(s, d)),
     "q144_text_roundtrip"          -> ((s: SparkSession, d: String) => graft.sources.Ingest.textRoundtrip(s, d)),
     "q145_quality_budget"          -> ((s: SparkSession, d: String) => Sampling.qualityBudget(s, d)),
+    "q146_group_trend"             -> ((s: SparkSession, d: String) => Analytics.groupTrend(s, d)),
+    "q147_ref_integrity"           -> ((s: SparkSession, d: String) => Cleanse.refIntegrity(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -784,6 +786,8 @@ object SparkEntry {
     "q143_epoch_shuffle" -> Sampling.epochShuffleOracleSql,
     "q144_text_roundtrip" -> graft.sources.Ingest.textRoundtripOracleSql,
     "q145_quality_budget" -> Sampling.qualityBudgetOracleSql,
+    "q146_group_trend" -> Analytics.groupTrendOracleSql,
+    "q147_ref_integrity" -> Cleanse.refIntegrityOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -662,6 +662,72 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** q146: per-group linear trend (least squares slope of value over
+    * time) — the drift detector a pipeline runs per event type before
+    * alerting on q96's rate anomalies: is the metric actually trending
+    * or just noisy? All five moments are EXACT int64 sums of quantized
+    * values (t = whole hours since 2024-01-01, v = milli-units, q90
+    * convention), and — unlike q90's double chain — the slope's
+    * numerator n·Σtv−Σt·Σv and denominator n·Σtt−Σt² are computed in
+    * DECIMAL(38,0), exact at any SF (the int64 cross-products overflow
+    * near sf1); only the final single division is float, rounded to 9
+    * digits. Zero time-variance → NULL slope. One map-combined
+    * aggregate over the scan; output rows = #groups.
+    *
+    * Pre-2024 timestamps are excluded by contract: t must be
+    * non-negative so `div`-truncation equals floor in both engines
+    * (negative integer division truncates toward zero in Spark but the
+    * fixture's injected pre-1970 edge rows would floor in the
+    * quantization — the q78/q85 whole-unit lesson). */
+  def groupTrend(s: SparkSession, dir: String): DataFrame =
+    groupTrend(Tables.events(s, dir))
+
+  def groupTrend(events: DataFrame): DataFrame = {
+    val e = events
+      .filter(col("value").isNotNull && col("ts").isNotNull &&
+        col("ts") >= to_timestamp(lit("2024-01-01")))
+      .select(col("event_type"),
+        expr("(unix_micros(ts) - unix_micros(timestamp'2024-01-01 00:00:00')) div 3600000000")
+          .as("t"),
+        floor(col("value") * 1e3).cast("long").as("v"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("st"), sum(col("v")).as("sv"),
+        sum(col("t") * col("t")).as("stt"), sum(col("t") * col("v")).as("stv"))
+      .withColumn("num", d38(col("n")) * d38(col("stv")) - d38(col("st")) * d38(col("sv")))
+      .withColumn("den", d38(col("n")) * d38(col("stt")) - d38(col("st")) * d38(col("st")))
+      .select(col("event_type"), col("n"), col("st"), col("sv"),
+        col("stt"), col("stv"),
+        round(col("num").cast("double") /
+          when(col("den") === 0, lit(null)).otherwise(col("den")).cast("double"), 9)
+          .as("slope_r"))
+      .orderBy("event_type")
+  }
+
+  /** q146 oracle: identical quantization, exact decimal cross-products,
+    * one rounded division. */
+  def groupTrendOracleSql: String =
+    """WITH e AS (SELECT event_type,
+      |  (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 3600000000 AS t,
+      |  CAST(FLOOR(value * 1e3) AS BIGINT) AS v
+      | FROM events
+      | WHERE value IS NOT NULL AND ts IS NOT NULL
+      |   AND ts >= TIMESTAMP '2024-01-01 00:00:00'),
+      |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(v) AS BIGINT) AS sv,
+      |  CAST(SUM(t * t) AS BIGINT) AS stt, CAST(SUM(t * v) AS BIGINT) AS stv
+      | FROM e GROUP BY event_type),
+      |d AS (SELECT *,
+      |  CAST(n AS DECIMAL(38,0)) * CAST(stv AS DECIMAL(38,0))
+      |    - CAST(st AS DECIMAL(38,0)) * CAST(sv AS DECIMAL(38,0)) AS num,
+      |  CAST(n AS DECIMAL(38,0)) * CAST(stt AS DECIMAL(38,0))
+      |    - CAST(st AS DECIMAL(38,0)) * CAST(st AS DECIMAL(38,0)) AS den
+      | FROM m)
+      |SELECT event_type, n, st, sv, stt, stv,
+      |  ROUND(CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+      |    CAST(CAST(CASE WHEN den = 0 THEN NULL ELSE den END AS VARCHAR) AS DOUBLE), 9) AS slope_r
+      |FROM d ORDER BY event_type""".stripMargin
+
   /** q90 oracle: identical quantization, exact moments, float chain. */
   def groupCorrOracleSql: String =
     """WITH e AS (SELECT event_type,

@@ -138,6 +138,65 @@ object Cleanse {
       .orderBy("bucket")
   }
 
+  /** q147: referential-integrity audit — orphan/NULL foreign-key counts
+    * for every FK relation in the star schema, one output row per
+    * relation. The standing data-quality gate between ingest and the
+    * join-heavy layers: every orphan row silently VANISHES from an
+    * inner join downstream (q03/q16/q136 would under-count revenue with
+    * no error anywhere), so the audit quantifies that loss up front.
+    *
+    * Scale notes: each relation costs one left-anti join of the child's
+    * FK projection against the parent key — dimension parents broadcast,
+    * the two fact-fact relations shuffle on the FK they'd shuffle on
+    * anyway; the relations are independent (Spark runs the 7 audit
+    * subplans' jobs from one action), and each reduces to a 1-row
+    * count before the union. */
+  def refIntegrity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    def rel(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val c = child.select(col(fk).as("fk"))
+      val orphan = c.filter(col("fk").isNotNull)
+        .join(parent.select(col(pk).as("pk")), col("fk") === col("pk"), "left_anti")
+        .agg(cnt(lit(1)).as("n_orphan"))
+      val base = c.agg(cnt(lit(1)).as("n_child"),
+        sum(when(col("fk").isNull, 1L).otherwise(0L)).as("n_null_fk"))
+      base.join(orphan)
+        .select(lit(name).as("relation"), col("n_child"), col("n_null_fk"),
+          col("n_orphan"))
+    }
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    Seq(
+      rel("customer.nation", Tables.customer(s, dir), "c_nationkey", Tables.nation(s, dir), "n_nationkey"),
+      rel("lineitem.orders", li, "l_orderkey", o, "o_orderkey"),
+      rel("lineitem.part", li, "l_partkey", Tables.part(s, dir), "p_partkey"),
+      rel("lineitem.supplier", li, "l_suppkey", Tables.supplier(s, dir), "s_suppkey"),
+      rel("nation.region", Tables.nation(s, dir), "n_regionkey", Tables.region(s, dir), "r_regionkey"),
+      rel("orders.customer", o, "o_custkey", Tables.customer(s, dir), "c_custkey"),
+      rel("supplier.nation", Tables.supplier(s, dir), "s_nationkey", Tables.nation(s, dir), "n_nationkey"))
+      .reduce(_ unionAll _)
+      .orderBy("relation")
+  }
+
+  def refIntegrityOracleSql: String = {
+    def rel(name: String, child: String, fk: String, parent: String, pk: String) =
+      s"""SELECT '$name' AS relation,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $child) AS n_child,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $child WHERE $fk IS NULL) AS n_null_fk,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $child c WHERE c.$fk IS NOT NULL
+         |     AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)) AS n_orphan""".stripMargin
+    Seq(
+      rel("customer.nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      rel("lineitem.orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      rel("lineitem.part", "lineitem", "l_partkey", "part", "p_partkey"),
+      rel("lineitem.supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      rel("nation.region", "nation", "n_regionkey", "region", "r_regionkey"),
+      rel("orders.customer", "orders", "o_custkey", "customer", "c_custkey"),
+      rel("supplier.nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+  }
+
   def partitionChecksumOracleSql: String =
     """SELECT doc_id % 64 AS bucket,
       |  CAST(COUNT(*) AS BIGINT) AS n_rows,

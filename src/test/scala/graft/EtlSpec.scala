@@ -49,6 +49,44 @@ class EtlSpec extends SparkTestBase {
     }
   }
 
+  test("q146: perfect linear data recovers the exact slope; zero time-variance is NULL") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(h: Int) = java.sql.Timestamp.valueOf(s"2024-01-01 0$h:00:00")
+    val events = Seq(
+      // v = 2·t + 5 (in raw units) at t = 0,1,2,3 hours
+      (1L, at(0), 1L, "lin", 5.0, "{}"), (2L, at(1), 1L, "lin", 7.0, "{}"),
+      (3L, at(2), 1L, "lin", 9.0, "{}"), (4L, at(3), 1L, "lin", 11.0, "{}"),
+      // all events in the same hour: den = 0
+      (5L, at(1), 1L, "flat", 1.0, "{}"), (6L, at(1), 1L, "flat", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = operators.Analytics.groupTrend(events).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // slope in milli-units/hour = 2000
+    assert(out("lin").getDouble(6) == 2000.0, s"got ${out("lin").getDouble(6)}")
+    assert(out("flat").isNullAt(6), "zero time-variance must yield NULL, not NaN/inf")
+  }
+
+  test("q147: planted orphans and NULL FKs are counted per relation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ri").toString
+    Seq((0, 0), (1, 0)).toDF("n_nationkey", "n_regionkey").write.parquet(s"$dir/nation.parquet")
+    Seq(0).toDF("r_regionkey").write.parquet(s"$dir/region.parquet")
+    Seq((10L, Some(0)), (11L, Some(7)), (12L, None))  // 7 = orphan, None = null FK
+      .toDF("c_custkey", "c_nationkey").write.parquet(s"$dir/customer.parquet")
+    Seq((100L, 10L)).toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
+    Seq((100L, 1L, 1L), (999L, 1L, 1L))  // 999 = orphan order ref
+      .toDF("l_orderkey", "l_partkey", "l_suppkey").write.parquet(s"$dir/lineitem.parquet")
+    Seq(1L).toDF("p_partkey").write.parquet(s"$dir/part.parquet")
+    Seq((1L, 0)).toDF("s_suppkey", "s_nationkey").write.parquet(s"$dir/supplier.parquet")
+    val out = operators.Cleanse.refIntegrity(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("customer.nation") == ((3L, 1L, 1L)), s"got ${out("customer.nation")}")
+    assert(out("lineitem.orders") == ((2L, 0L, 1L)), s"got ${out("lineitem.orders")}")
+    assert(out("orders.customer") == ((1L, 0L, 0L)))
+    assert(out.size == 7)
+  }
+
   test("q139 checksum: a single-char corruption moves exactly its bucket's checksum") {
     import spark.implicits._
     val docs = (0L until 128L).map(i => (i, s"doc body $i", "en", "s", 10L))
