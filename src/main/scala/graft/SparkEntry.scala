@@ -165,6 +165,8 @@ object SparkEntry {
     "q145_quality_budget"          -> ((s: SparkSession, d: String) => Sampling.qualityBudget(s, d)),
     "q146_group_trend"             -> ((s: SparkSession, d: String) => Analytics.groupTrend(s, d)),
     "q147_ref_integrity"           -> ((s: SparkSession, d: String) => Cleanse.refIntegrity(s, d)),
+    "q148_quantile_audit"          -> ((s: SparkSession, d: String) => Analytics.approxQuantileAudit(s, d)),
+    "q149_forget_cascade"          -> ((s: SparkSession, d: String) => Curation.forgetCascade(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -788,6 +790,8 @@ object SparkEntry {
     "q145_quality_budget" -> Sampling.qualityBudgetOracleSql,
     "q146_group_trend" -> Analytics.groupTrendOracleSql,
     "q147_ref_integrity" -> Cleanse.refIntegrityOracleSql,
+    "q148_quantile_audit" -> Analytics.approxQuantileAuditOracleSql,
+    "q149_forget_cascade" -> Curation.forgetCascadeOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -662,6 +662,54 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** q148: approx-quantile contract audit — Spark's `percentile_approx`
+    * (the KLL-style sketch a 100 TB rollout would actually ship for
+    * dashboards) audited against the EXACT rank-selection quantiles: the
+    * sketch value must land inside the exact [q−0.5%, q+0.5%] rank band,
+    * far looser than the sketch's n/10000 rank-error bound — so a red
+    * gate means the sketch integration is broken, not noisy. Same
+    * audit-the-approximation methodology as q129's ANN recall gate:
+    * booleans computed engine-side, the oracle emits the exact
+    * quantiles + literal TRUE, so any violation hash-mismatches. The
+    * band values come from the q97 bucket machinery (no whole-group
+    * sort anywhere in the audit). */
+  def approxQuantileAudit(s: SparkSession, dir: String): DataFrame =
+    approxQuantileAudit(Tables.events(s, dir))
+
+  def approxQuantileAudit(events: DataFrame): DataFrame = {
+    val kv = keyedEventValues(events)
+    val (stats, picked) = bucketRankSelect(kv, Seq(
+      ("lo50", 0.495), ("p50", 0.5), ("hi50", 0.505),
+      ("lo90", 0.895), ("p90", 0.9), ("hi90", 0.905)))
+    def pick(n: String) = max(when(col("qname") === n, col("value"))).as(n)
+    val sel = picked.groupBy(col("gkey"))
+      .agg(pick("lo50"), pick("p50"), pick("hi50"),
+        pick("lo90"), pick("p90"), pick("hi90"))
+    val ap = kv.groupBy(col("gkey"))
+      .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9)), lit(10000)).as("ap"))
+    stats.select(col("gkey"), col("n").as("n_events"))
+      .join(sel, Seq("gkey")).join(ap, Seq("gkey"))
+      .select(unkey(col("gkey")).as("event_type"), col("n_events"),
+        col("p50"), col("p90"),
+        (col("ap")(0) >= col("lo50") && col("ap")(0) <= col("hi50")).as("p50_ok"),
+        (col("ap")(1) >= col("lo90") && col("ap")(1) <= col("hi90")).as("p90_ok"))
+      .orderBy(col("event_type").asc_nulls_last)
+  }
+
+  /** q148 oracle: exact quantiles by the q51 rank rule + literal TRUE
+    * contract booleans. */
+  def approxQuantileAuditOracleSql: String =
+    """WITH e AS (SELECT event_type, value, event_id FROM events
+      |  WHERE value IS NOT NULL),
+      |r AS (SELECT event_type, value,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |  COUNT(*) OVER (PARTITION BY event_type) AS n FROM e)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+      |  MAX(CASE WHEN rn = CEIL(n * 0.5) THEN value END) AS p50,
+      |  MAX(CASE WHEN rn = CEIL(n * 0.9) THEN value END) AS p90,
+      |  TRUE AS p50_ok, TRUE AS p90_ok
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q146: per-group linear trend (least squares slope of value over
     * time) — the drift detector a pipeline runs per event type before
     * alerting on q96's rate anomalies: is the metric actually trending

@@ -494,6 +494,74 @@ object Curation {
       |   <> (CASE WHEN bb <= 7 THEN 'train' WHEN bb = 8 THEN 'val' ELSE 'test' END)
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** q149: right-to-be-forgotten cascade audit — given a deletion set of
+    * customers (here the deterministic `c_custkey % 97 = 0` cohort; in
+    * production the DSAR list), count what a compliant cascade removes
+    * from each downstream table BEFORE rewriting anything: their orders,
+    * and those orders' lineitems. Deleting the customer row alone leaves
+    * the person reconstructible from the fact tables — the cascade
+    * closure IS the compliance obligation, and this audit is the dry
+    * run + evidence artifact every deletion job should emit.
+    *
+    * Scale notes: the victim set broadcasts into a semi-join on orders;
+    * the affected-order keys then semi-join lineitem on l_orderkey —
+    * the shuffle lineitem pays anyway for any order-keyed work. Three
+    * 1-row aggregates union to the 3-row report; the actual rewrite
+    * would reuse these exact anti-join plans (the inverse semi-join),
+    * Merge.upsertSnapshot-style. */
+  def forgetCascade(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(s, dir)
+    val orders = Tables.orders(s, dir)
+    val lineitem = Tables.lineitem(s, dir)
+    val victims = customer.filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey"))
+    val hitOrders = orders.join(broadcast(victims),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+    def report(name: String, table: DataFrame, hits: DataFrame): DataFrame =
+      table.agg(count(lit(1)).as("n_rows"))
+        .join(hits.agg(count(lit(1)).as("n_forgotten")))
+        .select(lit(name).as("table_name"), col("n_rows"), col("n_forgotten"),
+          (col("n_rows") - col("n_forgotten")).as("n_kept"))
+    Seq(
+      report("customer", customer,
+        customer.join(broadcast(victims.select(col("c_custkey").as("vk"))),
+          col("c_custkey") === col("vk"), "left_semi")),
+      report("orders", orders,
+        orders.join(broadcast(victims), col("o_custkey") === col("c_custkey"), "left_semi")),
+      report("lineitem", lineitem,
+        lineitem.join(hitOrders.select(col("o_orderkey").as("hk")),
+          col("l_orderkey") === col("hk"), "left_semi")))
+      .reduce(_ unionAll _)
+      .orderBy("table_name")
+  }
+
+  def forgetCascadeOracleSql: String =
+    """WITH v AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      |ho AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM v))
+      |SELECT 'customer' AS table_name,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_rows,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_forgotten,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+      |    - (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_kept
+      |UNION ALL
+      |SELECT 'lineitem',
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |     WHERE l_orderkey IN (SELECT o_orderkey FROM ho)),
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+      |    - (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |         WHERE l_orderkey IN (SELECT o_orderkey FROM ho))
+      |UNION ALL
+      |SELECT 'orders',
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+      |     WHERE o_custkey IN (SELECT c_custkey FROM v)),
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+      |    - (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+      |         WHERE o_custkey IN (SELECT c_custkey FROM v))
+      |ORDER BY table_name""".stripMargin
+
   /** q142: n-gram novelty — per document, how many of its 3-gram
     * shingles appear in NO earlier document (first_seen = corpus-min
     * doc_id). The marginal-contribution signal behind dedup-aware data
