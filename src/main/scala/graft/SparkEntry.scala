@@ -167,6 +167,8 @@ object SparkEntry {
     "q147_ref_integrity"           -> ((s: SparkSession, d: String) => Cleanse.refIntegrity(s, d)),
     "q148_quantile_audit"          -> ((s: SparkSession, d: String) => Analytics.approxQuantileAudit(s, d)),
     "q149_forget_cascade"          -> ((s: SparkSession, d: String) => Curation.forgetCascade(s, d)),
+    "q150_cdc_apply"               -> ((s: SparkSession, d: String) => Merge.cdcApply(s, d)),
+    "q151_point_in_time"           -> ((s: SparkSession, d: String) => Temporal.pointInTimeJoin(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -792,6 +794,8 @@ object SparkEntry {
     "q147_ref_integrity" -> Cleanse.refIntegrityOracleSql,
     "q148_quantile_audit" -> Analytics.approxQuantileAuditOracleSql,
     "q149_forget_cascade" -> Curation.forgetCascadeOracleSql,
+    "q150_cdc_apply" -> Merge.cdcApplyOracleSql,
+    "q151_point_in_time" -> Temporal.pointInTimeJoinOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

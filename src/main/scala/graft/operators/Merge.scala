@@ -197,4 +197,90 @@ object Merge {
       |SELECT st AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
       |  CAST(CAST(SUM(p) AS VARCHAR) AS DOUBLE) AS total_price
       |FROM vn GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
+
+  /** Apply an ORDERED CDC changelog (Debezium/CDC-feed shape: one row
+    * per (key, seq) carrying op ∈ {U, D} — U covers insert) to a base
+    * snapshot: per key the HIGHEST-seq op wins outright (intermediate
+    * ops are history, not state), a winning D deletes the key, a
+    * winning U replaces/inserts the payload. The general form of the
+    * reference's Delta MERGE (`whenMatchedUpdate/whenNotMatchedInsert`,
+    * eu_raw_to_cleansed_merge.py:62-69, which is the degenerate
+    * single-op-per-key, no-delete case) plus the MATCHED-DELETE arm a
+    * GDPR-era pipeline cannot ship without (q149 measures the blast
+    * radius; this op executes it).
+    *
+    * Scale notes: the latest-op reduction is max_by over (key) — one
+    * map-combined shuffle of the changelog only; the apply is one
+    * null-safe outer join of base against the (small) reduced
+    * changelog, which AQE broadcasts when it fits. The base is never
+    * shuffled more than once and unchanged rows are never rewritten
+    * row-by-row (snapshot-out, like upsertSnapshot).
+    *
+    * `payload` columns must be identically named in base and changelog;
+    * seq must be unique per key (a CDC feed's offset is). */
+  def applyChangelog(base: DataFrame, changelog: DataFrame,
+      key: String, payload: Seq[String]): DataFrame = {
+    val latest = changelog.groupBy(col(key))
+      .agg(max_by(
+        struct((col("op") +: payload.map(col)): _*), col("seq")).as("w"))
+      .select(col(key) +: (col("w.op").as("__op") +: payload.map(c => col(s"w.$c").as(s"__$c"))): _*)
+    base.join(latest, Seq(key), "full_outer")
+      .filter(col("__op").isNull || col("__op") === "U")
+      .select(col(key) +: payload.map(c =>
+        when(col("__op") === "U", col(s"__$c")).otherwise(col(c)).as(c)): _*)
+  }
+
+  /** q150: the changelog apply gated end-to-end — base = orders keys
+    * ≢0 (mod 3); changelog (all derived deterministically from the
+    * same table, exact arithmetic):
+    *   seq 1: U repricing +5 for keys ≡0 (mod 4)
+    *   seq 2: D for keys ≡0 (mod 6)   (beats the seq-1 U on keys ≡0 mod 12)
+    *   seq 3: U restoring keys ≡0 (mod 24) with price +7 (beats the D)
+    * so every precedence arm — plain update, insert-by-U, delete,
+    * delete-then-reinsert — is exercised by construction. */
+  def cdcApply(s: SparkSession, dir: String): DataFrame =
+    cdcApply(Tables.orders(s, dir))
+
+  def cdcApply(orders: DataFrame): DataFrame = {
+    val o = orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    val base = o.filter(col("o_orderkey") % 3 =!= 0)
+    val k = col("o_orderkey")
+    val u1 = o.filter(k % 4 === 0)
+      .select(k, lit(1L).as("seq"), lit("U").as("op"), col("o_custkey"),
+        lit("U1").as("o_orderstatus"), (col("o_totalprice") + 5.0).as("o_totalprice"))
+    val d2 = o.filter(k % 6 === 0)
+      .select(k, lit(2L).as("seq"), lit("D").as("op"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val u3 = o.filter(k % 24 === 0)
+      .select(k, lit(3L).as("seq"), lit("U").as("op"), col("o_custkey"),
+        lit("U3").as("o_orderstatus"), (col("o_totalprice") + 7.0).as("o_totalprice"))
+    val changelog = u1.unionAll(d2).unionAll(u3)
+    applyChangelog(base, changelog, "o_orderkey",
+      Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q150 oracle: latest-op-wins replayed with a rank window. */
+  def cdcApplyOracleSql: String =
+    """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 <> 0),
+      |log AS (
+      |  SELECT o_orderkey, 1 AS seq, 'U' AS op, o_custkey,
+      |    'U1' AS o_orderstatus, o_totalprice + 5.0 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 4 = 0
+      |  UNION ALL SELECT o_orderkey, 2, 'D', o_custkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 6 = 0
+      |  UNION ALL SELECT o_orderkey, 3, 'U', o_custkey, 'U3', o_totalprice + 7.0
+      |  FROM orders WHERE o_orderkey % 24 = 0),
+      |latest AS (SELECT * FROM (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+      |  FROM log) WHERE rn = 1)
+      |SELECT COALESCE(b.o_orderkey, l.o_orderkey) AS o_orderkey,
+      |  CASE WHEN l.op = 'U' THEN l.o_custkey ELSE b.o_custkey END AS o_custkey,
+      |  CASE WHEN l.op = 'U' THEN l.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+      |  CASE WHEN l.op = 'U' THEN l.o_totalprice ELSE b.o_totalprice END AS o_totalprice
+      |FROM base b FULL OUTER JOIN latest l ON b.o_orderkey = l.o_orderkey
+      |WHERE l.op IS NULL OR l.op = 'U'
+      |ORDER BY o_orderkey""".stripMargin
 }

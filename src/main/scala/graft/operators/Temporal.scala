@@ -393,4 +393,63 @@ object Temporal {
       |  LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
       |  (LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
       |FROM r ORDER BY user_id, version""".stripMargin
+
+  /** q151: point-in-time dimension lookup against the q135 SCD2
+    * history — for a probe set of (user, ts) facts (every 10th event),
+    * resolve the dimension version whose [valid_from, valid_to)
+    * interval contains the fact's timestamp: THE query shape SCD2
+    * exists to serve ("what was this entity's state when the fact
+    * happened"), and the warehouse-side twin of q57's stream as-of.
+    *
+    * Scale notes: the join is an equi-join on user_id with the interval
+    * predicate evaluated inside it — no time-bucketing needed (unlike
+    * q58) because a user's VERSION COUNT is bounded by state changes,
+    * not by event volume: per-key fan-in stays small by construction,
+    * the defining property of a dimension history. One shuffle each
+    * side on user_id; half-open intervals make the match unique, so no
+    * dedup pass afterward.
+    *
+    * Self-validating by construction: an event used as a probe sits
+    * inside the run that produced its version, so the resolved state
+    * must equal the event's own type — the oracle proves it without a
+    * second ground-truth source. */
+  def pointInTimeJoin(s: SparkSession, dir: String): DataFrame =
+    pointInTimeJoin(Tables.events(s, dir))
+
+  def pointInTimeJoin(events: DataFrame): DataFrame = {
+    val dim = scd2(events)
+      .select(col("user_id").as("d_user"), col("version"), col("state"),
+        col("valid_from"), col("valid_to"))
+    val probes = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull && col("event_id") % 10 === 0)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    probes.join(dim,
+        col("user_id") === col("d_user") &&
+          col("valid_from") <= col("ts") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("ts").as("fact_ts"),
+        col("version"), col("state"))
+      .orderBy("event_id")
+  }
+
+  /** q151 oracle: the q135 history CTE + the same interval resolve. */
+  def pointInTimeJoinOracleSql: String =
+    """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+      |c AS (SELECT user_id, ts, event_id, event_type,
+      |    LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM e),
+      |r AS (SELECT user_id, ts, event_id, event_type FROM c
+      |  WHERE prev_type IS NULL OR prev_type <> event_type),
+      |dim AS (SELECT user_id AS d_user,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+      |  event_type AS state, ts AS valid_from,
+      |  LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      | FROM r),
+      |probes AS (SELECT event_id, user_id, ts FROM e WHERE event_id % 10 = 0)
+      |SELECT p.event_id, p.user_id, p.ts AS fact_ts, d.version, d.state
+      |FROM probes p JOIN dim d ON p.user_id = d.d_user
+      |  AND d.valid_from <= p.ts AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+      |ORDER BY p.event_id""".stripMargin
 }

@@ -49,6 +49,23 @@ class EtlSpec extends SparkTestBase {
     }
   }
 
+  test("q150 applyChangelog: latest op wins — update, insert, delete, delete-then-reinsert") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val log = Seq(
+      (1L, 1L, "U", "a2", 11.0),             // plain update
+      (4L, 1L, "U", "d", 40.0),              // insert via U on a fresh key
+      (2L, 1L, "U", "bX", 21.0), (2L, 2L, "D", "x", 0.0),  // update then delete → gone
+      (3L, 1L, "D", "x", 0.0), (3L, 2L, "U", "c3", 33.0))  // delete then reinsert → lives
+      .toDF("k", "seq", "op", "s", "v")
+    val out = operators.Merge.applyChangelog(base, log, "k", Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(out == Map(
+      1L -> (("a2", 11.0)), 3L -> (("c3", 33.0)), 4L -> (("d", 40.0))),
+      s"got $out — key 2 must be deleted, key 3 reinstated at seq 3's payload")
+  }
+
   test("q146: perfect linear data recovers the exact slope; zero time-variance is NULL") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
