@@ -169,6 +169,8 @@ object SparkEntry {
     "q149_forget_cascade"          -> ((s: SparkSession, d: String) => Curation.forgetCascade(s, d)),
     "q150_cdc_apply"               -> ((s: SparkSession, d: String) => Merge.cdcApply(s, d)),
     "q151_point_in_time"           -> ((s: SparkSession, d: String) => Temporal.pointInTimeJoin(s, d)),
+    "q152_rank_family"             -> ((s: SparkSession, d: String) => Analytics.rankFamily(s, d)),
+    "q153_set_ops"                 -> ((s: SparkSession, d: String) => Analytics.setOps(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -796,6 +798,8 @@ object SparkEntry {
     "q149_forget_cascade" -> Curation.forgetCascadeOracleSql,
     "q150_cdc_apply" -> Merge.cdcApplyOracleSql,
     "q151_point_in_time" -> Temporal.pointInTimeJoinOracleSql,
+    "q152_rank_family" -> Analytics.rankFamilyOracleSql,
+    "q153_set_ops" -> Analytics.setOpsOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

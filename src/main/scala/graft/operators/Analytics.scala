@@ -662,6 +662,87 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** q152: the built-in ranking-function surface in one gated query —
+    * rank / dense_rank / ntile(4) / cume_dist over per-segment customer
+    * balance, every tie broken by the (value, key) total order both
+    * engines replay. cume_dist is an exact small-integer ratio
+    * (rank_of_last_peer / n) in IEEE double, identical cross-engine;
+    * ntile's uneven-split rule (first `n mod 4` tiles get the extra
+    * row) matches between Spark and DuckDB by definition.
+    *
+    * Scale notes: this IS a whole-group window sort — the documented
+    * built-in surface, kept for completeness and for groups that fit a
+    * reducer (segments here). The scale path for rank-at-volume is
+    * q98's two-pass bucket decomposition; at 100 TB choose by group
+    * size, same rule as q51 vs q97. */
+  def rankFamily(s: SparkSession, dir: String): DataFrame =
+    rankFamily(Tables.customer(s, dir))
+
+  def rankFamily(customer: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    customer
+      .filter(col("c_mktsegment").isNotNull && col("c_acctbal").isNotNull)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(cume_dist().over(w), 9).as("cd_r"))
+      .orderBy("c_mktsegment", "rnk", "c_custkey")
+  }
+
+  /** q152 oracle: the same four window functions — semantics must agree
+    * engine-for-engine, which is the point of gating them. */
+  val rankFamilyOracleSql: String =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      |  CAST(RANK() OVER w AS BIGINT) AS rnk,
+      |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+      |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+      |  ROUND(CUME_DIST() OVER w, 9) AS cd_r
+      |FROM customer
+      |WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin
+
+  /** q153: set-operation surface — INTERSECT (distinct) and EXCEPT
+    * (distinct) over two order-date periods of active customers:
+    * retained = active in both, churned = active early but not late.
+    * Spark compiles both to aggregates + joins (intersect = left-semi
+    * over distinct, except = left-anti over distinct), so each costs
+    * one shuffle per side — worth gating because the DISTINCT-set
+    * semantics (bag vs set) is exactly where ad-hoc reimplementations
+    * drift. Output: one row per customer with a retained/churned tag. */
+  def setOps(s: SparkSession, dir: String): DataFrame =
+    setOps(Tables.orders(s, dir))
+
+  def setOps(orders: DataFrame): DataFrame = {
+    val early = orders.filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .select(col("o_custkey"))
+    val late = orders.filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01")))
+      .select(col("o_custkey"))
+    val retained = early.intersect(late)
+      .select(col("o_custkey"), lit("retained").as("cohort"))
+    val churned = early.except(late)
+      .select(col("o_custkey"), lit("churned").as("cohort"))
+    retained.unionAll(churned)
+      .filter(col("o_custkey").isNotNull)
+      .orderBy("cohort", "o_custkey")
+  }
+
+  val setOpsOracleSql: String =
+    """WITH early AS (SELECT o_custkey FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+      |late AS (SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT o_custkey, 'retained' AS cohort
+      |FROM (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late)
+      |WHERE o_custkey IS NOT NULL
+      |UNION ALL
+      |SELECT o_custkey, 'churned'
+      |FROM (SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late)
+      |WHERE o_custkey IS NOT NULL
+      |ORDER BY cohort, o_custkey""".stripMargin
+
   /** q148: approx-quantile contract audit — Spark's `percentile_approx`
     * (the KLL-style sketch a 100 TB rollout would actually ship for
     * dashboards) audited against the EXACT rank-selection quantiles: the
