@@ -171,6 +171,7 @@ object SparkEntry {
     "q151_point_in_time"           -> ((s: SparkSession, d: String) => Temporal.pointInTimeJoin(s, d)),
     "q152_rank_family"             -> ((s: SparkSession, d: String) => Analytics.rankFamily(s, d)),
     "q153_set_ops"                 -> ((s: SparkSession, d: String) => Analytics.setOps(s, d)),
+    "q154_mad_outliers"            -> ((s: SparkSession, d: String) => Analytics.madOutliers(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -800,6 +801,7 @@ object SparkEntry {
     "q151_point_in_time" -> Temporal.pointInTimeJoinOracleSql,
     "q152_rank_family" -> Analytics.rankFamilyOracleSql,
     "q153_set_ops" -> Analytics.setOpsOracleSql,
+    "q154_mad_outliers" -> Analytics.madOutliersOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

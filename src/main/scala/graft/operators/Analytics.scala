@@ -662,6 +662,73 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** q154: robust outlier detection via MAD (median absolute deviation)
+    * — the outlier rule that survives the outliers themselves: mean/σ
+    * thresholds (q96's family) are dragged by the very tails they hunt,
+    * while median and MAD have a 50% breakdown point. Per group: median
+    * (two-pass rank selection), MAD = median of |x − med| (the SAME
+    * bucket machinery run again over the derived deviations — nothing
+    * new to trust), and the count beyond the standard 3σ-equivalent
+    * fence |x − med| > 3·1.4826·MAD. The fence compare is one float
+    * multiply both engines evaluate identically; median/MAD values are
+    * exact rank-selected ELEMENTS of the data, not interpolations, so
+    * they hash-match bitwise.
+    *
+    * Scale notes: two bucketRankSelect passes (each: one map-combined
+    * stats agg + ≤256-row-per-group cumulative + one candidate-bucket
+    * sort of ~n/256 rows) + one counting aggregate — no whole-group
+    * sort anywhere; the q97/q99 cost class, ~2× of it. */
+  def madOutliers(s: SparkSession, dir: String): DataFrame =
+    madOutliers(Tables.events(s, dir))
+
+  def madOutliers(events: DataFrame): DataFrame = {
+    val kv = keyedEventValues(events)
+    val (stats, medPicked) = bucketRankSelect(kv, Seq(("med", 0.5)))
+    val med = medPicked.groupBy(col("gkey")).agg(max(col("value")).as("med"))
+    val dev = kv.join(broadcast(med), Seq("gkey"))
+      .select(col("gkey"), abs(col("value") - col("med")).as("value"), col("tb"))
+    val (_, madPicked) = bucketRankSelect(dev, Seq(("mad", 0.5)))
+    val mad = madPicked.groupBy(col("gkey")).agg(max(col("value")).as("mad"))
+    val fences = kv.join(broadcast(med), Seq("gkey")).join(broadcast(mad), Seq("gkey"))
+      .groupBy(col("gkey"))
+      .agg(sum(when(abs(col("value") - col("med")) > lit(4.4478) * col("mad"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+    stats.select(col("gkey"), col("n").as("n_events"))
+      .join(med, Seq("gkey")).join(mad, Seq("gkey")).join(fences, Seq("gkey"))
+      .select(unkey(col("gkey")).as("event_type"), col("n_events"),
+        col("med"), col("mad"), col("n_outliers"))
+      .orderBy(col("event_type").asc_nulls_last)
+  }
+
+  /** q154 oracle: the same rank rule on values, then on deviations;
+    * null-safe group joins keep a NULL event_type group alive. */
+  def madOutliersOracleSql: String =
+    """WITH e AS (SELECT event_type, value, event_id FROM events
+      |  WHERE value IS NOT NULL),
+      |r AS (SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM e),
+      |med AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+      |    MAX(CASE WHEN rn = CEIL(n * 0.5) THEN value END) AS med
+      |  FROM r GROUP BY event_type),
+      |d AS (SELECT e.event_type, ABS(e.value - m.med) AS dev, e.event_id
+      |  FROM e JOIN med m ON e.event_type IS NOT DISTINCT FROM m.event_type),
+      |r2 AS (SELECT event_type, dev,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn2,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n2 FROM d),
+      |mad AS (SELECT event_type,
+      |    MAX(CASE WHEN rn2 = CEIL(n2 * 0.5) THEN dev END) AS mad
+      |  FROM r2 GROUP BY event_type),
+      |fences AS (SELECT d.event_type,
+      |    CAST(SUM(CASE WHEN d.dev > 4.4478 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |  FROM d JOIN mad a ON d.event_type IS NOT DISTINCT FROM a.event_type
+      |  GROUP BY d.event_type)
+      |SELECT m.event_type, m.n_events, m.med, a.mad, f.n_outliers
+      |FROM med m
+      |JOIN mad a ON m.event_type IS NOT DISTINCT FROM a.event_type
+      |JOIN fences f ON m.event_type IS NOT DISTINCT FROM f.event_type
+      |ORDER BY m.event_type""".stripMargin
+
   /** q152: the built-in ranking-function surface in one gated query —
     * rank / dense_rank / ntile(4) / cume_dist over per-segment customer
     * balance, every tie broken by the (value, key) total order both
