@@ -33,6 +33,13 @@ import graft.functions.VectorOps.cosinePre
   * the two-stage retrieve-then-rerank pattern that makes PQ's
   * approximation error irrelevant for final ranking.
   *
+  * The codebooks and encoded codes are BUILD-ONCE artifacts
+  * ([[graft.ArtifactStore]], the q72 IVF-index pattern): the gated
+  * (s, dir) entries train + encode at most once per (source ×
+  * PQ-params) key and every later call is the serving read path — a
+  * scan of M code columns plus the ADC projection, the cost profile a
+  * PQ index exists to deliver.
+  *
   * Engine-exact by construction, same conventions as [[KMeansOp]]:
   * integral-double quantized vectors, exact integer recenter sums,
   * fixed left-to-right folds for every float chain (the driver-side
@@ -152,10 +159,24 @@ object PqOp {
         transform(col("e"), x => round(x / col("nrm") * lit(KMeansOp.ScaleQ))).as("q"))
   }
 
+  /** ADC-score an encoded corpus frame for the collected query set —
+    * the serving projection both the inline and the indexed paths share:
+    * one narrow explode over the code columns, no join, no shuffle. */
+  private def scoreEncoded(enc: DataFrame, queries: Seq[(Long, Seq[Double])],
+      books: Seq[Seq[(Long, Seq[Double])]]): DataFrame =
+    enc
+      .select(col("vec_id").as("__cand_id"),
+        explode(array(adcDistCols(queries, books): _*)).as("qd"))
+      .select(col("qd.query_id").as("query_id"), col("__cand_id"),
+        col("qd.dist").as("dist"))
+      .where(col("query_id") =!= col("__cand_id"))
+
   /** Shared chain: quantize → train M codebooks → encode → ADC-score
     * the corpus for the query set. Returns (query_id, __cand_id, dist)
     * or None when there is nothing to search (empty corpus / no seeds /
-    * no queries — the typed-degenerate contract). */
+    * no queries — the typed-degenerate contract). Used by the
+    * DataFrame-typed entry points (specs, ad-hoc corpora); the gated
+    * (s, dir) path serves the persisted artifact instead. */
   private def adcScored(embeddings: DataFrame): Option[DataFrame] = {
     val qv = unitQuantized(embeddings).localCheckpoint()
     val books = (0 until M).map(m => trainSub(qv, m))
@@ -163,48 +184,161 @@ object PqOp {
       qv.filter(col("vec_id") < NQ).orderBy("vec_id").collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
     if (books.exists(_.isEmpty) || queries.isEmpty) None
-    else {
-      val enc = encode(qv, books)
-      Some(enc
-        .select(col("vec_id").as("__cand_id"),
-          explode(array(adcDistCols(queries, books): _*)).as("qd"))
-        .select(col("qd.query_id").as("query_id"), col("__cand_id"),
-          col("qd.dist").as("dist"))
-        .where(col("query_id") =!= col("__cand_id")))
-    }
+    else Some(scoreEncoded(encode(qv, books), queries, books))
   }
 
-  /** q111: ADC top-[[TopK]] per query — bounded-heap ranking (≤k rows
-    * per partition-query into the one shuffle), ties (dist, id). */
-  def pqAdcTopK(s: SparkSession, dir: String): DataFrame =
-    pqAdcTopK(Tables.embeddings(s, dir))
+  // ------------------------------------------------------------------
+  // Persisted PQ index: codebooks + encoded codes are BUILD-ONCE
+  // artifacts (nobody trains a quantizer per query at 100 TB — FAISS
+  // trains once and serves the codes forever). Same ArtifactStore
+  // pattern as the q72 IVF index: build into staging, atomic publish,
+  // keyed on source files × PQ params × input schema so any change
+  // mints a new index. Repeat invocations (and the bench's warm pass)
+  // then measure the SERVING read path: scan M code columns, ADC-score,
+  // bounded top-k — the number that matters for an index.
 
-  def pqAdcTopK(embeddings: DataFrame): DataFrame = {
+  /** Bump when the stored schema, quantizer, or encoding changes. */
+  private val LayoutVersion = "v1"
+
+  private val booksSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("m", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))))
+
+  private val codesSchema = org.apache.spark.sql.types.StructType(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType) +:
+    (0 until M).map(m => org.apache.spark.sql.types.StructField(s"code$m",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Build the PQ index under `staging`: train the M subspace
+    * codebooks, PQ-encode the corpus, write
+    *   staging/codebooks.parquet  (m, cell, c)        — M·Ks rows, tiny
+    *   staging/codes.parquet      (vec_id, code0..M−1) — M longs/vector
+    * An untrainable corpus (empty / no seed vectors) publishes an empty
+    * codebook table and zero codes, so the read path degenerates
+    * typed-empty instead of rebuilding forever. */
+  private[graft] def buildPq(embeddings: DataFrame, staging: String): Unit = {
     val spark = embeddings.sparkSession
-    adcScored(embeddings) match {
-      case None => emptyResult(spark, "dist_r")
-      case Some(scored) =>
-        scored.select(col("query_id"), col("__cand_id"), negate(col("dist")).as("sim"))
-          .groupBy(col("query_id"))
-          .agg(Similarity.topKAgg(col("sim"), col("__cand_id"), TopK).as("tk"))
-          .select(col("query_id"), posexplode(col("tk")))
-          // report in ORIGINAL embedding units (÷ ScaleQ² — one IEEE
-          // division, identical both engines): the quantized-unit
-          // magnitudes (~1e12) are where DuckDB's float-based ROUND
-          // and Spark's BigDecimal ROUND disagree in the last ulp
-          .select(col("query_id"), col("col.id").as("neighbor_id"),
-            (col("pos") + 1).cast("long").as("rank"),
-            round(negate(col("col.sim")) / lit(KMeansOp.ScaleQ * KMeansOp.ScaleQ), 9).as("dist_r"))
-          .orderBy("query_id", "rank")
-    }
+    val qv = unitQuantized(embeddings).localCheckpoint()
+    val books = (0 until M).map(m => trainSub(qv, m))
+    val bookRows = books.zipWithIndex.flatMap { case (b, m) =>
+      b.map { case (cell, c) => (m, cell, c) } }
+    spark.createDataFrame(bookRows).toDF("m", "cell", "c")
+      .coalesce(1).write.parquet(s"$staging/codebooks.parquet")
+    val enc =
+      if (books.exists(_.isEmpty))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], codesSchema)
+      else encode(qv, books)
+        .select(col("vec_id") +: (0 until M).map(m => col(s"code$m")): _*)
+    enc.write.parquet(s"$staging/codes.parquet")
   }
 
-  /** q112: two-stage serving read — ADC shortlist of [[ShortlistK]],
-    * exact-cosine rerank of ONLY those rows to top-[[TopK]]. The
-    * rerank is a keyed join (shortlist × corpus on vec_id), so full
-    * vectors are fetched for K′ rows per query, never scanned. */
+  /** Collect the persisted codebooks — ≤ M·Ks rows, bounded. Explicit
+    * schema: an untrainable build's codebook file may carry no footer
+    * to infer from (the PostingsIndex precedent). */
+  private def loadBooks(s: SparkSession, path: String): Seq[Seq[(Long, Seq[Double])]] = {
+    val rows = s.read.schema(booksSchema).parquet(s"$path/codebooks.parquet")
+      .orderBy("m", "cell").collect()
+    (0 until M).map(m => rows.filter(_.getInt(0) == m)
+      .map(r => r.getLong(1) -> r.getSeq[Double](2).toSeq).toSeq)
+  }
+
+  /** Ensure + serve the persisted index for `dir`: the returned scored
+    * frame's scan is the CODES artifact (M code columns), never the
+    * embeddings table — training ran at most once, at build time. */
+  private def adcScoredIndexed(s: SparkSession, dir: String): Option[DataFrame] = {
+    val em = Tables.embeddings(s, dir)
+    val path = graft.ArtifactStore.ensureCurrent(s, s"pq_$LayoutVersion",
+      Tables.dirFingerprint(s, dir,
+        s"pq;m=$M;ks=$Ks;r=$Rounds;scale=${KMeansOp.ScaleQ};${em.schema.catalogString}")) {
+      staging => buildPq(em, staging)
+    }
+    val books = loadBooks(s, path)
+    // quantizing the NQ query vectors is per-row work on a pushed-down
+    // vec_id < NQ scan — not training
+    val queries: Seq[(Long, Seq[Double])] =
+      unitQuantized(em).filter(col("vec_id") < NQ).orderBy("vec_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    if (books.exists(_.isEmpty) || queries.isEmpty) None
+    else Some(scoreEncoded(
+      s.read.schema(codesSchema).parquet(s"$path/codes.parquet"), queries, books))
+  }
+
+  /** The ADC top-[[TopK]] ranking over a scored frame — bounded-heap
+    * (≤k rows per partition-query into the one shuffle), ties
+    * (dist, id). */
+  private def adcRank(scored: DataFrame): DataFrame =
+    scored.select(col("query_id"), col("__cand_id"), negate(col("dist")).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(Similarity.topKAgg(col("sim"), col("__cand_id"), TopK).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      // report in ORIGINAL embedding units (÷ ScaleQ² — one IEEE
+      // division, identical both engines): the quantized-unit
+      // magnitudes (~1e12) are where DuckDB's float-based ROUND
+      // and Spark's BigDecimal ROUND disagree in the last ulp
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        round(negate(col("col.sim")) / lit(KMeansOp.ScaleQ * KMeansOp.ScaleQ), 9).as("dist_r"))
+      .orderBy("query_id", "rank")
+
+  /** q111: ADC top-[[TopK]] per query, served off the persisted index
+    * (builds once per source dir, then every call is the read path). */
+  def pqAdcTopK(s: SparkSession, dir: String): DataFrame =
+    adcScoredIndexed(s, dir) match {
+      case None => emptyResult(s, "dist_r")
+      case Some(scored) => adcRank(scored)
+    }
+
+  /** Inline (train-in-place) twin for ad-hoc corpora — same chain, no
+    * artifact; PqSpec proves it equals the indexed path. */
+  def pqAdcTopK(embeddings: DataFrame): DataFrame =
+    adcScored(embeddings) match {
+      case None => emptyResult(embeddings.sparkSession, "dist_r")
+      case Some(scored) => adcRank(scored)
+    }
+
+  /** The two-stage rerank over a scored frame: ADC shortlist of
+    * `shortlistK`, exact-cosine rerank of ONLY those rows to
+    * top-[[TopK]]. The rerank is a keyed join (shortlist × corpus on
+    * vec_id), so full vectors are fetched for K′ rows per query, never
+    * scanned. */
+  private def rerankChain(scored: DataFrame, embeddings: DataFrame,
+      shortlistK: Int): DataFrame = {
+    val shortlist = scored
+      .select(col("query_id"), col("__cand_id"), negate(col("dist")).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(Similarity.topKAgg(col("sim"), col("__cand_id"), shortlistK).as("tk"))
+      .select(col("query_id"), explode(col("tk.id")).as("neighbor_id"))
+    val v = Dedup.normalized(embeddings)
+    val qside = v.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"))
+    val cside = v.select(col("vec_id").as("neighbor_id"),
+      col("e").as("ec"), col("nrm").as("nc"))
+    val reranked = shortlist
+      .join(cside, Seq("neighbor_id"))
+      .join(broadcast(qside), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id").as("__cand_id"),
+        cosinePre(col("eq"), col("ec"), col("nq"), col("nc")).as("sim"))
+    reranked.groupBy(col("query_id"))
+      .agg(Similarity.topKAgg(col("sim"), col("__cand_id"), TopK).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        round(col("col.sim"), 9).as("sim_r"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q112: the indexed serving read — ADC shortlist off the persisted
+    * codes, exact rerank fetching only the shortlisted vectors from the
+    * source table. */
   def pqRerankTopK(s: SparkSession, dir: String): DataFrame =
-    pqRerankTopK(Tables.embeddings(s, dir))
+    adcScoredIndexed(s, dir) match {
+      case None => emptyResult(s, "sim_r")
+      case Some(scored) => rerankChain(scored, Tables.embeddings(s, dir), ShortlistK)
+    }
 
   def pqRerankTopK(embeddings: DataFrame): DataFrame =
     pqRerankTopK(embeddings, ShortlistK)
@@ -212,35 +346,11 @@ object PqOp {
   /** Test hook: `shortlistK` ≥ corpus size degenerates to exact
     * brute-force search — PqSpec proves the two-stage machinery equals
     * q27's ranking bit-for-bit in that limit. */
-  private[graft] def pqRerankTopK(embeddings: DataFrame, shortlistK: Int): DataFrame = {
-    val spark = embeddings.sparkSession
+  private[graft] def pqRerankTopK(embeddings: DataFrame, shortlistK: Int): DataFrame =
     adcScored(embeddings) match {
-      case None => emptyResult(spark, "sim_r")
-      case Some(scored) =>
-        val shortlist = scored
-          .select(col("query_id"), col("__cand_id"), negate(col("dist")).as("sim"))
-          .groupBy(col("query_id"))
-          .agg(Similarity.topKAgg(col("sim"), col("__cand_id"), shortlistK).as("tk"))
-          .select(col("query_id"), explode(col("tk.id")).as("neighbor_id"))
-        val v = Dedup.normalized(embeddings)
-        val qside = v.filter(col("vec_id") < NQ)
-          .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"))
-        val cside = v.select(col("vec_id").as("neighbor_id"),
-          col("e").as("ec"), col("nrm").as("nc"))
-        val reranked = shortlist
-          .join(cside, Seq("neighbor_id"))
-          .join(broadcast(qside), Seq("query_id"))
-          .select(col("query_id"), col("neighbor_id").as("__cand_id"),
-            cosinePre(col("eq"), col("ec"), col("nq"), col("nc")).as("sim"))
-        reranked.groupBy(col("query_id"))
-          .agg(Similarity.topKAgg(col("sim"), col("__cand_id"), TopK).as("tk"))
-          .select(col("query_id"), posexplode(col("tk")))
-          .select(col("query_id"), col("col.id").as("neighbor_id"),
-            (col("pos") + 1).cast("long").as("rank"),
-            round(col("col.sim"), 9).as("sim_r"))
-          .orderBy("query_id", "rank")
+      case None => emptyResult(embeddings.sparkSession, "sim_r")
+      case Some(scored) => rerankChain(scored, embeddings, shortlistK)
     }
-  }
 
   private def emptyResult(s: SparkSession, scoreCol: String): DataFrame = {
     import org.apache.spark.sql.types._

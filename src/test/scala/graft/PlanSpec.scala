@@ -192,6 +192,26 @@ class PlanSpec extends SparkTestBase {
     assert(dfB === PostingsIndex.bucketOf(PostingsIndex.Terms.head))
   }
 
+  test("q111: ADC serves the persisted codes artifact — no retrain, no corpus scan") {
+    import graft.operators.PqOp
+    // first call may build; the second must be the pure read path
+    PqOp.pqAdcTopK(spark, sfDir).count()
+    // scan locations checked programmatically: the plan STRING truncates
+    // Location metadata at 100 chars, which can swallow the path suffix
+    // (sparkPlan, not executedPlan: AQE's wrapper hides its subtree from
+    // collect, and scan sources don't change at runtime)
+    val scanPaths = PqOp.pqAdcTopK(spark, sfDir).queryExecution.sparkPlan
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString) }
+      .flatten
+    assert(scanPaths.exists(_.contains("codes.parquet")),
+      s"ADC search must scan the persisted codes artifact: $scanPaths")
+    // an embeddings.parquet scan in the SERVING plan would mean the
+    // corpus is re-encoded (or worse, retrained) per query batch
+    assert(!scanPaths.exists(_.contains("embeddings.parquet")),
+      s"ADC serving plan re-reads the raw embeddings table: $scanPaths")
+  }
+
   test("q74: hll sketch is aggregate-only — no window, no join before the estimate") {
     val p = plan(graft.operators.Hll.hllDistinct(spark, sfDir))
     assert(!p.contains("Window"), "register build must be a grouped agg, not a window")

@@ -86,6 +86,21 @@ class PqSpec extends SparkTestBase {
       s"rerank top-1 recall $agree/${exact.size}: exact=$exact rr=$rr")
   }
 
+  test("persisted index path equals the inline train path, row for row") {
+    // the gated (s, dir) entry serves codebooks + codes from the
+    // ArtifactStore; values must be identical to training in place —
+    // run twice so the second call provably serves the existing artifact
+    val emb = Tables.embeddings(spark, sfDir)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"),
+        r.getDouble(3))
+    val inlineAdc = PqOp.pqAdcTopK(emb).collect().map(key).toSeq
+    assert(PqOp.pqAdcTopK(spark, sfDir).collect().map(key).toSeq === inlineAdc)
+    assert(PqOp.pqAdcTopK(spark, sfDir).collect().map(key).toSeq === inlineAdc)
+    val inlineRr = PqOp.pqRerankTopK(emb).collect().map(key).toSeq
+    assert(PqOp.pqRerankTopK(spark, sfDir).collect().map(key).toSeq === inlineRr)
+  }
+
   test("wrong-dimension and NULL vectors cannot poison the codebooks") {
     val damaged = planted
       .union(Seq((100L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
