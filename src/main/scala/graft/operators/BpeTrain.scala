@@ -34,11 +34,24 @@ import graft.Tables
   * Rounds stop early when no pair reaches [[MinPairCount]]; merging a
   * pair that appears once is pointless and a dried-up corpus stays
   * dried (counts are unchanged when no merge applies), so the engine's
-  * break and the oracle's fixed [[Merges]]-round unroll agree. */
+  * break and the oracle's fixed [[Merges]]-round unroll agree.
+  *
+  * The trained tokenizer (merge table + final vocab) is a BUILD-ONCE
+  * artifact ([[graft.ArtifactStore]]) — the gated entries train at
+  * most once per source dir and serve reads after that; see the
+  * persisted-tokenizer section below. */
 object BpeTrain {
 
-  val Merges = 8
+  val Merges = 64
   val MinPairCount = 2L
+
+  /** The train loop localCheckpoints the vocab frame every this many
+    * rounds: each round otherwise stacks one interpreted `aggregate`
+    * HOF onto the plan, and a realistic 32k-merge tokenizer would build
+    * an unanalyzable plan long before it ran out of data. The
+    * checkpoint is vocab-sized (cheap); plan depth stays ≤ this bound
+    * forever (BpeTrainSpec asserts it). */
+  val CheckpointEvery = 4
 
   private val SEP = "\u0001"
 
@@ -77,8 +90,63 @@ object BpeTrain {
       acc => trim(translate(acc, SEP, " ")))
   }
 
-  def bpeMerges(s: SparkSession, dir: String): DataFrame =
-    bpeMerges(s, Tables.documents(s, dir))
+  // ------------------------------------------------------------------
+  // Persisted tokenizer: a trained BPE is a BUILD-ONCE artifact (the
+  // PQ-codebook/q72 pattern — nobody retrains a tokenizer per encode
+  // call; GPT-2's merges.txt ships as a file). The gated (s, dir)
+  // entries train at most once per (source × params) key and then
+  // serve  path/merges.parquet  (merge_rank, lhs, rhs, merged, pair_count)
+  //        path/vocab.parquet   (w, seq, cnt)  — the final vocab state
+  // so q110 is a read of the merge table and q113 is the vocab-join
+  // encode, with zero train rounds on the hot path.
+
+  /** Bump when the stored schema or train semantics change. */
+  private val LayoutVersion = "v1"
+
+  private def structField(n: String, t: org.apache.spark.sql.types.DataType) =
+    org.apache.spark.sql.types.StructField(n, t)
+  private val mergesSchema = org.apache.spark.sql.types.StructType(Seq(
+    structField("merge_rank", org.apache.spark.sql.types.LongType),
+    structField("lhs", org.apache.spark.sql.types.StringType),
+    structField("rhs", org.apache.spark.sql.types.StringType),
+    structField("merged", org.apache.spark.sql.types.StringType),
+    structField("pair_count", org.apache.spark.sql.types.LongType)))
+  private val vocabSchema = org.apache.spark.sql.types.StructType(Seq(
+    structField("w", org.apache.spark.sql.types.StringType),
+    structField("seq", org.apache.spark.sql.types.StringType),
+    structField("cnt", org.apache.spark.sql.types.LongType)))
+
+  /** Train into `staging`: the merge table (≤ [[Merges]] rows) and the
+    * final vocab state (vocab-sized). An empty/dry corpus writes empty
+    * tables — the read paths degenerate typed-empty (explicit schemas,
+    * never inference). */
+  private[graft] def buildBpe(docs: DataFrame, staging: String): Unit = {
+    val spark = docs.sparkSession
+    val (found, hist, vocab) = trainCore(docs)
+    spark.createDataFrame(found)
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      .coalesce(1).write.parquet(s"$staging/merges.parquet")
+    vocab.select(col("w"), col("seq"), col("cnt"))
+      .write.parquet(s"$staging/vocab.parquet")
+    hist.unpersist()
+  }
+
+  /** Ensure the trained-tokenizer artifact for `dir`; returns its path. */
+  private def ensureBpe(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+    graft.ArtifactStore.ensureCurrent(s, s"bpe_$LayoutVersion",
+      Tables.dirFingerprint(s, dir,
+        s"bpe;merges=$Merges;minc=$MinPairCount;ws-tokens;${docs.schema.catalogString}")) {
+      staging => buildBpe(docs, staging)
+    }
+  }
+
+  /** q110 gated entry: serve the persisted merge table. */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureBpe(s, dir)
+    s.read.schema(mergesSchema).parquet(s"$path/merges.parquet")
+      .orderBy("merge_rank")
+  }
 
   /** The train loop, carrying the WORD through every round so the
     * final vocab state can serve encoding (q113): returns (merge list,
@@ -86,7 +154,7 @@ object BpeTrain {
     * only need the merges unpersist `hist`; the encode path keeps it
     * cached (vocab-sized, bounded) because the vocab is consumed
     * lazily downstream. */
-  private def trainCore(docs: DataFrame):
+  private[graft] def trainCore(docs: DataFrame, merges: Int = Merges):
       (Seq[(Long, String, String, String, Long)], DataFrame, DataFrame) = {
     // the one corpus-sized shuffle; everything after runs on the vocab
     val hist = docs
@@ -98,7 +166,7 @@ object BpeTrain {
     var cur = hist
     var done = false
     var round = 1
-    while (!done && round <= Merges) {
+    while (!done && round <= merges) {
       val best = cur
         .select(explode(pairsCol(col("seq"))).as("pair"), col("cnt"))
         .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
@@ -112,6 +180,10 @@ object BpeTrain {
         val Array(l, r) = pair.split(" ", 2)
         found += ((round.toLong, l, r, l + r, c))
         cur = cur.select(col("w"), mergeSeq(col("seq"), l, r).as("seq"), col("cnt"))
+        // bound plan lineage: without this, round N's frame nests N
+        // interpreted aggregate HOFs (SURVEY §6's CodegenFallback class)
+        // and analysis cost grows per round without limit
+        if (round % CheckpointEvery == 0) cur = cur.localCheckpoint()
         round += 1
       }
     }
@@ -141,10 +213,17 @@ object BpeTrain {
     * fold over the word MULTISET, so a wrong count on any word
     * breaks it). */
   def bpeEncode(s: SparkSession, dir: String): DataFrame =
-    bpeEncode(s, Tables.documents(s, dir))
+    encodeWith(Tables.documents(s, dir),
+      s.read.schema(vocabSchema).parquet(s"${ensureBpe(s, dir)}/vocab.parquet"))
 
   def bpeEncode(s: SparkSession, docs: DataFrame): DataFrame = {
     val (_, _, vocab) = trainCore(docs)
+    encodeWith(docs, vocab)
+  }
+
+  /** The encode join, shared by the persisted and inline paths: docs
+    * explode to words and join the (vocab-sized) token-count table. */
+  private def encodeWith(docs: DataFrame, vocab: DataFrame): DataFrame = {
     val vtok = vocab.select(col("w"),
       size(split(col("seq"), " ")).cast("long").as("n_tok"))
     val words = docs.select(col("doc_id"),
@@ -180,19 +259,23 @@ object BpeTrain {
         "|| chr(1) || x END), chr(1), ' '))"
     val wSel = if (carryW) "v.w, " else ""
     val w0Sel = if (carryW) "w, " else ""
+    // MATERIALIZED on every vocab/best state: v_{i-1} is referenced
+    // twice per round, and DuckDB inlines plain CTEs per reference —
+    // the 64-round chain would otherwise expand 2^64 scans of the
+    // corpus (at Merges=8 the 256-way expansion went unnoticed)
     val rounds = (1 to Merges).map { i =>
-      s"""p$i AS (SELECT pair, SUM(cnt) AS c FROM (
+      s"""p$i AS MATERIALIZED (SELECT pair, SUM(cnt) AS c FROM (
          |  SELECT unnest(list_transform(range(1, len(l)), j -> l[j] || ' ' || l[j+1])) AS pair, cnt
          |  FROM (SELECT string_split(seq, ' ') AS l, cnt FROM v${i - 1})) GROUP BY pair),
-         |b$i AS (SELECT pair, c FROM p$i WHERE c >= $MinPairCount ORDER BY c DESC, pair LIMIT 1),
-         |v$i AS (SELECT ${wSel}CASE WHEN b.bl IS NULL THEN v.seq ELSE $scan END AS seq, v.cnt
+         |b$i AS MATERIALIZED (SELECT pair, c FROM p$i WHERE c >= $MinPairCount ORDER BY c DESC, pair LIMIT 1),
+         |v$i AS MATERIALIZED (SELECT ${wSel}CASE WHEN b.bl IS NULL THEN v.seq ELSE $scan END AS seq, v.cnt
          |  FROM v${i - 1} v LEFT JOIN (SELECT split_part(pair,' ',1) AS bl,
          |    split_part(pair,' ',2) AS br, replace(pair,' ','') AS bm FROM b$i) b ON TRUE)""".stripMargin
     }.mkString(",\n")
-    s"""hist AS (SELECT w, COUNT(*) AS cnt FROM (
+    s"""hist AS MATERIALIZED (SELECT w, COUNT(*) AS cnt FROM (
        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
        |  FROM documents) GROUP BY w),
-       |v0 AS (SELECT ${w0Sel}trim(regexp_replace(hex(w), '(..)', '\\1 ', 'g')) AS seq, cnt
+       |v0 AS MATERIALIZED (SELECT ${w0Sel}trim(regexp_replace(hex(w), '(..)', '\\1 ', 'g')) AS seq, cnt
        |  FROM hist),
        |$rounds""".stripMargin
   }
