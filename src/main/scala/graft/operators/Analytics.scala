@@ -682,11 +682,17 @@ object Analytics {
     madOutliers(Tables.events(s, dir))
 
   def madOutliers(events: DataFrame): DataFrame = {
-    val kv = keyedEventValues(events)
+    // checkpoint the keyed values: the chain below reads them ~6 times
+    // (two bucketRankSelect passes + the fence count), and without the
+    // materialization each read re-runs the events scan + filter
+    val kv = keyedEventValues(events).localCheckpoint()
     val (stats, medPicked) = bucketRankSelect(kv, Seq(("med", 0.5)))
     val med = medPicked.groupBy(col("gkey")).agg(max(col("value")).as("med"))
+    // same story for the derived deviations: the second rank-select
+    // pass reads them three times (stats, bucketing, candidate pick)
     val dev = kv.join(broadcast(med), Seq("gkey"))
       .select(col("gkey"), abs(col("value") - col("med")).as("value"), col("tb"))
+      .localCheckpoint()
     val (_, madPicked) = bucketRankSelect(dev, Seq(("mad", 0.5)))
     val mad = madPicked.groupBy(col("gkey")).agg(max(col("value")).as("mad"))
     val fences = kv.join(broadcast(med), Seq("gkey")).join(broadcast(mad), Seq("gkey"))
