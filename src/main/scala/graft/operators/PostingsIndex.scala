@@ -31,10 +31,10 @@ import graft.Tables
   * list is one partition dir of many files, not one task: the
   * pre-write `repartition(bucket, doc_id-range)` spreads it). Lookups
   * are interactive-cheap: partition pruning bounds IO by the queried
-  * terms' list sizes; the per-doc aggregate shuffles only those lists.
-  * Conjunction-selectivity ordering (probe the rarest term first as a
-  * semi-join) is the classic next step; at fixture scale the plain
-  * aggregate is already index-bounded. */
+  * terms' list sizes, and conjunction-selectivity ordering (rarest
+  * term first, every other list applied as a broadcast semi-join —
+  * see [[lookupTerms]]) keeps a stopword-hot term's list from ever
+  * shuffling: only the survivors' postings reach the score shuffle. */
 object PostingsIndex {
 
   val NumBuckets = 64
@@ -57,6 +57,17 @@ object PostingsIndex {
     java.lang.Long.parseLong(hex, 16) % NumBuckets
   }
 
+  /** The index write itself — exposed for specs that build an index
+    * over a planted corpus (the skew spec). */
+  private[graft] def buildIndex(docs: DataFrame, staging: String): Unit =
+    docs.select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", bucketCol(col("term")))
+      // spread a hot bucket across tasks by doc_id, not one task per
+      // bucket; partitionBy still lands each bucket in its own dir
+      .repartition(col("bucket"), col("doc_id") % 8)
+      .write.partitionBy("bucket").parquet(staging)
+
   /** Build (or reuse) the postings artifact for `dir`; returns its path.
     * Keyed on source files × writer semantics (tokenization + layout),
     * per the round-6 artifact-key contract. */
@@ -65,13 +76,7 @@ object PostingsIndex {
     graft.ArtifactStore.ensureCurrent(s, "postings_v1",
       Tables.dirFingerprint(s, dir,
         s"postings;ws-tokens;b=$NumBuckets;${docs.schema.catalogString}")) { staging =>
-      docs.select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("term"))
-        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-        .withColumn("bucket", bucketCol(col("term")))
-        // spread a hot bucket across tasks by doc_id, not one task per
-        // bucket; partitionBy still lands each bucket in its own dir
-        .repartition(col("bucket"), col("doc_id") % 8)
-        .write.partitionBy("bucket").parquet(staging)
+      buildIndex(docs, staging)
     }
   }
 
@@ -88,17 +93,43 @@ object PostingsIndex {
   /** q109: conjunctive lookup of [[Terms]] through the index. Output:
     * (doc_id, score=Σtf) for docs containing EVERY term, top-20 by
     * score desc then doc_id — deterministic. */
-  def lookup(s: SparkSession, dir: String): DataFrame = {
-    val path = ensureIndex(s, dir)
-    val buckets = Terms.map(bucketOf).distinct
-    s.read.schema(indexSchema).parquet(path)
+  def lookup(s: SparkSession, dir: String): DataFrame =
+    lookupTerms(s, ensureIndex(s, dir), Terms)
+
+  /** Conjunctive lookup with RAREST-TERM-FIRST probing — the classic
+    * index-intersection order: per-term document frequencies come from
+    * a bounded agg over the pruned scan (|terms| rows collected), the
+    * rarest term's postings seed the candidate set, and every other
+    * term is applied as a BROADCAST left-semi join against that set —
+    * the hot (stopword-class) lists are scanned in place but NEVER
+    * shuffled; the only shuffled rows are the surviving docs' postings
+    * feeding the final Σtf aggregate, ≤ |terms| × rarest-df. The
+    * candidate broadcasts are rarest-df-bounded by construction — the
+    * same bound any conjunction's result obeys. */
+  private[graft] def lookupTerms(s: SparkSession, path: String,
+      terms: Seq[String]): DataFrame = {
+    val buckets = terms.map(bucketOf).distinct
+    val idx = s.read.schema(indexSchema).parquet(path)
       // bucket IN (…) is a PARTITION filter (pruned at planning); the
       // term filter prunes rows inside the surviving buckets
-      .where(col("bucket").isin(buckets: _*) && col("term").isin(Terms: _*))
+      .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    // document frequencies: an index-bounded agg, |terms| rows
+    val dfs = idx.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a term with zero postings empties the conjunction outright
+    if (terms.exists(t => !dfs.contains(t)))
+      return idx.select(col("doc_id"), col("tf").cast("long").as("score")).limit(0)
+    val ordered = terms.distinct.sortBy(t => (dfs(t), t))
+    var cand = idx.where(col("term") === ordered.head).select(col("doc_id"))
+    for (t <- ordered.tail)
+      cand = idx.where(col("term") === t)
+        .join(broadcast(cand), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"))
+    // survivors contain every term by construction; fetch their postings
+    // (a broadcast semi probe over the pruned scan) and score
+    idx.join(broadcast(cand), Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("score"))
-      // postings are unique per (term, doc): count(*) == distinct terms
-      .where(col("n_terms") === Terms.size)
+      .agg(sum(col("tf")).as("score"))
       .select(col("doc_id"), col("score").cast("long").as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(TopN)

@@ -192,6 +192,19 @@ class PlanSpec extends SparkTestBase {
     assert(dfB === PostingsIndex.bucketOf(PostingsIndex.Terms.head))
   }
 
+  test("q109: conjunction runs rarest-first as a broadcast semi-join chain") {
+    import graft.operators.PostingsIndex
+    val p = plan(PostingsIndex.lookup(spark, sfDir))
+    // |terms|−1 intersection steps + the final survivor probe, every
+    // one a BROADCAST semi (the big postings list streams, never moves)
+    val semis = "BroadcastHashJoin \\[doc_id".r.findAllIn(p).length
+    assert(semis === PostingsIndex.Terms.size,
+      s"expected ${PostingsIndex.Terms.size} broadcast semi-joins, got $semis:\n$p")
+    assert(p.contains("LeftSemi"), s"conjunction must be semi-joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a term list shuffled into a sort-merge join:\n$p")
+  }
+
   test("q111: ADC serves the persisted codes artifact — no retrain, no corpus scan") {
     import graft.operators.PqOp
     // first call may build; the second must be the pure read path

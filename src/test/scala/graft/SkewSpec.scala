@@ -18,6 +18,28 @@ class SkewSpec extends SparkTestBase {
     assert(plain.nonEmpty)
   }
 
+  test("q109 lookup under one stopword-hot term: exact result, hot list never shuffles") {
+    import spark.implicits._
+    import graft.operators.PostingsIndex
+    // "hot" is in every doc (a stopword); "rare" in 3; conjunctive
+    // lookup must return exactly the 3, scored by summed tf
+    val docs = (0 until 1000).map { i =>
+      val rare = if (i % 333 == 0 && i > 0) " rare" else ""
+      (i.toLong, s"hot hot$rare filler$i")
+    }.toDF("doc_id", "text")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_postings_skew")
+      .resolve("idx").toString
+    PostingsIndex.buildIndex(docs, idxDir)
+    val out = PostingsIndex.lookupTerms(spark, idxDir, Seq("hot", "rare"))
+    val rows = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows === Map(333L -> 3L, 666L -> 3L, 999L -> 3L), s"got $rows")
+    // the hot list must stream through broadcast semi-joins — any
+    // exchange feeding a join means a 500k-posting stopword moved
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"hot postings list shuffled:\n$p")
+  }
+
   /** 100k-row fact where ONE key owns half the rows (power-law head) and
     * 999 cold keys share the rest — the shape that wedges an unsalted
     * shuffle join on a single reducer. Payload pads rows so AQE's
