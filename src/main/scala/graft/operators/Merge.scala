@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Snapshot upsert — the reference's Delta `MERGE whenMatchedUpdate /
-  * whenNotMatchedInsert` (eu_raw_to_cleansed_merge.py:62-69,
-  * join_eu_ugc_qdrant_merge.py:390-401) re-expressed as a pure
+  * whenNotMatchedInsert` (join_eu_ugc_qdrant_merge.py:390-401;
+  * eu_raw_to_cleansed_merge.py:62-69 is the insert-only
+  * `whenNotMatchedInsertAll` degenerate case) re-expressed as a pure
   * union/anti-join plan over immutable snapshots.
   *
   * Scale notes: one shuffle on the merge key (the anti-join); batch side
@@ -203,11 +204,12 @@ object Merge {
     * snapshot: per key the HIGHEST-seq op wins outright (intermediate
     * ops are history, not state), a winning D deletes the key, a
     * winning U replaces/inserts the payload. The general form of the
-    * reference's Delta MERGE (`whenMatchedUpdate/whenNotMatchedInsert`,
-    * eu_raw_to_cleansed_merge.py:62-69, which is the degenerate
-    * single-op-per-key, no-delete case) plus the MATCHED-DELETE arm a
-    * GDPR-era pipeline cannot ship without (q149 measures the blast
-    * radius; this op executes it).
+    * reference's matched-update/not-matched-insert Delta MERGE
+    * (join_eu_ugc_qdrant_merge.py:399-400;
+    * eu_raw_to_cleansed_merge.py:62-69 is the insert-only
+    * `whenNotMatchedInsertAll` degenerate case) plus the MATCHED-DELETE
+    * arm a GDPR-era pipeline cannot ship without (q149 measures the
+    * blast radius; this op executes it).
     *
     * Scale notes: the latest-op reduction is max_by over (key) — one
     * map-combined shuffle of the changelog only; the apply is one
@@ -216,13 +218,19 @@ object Merge {
     * shuffled more than once and unchanged rows are never rewritten
     * row-by-row (snapshot-out, like upsertSnapshot).
     *
-    * `payload` columns must be identically named in base and changelog;
-    * seq must be unique per key (a CDC feed's offset is). */
+    * `payload` columns must be identically named in base and changelog.
+    * seq SHOULD be unique per key (a CDC feed's offset is), but a real
+    * feed violates that exactly when it matters — redelivery — so ties
+    * resolve by the (seq, op, payload) total order: identical
+    * redelivered rows collapse to the same winner, and a conflicting
+    * same-seq pair picks the greatest (op, payload) deterministically
+    * (U sorts above D) instead of flipping per shuffle layout. */
   def applyChangelog(base: DataFrame, changelog: DataFrame,
       key: String, payload: Seq[String]): DataFrame = {
     val latest = changelog.groupBy(col(key))
       .agg(max_by(
-        struct((col("op") +: payload.map(col)): _*), col("seq")).as("w"))
+        struct((col("op") +: payload.map(col)): _*),
+        struct((col("seq") +: col("op") +: payload.map(col)): _*)).as("w"))
       .select(col(key) +: (col("w.op").as("__op") +: payload.map(c => col(s"w.$c").as(s"__$c"))): _*)
     base.join(latest, Seq(key), "full_outer")
       .filter(col("__op").isNull || col("__op") === "U")

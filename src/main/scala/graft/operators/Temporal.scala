@@ -349,7 +349,7 @@ object Temporal {
     * state; each run becomes one versioned row with
     * [valid_from, valid_to) validity and an is_current flag on the open
     * interval. This is the standing shape behind the reference's
-    * "latest state wins" MERGE (eu_raw_to_cleansed_merge.py:62-69) when
+    * "latest state wins" MERGE (join_eu_ugc_qdrant_merge.py:399-400) when
     * the pipeline must keep the superseded versions instead of
     * overwriting them.
     *

@@ -66,6 +66,26 @@ class EtlSpec extends SparkTestBase {
       s"got $out — key 2 must be deleted, key 3 reinstated at seq 3's payload")
   }
 
+  test("q150 applyChangelog: duplicate (key, seq) resolves deterministically") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0)).toDF("k", "s", "v")
+    // key 1: a redelivered duplicate (identical rows) — must collapse;
+    // key 2: a CONFLICTING same-seq pair (a broken feed) — the
+    // (seq, op, payload) total order must pick the same winner every
+    // run: op 'U' > 'D', then payload ("z2", 2.0) > ("z1", 1.0)
+    val log = Seq(
+      (1L, 5L, "U", "a9", 99.0), (1L, 5L, "U", "a9", 99.0),
+      (2L, 1L, "D", "x", 0.0), (2L, 1L, "U", "z1", 1.0), (2L, 1L, "U", "z2", 2.0))
+      .toDF("k", "seq", "op", "s", "v")
+      // a few layouts so a shuffle-order-dependent winner would flip
+      .repartition(7)
+    def run() = operators.Merge.applyChangelog(base, log, "k", Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val expected = Map(1L -> (("a9", 99.0)), 2L -> (("z2", 2.0)))
+    assert(run() === expected)
+    assert(run() === expected, "winner flipped between runs")
+  }
+
   test("q146: perfect linear data recovers the exact slope; zero time-variance is NULL") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
