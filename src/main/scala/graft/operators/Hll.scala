@@ -123,28 +123,62 @@ object Hll {
   def hllWindowDistinct(s: SparkSession, dir: String): DataFrame =
     hllWindowDistinct(Tables.events(s, dir))
 
-  def hllWindowDistinct(events: DataFrame): DataFrame = {
-    val keyed = events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+  /** (user_id, hour) with the NULL rule applied — shared base. */
+  private def hourKeyed(events: DataFrame): DataFrame =
+    events.filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
-    val regs = keyed
+
+  /** The ≤3 trailing window ends an hour's registers serve. */
+  private def windowEnds(c: Column): Column =
+    explode(array((0 to 2).map(k => c + expr(s"INTERVAL $k HOUR")): _*))
+
+  /** (hour, j, rank) — the per-event register contribution. */
+  private def hourRanks(keyed: DataFrame): DataFrame =
+    keyed
       .select(col("hour"), TextAnalysis.md5Long(
         concat_ws(":", lit("hll"), col("user_id").cast("string"))).as("h"))
       .select(col("hour"), col("h").bitwiseAND(lit(255L)).as("j"),
         expr("shiftright(h, 8) | CAST(2251799813685248 AS BIGINT)").as("x"))
       .select(col("hour"), col("j"), expr("bit_count((x & -x) - 1) + 1").as("rank"))
+
+  /** q120's merged (wh, j, mj) register table, batch form: aggregate
+    * hourly registers FIRST, then replicate the sketch-sized table to
+    * its window ends and MAX-merge — observed hours only. */
+  private[graft] def mergedWindowRegisters(events: DataFrame): DataFrame = {
+    val keyed = hourKeyed(events)
+    val regs = hourRanks(keyed)
       .groupBy(col("hour"), col("j")).agg(max(col("rank")).as("mj"))
     val hours = keyed.select(col("hour")).distinct()
-    def windowEnds(c: Column) =
-      explode(array((0 to 2).map(k => c + expr(s"INTERVAL $k HOUR")): _*))
-    val merged = regs
+    regs
       .select(windowEnds(col("hour")).as("wh"), col("j"), col("mj"))
       .join(hours.select(col("hour").as("wh")), Seq("wh"), "left_semi")
       .groupBy(col("wh"), col("j")).agg(max(col("mj")).as("mj"))
+  }
+
+  /** The STREAMING form of q120's window merge: each event's register
+    * contribution replicates to its ≤3 window ends and ONE grouped MAX
+    * maintains the state — a single update/complete-mode aggregate whose
+    * state is ≤ m rows per live window forever, exactly like q74's
+    * [[registerTable]]. MAX is associative and commutative, so any
+    * micro-batch split equals the batch two-level merge
+    * ([[mergedWindowRegisters]]) on the same events — StreamingSpec
+    * replays 1/2/3-batch splits to prove it. (Window ends here are all
+    * CANDIDATE ends; the batch reporting path restricts to observed
+    * hours, which a consumer of the stream state does at read time.) */
+  def windowRegisterTable(events: DataFrame): DataFrame =
+    hourRanks(hourKeyed(events))
+      .select(windowEnds(col("hour")).as("wh"), col("j"), col("rank"))
+      .groupBy(col("wh"), col("j")).agg(max(col("rank")).as("mj"))
+
+  def hllWindowDistinct(events: DataFrame): DataFrame = {
+    val keyed = hourKeyed(events)
+    val merged = mergedWindowRegisters(events)
     val sk = merged.groupBy(col("wh"))
       .agg(count(lit(1)).as("nr"),
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($WBits - mj AS INT))")).as("sp"))
       .select(col("wh"), col("nr").cast("long").as("n_hll_regs"),
         (col("sp") + (lit(M.toLong) - col("nr")) * lit(Pow52)).as("hll_intsum"))
+    val hours = keyed.select(col("hour")).distinct()
     val tru = keyed
       .select(windowEnds(col("hour")).as("wh"), col("user_id"))
       .join(hours.select(col("hour").as("wh")), Seq("wh"), "left_semi")
