@@ -400,7 +400,7 @@ object Analytics {
       .select(unkey(col("gkey")).as("event_type"), col("n_events"),
         col("lo"), col("hi"), col("n_clamped_lo"), col("n_clamped_hi"),
         col("clamped_sum_micro"))
-      .orderBy("event_type")
+      .orderBy(col("event_type").asc_nulls_last)
   }
 
   /** q98: q81's per-row percentile ranks without the per-language
@@ -499,7 +499,7 @@ object Analytics {
         sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clamped_lo"),
         sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clamped_hi"),
         sum(floor(col("cv") * 1e6).cast("long")).as("clamped_sum_micro"))
-      .orderBy("event_type")
+      .orderBy(col("event_type").asc_nulls_last)
   }
 
   /** q80: per-user rolling event features — the feature-engineering
@@ -659,7 +659,7 @@ object Analytics {
         col("sxx"), col("syy"), col("sxy"),
         round(col("num") / when(col("den") === 0.0, lit(null)).otherwise(col("den")), 6)
           .as("corr_r"))
-      .orderBy("event_type")
+      .orderBy(col("event_type").asc_nulls_last)
   }
 
   /** q154: robust outlier detection via MAD (median absolute deviation)
@@ -903,7 +903,7 @@ object Analytics {
         round(col("num").cast("double") /
           when(col("den") === 0, lit(null)).otherwise(col("den")).cast("double"), 9)
           .as("slope_r"))
-      .orderBy("event_type")
+      .orderBy(col("event_type").asc_nulls_last)
   }
 
   /** q146 oracle: identical quantization, exact decimal cross-products,

@@ -135,7 +135,7 @@ object Cleanse {
         sum(col("h8")).as("checksum"),
         min(col("h")).as("min_hash"),
         max(col("h")).as("max_hash"))
-      .orderBy("bucket")
+      .orderBy(col("bucket").asc_nulls_last)
   }
 
   /** q147: referential-integrity audit — orphan/NULL foreign-key counts
@@ -197,8 +197,12 @@ object Cleanse {
       .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
   }
 
+  /** The bucket expression matches the engine's `pmod(doc_id, 64)` for
+    * NEGATIVE ids too (DuckDB's bare % follows the sign), and the plain
+    * ORDER BY sorts NULLS LAST like the engine's asc_nulls_last — a
+    * NULL or negative doc_id must not flip the gate. */
   def partitionChecksumOracleSql: String =
-    """SELECT doc_id % 64 AS bucket,
+    """SELECT (doc_id % 64 + 64) % 64 AS bucket,
       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
       |  CAST(SUM(CAST('0x' || substr(md5(COALESCE(text, '')), 1, 8) AS BIGINT)) AS BIGINT) AS checksum,
       |  MIN(md5(COALESCE(text, ''))) AS min_hash,

@@ -79,7 +79,7 @@ object Hll {
           * lit(65536.0) * lit(4.503599627370496e15)
           / col("hll_intsum").cast("double"), 3).as("est_r"),
         col("true_distinct").cast("long").as("true_distinct"))
-      .orderBy("event_type")
+      .orderBy(col("event_type").asc_nulls_last)
   }
 
   /** q74 oracle: identical hash, register split, rank bit-trick, exact

@@ -57,7 +57,7 @@ object Serving {
       .groupBy(col("event_type"))
       .agg(count_distinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"))
-      .orderBy("event_type")
+      .orderBy(col("event_type").asc_nulls_last)
 
   /** Sketch-based variant of [[countDistinct]] for the 100 TB path:
     * approx_count_distinct is a fixed-size HyperLogLog++ per group —
@@ -69,7 +69,7 @@ object Serving {
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"),
         count(lit(1)).as("n_events"))
-      .orderBy("event_type")
+      .orderBy(col("event_type").asc_nulls_last)
 
   /** q39: deterministic sample pagination — the dashboard's seeded
     * ORDER BY RANDOM() LIMIT/OFFSET page (app.py:120,147) re-expressed

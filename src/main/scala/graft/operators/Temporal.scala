@@ -133,7 +133,7 @@ object Temporal {
         col("decay_intsum"),
         round(col("decay_intsum").cast("double") / lit(1073741824.0), 6)
           .as("decayed_r"))
-      .orderBy("event_type")
+      .orderBy(col("event_type").asc_nulls_last)
   }
 
   /** q78 oracle: same day bucketing, integer weights, final division. */

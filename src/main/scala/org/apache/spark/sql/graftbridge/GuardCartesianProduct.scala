@@ -32,8 +32,20 @@ case class GuardCartesianProduct(session: SparkSession) extends Rule[LogicalPlan
   private val ConfKey = "spark.graft.guard.cartesianMinBytes"
   private val DefaultMinBytes: Long = 256L << 20
 
+  /** A malformed config value must fail with the guard's own prefixed
+    * message, not a bare NumberFormatException surfacing from inside
+    * the optimizer with no hint of where it came from. */
+  private def configuredLimit: Long =
+    session.conf.getOption(ConfKey) match {
+      case None => DefaultMinBytes
+      case Some(v) => try v.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"[GRAFT_GUARD_CARTESIAN] $ConfKey must be a byte count or -1 to disable; got '$v'")
+      }
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val limit = session.conf.getOption(ConfKey).map(_.toLong).getOrElse(DefaultMinBytes)
+    val limit = configuredLimit
     if (limit >= 0) {
       plan.foreach {
         case j @ Join(left, right, Cross | Inner, None, _) =>

@@ -390,6 +390,15 @@ class PlanSpec extends SparkTestBase {
     spark.conf.set("spark.graft.guard.cartesianMinBytes", "-1")
     try big.crossJoin(spark.range(100000000L)).queryExecution.optimizedPlan
     finally spark.conf.unset("spark.graft.guard.cartesianMinBytes")
+    // a typo'd conf fails with the guard's own message, not a bare
+    // NumberFormatException from inside the optimizer
+    spark.conf.set("spark.graft.guard.cartesianMinBytes", "256MB")
+    try {
+      val bad = intercept[IllegalArgumentException] {
+        big.crossJoin(spark.range(100000000L)).queryExecution.optimizedPlan
+      }
+      assert(bad.getMessage.contains("GRAFT_GUARD_CARTESIAN"), bad.getMessage)
+    } finally spark.conf.unset("spark.graft.guard.cartesianMinBytes")
   }
 
   test("q139: checksum is one map-combined aggregate over a 2-column scan") {
