@@ -172,6 +172,8 @@ object SparkEntry {
     "q152_rank_family"             -> ((s: SparkSession, d: String) => Analytics.rankFamily(s, d)),
     "q153_set_ops"                 -> ((s: SparkSession, d: String) => Analytics.setOps(s, d)),
     "q154_mad_outliers"            -> ((s: SparkSession, d: String) => Analytics.madOutliers(s, d)),
+    "q155_domain_drift"            -> ((s: SparkSession, d: String) => Curation.domainDrift(s, d)),
+    "q156_split_manifest"          -> ((s: SparkSession, d: String) => Sampling.splitManifest(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -802,6 +804,8 @@ object SparkEntry {
     "q152_rank_family" -> Analytics.rankFamilyOracleSql,
     "q153_set_ops" -> Analytics.setOpsOracleSql,
     "q154_mad_outliers" -> Analytics.madOutliersOracleSql,
+    "q155_domain_drift" -> Curation.domainDriftOracleSql,
+    "q156_split_manifest" -> Sampling.splitManifestOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -599,4 +599,75 @@ object Curation {
       |  CAST(SUM(CASE WHEN fs.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
       |FROM e JOIN fs USING (shingle)
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q155: domain-drift monitor — per-source TOTAL-VARIATION distance
+    * between the domain's unigram distribution and the whole corpus's:
+    * TV(P_d, P_c) = ½ Σ_w |P_d(w) − P_c(w)|, the drift panel a corpus
+    * mixer watches before a domain's share of the training mix shifts
+    * under it (data-mixture governance, the q49/q145 selection family's
+    * monitoring twin). TV instead of KL deliberately: KL needs ln(),
+    * whose libm rounding differs per engine (the q74 stance), while TV
+    * over the common denominator n_d·N is the EXACT integer
+    * Σ_w |ow·N − cw·n_d| — carried as DECIMAL(38,0) (the q146 exact
+    * cross-product pattern; ow·N ≤ n_d·N ≈ 10²⁴ at 100 TB, far inside
+    * 38 digits) with ONE identically-associated rounded division at
+    * the end, so the whole statistic value-verifies bitwise.
+    *
+    * Scale notes: one corpus-sized shuffle to (source, w) counts;
+    * everything after runs on vocab-sized tables — the corpus marginal
+    * derives from the domain counts (no second corpus pass), the
+    * |sources|-row marginals broadcast into a vocab × |sources| grid,
+    * and the absent-word arm (ow = 0) comes from the grid's left join,
+    * never from an outer join of raw rows. */
+  def domainDrift(s: SparkSession, dir: String): DataFrame =
+    domainDrift(Tables.documents(s, dir))
+
+  def domainDrift(documents: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val str2dbl = (c: Column) => c.cast("string").cast("double")
+    val words = documents
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), explode(TextAnalysis.words(col("text"))).as("w"))
+    val dom = words.groupBy(col("source"), col("w")).agg(count(lit(1)).as("ow"))
+    val corpus = dom.groupBy(col("w")).agg(sum(col("ow")).as("cw"))
+    val nd = dom.groupBy(col("source"))
+      .agg(sum(col("ow")).as("nd"), count(lit(1)).as("n_dom_vocab"))
+    val ntot = corpus.agg(sum(col("cw")).as("n_total"))
+    val terms = corpus.crossJoin(broadcast(nd))
+      .join(dom, Seq("source", "w"), "left")
+      .crossJoin(broadcast(ntot))
+      .select(col("source"), col("nd"), col("n_dom_vocab"), col("n_total"),
+        abs(d38(coalesce(col("ow"), lit(0L))) * d38(col("n_total"))
+          - d38(col("cw")) * d38(col("nd"))).as("t"))
+    terms.groupBy(col("source"))
+      .agg(max(col("nd")).as("ndm"), max(col("n_dom_vocab")).as("nv"),
+        max(col("n_total")).as("nt"), sum(col("t")).as("tvsum"))
+      .select(col("source"),
+        col("ndm").cast("long").as("n_words"),
+        col("nv").cast("long").as("n_dom_vocab"),
+        round(str2dbl(col("tvsum"))
+          / str2dbl(d38(col("ndm")) * d38(col("nt")) * lit(2)), 9).as("tv_r"))
+      .orderBy(col("source").asc_nulls_last)
+  }
+
+  /** q155 oracle: identical count chain, DECIMAL(38,0) exact terms,
+    * the same VARCHAR-mediated decimal→double casts and association. */
+  val domainDriftOracleSql: String =
+    """WITH wx AS (SELECT source,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+      |dom AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS ow FROM wx GROUP BY 1, 2),
+      |corpus AS (SELECT w, CAST(SUM(ow) AS BIGINT) AS cw FROM dom GROUP BY 1),
+      |nd AS (SELECT source, CAST(SUM(ow) AS BIGINT) AS nd,
+      |    CAST(COUNT(*) AS BIGINT) AS n_dom_vocab FROM dom GROUP BY 1),
+      |nt AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_total FROM corpus),
+      |terms AS (SELECT s.source, s.nd, s.n_dom_vocab, nt.n_total,
+      |    ABS(CAST(COALESCE(d.ow, 0) AS DECIMAL(38,0)) * CAST(nt.n_total AS DECIMAL(38,0))
+      |      - CAST(c.cw AS DECIMAL(38,0)) * CAST(s.nd AS DECIMAL(38,0))) AS t
+      |  FROM corpus c CROSS JOIN nd s CROSS JOIN nt
+      |  LEFT JOIN dom d ON d.source = s.source AND d.w = c.w)
+      |SELECT source, nd AS n_words, n_dom_vocab,
+      |  ROUND(CAST(CAST(SUM(t) AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST((CAST(nd AS DECIMAL(38,0)) * CAST(MAX(n_total) AS DECIMAL(38,0)) * 2) AS VARCHAR) AS DOUBLE), 9) AS tv_r
+      |FROM terms GROUP BY source, nd, n_dom_vocab ORDER BY source""".stripMargin
 }

@@ -322,4 +322,45 @@ object Sampling {
        |SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id) - 1 AS BIGINT) AS position
        |FROM k ORDER BY epoch, position""".stripMargin
+
+  /** q156: the train/val/test split MANIFEST — the split PRODUCER whose
+    * assignment q141's leakage audit inspects (same id-hash rule,
+    * [[Curation.splitName]], so producer and auditor can never drift).
+    * Per (source, split): doc count, byte volume, token volume — the
+    * accounting table a training run records before it reads a shard,
+    * and the evidence that the 80/10/10 hash split actually landed near
+    * its targets per domain (hash splits guarantee proportions only in
+    * expectation; the manifest is where skew shows up).
+    *
+    * Scale notes: one narrow projection (md5-bucket split label,
+    * octet_length, token count — all codegen) + one map-combined
+    * aggregate to |sources|·3 rows. Nothing shuffles but the
+    * output-sized groups. */
+  def splitManifest(s: SparkSession, dir: String): DataFrame =
+    splitManifest(Tables.documents(s, dir))
+
+  def splitManifest(documents: DataFrame): DataFrame =
+    documents.filter(col("doc_id").isNotNull)
+      .select(col("source"), Curation.splitName("doc_id").as("split"),
+        octet_length(coalesce(col("text"), lit(""))).cast("long").as("nb"),
+        size(TextAnalysis.words(coalesce(col("text"), lit("")))).cast("long").as("ntk"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("n_bytes"),
+        sum(col("ntk")).as("n_tokens"))
+      .orderBy(col("source").asc_nulls_last, col("split"))
+
+  /** q156 oracle: the identical md5 bucket rule (q141's), byte strlen,
+    * whitespace token count. */
+  val splitManifestOracleSql: String =
+    """WITH d AS (SELECT source,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 AS b,
+      |    COALESCE(strlen(text), 0) AS nb,
+      |    len(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')) AS ntk
+      |  FROM documents WHERE doc_id IS NOT NULL)
+      |SELECT source,
+      |  CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(nb) AS BIGINT) AS n_bytes,
+      |  CAST(SUM(ntk) AS BIGINT) AS n_tokens
+      |FROM d GROUP BY 1, 2 ORDER BY source, split""".stripMargin
 }

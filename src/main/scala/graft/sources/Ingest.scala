@@ -377,7 +377,11 @@ object Ingest {
     * `maxOffsetsPerTrigger` batch-size bound a production stream adds.
     * Split from [[readKafkaStream]] so IngestSpec can assert the wiring
     * in this sandbox, where no spark-sql-kafka jar or broker exists and
-    * `.load()` cannot resolve the `kafka` provider. */
+    * `.load()` cannot resolve the `kafka` provider. (Re-checked: no
+    * kafka artifact exists under /opt/spark/jars or the offline
+    * coursier cache, and the environment has no egress to vendor one,
+    * so even a plan-level `.load()` spec cannot run here — the wiring
+    * assertion below is the strongest check this sandbox admits.) */
   def kafkaSourceOptions(bootstrapServers: String, topic: String,
       startingOffsets: String = "earliest",
       maxOffsetsPerTrigger: Option[Long] = None,
