@@ -174,6 +174,7 @@ object SparkEntry {
     "q154_mad_outliers"            -> ((s: SparkSession, d: String) => Analytics.madOutliers(s, d)),
     "q155_domain_drift"            -> ((s: SparkSession, d: String) => Curation.domainDrift(s, d)),
     "q156_split_manifest"          -> ((s: SparkSession, d: String) => Sampling.splitManifest(s, d)),
+    "q157_ivf_upsert"              -> ((s: SparkSession, d: String) => IvfIndex.ivfUpsertTopK(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -806,6 +807,7 @@ object SparkEntry {
     "q154_mad_outliers" -> Analytics.madOutliersOracleSql,
     "q155_domain_drift" -> Curation.domainDriftOracleSql,
     "q156_split_manifest" -> Sampling.splitManifestOracleSql,
+    "q157_ivf_upsert" -> IvfIndex.ivfUpsertOracleSql(),
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -91,6 +91,77 @@ object IvfIndex {
     searchExact(s, path, em.filter(col("vec_id") < 10))
   }
 
+  /** Index MAINTENANCE: assign a new batch to the EXISTING index's
+    * centroids (no retrain — the coarse quantizer is a build-time
+    * artifact, exactly like a production IVF deployment between
+    * periodic retrains) and append the assigned rows to the
+    * cell-partitioned corpus. Cost: one bounded centroid read + one
+    * batch-sized narrow assignment + one partitioned append — the
+    * corpus in place is never rewritten. */
+  def upsertBatch(s: SparkSession, path: String, batch: DataFrame): Unit = {
+    val cents = s.read.parquet(s"$path/centroids.parquet")
+      .orderBy("cell").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    // an empty (untrainable) index has no cells — nothing to assign to;
+    // the read path already degenerates typed-empty
+    if (cents.nonEmpty) {
+      val qv = KMeansOp.quantized(batch)
+      val assigned = KMeansOp.assignAuto(qv, cents).select(col("vec_id"), col("cell"))
+      Dedup.normalized(batch).join(assigned, Seq("vec_id"))
+        .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+    }
+  }
+
+  /** q157: the index LIFECYCLE gate — build the exact persisted index
+    * on the base 4/5ths of the corpus, upsert the held-out 1/5th as a
+    * no-retrain batch append, then search the maintained index (queries
+    * include upserted vectors, so both the old and the new rows must
+    * surface). Build + upsert happen once per source dir inside the
+    * artifact build (so repeat calls measure the serving read, q72's
+    * stance); the oracle replays train-on-base + assign-ALL +
+    * probe/score, value-proving the maintained index equals a
+    * from-scratch assignment under the same quantizer. */
+  def ivfUpsertTopK(s: SparkSession, dir: String): DataFrame = {
+    val em = graft.Tables.embeddings(s, dir)
+    val path = graft.ArtifactStore.ensureCurrent(s,
+      s"ivf_upsert_$LayoutVersion",
+      graft.Tables.dirFingerprint(s, dir, "ivf-upsert;base=mod5ne0")) { staging =>
+      buildExact(em.filter(col("vec_id") % 5 =!= 0), staging)
+      upsertBatch(s, staging, em.filter(col("vec_id") % 5 === 0))
+    }
+    searchExact(s, path, em.filter(col("vec_id") < 10))
+  }
+
+  /** q157 oracle: [[KMeansOp.kmeansCtes]] trained on the base split
+    * with the assign-ALL arm, then the q65/q72 probe-and-score replay
+    * over the full assigned corpus. */
+  def ivfUpsertOracleSql(nprobe: Int = 3, k: Int = 10): String = {
+    val cR = s"c${KMeansOp.Rounds}"
+    s"""WITH ${KMeansOp.kmeansCtes(KMeansOp.K, "vec_id % 5 <> 0", includeAllAssign = true)},
+       |n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+       |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len(embedding)+1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), (x,y) -> x+y)) AS nrm
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |pr AS (SELECT qv.vec_id AS query_id, $cR.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY qv.vec_id ORDER BY
+       |      ${KMeansOp.dist2Sql(cR)}, $cR.cell) AS cell_rank
+       |  FROM qva qv CROSS JOIN $cR WHERE qv.vec_id < 10),
+       |probed AS (SELECT query_id, cell FROM pr WHERE cell_rank <= $nprobe),
+       |cand AS (SELECT afa.vec_id, afa.cell, n.e, n.nrm FROM afa JOIN n USING (vec_id)),
+       |p AS (SELECT probed.query_id, cand.vec_id AS neighbor_id,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len(nq.e)+1), i -> nq.e[i]*cand.e[i])), (x,y) -> x+y)
+       |   / (nq.nrm * cand.nrm) AS sim
+       |  FROM probed JOIN cand USING (cell) JOIN n nq ON nq.vec_id = probed.query_id
+       |  WHERE cand.vec_id <> probed.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM p)
+       |SELECT query_id, neighbor_id, rank, ROUND(sim, 9) AS sim_r
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   def search(spark: SparkSession, path: String, queries: DataFrame,
       nprobe: Int = 4, k: Int = 10): DataFrame = {
     val centers = spark.read.parquet(s"$path/centroids.parquet")

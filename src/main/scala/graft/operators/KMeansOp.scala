@@ -186,14 +186,21 @@ object KMeansOp {
     * generated IVF oracle (q65), and the q104 trained-SemDeDup oracle. */
   def kmeansCtes: String = kmeansCtes(K)
 
-  def kmeansCtes(k: Int): String = {
-    def assignCte(cin: String, aout: String) =
+  def kmeansCtes(k: Int): String = kmeansCtes(k, "", includeAllAssign = false)
+
+  /** `basePred` restricts the TRAIN vectors (q157 trains on the base
+    * split only); `includeAllAssign` appends `qva` (every quantized
+    * vector, regardless of basePred) and `afa` (its assignment to the
+    * FINAL centroids) — the assign-without-retrain arm an index upsert
+    * replays. */
+  def kmeansCtes(k: Int, basePred: String, includeAllAssign: Boolean): String = {
+    def assignCte(cin: String, aout: String, src: String = "qv") =
       s"""$aout AS (SELECT vec_id, q, cell FROM (
          |  SELECT qv.vec_id, qv.q, $cin.cell,
          |    ROW_NUMBER() OVER (PARTITION BY qv.vec_id ORDER BY
          |      ${lr("qv.q[i]*qv.q[i]")} - 2.0 * ${lr("qv.q[i]*$cin.c[i]").replace("$cin", cin)} + ${lr("$cin.c[i]*$cin.c[i]").replace("$cin", cin)},
          |      $cin.cell) AS rn
-         |  FROM qv CROSS JOIN $cin) WHERE rn = 1)""".stripMargin
+         |  FROM $src qv CROSS JOIN $cin) WHERE rn = 1)""".stripMargin
     def recenterCte(ain: String, cin: String, cout: String) =
       s"""${cout}_m AS (SELECT cell, list(s ORDER BY dim) AS c FROM (
          |  SELECT cell, t.i AS dim, SUM(q[t.i]) / CAST(COUNT(*) AS DOUBLE) AS s
@@ -205,12 +212,20 @@ object KMeansOp {
       val cin = if (r == 1) "c0" else s"c${r - 1}"
       s"${assignCte(cin, s"a$r")},\n${recenterCte(s"a$r", cin, s"c$r")}"
     }.mkString(",\n")
+    val basePredSql = if (basePred.isEmpty) "" else s" AND ($basePred)"
+    val allAssign =
+      if (!includeAllAssign) ""
+      else s""",
+        |qva AS (SELECT vec_id,
+        |  list_transform(embedding, x -> round(CAST(x AS DOUBLE) * $ScaleQ)) AS q
+        | FROM embeddings WHERE embedding IS NOT NULL),
+        |${assignCte(s"c$Rounds", "afa", "qva")}""".stripMargin
     s"""qv AS (SELECT vec_id,
        |  list_transform(embedding, x -> round(CAST(x AS DOUBLE) * $ScaleQ)) AS q
-       | FROM embeddings WHERE embedding IS NOT NULL),
+       | FROM embeddings WHERE embedding IS NOT NULL$basePredSql),
        |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, q AS c FROM qv WHERE vec_id < $k),
        |$rounds,
-       |${assignCte(s"c$Rounds", "af")}""".stripMargin
+       |${assignCte(s"c$Rounds", "af")}$allAssign""".stripMargin
   }
 
   /** DuckDB expression for the squared distance between `qv.q` and a

@@ -282,4 +282,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(blocked.nonEmpty)
     assert(blocked.map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(exact))
   }
+
+  test("q157: batch upserts are associative and upserted vectors become searchable") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.IvfIndex
+    val em = Tables.embeddings(spark, sfDir)
+    val base = em.filter(col("vec_id") % 5 =!= 0)
+    val batch = em.filter(col("vec_id") % 5 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // one-shot upsert
+    val d1 = java.nio.file.Files.createTempDirectory("graft_upsert1").resolve("i").toString
+    IvfIndex.buildExact(base, d1)
+    val before = spark.read.parquet(s"$d1/corpus").count()
+    IvfIndex.upsertBatch(spark, d1, batch)
+    assert(spark.read.parquet(s"$d1/corpus").count() - before ===
+      Dedup.normalized(batch).count(), "append must add exactly the batch")
+    val one = rows(IvfIndex.searchExact(spark, d1, em.filter(col("vec_id") < 10)))
+    // the same batch split across two upserts — appends must compose
+    val d2 = java.nio.file.Files.createTempDirectory("graft_upsert2").resolve("i").toString
+    IvfIndex.buildExact(base, d2)
+    IvfIndex.upsertBatch(spark, d2, batch.filter(col("vec_id") % 2 === 0))
+    IvfIndex.upsertBatch(spark, d2, batch.filter(col("vec_id") % 2 =!= 0))
+    val two = rows(IvfIndex.searchExact(spark, d2, em.filter(col("vec_id") < 10)))
+    assert(one === two, "split upserts diverged from the one-shot upsert")
+    // upserted vectors are live: some mod-5 neighbor must surface
+    assert(one.exists(_._2 % 5 == 0), s"no upserted vector ever retrieved: $one")
+  }
 }
