@@ -175,6 +175,7 @@ object SparkEntry {
     "q155_domain_drift"            -> ((s: SparkSession, d: String) => Curation.domainDrift(s, d)),
     "q156_split_manifest"          -> ((s: SparkSession, d: String) => Sampling.splitManifest(s, d)),
     "q157_ivf_upsert"              -> ((s: SparkSession, d: String) => IvfIndex.ivfUpsertTopK(s, d)),
+    "q158_contamination_hops"      -> ((s: SparkSession, d: String) => Cluster.contaminationHops(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -808,6 +809,7 @@ object SparkEntry {
     "q155_domain_drift" -> Curation.domainDriftOracleSql,
     "q156_split_manifest" -> Sampling.splitManifestOracleSql,
     "q157_ivf_upsert" -> IvfIndex.ivfUpsertOracleSql(),
+    "q158_contamination_hops" -> Cluster.contaminationHopsOracleSql(jaccardPairCtes),
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

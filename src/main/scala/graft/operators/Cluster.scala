@@ -315,4 +315,68 @@ object Cluster {
       .agg(count(lit(1)).as("n_triangles"))
       .orderBy("doc_id")
   }
+
+  /** BFS depth bound for [[contaminationHops]] — deep enough to cross a
+    * near-dup chain, bounded so the oracle unrolls. */
+  val HopRounds = 3
+
+  /** q158: contamination blast radius — shortest-hop distance from the
+    * benchmark set (q44's `doc_id % BenchModulus = 0` convention)
+    * through the τ=0.8 near-dup graph, ≤ [[HopRounds]] hops; the sixth
+    * consumer of the shared pair table. Dropping only DIRECT near-dups
+    * of benchmark docs (q44's reach) leaves their transitive
+    * paraphrases in the training set — hop distance is the evidence a
+    * decontamination sweep uses to pick its cut depth.
+    *
+    * Scale notes: textbook frontier BFS — the undirected edge frame is
+    * checkpointed once, pre-partitioned by src so each round's
+    * neighbor join never re-shuffles the 2|E| side; a round shuffles
+    * only the frontier (nodes at exact distance k−1, each expanded
+    * exactly once) plus one min-group over discovered nodes. Rounds
+    * are fixed; per-round work is O(|E|) regardless of corpus size. */
+  def contaminationHops(s: SparkSession, dir: String): DataFrame =
+    contaminationHopsGraph(Tables.documents(s, dir),
+      pairsTable(s, dir).select("a_id", "b_id"))
+
+  def contaminationHopsGraph(docs: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint()
+    var dist = docs
+      .filter(col("doc_id").isNotNull && col("doc_id") % Curation.BenchModulus === 0)
+      .select(col("doc_id").as("id"), lit(0L).as("hop"))
+      .localCheckpoint()
+    for (k <- 1 to HopRounds) {
+      val frontier = dist.filter(col("hop") === (k - 1).toLong)
+        .select(col("id").as("src"))
+      val nxt = und.join(frontier, Seq("src"))
+        .select(col("dst").as("id"), lit(k.toLong).as("hop"))
+      dist = dist.unionByName(nxt)
+        .groupBy(col("id")).agg(min(col("hop")).as("hop"))
+        .localCheckpoint()
+    }
+    dist.select(col("id").as("doc_id"), col("hop")).orderBy("doc_id")
+  }
+
+  /** q158 oracle: the BFS unrolled — h_k = neighbors of h_{k−1}, MIN
+    * hop over the union (exact-distance-d nodes appear in h_d, and
+    * every h_k member is within k, so MIN is the true distance). */
+  def contaminationHopsOracleSql(jaccardPairCtes: String): String =
+    s"""WITH $jaccardPairCtes,
+      |pr AS (SELECT a_id, b_id FROM p
+      |  WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.8),
+      |ed AS (SELECT a_id AS src, b_id AS dst FROM pr
+      |  UNION ALL SELECT b_id, a_id FROM pr),
+      |h0 AS (SELECT doc_id AS id FROM documents
+      |  WHERE doc_id IS NOT NULL AND doc_id % ${Curation.BenchModulus} = 0),
+      |h1 AS (SELECT DISTINCT ed.dst AS id FROM ed JOIN h0 ON ed.src = h0.id),
+      |h2 AS (SELECT DISTINCT ed.dst AS id FROM ed JOIN h1 ON ed.src = h1.id),
+      |h3 AS (SELECT DISTINCT ed.dst AS id FROM ed JOIN h2 ON ed.src = h2.id),
+      |u AS (SELECT id, 0 AS hop FROM h0
+      |  UNION ALL SELECT id, 1 FROM h1
+      |  UNION ALL SELECT id, 2 FROM h2
+      |  UNION ALL SELECT id, 3 FROM h3)
+      |SELECT id AS doc_id, CAST(MIN(hop) AS BIGINT) AS hop
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
 }

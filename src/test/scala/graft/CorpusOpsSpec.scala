@@ -22,6 +22,24 @@ class CorpusOpsSpec extends SparkTestBase {
       s"chain nodes must be absent, clique nodes credited per-triangle: $out")
   }
 
+  // --- q158 contamination hops ---
+
+  test("contaminationHops: shortest distance from the benchmark set, cut at 3 hops") {
+    // seed 50 (the %50 convention) chains 50-1-2-3-5: node 5 is 4 hops
+    // out and must NOT appear; 7 is disconnected; 100 is an isolated
+    // seed (hop 0 with no edges); 1 also reaches the seed via the long
+    // way 1-2-3 — MIN must keep it at hop 1
+    val docs = Seq(50L, 100L, 1L, 2L, 3L, 5L, 7L)
+      .map(i => (i, "t", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val edges = Seq((50L, 1L), (1L, 2L), (2L, 3L), (3L, 5L))
+      .toDF("a_id", "b_id")
+    val out = Cluster.contaminationHopsGraph(docs, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(50L -> 0L, 100L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L),
+      s"got $out")
+  }
+
   // --- q143 epoch shuffle ---
 
   test("q143: positions are a 0..n-1 permutation per epoch, epochs reshuffle, " +
