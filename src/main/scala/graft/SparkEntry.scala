@@ -176,6 +176,8 @@ object SparkEntry {
     "q156_split_manifest"          -> ((s: SparkSession, d: String) => Sampling.splitManifest(s, d)),
     "q157_ivf_upsert"              -> ((s: SparkSession, d: String) => IvfIndex.ivfUpsertTopK(s, d)),
     "q158_contamination_hops"      -> ((s: SparkSession, d: String) => Cluster.contaminationHops(s, d)),
+    "q159_nearest_event"           -> ((s: SparkSession, d: String) => Temporal.nearestEventJoin(s, d)),
+    "q160_anti_entropy_repair"     -> ((s: SparkSession, d: String) => Cleanse.antiEntropyRepair(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -810,6 +812,8 @@ object SparkEntry {
     "q156_split_manifest" -> Sampling.splitManifestOracleSql,
     "q157_ivf_upsert" -> IvfIndex.ivfUpsertOracleSql(),
     "q158_contamination_hops" -> Cluster.contaminationHopsOracleSql(jaccardPairCtes),
+    "q159_nearest_event" -> Temporal.nearestEventJoinOracleSql,
+    "q160_anti_entropy_repair" -> Cleanse.antiEntropyRepairOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -124,19 +124,22 @@ object Cleanse {
   def partitionChecksum(s: SparkSession, dir: String): DataFrame =
     partitionChecksum(Tables.documents(s, dir))
 
-  def partitionChecksum(documents: DataFrame): DataFrame = {
-    val h = md5(coalesce(col("text"), lit("")))
-    documents
+  /** The (bucket, n_rows, checksum, min/max hash) table — q139's core,
+    * shared with q160's repair pass so auditor and repairer can never
+    * disagree on what "matching" means. */
+  private def bucketChecksums(docs: DataFrame): DataFrame =
+    docs
       .select(pmod(col("doc_id"), lit(64L)).as("bucket"),
-        h.as("h"),
+        md5(coalesce(col("text"), lit(""))).as("h"),
         expr("cast(conv(substring(md5(coalesce(text, '')), 1, 8), 16, 10) as bigint)").as("h8"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("h8")).as("checksum"),
         min(col("h")).as("min_hash"),
         max(col("h")).as("max_hash"))
-      .orderBy(col("bucket").asc_nulls_last)
-  }
+
+  def partitionChecksum(documents: DataFrame): DataFrame =
+    bucketChecksums(documents).orderBy(col("bucket").asc_nulls_last)
 
   /** q147: referential-integrity audit — orphan/NULL foreign-key counts
     * for every FK relation in the star schema, one output row per
@@ -208,4 +211,96 @@ object Cleanse {
       |  MIN(md5(COALESCE(text, ''))) AS min_hash,
       |  MAX(md5(COALESCE(text, ''))) AS max_hash
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The deterministic damaged replica q160 repairs against — the two
+    * damage classes an anti-entropy pass hunts: silent row corruption
+    * (every 97th doc's text flips) and a lost row (every 211th doc
+    * missing). Id-less rows are out of scope by contract: a row with no
+    * key cannot be repaired by key. */
+  private[graft] def replicaB(documents: DataFrame): DataFrame =
+    documents.filter(col("doc_id").isNotNull && col("doc_id") % 211 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 97 === 0,
+          concat(coalesce(col("text"), lit("")), lit("~CORRUPT")))
+          .otherwise(col("text")))
+
+  /** q160: checksum-guided anti-entropy REPAIR diff — the op q139's
+    * audit exists to feed: compare the two replicas' 64-row checksum
+    * tables, then run the row-level diff ONLY inside mismatched buckets
+    * (status ∈ changed / missing_in_b / extra_in_b — the repair
+    * worklist). The undamaged buckets never join a single row: at
+    * 100 TB with bucket-partitioned replicas the flagged-bucket filter
+    * is a partition prune, so the expensive row diff touches
+    * mismatched/64ths of the data — the merkle-descent move, one level
+    * deep.
+    *
+    * Scale notes: two map-combined 64-row checksum aggregates, a 64-row
+    * mismatch join, then one keyed full-outer join over flagged-bucket
+    * rows only (the flag list broadcasts). */
+  def antiEntropyRepair(s: SparkSession, dir: String): DataFrame =
+    antiEntropyRepair(Tables.documents(s, dir))
+
+  def antiEntropyRepair(documents: DataFrame): DataFrame =
+    antiEntropyRepair(
+      documents.filter(col("doc_id").isNotNull),
+      replicaB(documents))
+
+  /** The general two-replica form (specs feed arbitrary replicas). */
+  private[graft] def antiEntropyRepair(a: DataFrame, b: DataFrame): DataFrame = {
+    val neq = (l: Column, r: Column) => !(l <=> r)
+    val ca = bucketChecksums(a)
+    val cb = bucketChecksums(b)
+      .select(col("bucket"), col("n_rows").as("nb"), col("checksum").as("cb"),
+        col("min_hash").as("mnb"), col("max_hash").as("mxb"))
+    val bad = ca.join(cb, Seq("bucket"), "full_outer")
+      .filter(neq(col("n_rows"), col("nb")) || neq(col("checksum"), col("cb")) ||
+        neq(col("min_hash"), col("mnb")) || neq(col("max_hash"), col("mxb")))
+      .select(col("bucket"))
+    def keyed(df: DataFrame, h: String) = df
+      .select(pmod(col("doc_id"), lit(64L)).as("bucket"), col("doc_id"),
+        md5(coalesce(col("text"), lit(""))).as(h))
+      .join(broadcast(bad), Seq("bucket"))
+    keyed(a, "ha").withColumnRenamed("bucket", "ba")
+      .join(keyed(b, "hb").withColumnRenamed("bucket", "bb"), Seq("doc_id"), "full_outer")
+      .filter(col("ha").isNull || col("hb").isNull || col("ha") =!= col("hb"))
+      // a row missing from one replica has only the other's bucket
+      .select(col("doc_id"), coalesce(col("ba"), col("bb")).as("bucket"),
+        when(col("hb").isNull, lit("missing_in_b"))
+          .when(col("ha").isNull, lit("extra_in_b"))
+          .otherwise(lit("changed")).as("status"))
+      .orderBy("doc_id")
+  }
+
+  /** q160 oracle: identical damage rules, checksums, mismatch set, and
+    * in-bucket row diff. */
+  val antiEntropyRepairOracleSql: String =
+    """WITH a AS (SELECT doc_id, (doc_id % 64 + 64) % 64 AS bucket,
+      |    md5(COALESCE(text, '')) AS h,
+      |    CAST('0x' || substr(md5(COALESCE(text, '')), 1, 8) AS BIGINT) AS h8
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |braw AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 97 = 0 THEN COALESCE(text, '') || '~CORRUPT'
+      |      ELSE text END AS text
+      |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 211 <> 0),
+      |b AS (SELECT doc_id, (doc_id % 64 + 64) % 64 AS bucket,
+      |    md5(COALESCE(text, '')) AS h,
+      |    CAST('0x' || substr(md5(COALESCE(text, '')), 1, 8) AS BIGINT) AS h8
+      |  FROM braw),
+      |ca AS (SELECT bucket, COUNT(*) AS n, SUM(h8) AS c, MIN(h) AS mn, MAX(h) AS mx
+      |  FROM a GROUP BY 1),
+      |cb AS (SELECT bucket, COUNT(*) AS n, SUM(h8) AS c, MIN(h) AS mn, MAX(h) AS mx
+      |  FROM b GROUP BY 1),
+      |bad AS (SELECT bucket FROM ca FULL OUTER JOIN cb USING (bucket)
+      |  WHERE ca.n IS DISTINCT FROM cb.n OR ca.c IS DISTINCT FROM cb.c
+      |     OR ca.mn IS DISTINCT FROM cb.mn OR ca.mx IS DISTINCT FROM cb.mx),
+      |av AS (SELECT a.* FROM a JOIN bad USING (bucket)),
+      |bv AS (SELECT b.* FROM b JOIN bad USING (bucket))
+      |SELECT COALESCE(av.doc_id, bv.doc_id) AS doc_id,
+      |  COALESCE(av.bucket, bv.bucket) AS bucket,
+      |  CASE WHEN bv.doc_id IS NULL THEN 'missing_in_b'
+      |       WHEN av.doc_id IS NULL THEN 'extra_in_b'
+      |       ELSE 'changed' END AS status
+      |FROM av FULL OUTER JOIN bv ON av.doc_id = bv.doc_id
+      |WHERE av.doc_id IS NULL OR bv.doc_id IS NULL OR av.h <> bv.h
+      |ORDER BY doc_id""".stripMargin
 }

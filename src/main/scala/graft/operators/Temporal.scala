@@ -252,6 +252,92 @@ object Temporal {
       |        / (CAST(cnt AS DOUBLE) * (CAST(cnt AS DOUBLE) - 1.0e0))), 0.0e0), 6) AS z_r
       |FROM w WHERE cnt >= 2 ORDER BY event_type, hour""".stripMargin
 
+  /** q159: NEAREST-event temporal join — each purchase picks the click
+    * closest in time in EITHER direction (q57's as-of looks only
+    * backward; attribution models routinely want "the click around the
+    * purchase"). Match rule: latest click with ts ≤ purchase.ts vs
+    * earliest click with ts > purchase.ts, smaller µs gap wins, exact
+    * tie → the earlier (prev) one — a total order both engines replay.
+    * Right side deduped per (user_id, ts) by max event_id, the q57
+    * convention. Rows with NULL ts are excluded on both sides by
+    * contract (a nearest-neighbor match against an unknown time is
+    * undefined).
+    *
+    * Scale notes: the SAME union trick as q57 run bidirectionally in
+    * ONE window pass — tag both sides, one shuffle+sort on (user_id,
+    * ts, side), a last(ignoreNulls) over the preceding frame and a
+    * first(ignoreNulls) over the following frame share the single sort;
+    * NO join node, no range nested-loop, no second shuffle. The oracle
+    * replays it as the naive per-purchase MAX/MIN inequality joins. */
+  def nearestEventJoin(s: SparkSession, dir: String): DataFrame =
+    nearestEventJoin(Tables.events(s, dir))
+
+  def nearestEventJoin(events: DataFrame): DataFrame = {
+    val ev = events.filter(col("ts").isNotNull)
+    val clickRank = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
+    val clicks = ev.filter(col("event_type") === "click")
+      .withColumn("rn", row_number().over(clickRank)).filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("event_id").as("click_event_id"),
+        lit(null).cast("long").as("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("long").as("click_event_id"), col("event_id"))
+    // clicks sort before purchases at equal ts (side asc): an equal-ts
+    // click is "prev" (gap 0), never "next" — matching the oracle's
+    // c.ts <= p.ts / c.ts > p.ts split exactly
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val clickStruct = when(col("side") === 0,
+      struct(col("ts"), col("click_event_id")))
+    val both = clicks.unionByName(purchases)
+      .withColumn("p", last(clickStruct, ignoreNulls = true).over(wPrev))
+      .withColumn("nx", first(clickStruct, ignoreNulls = true).over(wNext))
+      .filter(col("side") === 1)
+    val pgap = unix_micros(col("ts")) - unix_micros(col("p.ts"))
+    val ngap = unix_micros(col("nx.ts")) - unix_micros(col("ts"))
+    val prevWins = col("p").isNotNull && (col("nx").isNull || pgap <= ngap)
+    both.select(col("event_id"), col("user_id"), col("ts"),
+        when(prevWins, col("p.click_event_id"))
+          .otherwise(col("nx.click_event_id")).as("nearest_click_id"),
+        when(prevWins, lit("prev"))
+          .when(col("nx").isNotNull, lit("next")).as("direction"),
+        when(prevWins, pgap).otherwise(ngap).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** q159 oracle: the naive replay — per purchase, MAX(c.ts ≤ p.ts) and
+    * MIN(c.ts > p.ts) inequality joins, µs gaps, prev-on-tie. */
+  val nearestEventJoinOracleSql: String =
+    """WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+      |clicks AS (SELECT user_id, ts, event_id AS click_event_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+      |        ORDER BY event_id DESC) AS rn
+      |    FROM ev WHERE event_type = 'click') WHERE rn = 1),
+      |p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+      |prv AS (SELECT p.event_id, MAX(c.ts) AS pts FROM p JOIN clicks c
+      |    ON c.user_id = p.user_id AND c.ts <= p.ts GROUP BY p.event_id),
+      |nxt AS (SELECT p.event_id, MIN(c.ts) AS nts FROM p JOIN clicks c
+      |    ON c.user_id = p.user_id AND c.ts > p.ts GROUP BY p.event_id),
+      |j AS (SELECT p.event_id, p.user_id, p.ts,
+      |    cp.click_event_id AS prev_id, epoch_us(p.ts) - epoch_us(prv.pts) AS pgap,
+      |    cn.click_event_id AS next_id, epoch_us(nxt.nts) - epoch_us(p.ts) AS ngap
+      |  FROM p
+      |  LEFT JOIN prv ON prv.event_id = p.event_id
+      |  LEFT JOIN clicks cp ON cp.user_id = p.user_id AND cp.ts = prv.pts
+      |  LEFT JOIN nxt ON nxt.event_id = p.event_id
+      |  LEFT JOIN clicks cn ON cn.user_id = p.user_id AND cn.ts = nxt.nts)
+      |SELECT event_id, user_id, ts,
+      |  CASE WHEN prev_id IS NOT NULL AND (next_id IS NULL OR pgap <= ngap)
+      |    THEN prev_id ELSE next_id END AS nearest_click_id,
+      |  CASE WHEN prev_id IS NOT NULL AND (next_id IS NULL OR pgap <= ngap)
+      |    THEN 'prev' WHEN next_id IS NOT NULL THEN 'next' END AS direction,
+      |  CAST(CASE WHEN prev_id IS NOT NULL AND (next_id IS NULL OR pgap <= ngap)
+      |    THEN pgap ELSE ngap END AS BIGINT) AS gap_us
+      |FROM j ORDER BY event_id""".stripMargin
+
   def intervalJoin(s: SparkSession, dir: String): DataFrame = intervalJoin(Tables.events(s, dir))
 
   def intervalJoin(events: DataFrame): DataFrame = {

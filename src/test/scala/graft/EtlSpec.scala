@@ -86,6 +86,24 @@ class EtlSpec extends SparkTestBase {
     assert(run() === expected, "winner flipped between runs")
   }
 
+  test("q160 antiEntropyRepair: identical replicas diff empty; every damage class surfaces") {
+    import spark.implicits._
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val a = docs((0L to 129L).map(i => i -> s"t$i"): _*)
+    // clean pair: no flagged buckets, no rows joined
+    assert(operators.Cleanse.antiEntropyRepair(a, a).count() === 0L)
+    // damaged replica: id 3 corrupted, id 64 lost, id 999 alien
+    val b = docs(((0L to 129L).filter(_ != 64L).map(i =>
+      i -> (if (i == 3L) "tX" else s"t$i")) :+ (999L -> "alien")): _*)
+    val out = operators.Cleanse.antiEntropyRepair(a, b).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // statuses exact; bucket = pmod(id, 64) rides along as the worklist key
+    assert(out === Map(
+      3L -> ((3L, "changed")),
+      64L -> ((0L, "missing_in_b")),
+      999L -> ((39L, "extra_in_b"))), s"got $out")
+  }
+
   test("q146: perfect linear data recovers the exact slope; zero time-variance is NULL") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

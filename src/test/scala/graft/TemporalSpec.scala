@@ -109,4 +109,34 @@ class TemporalSpec extends SparkTestBase {
     assert(out(("click", "purchase")) === ((1L, 0.5)))
     assert(out.size === 3)
   }
+
+  test("q159 nearestEventJoin: direction, ties to prev, equal-ts, dedup, no-click") {
+    import spark.implicits._
+    val e = Seq(
+      // user 1: clicks at :00 and :30; purchases probe both directions
+      E(1, ts(0), 1, "click", 1.0), E(2, ts(30), 1, "click", 2.0),
+      E(100, ts(10), 1, "purchase", 0.0),  // prev(1) 600s < next(2) 1200s
+      E(101, ts(25), 1, "purchase", 0.0),  // next(2) 300s < prev(1) 1500s
+      E(102, ts(30), 1, "purchase", 0.0),  // equal ts -> prev(2), gap 0
+      // user 2: no clicks at all
+      E(103, ts(0), 2, "purchase", 0.0),
+      // user 3: exact tie (15 min each way) -> prev wins
+      E(3, ts(0), 3, "click", 1.0), E(4, ts(30), 3, "click", 1.0),
+      E(104, ts(15), 3, "purchase", 0.0),
+      // user 4: duplicate-ts clicks dedup to max event_id
+      E(5, ts(0), 4, "click", 1.0), E(6, ts(0), 4, "click", 1.0),
+      E(105, ts(5), 4, "purchase", 0.0)
+    ).toDF()
+    val out = Temporal.nearestEventJoin(e).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Long]("nearest_click_id")).map(_.toLong),
+          r.getAs[String]("direction"),
+          Option(r.getAs[java.lang.Long]("gap_us")).map(_.toLong))).toMap
+    assert(out(100L) === ((Some(1L), "prev", Some(600000000L))))
+    assert(out(101L) === ((Some(2L), "next", Some(300000000L))))
+    assert(out(102L) === ((Some(2L), "prev", Some(0L))))
+    assert(out(103L) === ((None, null, None)))
+    assert(out(104L) === ((Some(3L), "prev", Some(900000000L))), "tie must go prev")
+    assert(out(105L) === ((Some(6L), "prev", Some(300000000L))), "dup-ts click must dedup to max id")
+  }
 }
