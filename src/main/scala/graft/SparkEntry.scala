@@ -178,6 +178,7 @@ object SparkEntry {
     "q158_contamination_hops"      -> ((s: SparkSession, d: String) => Cluster.contaminationHops(s, d)),
     "q159_nearest_event"           -> ((s: SparkSession, d: String) => Temporal.nearestEventJoin(s, d)),
     "q160_anti_entropy_repair"     -> ((s: SparkSession, d: String) => Cleanse.antiEntropyRepair(s, d)),
+    "q161_pareto_front"            -> ((s: SparkSession, d: String) => Analytics.paretoFront(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -814,6 +815,7 @@ object SparkEntry {
     "q158_contamination_hops" -> Cluster.contaminationHopsOracleSql(jaccardPairCtes),
     "q159_nearest_event" -> Temporal.nearestEventJoinOracleSql,
     "q160_anti_entropy_repair" -> Cleanse.antiEntropyRepairOracleSql,
+    "q161_pareto_front" -> Analytics.paretoFrontOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -1434,4 +1434,67 @@ object Analytics {
           .otherwise(lit(0).cast("decimal(20,4)"))).cast("double").as("purchase_value"))
       .orderBy("user_id")
   }
+
+  /** q161: per-priority PARETO FRONT (skyline, Börzsönyi et al. 2001
+    * "The Skyline Operator") over orders, maximizing (o_totalprice,
+    * o_orderdate) — the non-dominated set: no other order in the
+    * priority class has ≥ both coordinates with > in one. The
+    * multi-objective "best tradeoffs" query relational engines lack as
+    * a primitive.
+    *
+    * Algorithm: duplicates collapse to distinct (price, date) points
+    * first (identical points never dominate each other — both survive
+    * as one row with its multiplicity); then, ordered by (price desc,
+    * date desc), a point survives iff every STRICTLY-PRECEDING point
+    * has a smaller date — i.e. the running MAX(date) over the
+    * preceding frame is < its date. Preceding points have (price,
+    * date) lexicographically greater, so a preceding max-date ≥ d
+    * means some point with price ≥ p and date ≥ d and one coordinate
+    * strictly greater — the dominance definition exactly.
+    *
+    * Scale notes: the dedup is one map-combined aggregate to the
+    * distinct-point table, the window runs over THAT (points ≪ rows
+    * when values repeat); the 2-D sort-scan replaces the naive O(n²)
+    * dominance join (the spec proves equality against that naive
+    * filter). Groups are priority classes — reducer-bounded only by
+    * distinct points per class; for an unbounded group the same
+    * running-max decomposes through the q143 range-bucket trick. */
+  def paretoFront(s: SparkSession, dir: String): DataFrame =
+    paretoFront(Tables.orders(s, dir))
+
+  def paretoFront(orders: DataFrame): DataFrame = {
+    val pts = orders
+      .filter(col("o_orderpriority").isNotNull && col("o_totalprice").isNotNull &&
+        col("o_orderdate").isNotNull)
+      .groupBy(col("o_orderpriority"), col("o_totalprice"), col("o_orderdate"))
+      .agg(count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("dmax", max(col("o_orderdate")).over(w))
+      .filter(col("dmax").isNull || col("dmax") < col("o_orderdate"))
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderdate"),
+        col("n_orders"))
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderdate"))
+  }
+
+  /** q161 oracle: the same sort-scan in DuckDB's window engine (the
+    * NAIVE quadratic dominance filter is the SPEC's job — AnalyticsSpec
+    * proves engine ≡ brute force on a planted front; a correlated
+    * NOT EXISTS over sf1's point count would be oracle-side O(n²)). */
+  val paretoFrontOracleSql: String =
+    """WITH pts AS (SELECT o_orderpriority, o_totalprice, o_orderdate,
+      |    CAST(COUNT(*) AS BIGINT) AS n_orders
+      |  FROM orders
+      |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+      |    AND o_orderdate IS NOT NULL
+      |  GROUP BY 1, 2, 3),
+      |sc AS (SELECT *, MAX(o_orderdate) OVER (
+      |    PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice DESC, o_orderdate DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS dmax
+      |  FROM pts)
+      |SELECT o_orderpriority, o_totalprice, o_orderdate, n_orders
+      |FROM sc WHERE dmax IS NULL OR dmax < o_orderdate
+      |ORDER BY o_orderpriority, o_totalprice DESC, o_orderdate""".stripMargin
 }

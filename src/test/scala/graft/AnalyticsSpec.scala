@@ -185,4 +185,43 @@ class AnalyticsSpec extends SparkTestBase {
         r.getAs[Long]("qty_sum")))
     assert(out.toSeq === Seq(("S1", 1L, 8L)))
   }
+
+  test("q161 pareto: sort-scan equals the naive O(n²) dominance filter") {
+    // the real corpus at the smallest SF — the sort-scan decomposition
+    // must reproduce the textbook NOT EXISTS definition point for point
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority").isNotNull && col("o_totalprice").isNotNull
+        && col("o_orderdate").isNotNull)
+      .groupBy(col("o_orderpriority"), col("o_totalprice"), col("o_orderdate"))
+      .agg(count(lit(1)).as("n_orders"))
+      .createOrReplaceTempView("q161_pts")
+    val naive = spark.sql(
+      """SELECT * FROM q161_pts p WHERE NOT EXISTS (
+        |  SELECT 1 FROM q161_pts q
+        |  WHERE q.o_orderpriority = p.o_orderpriority
+        |    AND q.o_totalprice >= p.o_totalprice AND q.o_orderdate >= p.o_orderdate
+        |    AND (q.o_totalprice > p.o_totalprice OR q.o_orderdate > p.o_orderdate))
+        |""".stripMargin)
+      .collect().map(_.toString).toSet
+    val engine = Analytics.paretoFront(spark, sfDir).collect().map(_.toString).toSet
+    assert(engine === naive)
+    assert(engine.nonEmpty)
+  }
+
+  test("q161 pareto: duplicates both survive, dominated ties drop") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val orders = Seq(
+      // (10, t1) dominates (10, t0) [equal price, newer] and (5, t0);
+      // the duplicate (10, t1) pair collapses to one row, n_orders 2;
+      // (20, t0) survives (higher price, older date — a true tradeoff)
+      (1L, "P", 10.0, t1), (2L, "P", 10.0, t1), (3L, "P", 10.0, t0),
+      (4L, "P", 5.0, t0), (5L, "P", 20.0, t0)
+    ).toDF("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+      .withColumn("o_custkey", lit(1L)).withColumn("o_orderstatus", lit("O"))
+    val out = Analytics.paretoFront(orders).collect()
+      .map(r => (r.getDouble(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(out === Set((10.0, t1, 2L), (20.0, t0, 1L)), s"got $out")
+  }
 }
