@@ -179,6 +179,12 @@ object SparkEntry {
     "q159_nearest_event"           -> ((s: SparkSession, d: String) => Temporal.nearestEventJoin(s, d)),
     "q160_anti_entropy_repair"     -> ((s: SparkSession, d: String) => Cleanse.antiEntropyRepair(s, d)),
     "q161_pareto_front"            -> ((s: SparkSession, d: String) => Analytics.paretoFront(s, d)),
+    "q162_hybrid_rrf"              -> ((s: SparkSession, d: String) => Fusion.hybridRrf(s, d)),
+    "q163_fuzzy_match"             -> ((s: SparkSession, d: String) => ApproxDedup.fuzzyMatch(s, d)),
+    "q164_ab_welch"                -> ((s: SparkSession, d: String) => Analytics.abWelch(s, d)),
+    "q165_char_entropy"            -> ((s: SparkSession, d: String) => CharEntropy.charEntropy(s, d)),
+    "q166_cusum_changepoint"       -> ((s: SparkSession, d: String) => Temporal.cusumChangepoint(s, d)),
+    "q167_ann_filtered"            -> ((s: SparkSession, d: String) => Similarity.filteredTopK(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -816,6 +822,12 @@ object SparkEntry {
     "q159_nearest_event" -> Temporal.nearestEventJoinOracleSql,
     "q160_anti_entropy_repair" -> Cleanse.antiEntropyRepairOracleSql,
     "q161_pareto_front" -> Analytics.paretoFrontOracleSql,
+    "q162_hybrid_rrf" -> Fusion.hybridRrfOracleSql,
+    "q163_fuzzy_match" -> ApproxDedup.fuzzyMatchOracleSql,
+    "q164_ab_welch" -> Analytics.abWelchOracleSql,
+    "q165_char_entropy" -> CharEntropy.charEntropyOracleSql,
+    "q166_cusum_changepoint" -> Temporal.cusumChangepointOracleSql,
+    "q167_ann_filtered" -> Similarity.filteredTopKOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -1497,4 +1497,102 @@ object Analytics {
       |SELECT o_orderpriority, o_totalprice, o_orderdate, n_orders
       |FROM sc WHERE dmax IS NULL OR dmax < o_orderdate
       |ORDER BY o_orderpriority, o_totalprice DESC, o_orderdate""".stripMargin
+
+  /** q164: Welch two-sample t-test per event_type — the A/B readout every
+    * data-driven rollout ends in (the reference surfaces per-facet metric
+    * panels, streamlit/app/app.py:84-140; an experimentation readout is
+    * those panels with a significance column). Deterministic hash split:
+    * even user_id = control, odd = treatment; metric = event value.
+    * Emits group sizes, group means, the Welch t statistic (unequal
+    * variances — the safe default, never pooled), and the
+    * Welch–Satterthwaite degrees of freedom.
+    *
+    * Engine-exact: values integerize to milli (q90's floor·10³), per-arm
+    * (n, Σx, Σx²) are exact BIGINT aggregates, and the t/dof chain is a
+    * fixed-order IEEE double expression over those integers, mirrored
+    * token-for-token in the oracle; zero-variance arms yield NULL t (not
+    * NaN) like q90, and arms need n ≥ 2. Non-negative user_id enforced so
+    * `%` and `pmod` agree (the q139 trap).
+    *
+    * Scale notes: ONE map-combined aggregation over events (conditional
+    * sums fold both arms in the same combiner) — output is |event_type|
+    * rows; nothing else shuffles. At 100 TB this is the textbook
+    * partial-agg pattern: 6 long counters per (partition, type). */
+  def abWelch(s: SparkSession, dir: String): DataFrame =
+    abWelch(Tables.events(s, dir))
+
+  def abWelch(events: DataFrame): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val e = events
+      .filter(col("event_type").isNotNull && col("value").isNotNull &&
+        col("user_id").isNotNull && col("user_id") >= 0L)
+      .select(col("event_type"), pmod(col("user_id"), lit(2L)).as("arm"),
+        floor(col("value") * 1e3).cast("long").as("x"))
+    val g = e.groupBy(col("event_type")).agg(
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("nc"),
+      sum(when(col("arm") === 0L, col("x")).otherwise(0L)).as("sc1"),
+      sum(when(col("arm") === 0L, col("x") * col("x")).otherwise(0L)).as("sc2"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("nt"),
+      sum(when(col("arm") === 1L, col("x")).otherwise(0L)).as("st1"),
+      sum(when(col("arm") === 1L, col("x") * col("x")).otherwise(0L)).as("st2"))
+      .filter(col("nc") >= 2L && col("nt") >= 2L)
+    val vc = (d(col("nc")) * d(col("sc2")) - d(col("sc1")) * d(col("sc1"))) /
+      (d(col("nc")) * (d(col("nc")) - lit(1.0)))
+    val vt = (d(col("nt")) * d(col("st2")) - d(col("st1")) * d(col("st1"))) /
+      (d(col("nt")) * (d(col("nt")) - lit(1.0)))
+    g.withColumn("se2", vc / d(col("nc")) + vt / d(col("nt")))
+      .withColumn("t_welch_r",
+        round((d(col("st1")) / d(col("nt")) - d(col("sc1")) / d(col("nc"))) /
+          when(sqrt(col("se2")) === 0.0, lit(null)).otherwise(sqrt(col("se2"))), 6))
+      .withColumn("dof_r",
+        round(col("se2") * col("se2") /
+          when((vc / d(col("nc"))) * (vc / d(col("nc"))) / (d(col("nc")) - lit(1.0))
+              + (vt / d(col("nt"))) * (vt / d(col("nt"))) / (d(col("nt")) - lit(1.0)) === 0.0,
+            lit(null))
+            .otherwise((vc / d(col("nc"))) * (vc / d(col("nc"))) / (d(col("nc")) - lit(1.0))
+              + (vt / d(col("nt"))) * (vt / d(col("nt"))) / (d(col("nt")) - lit(1.0))), 6))
+      .select(col("event_type"), col("nc"), col("nt"),
+        round(d(col("sc1")) / d(col("nc")) / lit(1000.0), 6).as("mean_c_r"),
+        round(d(col("st1")) / d(col("nt")) / lit(1000.0), 6).as("mean_t_r"),
+        col("t_welch_r"), col("dof_r"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q164 oracle: identical moments and the identical float chain. */
+  def abWelchOracleSql: String =
+    """WITH e AS (SELECT event_type, user_id % 2 AS arm,
+      |    CAST(FLOOR(value * 1e3) AS BIGINT) AS x
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+      |    AND user_id IS NOT NULL AND user_id >= 0),
+      |g AS (SELECT event_type,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sc1,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN x * x ELSE 0 END) AS BIGINT) AS sc2,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS st1,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN x * x ELSE 0 END) AS BIGINT) AS st2
+      |  FROM e GROUP BY 1
+      |  HAVING SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) >= 2
+      |     AND SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) >= 2),
+      |v AS (SELECT *,
+      |    (CAST(nc AS DOUBLE) * CAST(sc2 AS DOUBLE) - CAST(sc1 AS DOUBLE) * CAST(sc1 AS DOUBLE))
+      |      / (CAST(nc AS DOUBLE) * (CAST(nc AS DOUBLE) - 1.0)) AS vc,
+      |    (CAST(nt AS DOUBLE) * CAST(st2 AS DOUBLE) - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE))
+      |      / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) - 1.0)) AS vt
+      |  FROM g),
+      |s AS (SELECT *, vc / CAST(nc AS DOUBLE) + vt / CAST(nt AS DOUBLE) AS se2 FROM v)
+      |SELECT event_type, nc, nt,
+      |  ROUND(CAST(sc1 AS DOUBLE) / CAST(nc AS DOUBLE) / 1000.0, 6) AS mean_c_r,
+      |  ROUND(CAST(st1 AS DOUBLE) / CAST(nt AS DOUBLE) / 1000.0, 6) AS mean_t_r,
+      |  ROUND((CAST(st1 AS DOUBLE) / CAST(nt AS DOUBLE) - CAST(sc1 AS DOUBLE) / CAST(nc AS DOUBLE))
+      |    / (CASE WHEN sqrt(se2) = 0.0 THEN NULL ELSE sqrt(se2) END), 6) AS t_welch_r,
+      |  ROUND(se2 * se2 / (CASE WHEN
+      |      (vc / CAST(nc AS DOUBLE)) * (vc / CAST(nc AS DOUBLE)) / (CAST(nc AS DOUBLE) - 1.0)
+      |    + (vt / CAST(nt AS DOUBLE)) * (vt / CAST(nt AS DOUBLE)) / (CAST(nt AS DOUBLE) - 1.0) = 0.0
+      |    THEN NULL ELSE
+      |      (vc / CAST(nc AS DOUBLE)) * (vc / CAST(nc AS DOUBLE)) / (CAST(nc AS DOUBLE) - 1.0)
+      |    + (vt / CAST(nt AS DOUBLE)) * (vt / CAST(nt AS DOUBLE)) / (CAST(nt AS DOUBLE) - 1.0)
+      |    END), 6) AS dof_r
+      |FROM s ORDER BY event_type""".stripMargin
 }

@@ -454,4 +454,88 @@ object ApproxDedup {
         coalesce(col("n_hamming_le3"), lit(0L)).as("n_hamming_le3"))
       .orderBy("doc_id")
   }
+
+  /** Edit-distance threshold for [[fuzzyMatch]]: ≤ 2 edits flags the
+    * adjective-swap / typo class without matching across part families. */
+  val FuzzyMaxDist = 2
+  /** Key-packing base for the deterministic best-match argmin: encodes
+    * (dist, key) as `dist·10⁶ + key` so MIN picks the closest match,
+    * smallest key first. Valid while keys < 10⁶ (holds through sf1's
+    * 200k parts; a guard filter enforces it). */
+  val FuzzyKeyBase = 1000000L
+
+  /** q163: blocked fuzzy entity matching — near-identical `p_name`
+    * variants inside a `p_brand` block, by Levenshtein distance ≤
+    * [[FuzzyMaxDist]]. The string-similarity member of the dedup family
+    * (SURVEY §2d): exact (q22), shingle-Jaccard (q23), MinHash (q24),
+    * SimHash (q25), embedding (q26) — and here character-level edit
+    * distance, the classic record-linkage scorer for short attribute
+    * strings (names, titles, SKUs; the reference dedups heritage records
+    * whose titles differ by an edit, deduplicate_from_qdrant.py:160-186
+    * does it vector-side). Per left row: candidate count, closest
+    * distance, and a deterministic best match (min dist, then min key).
+    *
+    * Cross-engine exactness: Spark's `levenshtein` counts code points,
+    * DuckDB's counts BYTES — divergent on any multibyte name, so both
+    * sides restrict to single-byte (ASCII) names where the two metrics
+    * coincide (`length = octet_length`); the aggregate is pure-integer
+    * (COUNT/MIN over the packed `dist·10⁶+key`).
+    *
+    * Scale notes: the brand block is the classic record-linkage blocking
+    * key — the cross join never leaves a block, so a broadcast-free
+    * shuffle on `p_brand` bounds each task at block² pairs, and the
+    * char-length prefilter (|len(a)−len(b)| ≤ maxDist, a necessary
+    * condition for edit distance) prunes most pairs before the O(m·n)
+    * Levenshtein kernel runs. Skewed mega-blocks would salt exactly like
+    * q53. Output stays O(n): pairs collapse to one row per left part in
+    * the same aggregation — the pair frame never materializes. */
+  def fuzzyMatch(s: SparkSession, dir: String): DataFrame =
+    fuzzyMatch(Tables.part(s, dir))
+
+  def fuzzyMatch(part: DataFrame): DataFrame = {
+    val p = part
+      .filter(col("p_partkey").isNotNull && col("p_name").isNotNull &&
+        col("p_brand").isNotNull &&
+        length(col("p_name")) === octet_length(col("p_name")) &&
+        col("p_partkey") >= 0L && col("p_partkey") < FuzzyKeyBase)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
+      col("p_brand").as("brand"))
+    val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
+      col("p_brand").as("brand"))
+    a.join(b, Seq("brand"))
+      .filter(col("a_key") =!= col("b_key") &&
+        abs(length(col("a_name")) - length(col("b_name"))) <= FuzzyMaxDist)
+      // threshold form: banded O(len·k) with early exit (returns -1 past
+      // the threshold) — at block² pair counts the full O(m·n) matrix is
+      // the dominant cost, and k=2 bands cut it ~5×
+      .withColumn("d",
+        levenshtein(col("a_name"), col("b_name"), FuzzyMaxDist).cast("long"))
+      .filter(col("d") >= 0L && col("d") <= FuzzyMaxDist)
+      .groupBy(col("a_key").as("p_partkey"), col("a_name").as("p_name"))
+      .agg(count(lit(1)).as("n_fuzzy"),
+        min(col("d")).as("min_dist"),
+        min(col("d") * FuzzyKeyBase + col("b_key")).as("enc"))
+      .select(col("p_partkey"), col("p_name"), col("n_fuzzy"), col("min_dist"),
+        pmod(col("enc"), lit(FuzzyKeyBase)).as("best_match_key"))
+      .orderBy("p_partkey")
+  }
+
+  /** q163 oracle: same blocking, prefilter, threshold, and packed argmin. */
+  def fuzzyMatchOracleSql: String =
+    s"""WITH p AS (SELECT p_partkey, p_name, p_brand FROM part
+      |  WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL AND p_brand IS NOT NULL
+      |    AND length(p_name) = strlen(p_name)
+      |    AND p_partkey >= 0 AND p_partkey < $FuzzyKeyBase),
+      |d AS (SELECT a.p_partkey AS a_key, a.p_name AS a_name,
+      |    CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS d, b.p_partkey AS b_key
+      |  FROM p a JOIN p b ON a.p_brand = b.p_brand
+      |    AND a.p_partkey <> b.p_partkey
+      |    AND abs(length(a.p_name) - length(b.p_name)) <= $FuzzyMaxDist)
+      |SELECT a_key AS p_partkey, a_name AS p_name,
+      |  CAST(COUNT(*) AS BIGINT) AS n_fuzzy,
+      |  MIN(d) AS min_dist,
+      |  MIN(d * $FuzzyKeyBase + b_key) % $FuzzyKeyBase AS best_match_key
+      |FROM d WHERE d <= $FuzzyMaxDist
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 }

@@ -558,4 +558,67 @@ object Similarity {
     explodeTopK(scored, "src_id", "nbr_id", 3)
       .orderBy("src_id", "rank")
   }
+
+  /** q167: metadata-filtered vector search — q27's exact ranking with a
+    * payload predicate: candidates must carry the query's `label`. This
+    * is Qdrant's filtered search, the single most-used production vector
+    * query shape ("similar items in the same category"): the reference's
+    * UI composes it from two halves — attribute filters over metadata
+    * (streamlit/app/app.py:110-147 creator/provider/tags WHERE clauses)
+    * and the unfiltered vector panel (app.py:237-254) — while the engine
+    * applies the predicate INSIDE the search so the top-k is filled with
+    * eligible items, not post-filtered away (post-filtering a top-10 by
+    * label can return 0 rows; in-search filtering cannot).
+    *
+    * Scale notes: the label predicate becomes the join key — candidates
+    * shuffle-prune to the query's label partition before a single dot
+    * product runs, the DataFrame analog of a label-partitioned IVF index
+    * (filter attr = partition key, so Catalyst prunes at the scan when
+    * the corpus is stored partitioned by label). The query side stays
+    * broadcast; top-k is the same map-side bounded-heap aggregate as
+    * q27. NULL-label rows are unmatchable payloads and drop at the scan,
+    * like NULL embeddings. */
+  def filteredTopK(s: SparkSession, dir: String): DataFrame =
+    filteredTopK(graft.Tables.embeddings(s, dir))
+
+  def filteredTopK(embeddings: DataFrame): DataFrame = {
+    val v = embeddings
+      .where(col("embedding").isNotNull && col("label").isNotNull)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label"),
+        col("e").as("eq"), col("nrm").as("nq"))
+    val c = v.select(col("vec_id").as("__cand_id"), col("label"),
+      col("e").as("ec"), col("nrm").as("nc"))
+    val scored = broadcast(q).join(c, Seq("label"))
+      .filter(col("query_id") =!= col("__cand_id"))
+      .select(col("query_id"), col("__cand_id"),
+        cosinePre(col("eq"), col("ec"), col("nq"), col("nc")).as("sim"))
+    explodeTopK(scored, "query_id", "cand_id", 10)
+      .join(broadcast(q.select(col("query_id"), col("label"))), Seq("query_id"))
+      .select(col("query_id"), col("label"), col("cand_id"), col("rank"),
+        col("sim_r"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q167 oracle: q27's cosine CTEs with the label equi-predicate. */
+  def filteredTopKOracleSql: String =
+    """WITH v AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      |n AS (SELECT vec_id, label, e,
+      |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm FROM v),
+      |p AS (SELECT q.vec_id AS query_id, q.label AS label, c.vec_id AS cand_id,
+      |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(range(1, len(q.e)+1), i -> q.e[i]*c.e[i])), (x,y) -> x+y)
+      |   / (q.nrm * c.nrm) AS sim
+      |  FROM n q JOIN n c ON q.label = c.label
+      |    AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |r AS (SELECT query_id, label, cand_id, sim,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+      |  FROM p)
+      |SELECT query_id, label, cand_id, rank, ROUND(sim, 9) AS sim_r
+      |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 }

@@ -538,4 +538,82 @@ object Temporal {
       |FROM probes p JOIN dim d ON p.user_id = d.d_user
       |  AND d.valid_from <= p.ts AND (d.valid_to IS NULL OR p.ts < d.valid_to)
       |ORDER BY p.event_id""".stripMargin
+
+  /** q166: CUSUM level-shift changepoint over the daily event-volume
+    * series — the offline complement to q96's trailing-window z-score:
+    * q96 flags hour-local spikes against a moving baseline; CUSUM
+    * (Page 1954) accumulates every day's deviation from the GLOBAL mean,
+    * so a sustained level shift — ingestion drop, source cutover,
+    * scraper breakage — shows as the peak of the cumulative deviation
+    * curve, and the argmax day IS the maximum-likelihood shift point for
+    * a mean change. The monitoring query behind "when did our daily
+    * volume actually change", run over the same rollup the reference's
+    * dashboard plots as its daily activity panel (streamlit/app/app.py:
+    * 84-140).
+    *
+    * Engine-exact: with daily totals Tₜ (milli-integer), D days and
+    * grand total S, the scaled CUSUM cₜ = D·Σ_{d≤t}Td − t·S is pure
+    * BIGINT (no division inside the recursion); the argmax is an integer
+    * comparison (earliest day wins ties) and the only doubles are the
+    * final unit-restoring divisions, identical in both engines.
+    *
+    * Scale notes: one map-combined rollup collapses the 100 TB event
+    * scan to |days| rows; the cumulative window then runs
+    * single-partition over that day-level frame (hundreds of rows — the
+    * correct frame for a global time series, same shape as q146's trend
+    * table). Nothing unbounded touches the raw events. */
+  def cusumChangepoint(s: SparkSession, dir: String): DataFrame =
+    cusumChangepoint(Tables.events(s, dir))
+
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val daily = events
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(to_date(col("ts")).as("day"),
+        floor(col("value") * 1e3).cast("long").as("x"))
+      .groupBy(col("day"))
+      .agg(sum(col("x")).as("t"), count(lit(1)).as("n"))
+    val tot = daily.agg(sum(col("t")).as("s_all"),
+      count(lit(1)).as("n_days"))
+    val wSeq = Window.orderBy(col("day"))
+    val wCum = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .withColumn("idx", row_number().over(wSeq).cast("long"))
+      .withColumn("p", sum(col("t")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .withColumn("c", col("n_days") * col("p") - col("idx") * col("s_all"))
+      .withColumn("mx", max(abs(col("c"))).over(wAll))
+      .withColumn("cp_day",
+        min(when(abs(col("c")) === col("mx"), col("day"))).over(wAll))
+      .select(col("day"), col("n"),
+        round(d(col("t")) / 1000.0, 6).as("total_r"),
+        round(d(col("c")) / (d(col("n_days")) * 1000.0), 6).as("cusum_r"),
+        (col("day") === col("cp_day")).as("is_changepoint"))
+      .orderBy("day")
+  }
+
+  /** q166 oracle: the same integer CUSUM and window argmax. */
+  def cusumChangepointOracleSql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(value * 1e3) AS BIGINT)) AS BIGINT) AS t,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(t) AS BIGINT) AS s_all,
+      |    CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+      |c AS (SELECT day, n, t, s_all, n_days,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS idx,
+      |    CAST(SUM(t) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+      |  FROM daily CROSS JOIN tot),
+      |k AS (SELECT *, n_days * p - idx * s_all AS c FROM c),
+      |mx AS (SELECT *, MAX(ABS(c)) OVER () AS mx FROM k),
+      |m AS (SELECT *,
+      |    MIN(CASE WHEN ABS(c) = mx THEN day END) OVER () AS cp_day
+      |  FROM mx)
+      |SELECT day, n,
+      |  ROUND(CAST(t AS DOUBLE) / 1000.0, 6) AS total_r,
+      |  ROUND(CAST(c AS DOUBLE) / (CAST(n_days AS DOUBLE) * 1000.0), 6) AS cusum_r,
+      |  day = cp_day AS is_changepoint
+      |FROM m ORDER BY day""".stripMargin
 }

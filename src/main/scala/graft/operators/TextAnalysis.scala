@@ -277,3 +277,70 @@ object TextAnalysis {
           1, 150))).as("clip_text"))
       .orderBy("doc_id")
 }
+
+/** Character-distribution quality signals over `documents` — the
+  * information-theoretic complement to [[TextAnalysis]]'s ratio scores
+  * (q31): machine-generated filler, binary-in-text mojibake, and
+  * keyboard-mash spam all sit at entropy extremes that length/punct
+  * ratios miss, so corpus-quality filters (Gopher/C4-style heuristics)
+  * gate on character entropy alongside them. Reference anchor: the
+  * cleansing layer's text-quality gates (eu_raw_to_cleansed_merge.py:
+  * 33-60 trims and validates description text; entropy is that gate
+  * armed against adversarial filler).
+  *
+  * Split in its own object: the per-character explode is a deliberately
+  * different cost shape (rows × avg_len intermediate) than the cheap
+  * per-row scorers in [[TextAnalysis]]. */
+object CharEntropy {
+
+  /** q165: per-doc Shannon entropy (nats) over Unicode code points.
+    *
+    * Engine-exact: H = ln(n) − (Σ cᵢ·ln cᵢ)/n is computed with q67's
+    * integral-micro quantization — each ln is rounded to an integral
+    * double of micro-nats, so every product/sum below 2⁵³ is exact
+    * integer arithmetic and the one final division is IEEE-identical;
+    * both engines split on code points (Java regex and RE2 both advance
+    * zero-width matches by code point, never through a surrogate pair).
+    *
+    * Scale notes: explode → two map-combined aggregations keyed
+    * (doc_id, ch) then (doc_id); the first combiner collapses the
+    * character stream back to ≤ |alphabet| rows per doc per partition,
+    * so the shuffle carries ~distinct-chars × docs rows, not corpus
+    * characters. No window, no driver state. */
+  def charEntropy(s: SparkSession, dir: String): DataFrame =
+    charEntropy(graft.Tables.documents(s, dir))
+
+  def charEntropy(docs: DataFrame): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val ch = docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), ""), c => c =!= "")).as("ch"))
+    val per = ch.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_cp"),
+        count(lit(1)).as("n_distinct"),
+        sum(d(col("c")) * round(log(d(col("c"))) * 1e6)).as("s"))
+    per.select(col("doc_id"), col("n_cp"), col("n_distinct"),
+        round((round(log(d(col("n_cp"))) * 1e6) * d(col("n_cp")) - col("s"))
+          / (d(col("n_cp")) * 1e6), 6).as("entropy_r"))
+      .orderBy("doc_id")
+  }
+
+  /** q165 oracle: identical quantized-ln chain over the same code-point
+    * split. */
+  def charEntropyOracleSql: String =
+    """WITH ch AS (SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(text, ''), c -> c <> '')) AS ch
+      |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |c AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c FROM ch GROUP BY 1, 2),
+      |p AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_cp,
+      |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |    SUM(CAST(c AS DOUBLE) * round(ln(CAST(c AS DOUBLE)) * 1000000.0)) AS s
+      |  FROM c GROUP BY 1)
+      |SELECT doc_id, n_cp, n_distinct,
+      |  ROUND((round(ln(CAST(n_cp AS DOUBLE)) * 1000000.0) * CAST(n_cp AS DOUBLE) - s)
+      |    / (CAST(n_cp AS DOUBLE) * 1000000.0), 6) AS entropy_r
+      |FROM p ORDER BY doc_id""".stripMargin
+}

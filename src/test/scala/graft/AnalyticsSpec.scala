@@ -224,4 +224,59 @@ class AnalyticsSpec extends SparkTestBase {
       .map(r => (r.getDouble(1), r.getTimestamp(2), r.getLong(3))).toSet
     assert(out === Set((10.0, t1, 2L), (20.0, t0, 1L)), s"got $out")
   }
+
+  test("q164 welch: hand-checked t statistic on a planted split") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // control (even users): 1.0, 2.0 — treatment (odd users): 3.0, 5.0
+    val ev = Seq(
+      (0L, "t", 1.0), (2L, "t", 2.0), (1L, "t", 3.0), (3L, "t", 5.0)
+    ).map { case (u, et, v) => (u, et, v, ts) }
+      .toDF("user_id", "event_type", "value", "ts")
+    val r = Analytics.abWelch(ev).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("nc") === 2L && row.getAs[Long]("nt") === 2L)
+    assert(row.getAs[Double]("mean_c_r") === 1.5)
+    assert(row.getAs[Double]("mean_t_r") === 4.0)
+    // milli: vc = 500000^2*2/2 ... recompute exactly as the operator does
+    val (sc1, sc2, st1, st2) = (3000.0, 5000000.0, 8000.0, 34000000.0)
+    val vc = (2.0 * sc2 - sc1 * sc1) / (2.0 * 1.0)
+    val vt = (2.0 * st2 - st1 * st1) / (2.0 * 1.0)
+    val se2 = vc / 2.0 + vt / 2.0
+    val t = (st1 / 2.0 - sc1 / 2.0) / math.sqrt(se2)
+    val expT = BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("t_welch_r") === expT)
+    val dof = se2 * se2 / ((vc / 2.0) * (vc / 2.0) / 1.0 + (vt / 2.0) * (vt / 2.0) / 1.0)
+    val expD = BigDecimal(dof).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("dof_r") === expD)
+  }
+
+  test("q164 welch: zero-variance both arms yields NULL t, not NaN") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = Seq((0L, "z", 2.0), (2L, "z", 2.0), (1L, "z", 2.0), (3L, "z", 2.0))
+      .map { case (u, et, v) => (u, et, v, ts) }
+      .toDF("user_id", "event_type", "value", "ts")
+    val row = Analytics.abWelch(ev).collect().head
+    assert(row.isNullAt(row.fieldIndex("t_welch_r")))
+    assert(row.isNullAt(row.fieldIndex("dof_r")))
+  }
+
+  test("q164 welch: arms below n=2 drop; corpus run is sane") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = Seq((0L, "only_control", 1.0), (2L, "only_control", 2.0))
+      .map { case (u, et, v) => (u, et, v, ts) }
+      .toDF("user_id", "event_type", "value", "ts")
+    assert(Analytics.abWelch(ev).collect().isEmpty)
+    val corpus = Analytics.abWelch(spark, sfDir).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getAs[Long]("nc") >= 2L && r.getAs[Long]("nt") >= 2L)
+      // a 50/50 user split should never be pathologically lopsided
+      val ratio = r.getAs[Long]("nc").toDouble / r.getAs[Long]("nt").toDouble
+      assert(ratio > 0.2 && ratio < 5.0)
+    }
+  }
 }

@@ -142,4 +142,35 @@ class ApproxDedupSpec extends SparkTestBase {
     assert(out(11L) === ((1L, true)))  // via the corpus, NOT via batch doc 10
     assert(out(12L) === ((12L, false))) // no corpus match -> mints itself
   }
+
+  test("q163 fuzzy: blocked edit-distance match with deterministic argmin") {
+    val part = Seq(
+      (1L, "red ring", "A"),
+      (2L, "red king", "A"),   // d=1 from 1
+      (3L, "red rink", "A"),   // d=1 from 1, d=2 from 2
+      (4L, "blue gear", "A"),  // d>2 from everything in A
+      (5L, "red ring", "B"),   // other block: never matches A
+      (6L, "réd ring", "A") // non-ASCII: excluded (byte vs codepoint metrics)
+    ).toDF("p_partkey", "p_name", "p_brand")
+    val out = ApproxDedup.fuzzyMatch(part).collect()
+      .map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[Long]("n_fuzzy"), r.getAs[Long]("min_dist"),
+          r.getAs[Long]("best_match_key"))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L)) // 4 unmatched, 5 alone in B, 6 dropped
+    assert(out(1L) === ((2L, 1L, 2L))) // ties on dist=1 -> smallest key (2)
+    assert(out(2L) === ((2L, 1L, 1L)))
+    assert(out(3L) === ((2L, 1L, 1L)))
+  }
+
+  test("q163 fuzzy: corpus pairs are symmetric and within threshold") {
+    val out = ApproxDedup.fuzzyMatch(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val keys = out.map(_.getAs[Long]("p_partkey")).toSet
+    out.foreach { r =>
+      assert(r.getAs[Long]("min_dist") <= ApproxDedup.FuzzyMaxDist)
+      assert(r.getAs[Long]("n_fuzzy") >= 1L)
+      // fuzzy-match is symmetric: my best match must itself be matched
+      assert(keys.contains(r.getAs[Long]("best_match_key")))
+    }
+  }
 }

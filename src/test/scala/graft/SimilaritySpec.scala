@@ -309,4 +309,34 @@ class SimilaritySpec extends SparkTestBase {
     // upserted vectors are live: some mod-5 neighbor must surface
     assert(one.exists(_._2 % 5 == 0), s"no upserted vector ever retrieved: $one")
   }
+
+  test("q167 filtered search: a perfect match outside the label is invisible") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 7),  // query, label 7
+      (1L, Array(0.6f, 0.8f), 7),  // same label, cosine 0.6
+      (2L, Array(1.0f, 0.0f), 8),  // cosine 1.0 but label 8 — must NOT appear
+      (3L, Array(1.0f, 0.0f), 7),  // same label, cosine 1.0
+      (4L, null.asInstanceOf[Array[Float]], 7), // NULL embedding drops
+      (20L, Array(0.0f, 1.0f), 8)  // candidate-only (id ≥ 10), label 8
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.filteredTopK(vecs)
+      .filter(col("query_id") === 0L).collect()
+      .map(r => (r.getAs[Long]("cand_id"), r.getAs[Long]("rank"),
+        r.getAs[Int]("label")))
+    assert(out.toSeq === Seq((3L, 1L, 7), (1L, 2L, 7)))
+  }
+
+  test("q167 filtered search: every hit shares the query label (corpus)") {
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val out = Similarity.filteredTopK(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(labels(r.getAs[Long]("cand_id")) === r.getAs[Int]("label"))
+      assert(labels(r.getAs[Long]("query_id")) === r.getAs[Int]("label"))
+      assert(r.getAs[Long]("rank") >= 1L && r.getAs[Long]("rank") <= 10L)
+    }
+  }
 }

@@ -139,4 +139,29 @@ class TemporalSpec extends SparkTestBase {
     assert(out(104L) === ((Some(3L), "prev", Some(900000000L))), "tie must go prev")
     assert(out(105L) === ((Some(6L), "prev", Some(300000000L))), "dup-ts click must dedup to max id")
   }
+
+  test("q166 cusum: the level-shift day carries the peak deviation") {
+    import spark.implicits._
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // level 1.0 for two days, then 5.0: the ML changepoint is day 2
+    val ev = Seq((t(1), 1.0), (t(2), 1.0), (t(3), 5.0), (t(4), 5.0))
+      .toDF("ts", "value")
+    val out = Temporal.cusumChangepoint(ev).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Double]("cusum_r"), r.getAs[Boolean]("is_changepoint"))).toMap
+    // scaled: c_t = 4·P_t − t·12000 → −8000, −16000, −8000, 0 (milli)
+    assert(out("2024-01-01") === ((-2.0, false)))
+    assert(out("2024-01-02") === ((-4.0, true)))
+    assert(out("2024-01-03") === ((-2.0, false)))
+    assert(out("2024-01-04") === ((0.0, false)))
+  }
+
+  test("q166 cusum: exactly one changepoint, cusum ends at zero (corpus)") {
+    val out = Temporal.cusumChangepoint(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.count(_.getAs[Boolean]("is_changepoint")) === 1)
+    // telescoping: D·P_D − D·S = 0 by construction
+    val last = out.maxBy(_.getAs[java.sql.Date]("day").toString)
+    assert(last.getAs[Double]("cusum_r") === 0.0)
+  }
 }

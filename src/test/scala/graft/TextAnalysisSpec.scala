@@ -168,4 +168,49 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(graft.operators.Dedup.exactCanonical(nbsp).collect()
       .map(_.getAs[Long]("cluster_size")).forall(_ == 1L))
   }
+
+  test("q165 entropy: closed-form values on planted distributions") {
+    import spark.implicits._
+    def h(counts: Seq[Long]): Double = {
+      // replay the operator's quantized chain exactly
+      val n = counts.sum
+      val s = counts.map(c => c.toDouble * math.round(math.log(c.toDouble) * 1e6)).sum
+      val v = (math.round(math.log(n.toDouble) * 1e6).toDouble * n - s) / (n * 1e6)
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val docs = Seq(
+      (1L, "aaaa"),      // one symbol: H = 0
+      (2L, "ab"),        // uniform 2: H = ln 2
+      (3L, "abcd"),      // uniform 4: H = ln 4
+      (4L, "aab")        // 2/3,1/3 mix
+    ).toDF("doc_id", "text")
+    val out = graft.operators.CharEntropy.charEntropy(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_cp"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("entropy_r"))).toMap
+    assert(out(1L) === ((4L, 1L, 0.0)))
+    assert(out(2L) === ((2L, 2L, h(Seq(1L, 1L)))))
+    assert(out(3L) === ((4L, 4L, h(Seq(1L, 1L, 1L, 1L)))))
+    assert(out(4L) === ((3L, 2L, h(Seq(2L, 1L)))))
+    assert(math.abs(out(2L)._3 - math.log(2)) < 1e-5)
+    assert(math.abs(out(3L)._3 - math.log(4)) < 1e-5)
+  }
+
+  test("q165 entropy: code points, not bytes; corpus values bounded") {
+    import spark.implicits._
+    val docs = Seq((1L, "\u00e9\u00e9\u00e9"), (2L, "h\u00e9\u00e9")).toDF("doc_id", "text")
+    val out = graft.operators.CharEntropy.charEntropy(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_cp"), r.getAs[Double]("entropy_r"))).toMap
+    assert(out(1L) === ((3L, 0.0))) // 3 code points, one symbol
+    assert(out(2L)._1 === 3L)
+    val corpus = graft.operators.CharEntropy.charEntropy(spark, sfDir).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val hMax = math.log(r.getAs[Long]("n_distinct").toDouble)
+      val h = r.getAs[Double]("entropy_r")
+      assert(h >= -1e-6 && h <= hMax + 1e-6,
+        s"doc ${r.getAs[Long]("doc_id")}: H=$h outside [0, ln distinct=$hMax]")
+    }
+  }
 }
