@@ -185,6 +185,9 @@ object SparkEntry {
     "q165_char_entropy"            -> ((s: SparkSession, d: String) => CharEntropy.charEntropy(s, d)),
     "q166_cusum_changepoint"       -> ((s: SparkSession, d: String) => Temporal.cusumChangepoint(s, d)),
     "q167_ann_filtered"            -> ((s: SparkSession, d: String) => Similarity.filteredTopK(s, d)),
+    "q168_mmr_diversify"           -> ((s: SparkSession, d: String) => Mmr.mmrDiversify(s, d)),
+    "q169_seasonal_anomaly"        -> ((s: SparkSession, d: String) => Temporal.seasonalAnomaly(s, d)),
+    "q170_rfm_segment"             -> ((s: SparkSession, d: String) => Analytics.rfmSegment(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -828,6 +831,9 @@ object SparkEntry {
     "q165_char_entropy" -> CharEntropy.charEntropyOracleSql,
     "q166_cusum_changepoint" -> Temporal.cusumChangepointOracleSql,
     "q167_ann_filtered" -> Similarity.filteredTopKOracleSql,
+    "q168_mmr_diversify" -> Mmr.mmrDiversifyOracleSql,
+    "q169_seasonal_anomaly" -> Temporal.seasonalAnomalyOracleSql,
+    "q170_rfm_segment" -> Analytics.rfmSegmentOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

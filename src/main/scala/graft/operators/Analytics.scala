@@ -1558,6 +1558,91 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q170: RFM (recency / frequency / monetary) user segmentation — the
+    * canonical audience-analytics operator (Hughes 1994): per user,
+    * days-since-last-event, event count, and milli-exact value total,
+    * each cut into explicit equal-frequency quintiles, plus the standard
+    * marketing segment labels. The reference's dashboard profiles
+    * per-user annotation activity (streamlit/app/app.py:84-140); RFM is
+    * that profile made actionable.
+    *
+    * Engine-exact: all three metrics are integers (datediff days, count,
+    * milli sum); quintiles are computed EXPLICITLY as
+    * ((row_number−1)·5) DIV n + 1 over the total order (metric,
+    * user_id) rather than NTILE, so no engine's tie-splitting nuance is
+    * load-bearing; the segment CASE is ordered identically.
+    *
+    * Scale notes: one map-combined per-user rollup collapses the corpus
+    * to |users| rows; the three quintile windows rank THAT rollup. Like
+    * q81→q98, the unpartitioned rank window is the exactness baseline —
+    * at 100 TB user counts, each score flips to q98's two-pass bucketed
+    * cumulative rank (identical integers, no single-partition sort). */
+  def rfmSegment(s: SparkSession, dir: String): DataFrame =
+    rfmSegment(Tables.events(s, dir))
+
+  def rfmSegment(events: DataFrame): DataFrame = {
+    val per = events
+      .filter(col("user_id").isNotNull && col("value").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        floor(col("value") * 1e3).cast("long").as("x"))
+      .groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("n_events"),
+        sum(col("x")).as("m_milli"))
+    val gmax = per.agg(max(col("last_day")).as("gmax"))
+    val wR = Window.orderBy(col("recency_days"), col("user_id"))
+    val wF = Window.orderBy(col("n_events").desc, col("user_id"))
+    val wM = Window.orderBy(col("m_milli").desc, col("user_id"))
+    val ranked = per.crossJoin(broadcast(gmax))
+      .withColumn("recency_days", datediff(col("gmax"), col("last_day")).cast("long"))
+      .withColumn("n_users", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rn_r", row_number().over(wR).cast("long"))
+      .withColumn("rn_f", row_number().over(wF).cast("long"))
+      .withColumn("rn_m", row_number().over(wM).cast("long"))
+      .withColumn("r_q", expr("((rn_r - 1) * 5) div n_users + 1"))
+      .withColumn("f_q", expr("((rn_f - 1) * 5) div n_users + 1"))
+      .withColumn("m_q", expr("((rn_m - 1) * 5) div n_users + 1"))
+    ranked.select(col("user_id"), col("recency_days"), col("n_events"),
+        round(col("m_milli").cast("double") / 1000.0, 6).as("monetary_r"),
+        col("r_q"), col("f_q"), col("m_q"),
+        when(col("r_q") === 1L && col("f_q") <= 2L && col("m_q") <= 2L, "champion")
+          .when(col("r_q") >= 4L && col("f_q") <= 2L, "at_risk")
+          .when(col("r_q") >= 4L && col("f_q") >= 4L, "lost")
+          .when(col("r_q") === 1L && col("f_q") >= 4L, "new")
+          .otherwise("regular").as("segment"))
+      .orderBy("user_id")
+  }
+
+  /** q170 oracle: same rollup, explicit-quintile formula, and CASE. */
+  def rfmSegmentOracleSql: String =
+    """WITH per AS (SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(SUM(CAST(FLOOR(value * 1e3) AS BIGINT)) AS BIGINT) AS m_milli
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY 1),
+      |g AS (SELECT MAX(last_day) AS gmax FROM per),
+      |r AS (SELECT per.*, CAST(date_diff('day', last_day, gmax) AS BIGINT) AS recency_days,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n_users,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY date_diff('day', last_day, gmax), user_id) AS BIGINT) AS rn_r,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS rn_f,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY m_milli DESC, user_id) AS BIGINT) AS rn_m
+      |  FROM per CROSS JOIN g),
+      |q AS (SELECT *, ((rn_r - 1) * 5) // n_users + 1 AS r_q,
+      |    ((rn_f - 1) * 5) // n_users + 1 AS f_q,
+      |    ((rn_m - 1) * 5) // n_users + 1 AS m_q
+      |  FROM r)
+      |SELECT user_id, recency_days, n_events,
+      |  ROUND(CAST(m_milli AS DOUBLE) / 1000.0, 6) AS monetary_r,
+      |  r_q, f_q, m_q,
+      |  CASE WHEN r_q = 1 AND f_q <= 2 AND m_q <= 2 THEN 'champion'
+      |    WHEN r_q >= 4 AND f_q <= 2 THEN 'at_risk'
+      |    WHEN r_q >= 4 AND f_q >= 4 THEN 'lost'
+      |    WHEN r_q = 1 AND f_q >= 4 THEN 'new'
+      |    ELSE 'regular' END AS segment
+      |FROM q ORDER BY user_id""".stripMargin
+
   /** q164 oracle: identical moments and the identical float chain. */
   def abWelchOracleSql: String =
     """WITH e AS (SELECT event_type, user_id % 2 AS arm,

@@ -593,6 +593,79 @@ object Temporal {
       .orderBy("day")
   }
 
+  /** q169: seasonal-baseline anomaly — the calendar-aligned third leg of
+    * the monitoring family: q96 scores an hour against its TRAILING 24 h
+    * (absorbs daily cycles into the baseline), q166 finds the one global
+    * level shift, and this scores each (type, day, hour) against the
+    * profile of THE SAME HOUR-OF-DAY across all days — traffic at 3 am
+    * is judged against other 3 ams, so a diurnal corpus stops
+    * false-alarming every evening peak and a quiet-hour burst stops
+    * hiding inside the daily swing. The shape behind every
+    * "vs same time last week" dashboard panel (the reference plots raw
+    * daily activity, streamlit/app/app.py:84-140).
+    *
+    * Engine-exact: q96's exact chain regrouped — integer moments
+    * (cnt, Σn, Σn²) per (type, hour-of-day) profile, z from the
+    * identical fixed-order double expression, zero-variance → NULL;
+    * profiles need ≥ 2 days. NULL event_type groups are kept and
+    * ordered NULLS LAST in both engines.
+    *
+    * Scale notes: one map-combined rollup to (type, day, hour) rows,
+    * one |types|·24-row profile agg broadcast back onto the rollup —
+    * nothing beyond the first aggregation ever touches raw events, and
+    * the profile join is a broadcast by construction. */
+  def seasonalAnomaly(s: SparkSession, dir: String): DataFrame =
+    seasonalAnomaly(Tables.events(s, dir))
+
+  def seasonalAnomaly(events: DataFrame): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val hourly = events.filter(col("ts").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        hour(col("ts")).cast("long").as("hod"))
+      .groupBy(col("event_type"), col("day"), col("hod"))
+      .agg(count(lit(1)).as("n"))
+    val profile = hourly.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      .filter(col("cnt") >= 2L)
+    val den = d(col("cnt")) *
+      sqrt((d(col("cnt")) * d(col("s2")) - d(col("s1")) * d(col("s1")))
+        / (d(col("cnt")) * (d(col("cnt")) - lit(1.0))))
+    val pr = profile.withColumnRenamed("event_type", "p_type")
+      .withColumnRenamed("hod", "p_hod")
+    // <=> so a NULL event_type group still meets its own profile (the
+    // oracle's null-safe join predicate)
+    hourly.join(broadcast(pr),
+        col("event_type") <=> col("p_type") && col("hod") === col("p_hod"))
+      .select(col("event_type"), col("day"), col("hod"), col("n"), col("cnt"),
+        round((d(col("n")) * d(col("cnt")) - d(col("s1"))) /
+          when(den === 0.0, lit(null)).otherwise(den), 6).as("z_season_r"))
+      .orderBy(col("event_type").asc_nulls_last, col("day"), col("hod"))
+  }
+
+  /** q169 oracle: identical moments and float chain, calendar grouping. */
+  def seasonalAnomalyOracleSql: String =
+    """WITH h AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3),
+      |p AS (SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |    CAST(SUM(n) AS BIGINT) AS s1, CAST(SUM(n * n) AS BIGINT) AS s2
+      |  FROM h GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 2),
+      |z AS (SELECT h.event_type, h.day, h.hod, h.n, p.cnt,
+      |    CAST(p.cnt AS DOUBLE) *
+      |      sqrt((CAST(p.cnt AS DOUBLE) * CAST(p.s2 AS DOUBLE)
+      |          - CAST(p.s1 AS DOUBLE) * CAST(p.s1 AS DOUBLE))
+      |        / (CAST(p.cnt AS DOUBLE) * (CAST(p.cnt AS DOUBLE) - 1.0))) AS den,
+      |    CAST(h.n AS DOUBLE) * CAST(p.cnt AS DOUBLE) - CAST(p.s1 AS DOUBLE) AS num
+      |  FROM h JOIN p ON (h.event_type = p.event_type
+      |      OR (h.event_type IS NULL AND p.event_type IS NULL))
+      |    AND h.hod = p.hod)
+      |SELECT event_type, day, hod, n, cnt,
+      |  ROUND(num / (CASE WHEN den = 0.0 THEN NULL ELSE den END), 6) AS z_season_r
+      |FROM z ORDER BY event_type, day, hod""".stripMargin
+
   /** q166 oracle: the same integer CUSUM and window argmax. */
   def cusumChangepointOracleSql: String =
     """WITH daily AS (SELECT CAST(ts AS DATE) AS day,

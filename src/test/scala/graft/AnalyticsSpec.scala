@@ -263,6 +263,42 @@ class AnalyticsSpec extends SparkTestBase {
     assert(row.isNullAt(row.fieldIndex("dof_r")))
   }
 
+  test("q170 rfm: clean separation puts each user in its own quintile") {
+    import spark.implicits._
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // user k: recency/frequency/monetary all rank k — with 5 users the
+    // quintile formula degenerates to q = rank
+    val ev = Seq(
+      (1L, t(10), 100.0), (1L, t(10), 100.0), (1L, t(10), 100.0),
+      (1L, t(10), 100.0), (1L, t(10), 100.0),
+      (2L, t(9), 50.0), (2L, t(9), 50.0), (2L, t(9), 50.0), (2L, t(9), 50.0),
+      (3L, t(8), 10.0), (3L, t(8), 10.0), (3L, t(8), 10.0),
+      (4L, t(7), 5.0), (4L, t(7), 5.0),
+      (5L, t(1), 1.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Analytics.rfmSegment(ev).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("recency_days"), r.getAs[Long]("r_q"), r.getAs[Long]("f_q"),
+          r.getAs[Long]("m_q"), r.getAs[String]("segment"))).toMap
+    assert(out(1L) === ((0L, 1L, 1L, 1L, "champion")))
+    assert(out(3L) === ((2L, 3L, 3L, 3L, "regular")))
+    assert(out(5L) === ((9L, 5L, 5L, 5L, "lost")))
+    assert(out.values.map(v => (v._2, v._3, v._4)).toSet ===
+      (1 to 5).map(k => (k.toLong, k.toLong, k.toLong)).toSet)
+  }
+
+  test("q170 rfm: quintiles are balanced on the corpus") {
+    val out = Analytics.rfmSegment(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val n = out.length
+    Seq("r_q", "f_q", "m_q").foreach { qc =>
+      val hist = out.groupBy(_.getAs[Long](qc)).view.mapValues(_.length).toMap
+      assert(hist.keySet === (1L to 5L).toSet, s"$qc buckets: ${hist.keySet}")
+      // explicit-formula quintiles: bucket sizes differ by at most 1
+      assert(hist.values.max - hist.values.min <= 1, s"$qc skew: $hist (n=$n)")
+    }
+  }
+
   test("q164 welch: arms below n=2 drop; corpus run is sane") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

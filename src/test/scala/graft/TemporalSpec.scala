@@ -156,6 +156,29 @@ class TemporalSpec extends SparkTestBase {
     assert(out("2024-01-04") === ((0.0, false)))
   }
 
+  test("q169 seasonal: same-hour baseline, zero-variance NULL, cnt<2 drop") {
+    import spark.implicits._
+    def t(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:15:00")
+    val ev = Seq(
+      // hour 3: 2 events each day -> zero variance -> NULL z
+      t(1, 3), t(1, 3), t(2, 3), t(2, 3),
+      // hour 5: 1 event day 1, 3 events day 2 -> z = ∓1/√2
+      t(1, 5), t(2, 5), t(2, 5), t(2, 5),
+      // hour 7: single day -> profile cnt=1 -> excluded
+      t(1, 7)
+    ).map(ts => (ts, "click")).toDF("ts", "event_type")
+    val out = Temporal.seasonalAnomaly(ev).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("hod")) ->
+        Option(r.getAs[java.lang.Double]("z_season_r")).map(_.doubleValue)).toMap
+    assert(!out.keySet.exists(_._2 == 7L))
+    assert(out(("2024-01-01", 3L)) === None)
+    assert(out(("2024-01-02", 3L)) === None)
+    val z = 1.0 / (2.0 * math.sqrt((2.0 * 10.0 - 16.0) / 2.0)) * 2.0 // |n·cnt−s1|/den
+    val zr = BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("2024-01-01", 5L)) === Some(-zr))
+    assert(out(("2024-01-02", 5L)) === Some(zr))
+  }
+
   test("q166 cusum: exactly one changepoint, cusum ends at zero (corpus)") {
     val out = Temporal.cusumChangepoint(spark, sfDir).collect()
     assert(out.nonEmpty)
