@@ -188,6 +188,8 @@ object SparkEntry {
     "q168_mmr_diversify"           -> ((s: SparkSession, d: String) => Mmr.mmrDiversify(s, d)),
     "q169_seasonal_anomaly"        -> ((s: SparkSession, d: String) => Temporal.seasonalAnomaly(s, d)),
     "q170_rfm_segment"             -> ((s: SparkSession, d: String) => Analytics.rfmSegment(s, d)),
+    "q171_embedding_drift"         -> ((s: SparkSession, d: String) => Curation.embeddingDrift(s, d)),
+    "q172_wilson_rank"             -> ((s: SparkSession, d: String) => Serving.wilsonRank(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -834,6 +836,8 @@ object SparkEntry {
     "q168_mmr_diversify" -> Mmr.mmrDiversifyOracleSql,
     "q169_seasonal_anomaly" -> Temporal.seasonalAnomalyOracleSql,
     "q170_rfm_segment" -> Analytics.rfmSegmentOracleSql,
+    "q171_embedding_drift" -> Curation.embeddingDriftOracleSql,
+    "q172_wilson_rank" -> Serving.wilsonRankOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

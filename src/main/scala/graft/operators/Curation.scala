@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Corpus-curation operators a training-data pipeline runs between ingest
@@ -670,4 +671,110 @@ object Curation {
       |  ROUND(CAST(CAST(SUM(t) AS VARCHAR) AS DOUBLE)
       |    / CAST(CAST((CAST(nd AS DECIMAL(38,0)) * CAST(MAX(n_total) AS DECIMAL(38,0)) * 2) AS VARCHAR) AS DOUBLE), 9) AS tv_r
       |FROM terms GROUP BY source, nd, n_dom_vocab ORDER BY source""".stripMargin
+
+  /** q171: embedding-distribution drift per label — q155's monitoring
+    * question asked of the VECTOR space: between the standing corpus
+    * (even vec_id) and the incoming half (odd vec_id), how far did each
+    * label's centroid move, and along which dimension? Embedding drift
+    * is how a silent encoder change, a re-crawl with different
+    * boilerplate, or upstream preprocessing skew first shows up — and it
+    * invalidates every distance-calibrated artifact downstream (IVF
+    * cells q72, PQ codebooks q111, SemDeDup τ q59), so production vector
+    * stores monitor it per index rebuild. Reference anchor: the
+    * embedding refresh cycle (`extracting_embeddings.py:154-183`
+    * recomputes vectors; nothing in the reference checks the new batch
+    * landed in the same space).
+    *
+    * Engine-exact: ‖μ_old − μ_new‖ over the ScaleQ-quantized integral
+    * vectors (q63's convention) with the q146/q155 DECIMAL(38,0)
+    * discipline — per-dim numerator so·nn − sn·no is exact decimal, the
+    * squared sum stays decimal (≤ ~10³⁰ at sf1, bound documented at the
+    * constant), and ONE sqrt + division closes it through the
+    * VARCHAR-mediated decimal→double cast both engines share; the
+    * max-shift dimension is a pure-decimal |·| argmax (dim asc ties).
+    *
+    * Scale notes: one posexplode shuffle to (label, dim) — 64·|labels|
+    * rows out of the combiner regardless of corpus size; half counts are
+    * a |labels|-row broadcast; the argmax window runs over 64-row
+    * partitions. */
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame =
+    embeddingDrift(Tables.embeddings(s, dir))
+
+  def embeddingDrift(embeddings: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val str2dbl = (c: Column) => c.cast("string").cast("double")
+    val d = (c: Column) => c.cast("double")
+    val base = embeddings
+      .filter(col("embedding").isNotNull && col("label").isNotNull &&
+        col("vec_id").isNotNull && col("vec_id") >= 0L)
+      .select(col("label"), pmod(col("vec_id"), lit(2L)).as("half"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * KMeansOp.ScaleQ)).as("q"))
+    val cnts = base.groupBy(col("label"))
+      .agg(sum(when(col("half") === 0L, 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("half") === 1L, 1L).otherwise(0L)).as("n_new"))
+      .filter(col("n_old") > 0L && col("n_new") > 0L)
+    val perDim = base
+      .select(col("label"), col("half"), posexplode(col("q")))
+      .select(col("label"), col("half"), col("pos").as("dim"),
+        col("col").cast("long").as("xq"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(when(col("half") === 0L, col("xq")).otherwise(0L)).as("so"),
+        sum(when(col("half") === 1L, col("xq")).otherwise(0L)).as("sn"))
+      .join(broadcast(cnts), Seq("label"))
+      .withColumn("num",
+        d38(col("so")) * d38(col("n_new")) - d38(col("sn")) * d38(col("n_old")))
+    val wDim = Window.partitionBy(col("label"))
+      .orderBy(abs(col("num")).desc, col("dim"))
+    val top = perDim.withColumn("rn", row_number().over(wDim))
+      .filter(col("rn") === 1)
+      .select(col("label"), col("dim").cast("long").as("max_shift_dim"))
+    perDim.groupBy(col("label"))
+      .agg(max(col("n_old")).as("n_old"), max(col("n_new")).as("n_new"),
+        sum(col("num") * col("num")).as("s2"))
+      .join(broadcast(top), Seq("label"))
+      .select(col("label"), col("n_old"), col("n_new"),
+        round(sqrt(str2dbl(col("s2")))
+          / (d(col("n_old")) * d(col("n_new")) * lit(KMeansOp.ScaleQ)), 6)
+          .as("drift_r"),
+        col("max_shift_dim"))
+      .orderBy("label")
+  }
+
+  /** q171 oracle: identical quantization, decimal numerators, argmax,
+    * and the VARCHAR-mediated final cast; dims explode against a fixed
+    * 0..63 range (the corpus dimension, gated by q108). */
+  def embeddingDriftOracleSql: String =
+    s"""WITH b AS (SELECT label, vec_id % 2 AS half,
+      |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * ${KMeansOp.ScaleQ})) AS q
+      |  FROM embeddings
+      |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+      |    AND vec_id IS NOT NULL AND vec_id >= 0),
+      |c AS (SELECT label,
+      |    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+      |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      |  FROM b GROUP BY 1
+      |  HAVING SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) > 0
+      |     AND SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) > 0),
+      |pd AS (SELECT b.label, dims.dim,
+      |    CAST(SUM(CASE WHEN half = 0 THEN q[dims.dim + 1] ELSE 0 END) AS BIGINT) AS so,
+      |    CAST(SUM(CASE WHEN half = 1 THEN q[dims.dim + 1] ELSE 0 END) AS BIGINT) AS sn
+      |  FROM b CROSS JOIN (SELECT unnest(range(0, ${graft.operators.Similarity.Dim})) AS dim) dims
+      |  GROUP BY 1, 2),
+      |n AS (SELECT pd.label, pd.dim, c.n_old, c.n_new,
+      |    CAST(so AS DECIMAL(38,0)) * CAST(n_new AS DECIMAL(38,0))
+      |      - CAST(sn AS DECIMAL(38,0)) * CAST(n_old AS DECIMAL(38,0)) AS num
+      |  FROM pd JOIN c USING (label)),
+      |t AS (SELECT label, CAST(dim AS BIGINT) AS max_shift_dim FROM (
+      |  SELECT label, dim,
+      |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY abs(num) DESC, dim) AS rn
+      |  FROM n) WHERE rn = 1),
+      |s AS (SELECT label, MAX(n_old) AS n_old, MAX(n_new) AS n_new,
+      |    SUM(num * num) AS s2
+      |  FROM n GROUP BY 1)
+      |SELECT s.label, s.n_old, s.n_new,
+      |  ROUND(sqrt(CAST(CAST(s.s2 AS VARCHAR) AS DOUBLE))
+      |    / (CAST(s.n_old AS DOUBLE) * CAST(s.n_new AS DOUBLE) * ${KMeansOp.ScaleQ}), 6) AS drift_r,
+      |  t.max_shift_dim
+      |FROM s JOIN t USING (label) ORDER BY s.label""".stripMargin
 }

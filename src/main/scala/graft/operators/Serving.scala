@@ -173,4 +173,79 @@ object Serving {
       |FROM pc JOIN tc t1 ON t1.term = pc.w1 JOIN tc t2 ON t2.term = pc.w2
       |CROSS JOIN nn
       |ORDER BY c12 DESC, w1, w2 LIMIT 20""".stripMargin
+
+  /** Leaderboard depth for [[wilsonRank]]. */
+  val WilsonTopN = 50
+
+  /** q172: engagement leaderboard ranked by the Wilson score lower bound
+    * (Wilson 1927; the "how not to sort by average rating" correction) —
+    * raw click-through rate ranks a 1-for-1 user above a 95-for-100 one;
+    * the 95 % Wilson lower bound penalizes small samples exactly as far
+    * as binomial uncertainty warrants, which is why it is the standard
+    * UGC sort key. Ranked here per user over click/view events — the
+    * leaderboard form of the reference's per-user activity panels
+    * (streamlit/app/app.py:84-140).
+    *
+    * Engine-exact: (successes, trials) are exact integers; the Wilson
+    * chain (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²))/(1 + z²/n) is one
+    * fixed-order IEEE expression over them, written token-for-token in
+    * both engines with z entering as the literal 1.96 (identical parsed
+    * double) and z² always spelled 1.96·1.96; ranking orders by the
+    * ROUNDED bound (ties → user_id) so the sort key is a value the gate
+    * already proves equal.
+    *
+    * Scale notes: one map-combined conditional aggregate to |users|
+    * rows; the leaderboard is a bounded TakeOrdered over that rollup.
+    * The unpartitioned rank window never sees raw events. */
+  def wilsonRank(s: SparkSession, dir: String): DataFrame =
+    wilsonRank(graft.Tables.events(s, dir))
+
+  def wilsonRank(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    def d(c: Column) = c.cast("double")
+    val agg = events
+      .filter(col("user_id").isNotNull &&
+        col("event_type").isin("click", "view"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("s"),
+        count(lit(1)).as("n"))
+    val nD = d(col("n"))
+    val p = d(col("s")) / nD
+    val z2 = lit(1.96) * lit(1.96)
+    val lb = (p + z2 / (lit(2.0) * nD)
+      - lit(1.96) * sqrt(p * (lit(1.0) - p) / nD + z2 / (lit(4.0) * nD * nD))) /
+      (lit(1.0) + z2 / nD)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("wilson_lb_r").desc, col("user_id"))
+    agg
+      .withColumn("ctr_r", round(p, 6))
+      .withColumn("wilson_lb_r", round(lb, 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= WilsonTopN)
+      .select(col("user_id"), col("n").as("n_trials"), col("s").as("n_clicks"),
+        col("ctr_r"), col("wilson_lb_r"), col("rank"))
+      .orderBy("rank")
+  }
+
+  /** q172 oracle: the identical Wilson chain over the same integers. */
+  def wilsonRankOracleSql: String =
+    s"""WITH a AS (SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IN ('click', 'view')
+      |  GROUP BY 1),
+      |k AS (SELECT user_id, n, s,
+      |    ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ctr_r,
+      |    ROUND((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |        + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+      |        - 1.96 * sqrt(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |            * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+      |          + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+      |      / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS wilson_lb_r
+      |  FROM a),
+      |r AS (SELECT user_id, n AS n_trials, s AS n_clicks, ctr_r, wilson_lb_r,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY wilson_lb_r DESC, user_id) AS BIGINT) AS rank
+      |  FROM k)
+      |SELECT * FROM r WHERE rank <= $WilsonTopN ORDER BY rank""".stripMargin
 }

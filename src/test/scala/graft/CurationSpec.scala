@@ -204,4 +204,40 @@ class CurationSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out == Map(1L -> ((2L, 2L)), 2L -> ((2L, 1L))), s"got $out")
   }
+
+  test("q171 embedding drift: planted 90-degree shift measures sqrt(2)") {
+    import spark.implicits._
+    val vecs = Seq(
+      // label 1: both halves identical -> drift 0
+      (0L, Array(1.0f, 0.0f), 1), (2L, Array(1.0f, 0.0f), 1),
+      (1L, Array(1.0f, 0.0f), 1), (3L, Array(1.0f, 0.0f), 1),
+      // label 2: old on x-axis, new on y-axis -> ||mu_o - mu_n|| = sqrt 2
+      (4L, Array(1.0f, 0.0f), 2), (6L, Array(1.0f, 0.0f), 2),
+      (5L, Array(0.0f, 1.0f), 2), (7L, Array(0.0f, 1.0f), 2),
+      // label 3: only an even (old) member -> excluded
+      (8L, Array(1.0f, 0.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Curation.embeddingDrift(vecs).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_old"), r.getAs[Long]("n_new"),
+          r.getAs[Double]("drift_r"), r.getAs[Long]("max_shift_dim"))).toMap
+    assert(out.keySet === Set(1, 2))
+    assert(out(1) === ((2L, 2L, 0.0, 0L)))
+    val exp = BigDecimal(math.sqrt(3.2e13) / 4e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2) === ((2L, 2L, exp, 0L))) // |num| ties on dims 0/1 -> dim 0
+    assert(math.abs(out(2)._3 - math.sqrt(2)) < 1e-5)
+  }
+
+  test("q171 embedding drift: corpus halves are balanced, drift bounded") {
+    val out = Curation.embeddingDrift(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_old") > 0L && r.getAs[Long]("n_new") > 0L)
+      val d = r.getAs[Double]("drift_r")
+      assert(d >= 0.0 && d < 10.0, s"label ${r.get(0)}: drift $d out of range")
+      val dim = r.getAs[Long]("max_shift_dim")
+      assert(dim >= 0L && dim < graft.operators.Similarity.Dim)
+    }
+  }
 }

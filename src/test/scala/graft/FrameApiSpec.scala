@@ -132,4 +132,46 @@ class FrameApiSpec extends SparkTestBase {
       s"5-char words must lose the longest-first cut in doc 5: $capped")
     assert(capped.contains("sixsix") && capped.contains("sevens"))
   }
+
+  test("q172 wilson: small perfect sample ranks below a large near-perfect one") {
+    import spark.implicits._
+    // user 1: 1/1 clicks (raw CTR 1.0); user 2: 95/100 (raw CTR 0.95) —
+    // the Wilson lower bound must invert the raw-CTR order
+    val ev = (Seq.fill(1)((1L, "click")) ++
+      Seq.fill(95)((2L, "click")) ++ Seq.fill(5)((2L, "view")) ++
+      Seq.fill(3)((3L, "view")) ++           // 0/3: lb 0
+      Seq.fill(2)((4L, "signup"))            // non-click/view: excluded
+      ).toDF("user_id", "event_type")
+    val out = Serving.wilsonRank(ev).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("user_id"),
+        r.getAs[Double]("ctr_r"), r.getAs[Double]("wilson_lb_r")))
+    assert(out.map(_._2).toSeq === Seq(2L, 1L, 3L)) // user 4 never appears
+    val byUser = out.map(t => t._2 -> t).toMap
+    assert(byUser(2L)._3 === 0.95 && byUser(1L)._3 === 1.0)
+    assert(byUser(2L)._4 > byUser(1L)._4)
+    // closed form for n=1, s=1: lb = (1 + z²/2 − z·√(z²/4))/(1+z²) = 1/(1+z²)... × —
+    // recompute exactly as the operator does
+    val z2 = 1.96 * 1.96
+    def lb(s: Long, n: Long): Double = {
+      val p = s.toDouble / n.toDouble
+      val v = (p + z2 / (2.0 * n) -
+        1.96 * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))) / (1.0 + z2 / n)
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(byUser(1L)._4 === lb(1, 1))
+    assert(byUser(2L)._4 === lb(95, 100))
+    assert(byUser(3L)._4 === lb(0, 3))
+  }
+
+  test("q172 wilson: leaderboard is bounded, ranks contiguous (corpus)") {
+    val out = Serving.wilsonRank(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= Serving.WilsonTopN)
+    assert(out.map(_.getAs[Long]("rank")).toSeq === (1L to out.length).toSeq)
+    val lbs = out.map(_.getAs[Double]("wilson_lb_r"))
+    assert(lbs.zip(lbs.tail).forall { case (a, b) => a >= b })
+    out.foreach { r =>
+      assert(r.getAs[Double]("wilson_lb_r") <= r.getAs[Double]("ctr_r") + 1e-9)
+      assert(r.getAs[Long]("n_clicks") <= r.getAs[Long]("n_trials"))
+    }
+  }
 }
