@@ -481,42 +481,75 @@ object ApproxDedup {
     * coincide (`length = octet_length`); the aggregate is pure-integer
     * (COUNT/MIN over the packed `dist·10⁶+key`).
     *
-    * Scale notes: the brand block is the classic record-linkage blocking
-    * key — the cross join never leaves a block, so a broadcast-free
-    * shuffle on `p_brand` bounds each task at block² pairs, and the
-    * char-length prefilter (|len(a)−len(b)| ≤ maxDist, a necessary
-    * condition for edit distance) prunes most pairs before the O(m·n)
-    * Levenshtein kernel runs. Skewed mega-blocks would salt exactly like
-    * q53. Output stays O(n): pairs collapse to one row per left part in
-    * the same aggregation — the pair frame never materializes. */
+    * Scale notes: VOCABULARY-bound, not corpus-bound. Attribute strings
+    * repeat, so the rows collapse to distinct (brand, name) groups first
+    * (one map-combined count) and Levenshtein runs once per group pair —
+    * |vocab|²-per-brand work that stays CONSTANT as the corpus grows
+    * (the naive row-pair block join grew 13× at 10× data; group counts
+    * held at 1,600 from sf0.1 to sf1). Per-row answers expand back by
+    * arithmetic on group counts through two broadcast joins of the
+    * vocabulary-sized tables; the char-length prefilter and the banded
+    * threshold kernel prune the group-pair work further. A genuinely
+    * unbounded name space degrades toward q53-salted blocks; the
+    * distinct-collapse is still the first move. */
   def fuzzyMatch(s: SparkSession, dir: String): DataFrame =
     fuzzyMatch(Tables.part(s, dir))
 
   def fuzzyMatch(part: DataFrame): DataFrame = {
+    // Group-collapsed plan (the r7b growth run caught the naive row-pair
+    // join growing 13× at 10× data — block² row pairs): attribute names
+    // draw from a bounded VOCABULARY, so edit distance is computed once
+    // per distinct (brand, name) PAIR OF GROUPS — constant work as the
+    // corpus grows — and per-row results expand back arithmetically:
+    //   n_fuzzy(x)  = Σ_{H≠G, d_H≤2} cnt_H + (cnt_G − 1)
+    //   best enc(x) = min( d_H·B + minkey_H ;  own-group arm at d=0:
+    //                 the group's min key — or its SECOND min when x IS
+    //                 the min — when cnt_G > 1 )
+    // identical, row for row, to the naive all-pairs semantics the
+    // oracle still replays.
     val p = part
       .filter(col("p_partkey").isNotNull && col("p_name").isNotNull &&
         col("p_brand").isNotNull &&
         length(col("p_name")) === octet_length(col("p_name")) &&
         col("p_partkey") >= 0L && col("p_partkey") < FuzzyKeyBase)
       .select(col("p_partkey"), col("p_name"), col("p_brand"))
-    val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
-      col("p_brand").as("brand"))
-    val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
-      col("p_brand").as("brand"))
-    a.join(b, Seq("brand"))
-      .filter(col("a_key") =!= col("b_key") &&
+    val grp = p.groupBy(col("p_brand"), col("p_name"))
+      .agg(count(lit(1)).as("cnt"), min(col("p_partkey")).as("min_key"))
+    // second-smallest key per group (NULL for singleton groups): needed
+    // when the min-key row looks for its own d=0 best match
+    val min2 = p.join(grp, Seq("p_brand", "p_name"))
+      .filter(col("p_partkey") =!= col("min_key"))
+      .groupBy(col("p_brand"), col("p_name"))
+      .agg(min(col("p_partkey")).as("min2_key"))
+    val gstats = grp.join(min2, Seq("p_brand", "p_name"), "left")
+    // cross-group candidates: vocabulary² per brand, threshold-banded
+    // levenshtein (early exit −1 past k=2)
+    val a = gstats.select(col("p_brand").as("brand"), col("p_name").as("a_name"))
+    val b = gstats.select(col("p_brand").as("brand"), col("p_name").as("b_name"),
+      col("cnt").as("b_cnt"), col("min_key").as("b_min"))
+    val cross = a.join(b, Seq("brand"))
+      .filter(col("a_name") =!= col("b_name") &&
         abs(length(col("a_name")) - length(col("b_name"))) <= FuzzyMaxDist)
-      // threshold form: banded O(len·k) with early exit (returns -1 past
-      // the threshold) — at block² pair counts the full O(m·n) matrix is
-      // the dominant cost, and k=2 bands cut it ~5×
       .withColumn("d",
         levenshtein(col("a_name"), col("b_name"), FuzzyMaxDist).cast("long"))
       .filter(col("d") >= 0L && col("d") <= FuzzyMaxDist)
-      .groupBy(col("a_key").as("p_partkey"), col("a_name").as("p_name"))
-      .agg(count(lit(1)).as("n_fuzzy"),
-        min(col("d")).as("min_dist"),
-        min(col("d") * FuzzyKeyBase + col("b_key")).as("enc"))
-      .select(col("p_partkey"), col("p_name"), col("n_fuzzy"), col("min_dist"),
+      .groupBy(col("brand").as("p_brand"), col("a_name").as("p_name"))
+      .agg(sum(col("b_cnt")).as("cross_cnt"),
+        min(col("d") * FuzzyKeyBase + col("b_min")).as("cross_enc"))
+    val Sentinel = (FuzzyMaxDist + 1).toLong * FuzzyKeyBase * 10L
+    p.join(broadcast(gstats), Seq("p_brand", "p_name"))
+      .join(broadcast(cross), Seq("p_brand", "p_name"), "left")
+      .withColumn("n_fuzzy", coalesce(col("cross_cnt"), lit(0L)) + col("cnt") - 1L)
+      .filter(col("n_fuzzy") > 0L)
+      .withColumn("own_enc",
+        when(col("cnt") > 1L,
+          when(col("p_partkey") === col("min_key"), col("min2_key"))
+            .otherwise(col("min_key")))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("enc", least(coalesce(col("own_enc"), lit(Sentinel)),
+        coalesce(col("cross_enc"), lit(Sentinel))))
+      .select(col("p_partkey"), col("p_name"), col("n_fuzzy"),
+        expr(s"enc div $FuzzyKeyBase").as("min_dist"),
         pmod(col("enc"), lit(FuzzyKeyBase)).as("best_match_key"))
       .orderBy("p_partkey")
   }
