@@ -190,6 +190,8 @@ object SparkEntry {
     "q170_rfm_segment"             -> ((s: SparkSession, d: String) => Analytics.rfmSegment(s, d)),
     "q171_embedding_drift"         -> ((s: SparkSession, d: String) => Curation.embeddingDrift(s, d)),
     "q172_wilson_rank"             -> ((s: SparkSession, d: String) => Serving.wilsonRank(s, d)),
+    "q173_boilerplate_ngrams"      -> ((s: SparkSession, d: String) => Curation.boilerplateNgrams(s, d)),
+    "q174_dsir_weights"            -> ((s: SparkSession, d: String) => Curation.dsirWeights(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -838,6 +840,8 @@ object SparkEntry {
     "q170_rfm_segment" -> Analytics.rfmSegmentOracleSql,
     "q171_embedding_drift" -> Curation.embeddingDriftOracleSql,
     "q172_wilson_rank" -> Serving.wilsonRankOracleSql,
+    "q173_boilerplate_ngrams" -> Curation.boilerplateNgramsOracleSql,
+    "q174_dsir_weights" -> Curation.dsirWeightsOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -777,4 +777,171 @@ object Curation {
       |    / (CAST(s.n_old AS DOUBLE) * CAST(s.n_new AS DOUBLE) * ${KMeansOp.ScaleQ}), 6) AS drift_r,
       |  t.max_shift_dim
       |FROM s JOIN t USING (label) ORDER BY s.label""".stripMargin
+
+  // ---- q173: source-local boilerplate n-gram detection ----
+
+  /** Boilerplate shingle width and the detection threshold: a 5-gram is
+    * boilerplate FOR ITS SOURCE when it appears in ≥ 30 % of that
+    * source's documents (df · 10 ≥ n_src_docs · 3 — integer-exact). */
+  val BoilerK = 5
+  val BoilerNum = 3L
+  val BoilerDen = 10L
+
+  /** q173: CCNet-style boilerplate detection, keyed by source. q62 asks
+    * the corpus-GLOBAL question (is this passage duplicated anywhere?);
+    * web curation also needs the source-LOCAL one — navigation chrome,
+    * cookie banners, and footer text repeat across most pages of one
+    * domain while being rare globally, and the fix is per-domain: count
+    * each 5-gram's distinct-document frequency WITHIN its source and
+    * flag grams above [[BoilerNum]]/[[BoilerDen]] of the source's docs.
+    * Output per doc: total 5-gram occurrences, boilerplate occurrences,
+    * and a drop flag when ≥ half the doc is boilerplate (2·n_boiler ≥
+    * n_grams). (Reference anchor: `eu_raw_to_cleansed_merge.py:30-45`
+    * strips per-provider wrapper fields — the metadata-shaped version of
+    * per-source boilerplate removal.)
+    *
+    * Scale notes: gram→df is one map-side-combined aggregate keyed by
+    * (source, gram); the boiler set join is an equi-join on the same key
+    * the occurrence table is already hash-partitioned by, so Catalyst
+    * reuses the exchange; the per-source doc counts are a |sources|-row
+    * broadcast. Nothing pairwise, nothing driver-side; the boiler table
+    * is a tiny fraction of the gram table by construction (≥30 % df). */
+  def boilerplateNgrams(s: SparkSession, dir: String): DataFrame =
+    boilerplateNgrams(Tables.documents(s, dir))
+
+  def boilerplateNgrams(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, WordShingles}
+    val base = docs.filter(col("text").isNotNull && col("source").isNotNull)
+    val occ = base.select(col("doc_id"), col("source"),
+      explode(ColumnBridge.column(WordShingles(
+        ColumnBridge.expression(col("text")), BoilerK, distinct = false))).as("gram"))
+    val srcDocs = base.groupBy(col("source")).agg(count(lit(1)).as("n_src_docs"))
+    val df = occ.select(col("source"), col("gram"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("gram")).agg(count(lit(1)).as("df"))
+    val boiler = df.join(broadcast(srcDocs), Seq("source"))
+      .filter(col("df") * BoilerDen >= col("n_src_docs") * BoilerNum)
+      .select(col("source"), col("gram"), lit(1L).as("is_boiler"))
+    occ.join(boiler, Seq("source", "gram"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+      .select(col("doc_id"), col("source"), col("n_grams"), col("n_boiler"),
+        when(col("n_boiler") * 2 >= col("n_grams"), 1L).otherwise(0L).as("dropped"))
+      .orderBy("doc_id")
+  }
+
+  /** q173 oracle: positional 5-grams, the same integer thresholds. */
+  val boilerplateNgramsOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+      |o AS (SELECT doc_id, source,
+      |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS gram
+      |  FROM (SELECT doc_id, source, ws, unnest(generate_series(1, len(ws) - ${BoilerK - 1})) AS i
+      |        FROM d WHERE len(ws) >= $BoilerK)),
+      |sd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src_docs FROM d GROUP BY 1),
+      |f AS (SELECT source, gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM o GROUP BY 1, 2),
+      |b AS (SELECT f.source, f.gram FROM f JOIN sd ON sd.source = f.source
+      |  WHERE f.df * $BoilerDen >= sd.n_src_docs * $BoilerNum),
+      |p AS (SELECT o.doc_id, o.source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |    CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+      |  FROM o LEFT JOIN b ON b.source = o.source AND b.gram = o.gram
+      |  GROUP BY 1, 2)
+      |SELECT doc_id, source, n_grams, n_boiler,
+      |  CAST(CASE WHEN n_boiler * 2 >= n_grams THEN 1 ELSE 0 END AS BIGINT) AS dropped
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  // ---- q174: DSIR-style hashed-n-gram importance weights ----
+
+  /** DSIR feature space: hashed positional bigrams into [[DsirBuckets]]
+    * buckets; the target distribution is the [[DsirTargetLang]] slice. */
+  val DsirBuckets = 128L
+  val DsirTargetLang = "en"
+
+  /** q174: data selection with importance resampling (Xie et al. 2023,
+    * arXiv:2302.03169) — score every raw document by how much its hashed
+    * bigram features look like a TARGET distribution (here the corpus's
+    * `en` slice standing in for "high-quality reference text"). DSIR's
+    * weight is Σ_f log(p_target(f)/p_raw(f)); we compute the LINEARIZED
+    * form Σ_f (p_t(f) − p_r(f)) — the first-order Taylor expansion of
+    * the log-ratio around 1 — because it stays EXACT in DECIMAL(38,0)
+    * integer arithmetic (ln is libm-dependent, SURVEY §5): with add-one
+    * smoothing over B buckets, each occurrence of a feature in bucket b
+    * contributes (t_b+1)·(R+B) − (r_b+1)·(T+B), a pure integer. The
+    * published estimator's SELECTION behavior (rank docs, keep the top)
+    * is monotone-equivalent near p_t≈p_r, which is where web-scale
+    * corpora live. Output: per-doc feature count, the per-million
+    * normalized weight, and keep = (weight > 0), decided on the exact
+    * decimal numerator.
+    *
+    * Scale notes: the bucket tables are B=128 rows — broadcast; the
+    * per-occurrence score is a narrow projection after two broadcast
+    * joins (the corpus never shuffles except the final doc_id rollup);
+    * totals are 1-row broadcasts. This is the shape that makes DSIR
+    * practical at 100 TB: the "model" is 2·B integers. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirWeights(Tables.documents(s, dir))
+
+  def dsirWeights(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, WordShingles}
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val str2dbl = (c: Column) => c.cast("string").cast("double")
+    val occ = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        explode(ColumnBridge.column(WordShingles(
+          ColumnBridge.expression(col("text")), 2, distinct = false))).as("gram"))
+      .select(col("doc_id"), col("lang"),
+        (TextAnalysis.md5Long(concat(lit("ds:"), col("gram"))) % DsirBuckets).as("b"))
+    val rb = occ.groupBy(col("b")).agg(count(lit(1)).as("rb"))
+    val tb = occ.filter(col("lang") === DsirTargetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("tb"))
+    val totals = rb.agg(sum(col("rb")).as("rtot"))
+      .crossJoin(tb.agg(sum(col("tb")).as("ttot")))
+    val scored = occ
+      .join(broadcast(rb), Seq("b"))
+      .join(broadcast(tb), Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("rtot"), col("ttot"),
+        (d38(coalesce(col("tb"), lit(0L)) + 1L) * d38(col("rtot") + DsirBuckets)
+          - d38(col("rb") + 1L) * d38(col("ttot") + DsirBuckets)).as("term"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("term")).as("wnum"),
+        max(col("rtot")).as("rtot"), max(col("ttot")).as("ttot"))
+      .select(col("doc_id"), col("n_feats"),
+        round(str2dbl(col("wnum") * 1000000L)
+          / str2dbl(d38(col("ttot") + DsirBuckets) * d38(col("rtot") + DsirBuckets)), 6)
+          .as("weight_ppm_r"),
+        when(col("wnum") > 0, 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** q174 oracle: identical hash buckets, smoothing, decimal terms, and
+    * the VARCHAR-mediated decimal→double division. */
+  val dsirWeightsOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, lang,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |o AS (SELECT doc_id, lang,
+      |    CAST(('0x' || substring(md5('ds:' || ws[i] || ' ' || ws[i+1]), 1, 15)) AS BIGINT)
+      |      % $DsirBuckets AS b
+      |  FROM (SELECT doc_id, lang, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+      |        FROM d WHERE len(ws) >= 2)),
+      |rb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rb FROM o GROUP BY 1),
+      |tbl AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tb FROM o
+      |  WHERE lang = '$DsirTargetLang' GROUP BY 1),
+      |tot AS (SELECT (SELECT CAST(SUM(rb) AS BIGINT) FROM rb) AS rtot,
+      |               (SELECT CAST(SUM(tb) AS BIGINT) FROM tbl) AS ttot),
+      |sc AS (SELECT o.doc_id, tot.rtot, tot.ttot,
+      |    CAST(COALESCE(tbl.tb, 0) + 1 AS DECIMAL(38,0)) * CAST(tot.rtot + $DsirBuckets AS DECIMAL(38,0))
+      |      - CAST(rb.rb + 1 AS DECIMAL(38,0)) * CAST(tot.ttot + $DsirBuckets AS DECIMAL(38,0)) AS term
+      |  FROM o JOIN rb USING (b) LEFT JOIN tbl USING (b) CROSS JOIN tot),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats, SUM(term) AS wnum,
+      |    MAX(rtot) AS rtot, MAX(ttot) AS ttot
+      |  FROM sc GROUP BY 1)
+      |SELECT doc_id, n_feats,
+      |  ROUND(CAST(CAST(wnum * 1000000 AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(CAST(ttot + $DsirBuckets AS DECIMAL(38,0)) * CAST(rtot + $DsirBuckets AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE), 6) AS weight_ppm_r,
+      |  CAST(CASE WHEN wnum > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM agg ORDER BY doc_id""".stripMargin
 }

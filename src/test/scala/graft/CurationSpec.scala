@@ -240,4 +240,78 @@ class CurationSpec extends SparkTestBase {
       assert(dim >= 0L && dim < graft.operators.Similarity.Dim)
     }
   }
+
+  test("q173: a source-wide footer is boilerplate; the same gram in one doc of another source is not") {
+    // siteA: 4 docs, 3 share the footer "cookie banner terms apply here"
+    // (df 3/4 = 75% ≥ 30%) → boilerplate FOR siteA. siteB has it once
+    // (1/2 = 50%... also ≥ 30%) — so give siteB 4 docs, one footer (25% < 30%).
+    val footer = "cookie banner terms apply here"
+    val d = Seq(
+      (1L, s"unique alpha words one two $footer", "siteA"),
+      (2L, s"other beta content three four $footer", "siteA"),
+      (3L, s"more gamma text five six $footer", "siteA"),
+      (4L, "clean delta page seven eight nine ten", "siteA"),
+      (5L, s"bee one page content here now $footer", "siteB"),
+      (6L, "bee two totally different words again here", "siteB"),
+      (7L, "bee three totally unrelated words again here", "siteB"),
+      (8L, "bee four totally disjoint words again here", "siteB"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.boilerplateNgrams(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_boiler"), r.getAs[Long]("dropped"))).toMap
+    // docs 1-3 contain the footer 5-gram once; their other grams are unique
+    assert(out(1L)._2 >= 1L && out(2L)._2 >= 1L && out(3L)._2 >= 1L)
+    assert(out(4L)._2 === 0L)
+    // siteB's lone footer doc: the footer gram has df 1/4 = 25% < 30% → not boilerplate
+    assert(out(5L)._2 === 0L)
+    // nothing here is majority-boilerplate
+    assert(out.values.forall(_._3 === 0L))
+  }
+
+  test("q173 on the corpus: drops only majority-boilerplate docs, counts consistent") {
+    val out = Curation.boilerplateNgrams(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, b) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_boiler"))
+      assert(b >= 0L && b <= n)
+      assert((r.getAs[Long]("dropped") === 1L) === (b * 2 >= n))
+    }
+  }
+
+  test("q174: a doc written in target-slice vocabulary outranks one written against it") {
+    // target slice (lang=en) repeats "good clean data" features; the
+    // raw-only slice floods "spam junk noise" features
+    // counts are large enough that the +1/B smoothing is negligible
+    val good = ("good clean data " * 20).trim
+    val spam = ("spam junk noise " * 20).trim
+    val d = Seq(
+      (1L, good, "en"),
+      (2L, ("good clean data " * 10).trim, "en"),
+      (3L, spam, "xx"),
+      (4L, ("spam junk noise " * 10).trim, "xx"),
+      (5L, ("good clean data " * 15).trim, "yy"), // target-like, not in target
+      (6L, "spam junk noise spam junk", "en")) // target slice has a little noise too
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.dsirWeights(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("weight_ppm_r"), r.getAs[Long]("keep"))).toMap
+    // the target-like doc OUTSIDE the target slice scores above the anti-target doc
+    assert(out(5L)._1 > out(3L)._1)
+    assert(out(5L)._2 === 1L && out(3L)._2 === 0L)
+    // weights are finite and the keep flag agrees with the sign
+    out.values.foreach { case (w, k) => assert(!w.isNaN && (k === 1L) === (w > 0.0)) }
+  }
+
+  test("q174 on the corpus: weights finite, keep = positive weight, feature counts = bigram counts") {
+    val out = Curation.dsirWeights(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val w = r.getAs[Double]("weight_ppm_r")
+      assert(!w.isNaN && !w.isInfinite)
+      // keep is decided on the EXACT decimal numerator; the rounded
+      // double must at least agree in (weak) sign
+      if (r.getAs[Long]("keep") == 1L) assert(w >= 0.0) else assert(w <= 0.0)
+      assert(r.getAs[Long]("n_feats") >= 1L)
+    }
+  }
 }
