@@ -192,6 +192,8 @@ object SparkEntry {
     "q172_wilson_rank"             -> ((s: SparkSession, d: String) => Serving.wilsonRank(s, d)),
     "q173_boilerplate_ngrams"      -> ((s: SparkSession, d: String) => Curation.boilerplateNgrams(s, d)),
     "q174_dsir_weights"            -> ((s: SparkSession, d: String) => Curation.dsirWeights(s, d)),
+    "q175_weighted_sample"         -> ((s: SparkSession, d: String) => Sampling.weightedSample(s, d)),
+    "q179_temperature_mix"         -> ((s: SparkSession, d: String) => Sampling.temperatureMix(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -842,6 +844,8 @@ object SparkEntry {
     "q172_wilson_rank" -> Serving.wilsonRankOracleSql,
     "q173_boilerplate_ngrams" -> Curation.boilerplateNgramsOracleSql,
     "q174_dsir_weights" -> Curation.dsirWeightsOracleSql,
+    "q175_weighted_sample" -> Sampling.weightedSampleOracleSql,
+    "q179_temperature_mix" -> Sampling.temperatureMixOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

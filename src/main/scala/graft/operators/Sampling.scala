@@ -363,4 +363,126 @@ object Sampling {
       |  CAST(SUM(nb) AS BIGINT) AS n_bytes,
       |  CAST(SUM(ntk) AS BIGINT) AS n_tokens
       |FROM d GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+
+  // ---- q175: weighted priority sampling without replacement ----
+
+  /** Per-source sample size and the priority scale. */
+  val WsK = 3
+  val WsSeed = ":ws42"
+  private val WsU = 1073741824L // 2^30: the hash is reduced to 30 bits
+  private val WsScale = 1000000L
+
+  /** q175: deterministic weighted sampling WITHOUT replacement — per
+    * source, keep the [[WsK]] documents with the smallest priority
+    * u/w, where u is a 30-bit hash of the doc id and w = n_chars. This
+    * is the Efraimidis–Spirakis A-Res ordering (keys u^(1/w)) linearized:
+    * for the near-zero u that win, rank by u^(1/w) and rank by u/w agree
+    * to first order, and u/w stays in EXACT integer arithmetic
+    * ((u·10⁶) div w — no pow, no ln, no libm; SURVEY §5). Longer
+    * documents win proportionally more often, every engine reproduces
+    * the identical sample, and re-runs are stable under retries — the
+    * property rand()-based weighted sampling cannot give. (Reference
+    * anchor: the dashboard's sampled preview panels, `app.py:176` —
+    * LIMIT-based, not weight-aware.)
+    *
+    * Scale notes: one narrow projection computes the priority, then a
+    * row_number window PARTITIONED BY SOURCE — per-source frames, no
+    * global sort. At 100 TB with a hot source, the window's sort is
+    * per-partition-key and spills locally; the output is K rows per
+    * source. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame =
+    weightedSample(Tables.documents(s, dir))
+
+  def weightedSample(docs: DataFrame): DataFrame = {
+    val pr = docs
+      .filter(col("n_chars").isNotNull && col("n_chars") > 0)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        (TextAnalysis.md5Long(concat(col("doc_id").cast("string"), lit(WsSeed))) % WsU).as("u30"))
+      .withColumn("priority", expr(s"(u30 * $WsScale) div n_chars"))
+    pr.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("priority").asc, col("doc_id").asc)))
+      .filter(col("rk") <= WsK)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        col("priority"), col("rk").cast("long").as("rk"))
+      .orderBy(col("source").asc_nulls_last, col("rk"))
+  }
+
+  /** q175 oracle: identical 30-bit hash, integer division, window. */
+  val weightedSampleOracleSql: String =
+    s"""WITH p AS (SELECT source, doc_id, n_chars,
+      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '$WsSeed'), 1, 15)) AS BIGINT)
+      |      % $WsU AS u30
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      |r AS (SELECT source, doc_id, n_chars,
+      |    (u30 * $WsScale) // n_chars AS priority,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY (u30 * $WsScale) // n_chars ASC, doc_id ASC) AS rk
+      |  FROM p)
+      |SELECT source, doc_id, n_chars, priority, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= $WsK ORDER BY source NULLS LAST, rk""".stripMargin
+
+  // ---- q179: temperature-scaled mixture apportionment ----
+
+  /** Epoch budget (rows) and the weight quantization scale. */
+  val MixBudget = 10000L
+  private val TmScale = 1000000L
+
+  /** q179: temperature-scaled domain mixing with exact largest-remainder
+    * apportionment — the multilingual-pretraining recipe (XLM-R,
+    * arXiv:1911.02116 §5.1: sample domains ∝ n^T, T < 1 flattens the
+    * head so low-resource sources are not drowned). T = 1/2 here, so
+    * the unnormalized weight is sqrt(n) — IEEE-exact in every engine —
+    * quantized to an integer w = floor(sqrt(n)·10⁶); the per-source
+    * row budget is then apportioned by the largest-remainder method in
+    * PURE integer arithmetic: floor shares first, the leftover seats go
+    * to the largest remainders (source asc ties). Σ alloc = budget
+    * EXACTLY — the property naive rounding loses and training-data
+    * manifests need.
+    *
+    * Scale notes: one map-side-combined count per source; everything
+    * after runs on the |sources|-row frame (the global window is over
+    * that tiny aggregate, never the corpus). */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame =
+    temperatureMix(Tables.documents(s, dir))
+
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source").asc_nulls_last)
+    val g = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        floor(sqrt(col("n_docs").cast("double")) * TmScale).cast("long").as("w_scaled"))
+    val tot = g.agg(sum(col("w_scaled")).as("tot"))
+    val f = g.crossJoin(broadcast(tot))
+      .withColumn("alloc_floor", expr(s"($MixBudget * w_scaled) div tot"))
+      .withColumn("rem", col("w_scaled") * MixBudget - col("alloc_floor") * col("tot"))
+    val leftover = f.agg((lit(MixBudget) - sum(col("alloc_floor"))).as("leftover"))
+    f.crossJoin(broadcast(leftover))
+      .withColumn("rn", row_number().over(w))
+      .select(col("source"), col("n_docs"), col("w_scaled"),
+        expr(s"(w_scaled * $TmScale) div tot").as("weight_ppm"),
+        (col("alloc_floor") + when(col("rn") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy(col("source").asc_nulls_last)
+  }
+
+  /** q179 oracle: identical sqrt quantization, floor shares, remainder
+    * ranking. */
+  val temperatureMixOracleSql: String =
+    s"""WITH g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY 1),
+      |s AS (SELECT source, n_docs,
+      |    CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * $TmScale.0) AS BIGINT) AS w_scaled
+      |  FROM g),
+      |t AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS tot FROM s),
+      |f AS (SELECT s.source, s.n_docs, s.w_scaled, t.tot,
+      |    ($MixBudget * w_scaled) // t.tot AS alloc_floor,
+      |    w_scaled * $MixBudget - (($MixBudget * w_scaled) // t.tot) * t.tot AS rem
+      |  FROM s CROSS JOIN t),
+      |l AS (SELECT CAST($MixBudget - SUM(alloc_floor) AS BIGINT) AS leftover FROM f),
+      |r AS (SELECT f.*, ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC NULLS LAST) AS rn FROM f)
+      |SELECT source, n_docs, w_scaled,
+      |  (w_scaled * $TmScale) // tot AS weight_ppm,
+      |  CAST(alloc_floor + CASE WHEN rn <= l.leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |FROM r CROSS JOIN l ORDER BY source NULLS LAST""".stripMargin
 }

@@ -331,4 +331,49 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out(40L) === "de", "seed flipped")
     assert(out(0L) === "en" && out(10L) === "fr")
   }
+
+  test("q175: exactly K winners per source, weight-biased, stable across runs") {
+    import spark.implicits._
+    val docs = (1L to 200L).map { i =>
+      // source A: ids 1-100 where even ids are 100x longer; source B: the rest
+      val src = if (i <= 100) "A" else "B"
+      val w = if (i % 2 == 0) 10000L else 100L
+      (i, src, w)
+    }.toDF("doc_id", "source", "n_chars")
+    val a = graft.operators.Sampling.weightedSample(docs).collect()
+    val b = graft.operators.Sampling.weightedSample(docs).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted), "not deterministic")
+    val bySrc = a.groupBy(_.getAs[String]("source"))
+    assert(bySrc("A").length === graft.operators.Sampling.WsK)
+    assert(bySrc("B").length === graft.operators.Sampling.WsK)
+    // with a 100x weight advantage, heavy docs should dominate the winners
+    val heavy = a.count(_.getAs[Long]("n_chars") == 10000L)
+    assert(heavy >= 4, s"expected mostly heavy winners, got $heavy/6")
+    // rk is 1..K within each source
+    bySrc.values.foreach(rows =>
+      assert(rows.map(_.getAs[Long]("rk")).sorted.sameElements(1L to graft.operators.Sampling.WsK)))
+  }
+
+  test("q179: allocations sum exactly to the budget and follow sqrt weighting") {
+    import spark.implicits._
+    // 3 sources with 1, 100, 10000 docs: sqrt weights 1 : 10 : 100
+    val docs = ((1L to 1L).map(i => (i, "tiny")) ++
+      (1L to 100L).map(i => (1000L + i, "mid")) ++
+      (1L to 10000L).map(i => (100000L + i, "big")))
+      .toDF("doc_id", "source")
+    val out = graft.operators.Sampling.temperatureMix(docs).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("alloc")).toMap
+    assert(out.values.sum === graft.operators.Sampling.MixBudget)
+    // sqrt weighting: big gets ~100/111 of the budget, mid ~10/111, tiny ~1/111
+    assert(out("big") > out("mid") && out("mid") > out("tiny"))
+    assert(math.abs(out("big") - 9009L) <= 1L, s"big=${out("big")}")
+    assert(math.abs(out("mid") - 901L) <= 1L, s"mid=${out("mid")}")
+    assert(math.abs(out("tiny") - 90L) <= 1L, s"tiny=${out("tiny")}")
+  }
+
+  test("q179 on the corpus: budget conserved, every source allocated") {
+    val out = graft.operators.Sampling.temperatureMix(spark, sfDir).collect()
+    assert(out.map(_.getAs[Long]("alloc")).sum === graft.operators.Sampling.MixBudget)
+    assert(out.forall(_.getAs[Long]("alloc") > 0L))
+  }
 }
