@@ -193,6 +193,9 @@ object SparkEntry {
     "q173_boilerplate_ngrams"      -> ((s: SparkSession, d: String) => Curation.boilerplateNgrams(s, d)),
     "q174_dsir_weights"            -> ((s: SparkSession, d: String) => Curation.dsirWeights(s, d)),
     "q175_weighted_sample"         -> ((s: SparkSession, d: String) => Sampling.weightedSample(s, d)),
+    "q176_embed_covariance"        -> ((s: SparkSession, d: String) => Quantize.embedCovariance(s, d)),
+    "q177_tokenizer_fertility"     -> ((s: SparkSession, d: String) => BpeTrain.fertility(s, d)),
+    "q178_line_dedup"              -> ((s: SparkSession, d: String) => Curation.lineDedup(s, d)),
     "q179_temperature_mix"         -> ((s: SparkSession, d: String) => Sampling.temperatureMix(s, d)),
   )
 
@@ -845,6 +848,9 @@ object SparkEntry {
     "q173_boilerplate_ngrams" -> Curation.boilerplateNgramsOracleSql,
     "q174_dsir_weights" -> Curation.dsirWeightsOracleSql,
     "q175_weighted_sample" -> Sampling.weightedSampleOracleSql,
+    "q176_embed_covariance" -> Quantize.embedCovarianceOracleSql,
+    "q177_tokenizer_fertility" -> BpeTrain.fertilityOracleSql,
+    "q178_line_dedup" -> Curation.lineDedupOracleSql,
     "q179_temperature_mix" -> Sampling.temperatureMixOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,

@@ -238,6 +238,52 @@ object BpeTrain {
       .orderBy("doc_id")
   }
 
+  /** q177: tokenizer fertility / compression audit per language bucket
+    * — the multilingual-tokenizer health check (fertility = tokens per
+    * word; bytes per token = compression): a language whose fertility
+    * is far above the corpus norm is being over-segmented by the
+    * trained merges and pays a proportional context-length tax. Runs
+    * the q113 histogram-encode against the SAME persisted tokenizer
+    * artifact, aggregated by `lang` instead of `doc_id`.
+    *
+    * Scale notes: identical plan class to q113 — one corpus explode,
+    * one vocab-keyed join, then a lang-keyed aggregate whose shuffle is
+    * |langs|×partitions rows; the doc-count side is its own tiny
+    * aggregate joined on lang. Ratios are doubles derived from exact
+    * integer sums. NULL-lang docs keep their own bucket on the
+    * doc-count side; the null-unsafe lang join leaves their word stats
+    * 0 in BOTH engines (consistent, documented). */
+  def fertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    fertilityWith(docs,
+      s.read.schema(vocabSchema).parquet(s"${ensureBpe(s, dir)}/vocab.parquet"))
+  }
+
+  private[graft] def fertilityWith(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val vtok = vocab.select(col("w"),
+      size(split(col("seq"), " ")).cast("long").as("n_tok"))
+    val agg = docs
+      .select(col("lang"), explode(TextAnalysis.words(col("text"))).as("w"))
+      .join(vtok, Seq("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(octet_length(col("w")).cast("long")).as("n_bytes"))
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .join(agg, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_bytes"), lit(0L)).as("n_bytes"))
+      .withColumn("fertility",
+        when(col("n_words") > 0L,
+          round(col("n_tokens").cast("double") / col("n_words").cast("double"), 6)))
+      .withColumn("bytes_per_token",
+        when(col("n_tokens") > 0L,
+          round(col("n_bytes").cast("double") / col("n_tokens").cast("double"), 6)))
+      .orderBy(col("lang").asc_nulls_last)
+  }
+
   /** The oracle chain shared by q110 and q113 — hist, v0..vM vocab
     * states, p_r pair counts, b_r the round's best pair (LEFT JOIN ON
     * TRUE so an empty b_r leaves the vocab unchanged instead of
@@ -306,4 +352,26 @@ object BpeTrain {
        |  CAST(SUM(strlen(w)) AS BIGINT) AS n_bytes,
        |  CAST(SUM((CAST(('0x' || substring(md5(w),1,15)) AS BIGINT) % 1000003) * n_tok) AS BIGINT) AS tok_hash
        |FROM wx JOIN vocab USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q177 oracle: the same carried-word chain, aggregated per lang;
+    * LEFT JOIN on lang is null-unsafe in both engines (documented). */
+  val fertilityOracleSql: String =
+    s"""WITH ${chainCtes(carryW = true)},
+       |vocab AS (SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_tok FROM v$Merges),
+       |wx AS (SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents),
+       |a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(strlen(w)) AS BIGINT) AS n_bytes
+       | FROM wx JOIN vocab USING (w) GROUP BY lang),
+       |d AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang)
+       |SELECT d.lang, n_docs,
+       |  COALESCE(n_words, 0) AS n_words,
+       |  COALESCE(n_tokens, 0) AS n_tokens,
+       |  COALESCE(n_bytes, 0) AS n_bytes,
+       |  CASE WHEN COALESCE(n_words, 0) > 0
+       |    THEN ROUND(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6) END AS fertility,
+       |  CASE WHEN COALESCE(n_tokens, 0) > 0
+       |    THEN ROUND(CAST(n_bytes AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) END AS bytes_per_token
+       |FROM d LEFT JOIN a USING (lang) ORDER BY d.lang NULLS LAST""".stripMargin
 }

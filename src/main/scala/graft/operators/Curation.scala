@@ -262,6 +262,97 @@ object Curation {
        |    ELSE 0.0 END AS dup_frac
        |FROM w LEFT JOIN pd USING (doc_id) ORDER BY w.doc_id""".stripMargin
 
+  // ---- q178: line-level exact span dedup (positional removal) ----
+
+  /** Words per "line" segment for q178. The synthetic corpus carries no
+    * newline structure, so lines are the non-overlapping LineW-word
+    * segments (the q75 chunk arithmetic with stride = window) — the
+    * same normalization a newline-split would feed. */
+  val LineW = 10
+
+  /** q178: line-level exact deduplication with POSITIONAL removal — the
+    * C4/RefinedWeb line-dedup step q62 only measures: every exact
+    * duplicate line keeps its globally-first occurrence (min
+    * (doc_id, chunk_idx)) and removes all others, then rolls up per
+    * document what survives. Unlike whole-doc near-dup (q24/q25) this
+    * kills boilerplate that rides inside otherwise-unique documents.
+    *
+    * Scale notes: one explode (corpus-sized line stream), ONE
+    * map-side-combined min-aggregate keyed by line text, one equi-join
+    * back on the same key (both sides hash-partitioned by it; AQE
+    * handles viral-line skew), one doc-keyed rollup. The winner is a
+    * single struct-min — order-independent, no window over the corpus.
+    * doc_id is non-null-filtered on the line stream in BOTH engines so
+    * the struct-min and the oracle's ROW_NUMBER tiebreak agree without
+    * null-ordering hazards. */
+  def lineDedup(s: SparkSession, dir: String): DataFrame =
+    lineDedup(Tables.documents(s, dir))
+
+  def lineDedup(docs: DataFrame): DataFrame = {
+    val keyed = docs
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .filter(col("n") > 0L)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L),
+          ceil(col("n").cast("double") / lit(LineW.toDouble)).cast("long") - 1L)))
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(slice(col("ws"),
+          (col("chunk_idx") * LineW + 1L).cast("int"), lit(LineW)), " ").as("line"),
+        least(lit(LineW.toLong), col("n") - col("chunk_idx") * LineW).as("nw"))
+    val winner = keyed.groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
+      .select(col("line"), col("w.doc_id").as("w_doc"), col("w.chunk_idx").as("w_idx"))
+    val perDoc = keyed.join(winner, Seq("line"))
+      .withColumn("kept",
+        col("doc_id") === col("w_doc") && col("chunk_idx") === col("w_idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("kept"), col("nw")).otherwise(0L)).as("n_kept_words"))
+    docs.select(col("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_kept_words"), lit(0L)).as("n_kept_words"))
+      .withColumn("removed_frac",
+        when(col("n_lines") > 0L,
+          round(col("n_removed").cast("double") / col("n_lines").cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  /** q178 oracle: identical segment arithmetic; the struct-min winner
+    * is ROW_NUMBER() = 1 under the same (doc_id, chunk_idx) order. */
+  def lineDedupOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+       |c AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+       |    unnest(generate_series(0, CAST(ceil(len(ws) / ${LineW}.0e0) AS BIGINT) - 1)) AS chunk_idx
+       |  FROM w WHERE len(ws) > 0),
+       |l AS (SELECT doc_id, chunk_idx,
+       |    array_to_string(ws[chunk_idx * $LineW + 1 : chunk_idx * $LineW + $LineW], ' ') AS line,
+       |    CAST(LEAST($LineW, n - chunk_idx * $LineW) AS BIGINT) AS nw
+       |  FROM c),
+       |r AS (SELECT doc_id, nw,
+       |    ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, chunk_idx) AS rn
+       |  FROM l),
+       |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |    CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |    CAST(SUM(CASE WHEN rn = 1 THEN nw ELSE 0 END) AS BIGINT) AS n_kept_words
+       |  FROM r GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(pd.n_lines, 0) AS n_lines,
+       |  COALESCE(pd.n_removed, 0) AS n_removed,
+       |  COALESCE(pd.n_kept_words, 0) AS n_kept_words,
+       |  CASE WHEN COALESCE(pd.n_lines, 0) > 0
+       |    THEN ROUND(CAST(pd.n_removed AS DOUBLE) / CAST(pd.n_lines AS DOUBLE), 6)
+       |    ELSE 0.0 END AS removed_frac
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN pd USING (doc_id) ORDER BY doc_id NULLS LAST""".stripMargin
+
   /** q76: corpus-wide adjacent-word-pair (bigram) counts, top 50 — the
     * statistic behind the first BPE merge step (Sennrich et al. 2016)
     * and a cheap corpus-drift monitor. Non-distinct positional bigrams

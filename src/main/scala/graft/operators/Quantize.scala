@@ -180,4 +180,94 @@ object Quantize {
        |  MIN(z) AS z_min, MAX(z) AS z_max,
        |  MAX(CASE WHEN d = 0 THEN z END) AS z_dim0
        |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** q176: embedding dimension covariance / correlation matrix (the
+    * distributed Gramian) — the whitening / PCA-precursor statistic a
+    * real embedding corpus is audited with before ANN index tuning:
+    * strongly correlated dimensions mean the effective dimensionality
+    * is lower than the stored one (and PQ subspace splits should cut
+    * across, not along, the correlation structure; q111's codebooks
+    * and q130's per-dim z-scores both implicitly assume this matrix
+    * is near-diagonal — this operator is the audit that checks it).
+    * Reference anchor: extracting_embeddings.py stores raw CLIP
+    * vectors; dimension-correlation auditing is the standard scale-out
+    * hygiene over such a corpus.
+    *
+    * Exactness: works on KMeansOp's ScaleQ-quantized integral vectors;
+    * all moments (Σx, Σx², Σxy) are exact integer/DECIMAL sums —
+    * order-independent, so partial aggregation commutes — and the
+    * covariance/correlation doubles derive from those exact integers
+    * through a VARCHAR round-trip (DuckDB's int128→double cast is not
+    * correctly rounded; parsing the exact decimal string is, in both
+    * engines).
+    *
+    * Scale notes: ONE pass — the upper-triangle pair stream (d·(d+1)/2
+    * = 2 080 rows per vector at d=64) flows through a map-side-combined
+    * aggregate, so the shuffle is 2 080 rows × partitions regardless of
+    * corpus size; output is d²-sized, never corpus-sized. The pair
+    * stream stays in whole-stage codegen (posexplode + sequence +
+    * element_at — no interpreted HOF fold). At 100 TB the explode-side
+    * cost is n·d²/2 cheap long multiplies inside one stage; if that
+    * shows, the refinement is a native Expression emitting per-vector
+    * partial Gramians, not a different plan. */
+  def embedCovariance(s: SparkSession, dir: String): DataFrame =
+    embedCovariance(Tables.embeddings(s, dir))
+
+  def embedCovariance(embeddings: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    val pairs = KMeansOp.quantized(embeddings)
+      .select(col("q"), posexplode(col("q")))
+      .toDF("q", "d1", "x1")
+      .select(col("q"), col("d1").cast("long").as("d1"),
+        col("x1").cast("long").as("x1"),
+        explode(sequence(col("d1").cast("long"), size(col("q")).cast("long") - 1L)).as("d2"))
+      .select(col("d1"), col("d2"), col("x1"),
+        element_at(col("q"), (col("d2") + 1L).cast("int")).cast("long").as("x2"))
+    val toD = (c: Column) => c.cast("string").cast("double")
+    pairs.groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(dec(col("x1")) * dec(col("x2"))).as("s12"),
+        sum(dec(col("x1")) * dec(col("x1"))).as("s11"),
+        sum(dec(col("x2")) * dec(col("x2"))).as("s22"))
+      .withColumn("num", dec(col("n")) * col("s12") - dec(col("s1")) * dec(col("s2")))
+      .withColumn("vn1", dec(col("n")) * col("s11") - dec(col("s1")) * dec(col("s1")))
+      .withColumn("vn2", dec(col("n")) * col("s22") - dec(col("s2")) * dec(col("s2")))
+      .select(col("d1"), col("d2"), col("n"), col("s1"), col("s2"),
+        toD(col("num")).as("cov_num"),
+        when(col("vn1") === 0 || col("vn2") === 0, lit(null).cast("double"))
+          .otherwise(round(toD(col("num")) / sqrt(toD(col("vn1")) * toD(col("vn2"))), 6))
+          .as("corr_r"))
+      .orderBy("d1", "d2")
+  }
+
+  /** q176 oracle: identical quantization, upper-triangle pair stream
+    * (flatten of nested list_transform), HUGEINT moments, VARCHAR-
+    * routed doubles. */
+  val embedCovarianceOracleSql: String =
+    s"""WITH qv AS (SELECT
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * ${KMeansOp.ScaleQ}) AS BIGINT)) AS q
+       | FROM embeddings WHERE embedding IS NOT NULL),
+       |px AS (SELECT u.d1 AS d1, u.d2 AS d2, u.x1 AS x1, u.x2 AS x2 FROM (
+       |  SELECT unnest(flatten(list_transform(range(0, len(q)), i ->
+       |    list_transform(range(i, len(q)), j ->
+       |      {'d1': i, 'd2': j, 'x1': q[i+1], 'x2': q[j+1]})))) AS u FROM qv)),
+       |m AS (SELECT d1, d2, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+       |  SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+       |  SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+       |  SUM(CAST(x2 AS HUGEINT) * x2) AS s22
+       | FROM px GROUP BY d1, d2),
+       |v AS (SELECT d1, d2, n, s1, s2,
+       |  CAST(n AS HUGEINT) * s12 - CAST(s1 AS HUGEINT) * s2 AS num,
+       |  CAST(n AS HUGEINT) * s11 - CAST(s1 AS HUGEINT) * s1 AS vn1,
+       |  CAST(n AS HUGEINT) * s22 - CAST(s2 AS HUGEINT) * s2 AS vn2
+       | FROM m)
+       |SELECT d1, d2, n, s1, s2,
+       |  CAST(CAST(num AS VARCHAR) AS DOUBLE) AS cov_num,
+       |  CASE WHEN vn1 = 0 OR vn2 = 0 THEN NULL
+       |    ELSE ROUND(CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+       |      sqrt(CAST(CAST(vn1 AS VARCHAR) AS DOUBLE) * CAST(CAST(vn2 AS VARCHAR) AS DOUBLE)), 6)
+       |  END AS corr_r
+       |FROM v ORDER BY d1, d2""".stripMargin
 }

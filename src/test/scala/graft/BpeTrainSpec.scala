@@ -109,4 +109,42 @@ class BpeTrainSpec extends SparkTestBase {
     val nulls = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
     assert(BpeTrain.bpeMerges(spark, nulls).count() === 0L)
   }
+
+  test("q177: fertility arithmetic per lang; wordless lang keeps its doc bucket at 0") {
+    // vocab: "ab" -> 1 token, "cd" -> 2 tokens
+    val vocab = Seq(
+      ("ab", "6162", 3L), ("cd", "63 64", 1L)).toDF("w", "seq", "cnt")
+    val docs = Seq(
+      (1L, "ab ab cd", "en"),
+      (2L, "cd", "en"),
+      (3L, null.asInstanceOf[String], "de")).toDF("doc_id", "text", "lang")
+    val out = BpeTrain.fertilityWith(docs, vocab).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val en = out("en")
+    assert(en.getAs[Long]("n_docs") === 2L)
+    assert(en.getAs[Long]("n_words") === 4L)    // ab ab cd | cd
+    assert(en.getAs[Long]("n_tokens") === 6L)   // 1+1+2 | 2
+    assert(en.getAs[Long]("n_bytes") === 8L)
+    assert(en.getAs[Double]("fertility") === 1.5)
+    assert(en.getAs[Double]("bytes_per_token") === 1.333333) // round(8/6, 6)
+    val de = out("de")
+    assert(de.getAs[Long]("n_docs") === 1L)
+    assert(de.getAs[Long]("n_words") === 0L)
+    assert(de.isNullAt(de.fieldIndex("fertility")))
+  }
+
+  test("q177 on the corpus: every lang bucket tokenizes its whole word stream") {
+    val out = BpeTrain.fertility(spark, sfDir).collect()
+    assert(out.length >= 5)
+    val docs = Tables.documents(spark, sfDir)
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    assert(total === docs.count())
+    out.filter(_.getAs[Long]("n_docs") > 0).foreach { r =>
+      if (r.getAs[Long]("n_words") > 0) {
+        // every word is in the corpus-trained vocab -> >= 1 token each
+        assert(r.getAs[Double]("fertility") >= 1.0, s"lang ${r.getAs[String]("lang")}")
+        assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words"))
+      }
+    }
+  }
 }

@@ -159,6 +159,40 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q176 embed covariance: planted correlations exact; zero-variance dim -> NULL corr") {
+    // d0 = [0,1,2], d1 = [2,1,0] (perfect anti-corr), d2 = const
+    val em = Seq(
+      (0L, Array(0.0f, 2.0f, 0.5f)),
+      (1L, Array(1.0f, 1.0f, 0.5f)),
+      (2L, Array(2.0f, 0.0f, 0.5f))).toDF("vec_id", "embedding")
+    val out = operators.Quantize.embedCovariance(em).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) -> r).toMap
+    assert(out.size === 6) // upper triangle incl diagonal, d=3
+    // pair (0,1): s12 = 0 + 1e12 + 0 = 1e12; num = 3e12 - 9e12 = -6e12
+    assert(out((0L, 1L)).getAs[Double]("cov_num") === -6e12)
+    assert(out((0L, 1L)).getAs[Double]("corr_r") === -1.0)
+    assert(out((0L, 0L)).getAs[Double]("corr_r") === 1.0)
+    assert(out((1L, 1L)).getAs[Double]("corr_r") === 1.0)
+    // constant dim: variance numerator 0 -> NULL corr, cov 0
+    Seq((0L, 2L), (1L, 2L), (2L, 2L)).foreach { p =>
+      assert(out(p).isNullAt(out(p).fieldIndex("corr_r")), s"pair $p")
+      assert(out(p).getAs[Double]("cov_num") === 0.0)
+    }
+  }
+
+  test("q176 on the corpus: d*(d+1)/2 pairs, unit diagonal, |corr| <= 1") {
+    val out = operators.Quantize.embedCovariance(spark, sfDir).collect()
+    assert(out.length === 64 * 65 / 2)
+    out.foreach { r =>
+      val (d1, d2) = (r.getAs[Long]("d1"), r.getAs[Long]("d2"))
+      if (!r.isNullAt(r.fieldIndex("corr_r"))) {
+        val c = r.getAs[Double]("corr_r")
+        assert(math.abs(c) <= 1.0, s"pair ($d1,$d2) corr $c")
+        if (d1 == d2) assert(c === 1.0, s"diagonal ($d1,$d2)")
+      }
+    }
+  }
+
   // --- q66/q67/q68 quantization, LM score, CMS ---
 
   test("q66 int8 quantization: scale/codes well-formed, error bounded by half-step") {
