@@ -197,6 +197,9 @@ object SparkEntry {
     "q177_tokenizer_fertility"     -> ((s: SparkSession, d: String) => BpeTrain.fertility(s, d)),
     "q178_line_dedup"              -> ((s: SparkSession, d: String) => Curation.lineDedup(s, d)),
     "q179_temperature_mix"         -> ((s: SparkSession, d: String) => Sampling.temperatureMix(s, d)),
+    "q180_hard_negatives"          -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
+    "q181_cluster_silhouette"      -> ((s: SparkSession, d: String) => KMeansOp.silhouette(s, d)),
+    "q182_cooccurrence"            -> ((s: SparkSession, d: String) => Curation.cooccurrence(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -852,6 +855,9 @@ object SparkEntry {
     "q177_tokenizer_fertility" -> BpeTrain.fertilityOracleSql,
     "q178_line_dedup" -> Curation.lineDedupOracleSql,
     "q179_temperature_mix" -> Sampling.temperatureMixOracleSql,
+    "q180_hard_negatives" -> Similarity.hardNegativesOracleSql,
+    "q181_cluster_silhouette" -> KMeansOp.silhouetteOracleSql,
+    "q182_cooccurrence" -> Curation.cooccurrenceOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -388,6 +388,64 @@ object Curation {
       |SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g
       |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 50""".stripMargin
 
+  /** q182 window radius and the micro-quantized 1/d offset weights. */
+  val CoocW = 4
+
+  /** q182: distance-weighted word co-occurrence within a ±[[CoocW]]
+    * window — the GloVe corpus statistic (Pennington et al., EMNLP
+    * 2014 §3: co-occurring tokens contribute 1/d for separation d), of
+    * which q76's bigrams are the d=1 slice. Ordered pairs (w1 precedes
+    * w2), count plus the exact micro-integer weight sum (10⁶ div d —
+    * integer division, so every engine reproduces the same longs);
+    * top-100 under the total order (cnt DESC, w1, w2).
+    *
+    * Scale notes: the pair stream is built ARRAY-LOCALLY — per offset d
+    * a zip of the word array with its d-shifted self (slice + zip_with),
+    * flattened and exploded — so there is NO positional self-join; the
+    * stream is ≤ W rows per word, linear in corpus size, feeding ONE
+    * map-side-combined count/sum shuffle keyed by the pair, and the cut
+    * is a bounded TakeOrderedAndProject heap, never a global sort. At
+    * 100 TB you'd add the standard df-cap on w1/w2 (q119's move) to
+    * keep stopword pairs from dominating the shuffle's hot keys —
+    * semantics here keep the full stream because the oracle replays it
+    * exactly. */
+  def cooccurrence(s: SparkSession, dir: String): DataFrame =
+    cooccurrence(Tables.documents(s, dir))
+
+  def cooccurrence(docs: DataFrame): DataFrame = {
+    val emptyPairs = array().cast("array<struct<w1:string,w2:string,wt:bigint>>")
+    val arms = (1 to CoocW).map { d =>
+      when(col("n") > d,
+        zip_with(
+          slice(col("ws"), lit(1), col("n") - lit(d)),
+          slice(col("ws"), lit(d + 1), col("n") - lit(d)),
+          (a, b) => struct(a.as("w1"), b.as("w2"), lit(1000000L / d).as("wt"))))
+        .otherwise(emptyPairs)
+    }
+    docs.filter(col("text").isNotNull)
+      .select(TextAnalysis.words(col("text")).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .select(explode(flatten(array(arms: _*))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"), sum(col("p.wt")).as("wt_micro"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  /** q182 oracle: positions via generate_series, offsets via VALUES,
+    * the same integer 1/d micro weights and total-order cut. */
+  def cooccurrenceOracleSql: String =
+    s"""WITH w AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents WHERE text IS NOT NULL),
+       |px AS (SELECT ws, unnest(generate_series(1, len(ws))) AS i
+       |  FROM w WHERE len(ws) > 0),
+       |offs AS (SELECT * FROM (VALUES ${(1 to CoocW).map(d => s"($d)").mkString(",")}) t(d)),
+       |p AS (SELECT px.ws[px.i] AS w1, px.ws[px.i + offs.d] AS w2,
+       |    CAST(1000000 // offs.d AS BIGINT) AS wt
+       |  FROM px CROSS JOIN offs WHERE px.i + offs.d <= len(px.ws))
+       |SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(wt) AS BIGINT) AS wt_micro
+       |FROM p GROUP BY w1, w2 ORDER BY cnt DESC, w1, w2 LIMIT 100""".stripMargin
+
   def corpusFilter(s: SparkSession, dir: String): DataFrame = corpusFilter(Tables.documents(s, dir))
 
   def corpusFilter(docs: DataFrame): DataFrame = {

@@ -238,4 +238,89 @@ object KMeansOp {
        |sz AS (SELECT cell, COUNT(*) AS cell_size FROM af GROUP BY cell)
        |SELECT af.vec_id, CAST(af.cell AS BIGINT) AS cell, sz.cell_size
        |FROM af JOIN sz USING (cell) ORDER BY af.vec_id""".stripMargin
+
+  /** q181: per-cell SIMPLIFIED silhouette — the cluster-quality audit
+    * (Hruschka et al. 2004; sklearn's recipe for large n): per vector
+    * a = distance to its own (nearest) centroid, b = distance to the
+    * second-nearest centroid, s = (b − a) / b ∈ [0, 1] (a ≤ b by
+    * construction since assignment IS the argmin, so the classic
+    * negative arm cannot occur here); per cell the mean / min / max.
+    * Cells whose members sit near a neighboring centroid score → 0 —
+    * the readout that tells you whether q63's cells (and the q72 IVF /
+    * q104 SemDeDup structures built on them) actually separate, or the
+    * k is wrong. Full silhouette is O(n²) pairwise; the simplified form
+    * is the standard distributed substitute — centroid-relative, one
+    * pass, no pair joins.
+    *
+    * Engine-exact: distances are the SAME fixed-fold qq−2qc+cc chain as
+    * q63 (bitwise-equal doubles in both engines), s is one fixed-order
+    * IEEE expression over (a2, b2), then quantized to micro integers
+    * (round(s·10⁶)) so per-cell SUMs are exact integer arithmetic —
+    * order-independent across 1000 executors; one final IEEE division
+    * closes the mean. GREATEST(·,0) guards the sqrt against the tiny
+    * negative a float chain can leave where q ≈ c (same guard both
+    * engines, so parity holds either way).
+    *
+    * Scale notes: train is q63's loop (shared [[trainCents]] — K rows
+    * collected per round); scoring is a narrow projection with the K×64
+    * centroid matrix as literals (no join, corpus never shuffles) into
+    * a map-side-combined agg whose shuffle is K rows × partitions. */
+  def silhouette(s: SparkSession, dir: String): DataFrame =
+    silhouette(Tables.embeddings(s, dir))
+
+  def silhouette(embeddings: DataFrame): DataFrame = {
+    val (qv, cents) = trainCents(embeddings)
+    if (cents.size < 2)
+      // <2 centroids: "second-nearest" does not exist; the oracle's
+      // rn=2 join is empty too
+      return qv.select(lit(0L).as("cell"), lit(0L).as("n"),
+        lit(0.0).as("mean_sil_r"), lit(0L).as("min_mic"),
+        lit(0L).as("max_mic")).limit(0)
+    val qq = dot(col("q"), col("q"))
+    val dists = array(cents.map { case (_, c) => dist2(qq, c) }: _*)
+    val ids = array(cents.map { case (id, _) => lit(id) }: _*)
+    qv
+      .withColumn("cell",
+        element_at(ids, array_position(dists, array_min(dists)).cast("int")))
+      .withColumn("ds", array_sort(dists))
+      .withColumn("a2", element_at(col("ds"), 1))
+      .withColumn("b2", element_at(col("ds"), 2))
+      .withColumn("sil",
+        when(col("b2") > 0.0,
+          (sqrt(greatest(col("b2"), lit(0.0))) - sqrt(greatest(col("a2"), lit(0.0))))
+            / sqrt(greatest(col("b2"), lit(0.0))))
+          .otherwise(lit(0.0)))
+      .withColumn("mic", round(col("sil") * lit(1000000.0)).cast("long"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("mic")).as("sum_mic"),
+        min(col("mic")).as("min_mic"), max(col("mic")).as("max_mic"))
+      .select(col("cell"), col("n"),
+        round(col("sum_mic").cast("double")
+          / (col("n").cast("double") * lit(1000000.0)), 9).as("mean_sil_r"),
+        col("min_mic"), col("max_mic"))
+      .orderBy("cell")
+  }
+
+  /** q181 oracle: the shared train chain, per-vector (a2, b2) via the
+    * rn=1/rn=2 window rows, the identical s/micro arithmetic. */
+  def silhouetteOracleSql: String =
+    s"""WITH $kmeansCtes,
+       |dd AS (SELECT qv.vec_id, c$Rounds.cell, ${dist2Sql(s"c$Rounds")} AS d2
+       |  FROM qv CROSS JOIN c$Rounds),
+       |rk AS (SELECT vec_id, cell, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |  FROM dd),
+       |sv AS (SELECT r1.vec_id, r1.cell, r1.d2 AS a2, r2.d2 AS b2
+       |  FROM rk r1 JOIN rk r2 ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2),
+       |sl AS (SELECT cell,
+       |    CASE WHEN b2 > 0 THEN
+       |      (sqrt(GREATEST(b2, 0)) - sqrt(GREATEST(a2, 0))) / sqrt(GREATEST(b2, 0))
+       |    ELSE 0.0 END AS sil
+       |  FROM sv),
+       |mm AS (SELECT cell, CAST(round(sil * 1000000.0) AS BIGINT) AS mic FROM sl)
+       |SELECT CAST(cell AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ROUND(CAST(SUM(mic) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 9)
+       |    AS mean_sil_r,
+       |  MIN(mic) AS min_mic, MAX(mic) AS max_mic
+       |FROM mm GROUP BY cell ORDER BY cell""".stripMargin
 }

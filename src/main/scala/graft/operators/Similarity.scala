@@ -621,4 +621,86 @@ object Similarity {
       |  FROM p)
       |SELECT query_id, label, cand_id, rank, ROUND(sim, 9) AS sim_r
       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** q180: hard-negative mining for contrastive training — for each
+    * anchor (vec_id < 10) the top-[[HardNegK]] most-similar vectors
+    * carrying a DIFFERENT label, plus the anchor's best same-label
+    * similarity (`pos_sim_r`) so the consumer can margin-filter (keep
+    * negatives with sim < pos_sim, the standard false-negative guard).
+    * This is the mining step dense-retriever training runs over the
+    * whole corpus (DPR, Karpukhin et al. EMNLP 2020; the
+    * sentence-transformers `mine_hard_negatives` recipe): the model
+    * learns from near-misses, not random negatives. Complements q167
+    * (same-label search) — the same in-search predicate, negated.
+    *
+    * Scale notes: the anchor set broadcasts into both arms, so the
+    * corpus is scanned twice but never shuffled — the negatives arm is
+    * a broadcast join with a ≠-label residual feeding the map-side
+    * bounded-heap top-k ([[topKAgg]], ≤ k rows per partition per
+    * anchor into the shuffle), the positives arm a broadcast equi-join
+    * feeding a map-combined MAX. At 100 TB with a label-partitioned
+    * store the positive arm partition-prunes to the anchor's label and
+    * the negative arm to everything else; with many anchors you flip
+    * the candidate side to IVF cells (q72) exactly as for q27. Rounding
+    * happens once per output column (no round-of-difference), so the
+    * gate compares raw-chain doubles in both engines. */
+  val HardNegK = 5
+
+  def hardNegatives(s: SparkSession, dir: String): DataFrame =
+    hardNegatives(graft.Tables.embeddings(s, dir))
+
+  def hardNegatives(embeddings: DataFrame): DataFrame = {
+    val v = embeddings
+      .where(col("embedding").isNotNull && col("label").isNotNull)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("e").as("eq"), col("nrm").as("nq"))
+    val c = v.select(col("vec_id").as("__cand_id"), col("label").as("clabel"),
+      col("e").as("ec"), col("nrm").as("nc"))
+    val negScored = broadcast(q).join(c, col("qlabel") =!= col("clabel"))
+      .select(col("query_id"), col("__cand_id"),
+        cosinePre(col("eq"), col("ec"), col("nq"), col("nc")).as("sim"))
+    val topNeg = explodeTopK(negScored, "query_id", "neg_id", HardNegK)
+    val bestPos = broadcast(q).join(c,
+        col("qlabel") === col("clabel") && col("query_id") =!= col("__cand_id"))
+      .groupBy(col("query_id"))
+      .agg(max(cosinePre(col("eq"), col("ec"), col("nq"), col("nc"))).as("pos_sim"))
+    topNeg
+      .join(broadcast(q.select(col("query_id"), col("qlabel").as("label"))),
+        Seq("query_id"))
+      .join(broadcast(bestPos), Seq("query_id"), "left")
+      .select(col("query_id"), col("label"), col("neg_id"), col("rank"),
+        col("sim_r"), round(col("pos_sim"), 9).as("pos_sim_r"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q180 oracle: q167's cosine CTEs with the label predicate negated
+    * for the candidate arm and an equi-label MAX for the positive arm. */
+  def hardNegativesOracleSql: String =
+    s"""WITH v AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      |n AS (SELECT vec_id, label, e,
+      |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm FROM v),
+      |p AS (SELECT q.vec_id AS query_id, q.label AS label, c.vec_id AS neg_id,
+      |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(range(1, len(q.e)+1), i -> q.e[i]*c.e[i])), (x,y) -> x+y)
+      |   / (q.nrm * c.nrm) AS sim
+      |  FROM n q JOIN n c ON q.label <> c.label AND q.vec_id < 10),
+      |r AS (SELECT query_id, label, neg_id, sim,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neg_id) AS rank
+      |  FROM p),
+      |pos AS (SELECT q.vec_id AS query_id, MAX(
+      |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(range(1, len(q.e)+1), i -> q.e[i]*c.e[i])), (x,y) -> x+y)
+      |   / (q.nrm * c.nrm)) AS pos_sim
+      |  FROM n q JOIN n c ON q.label = c.label AND q.vec_id < 10
+      |    AND q.vec_id <> c.vec_id GROUP BY 1)
+      |SELECT r.query_id, r.label, r.neg_id, r.rank, ROUND(r.sim, 9) AS sim_r,
+      |  ROUND(pos.pos_sim, 9) AS pos_sim_r
+      |FROM r LEFT JOIN pos ON r.query_id = pos.query_id
+      |WHERE r.rank <= $HardNegK ORDER BY r.query_id, r.rank""".stripMargin
 }

@@ -351,4 +351,37 @@ class CurationSpec extends SparkTestBase {
       assert(r.getAs[Long]("n_feats") >= 1L)
     }
   }
+
+  test("q182: window pairs, 1/d micro weights, and short-doc edges by hand") {
+    val d = docs(
+      1L -> "a b c a b",   // d1: (a,b)(b,c)(c,a)(a,b); d2: (a,c)(b,a)(c,b); d3: (a,a)(b,b); d4: (a,b)
+      2L -> "x y z",       // d1: (x,y)(y,z); d2: (x,z)
+      3L -> "solo",        // no pairs
+      4L -> null.asInstanceOf[String])
+    val out = Curation.cooccurrence(d).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+        (r.getAs[Long]("cnt"), r.getAs[Long]("wt_micro"))).toMap
+    assert(out(("a", "b")) === ((3L, 2250000L)), "2×d1 + 1×d4 = 2e6 + 250000")
+    assert(out(("b", "c")) === ((1L, 1000000L)))
+    assert(out(("a", "c")) === ((1L, 500000L)))
+    assert(out(("a", "a")) === ((1L, 333333L)), "10⁶ div 3, integer division")
+    assert(out(("x", "z")) === ((1L, 500000L)))
+    assert(!out.contains(("x", "x")), "distance 3 exceeds doc 2's length")
+    assert(out.size === 11)
+  }
+
+  test("q182 ranking is the (cnt desc, w1, w2) total order (corpus)") {
+    val rows = Curation.cooccurrence(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("cnt"), r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("wt_micro")))
+    assert(rows.length === 100)
+    rows.sliding(2).foreach { case Array(p, n) =>
+      assert(p._1 > n._1 || (p._1 == n._1 &&
+        (p._2 < n._2 || (p._2 == n._2 && p._3 < n._3))))
+    }
+    // weight is bounded by count extremes: all-d4 ≤ wt ≤ all-d1
+    rows.foreach { case (cnt, _, _, wt) =>
+      assert(wt >= cnt * 250000L && wt <= cnt * 1000000L)
+    }
+  }
 }

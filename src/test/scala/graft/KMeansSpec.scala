@@ -53,6 +53,66 @@ class KMeansSpec extends SparkTestBase {
     assert(graft.operators.SemDedup.semDedupTrained(df, 8).count() === 0L)
   }
 
+  test("q181: points sitting exactly on their centroid score silhouette 1") {
+    // 8 distinct basis vectors seed the cells (vec_id 0..7); ids 8..15
+    // duplicate them exactly, so every cell's centroid IS its members'
+    // point: a = 0, b > 0 → s = 1 for every vector, mean_sil_r = 1.0,
+    // min = max = 10⁶ micro
+    val rows = (0 until 16).map { i =>
+      val e = Array.fill(KMeansOp.Dim)(0.0f); e(i % 8) = 1.0f
+      (i.toLong, e)
+    }
+    val out = KMeansOp.silhouette(rows.toDF("vec_id", "embedding")).collect()
+    assert(out.length === 8)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n") === 2L)
+      assert(r.getAs[Double]("mean_sil_r") === 1.0)
+      assert(r.getAs[Long]("min_mic") === 1000000L)
+      assert(r.getAs[Long]("max_mic") === 1000000L)
+    }
+  }
+
+  test("q181: a point halfway between two centroids scores exactly 0") {
+    // basis seeds + exact duplicates pin every centroid (as above);
+    // cell 0 additionally holds p1 = (b0+b1)/2 (equidistant to c0/c1 →
+    // s = 0) and its mirror p2 = 1.5·b0 − 0.5·b1, placed so the cell-0
+    // mean stays EXACTLY b0 (p1 + p2 = 2·b0). Cell 0's mean drops below
+    // the pure cells' 1.0 and its min_mic is the halfway point's 0.
+    val rows = (0 until 16).map { i =>
+      val e = Array.fill(KMeansOp.Dim)(0.0f); e(i % 8) = 1.0f
+      (i.toLong, e)
+    } ++ Seq(
+      { val e = Array.fill(KMeansOp.Dim)(0.0f); e(0) = 0.5f; e(1) = 0.5f
+        (16L, e) },
+      { val e = Array.fill(KMeansOp.Dim)(0.0f); e(0) = 1.5f; e(1) = -0.5f
+        (17L, e) })
+    val out = KMeansOp.silhouette(rows.toDF("vec_id", "embedding")).collect()
+      .map(r => r.getAs[Long]("cell") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("mean_sil_r"),
+          r.getAs[Long]("min_mic"))).toMap
+    assert(out.values.map(_._1).sum === 18L)
+    assert(out(0L)._1 === 4L)
+    assert(out(0L)._3 === 0L, "the halfway point scores micro 0")
+    assert(out(0L)._2 < 1.0 && out(0L)._2 > 0.0)
+    (1L to 7L).foreach(c => assert(out(c)._2 === 1.0, s"cell $c"))
+  }
+
+  test("q181 on the corpus: cells match q63, counts cover, range holds") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = KMeansOp.silhouette(emb).collect()
+    val kmSizes = KMeansOp.kmeans(emb).collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("cell_size")).toMap
+    assert(out.map(_.getAs[Long]("cell")).toSet === kmSizes.keySet)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n") === kmSizes(r.getAs[Long]("cell")))
+      val m = r.getAs[Double]("mean_sil_r")
+      assert(m >= 0.0 && m <= 1.0, s"mean $m out of range")
+      assert(r.getAs[Long]("min_mic") <= r.getAs[Long]("max_mic"))
+      assert(r.getAs[Long]("min_mic") >= 0L &&
+        r.getAs[Long]("max_mic") <= 1000000L)
+    }
+  }
+
   test("q63 on the corpus: partition-count independence, full coverage") {
     val emb = Tables.embeddings(spark, sfDir)
     val base = KMeansOp.kmeans(emb).collect()

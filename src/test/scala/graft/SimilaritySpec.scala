@@ -327,6 +327,47 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.toSeq === Seq((3L, 1L, 7), (1L, 2L, 7)))
   }
 
+  test("q180 hard negatives: same-label twins never mine as negatives; pos_sim is their ceiling") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 7),   // anchor, label 7
+      (1L, Array(1.0f, 0.0f), 7),   // same-label twin: cosine 1 but NOT a negative
+      (2L, Array(0.8f, 0.6f), 8),   // different label, cosine 0.8 — rank-1 negative
+      (3L, Array(0.6f, 0.8f), 8),   // different label, cosine 0.6 — rank 2
+      (4L, Array(0.6f, 0.8f), 7),   // same label, cosine 0.6 — positive arm only
+      (5L, null.asInstanceOf[Array[Float]], 8), // NULL embedding drops
+      (20L, Array(0.0f, 1.0f), 9)   // candidate-only, orthogonal — rank 3
+    ).toDF("vec_id", "embedding", "label")
+    val rows = graft.operators.Similarity.hardNegatives(vecs)
+      .filter(col("query_id") === 0L).collect()
+      .map(r => (r.getAs[Long]("neg_id"), r.getAs[Long]("rank"),
+        r.getAs[Double]("sim_r"), r.getAs[Double]("pos_sim_r")))
+    assert(rows.map(t => (t._1, t._2)).toSeq === Seq((2L, 1L), (3L, 2L), (20L, 3L)))
+    assert(rows.forall(_._4 === 1.0), "best positive is the exact twin (cosine 1)")
+    // float32 0.8 is not double 0.8 — bound, don't pin
+    assert(rows.head._3 > 0.79 && rows.head._3 < 0.81)
+    assert(!rows.exists(r => Set(1L, 4L).contains(r._1)),
+      "same-label vectors must never appear as negatives")
+  }
+
+  test("q180 hard negatives (corpus): labels always differ, ranks dense, pos arm present") {
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val out = graft.operators.Similarity.hardNegatives(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq ===
+        (1L to rs.length.toLong).toSeq)
+    }
+    out.foreach { r =>
+      assert(labels(r.getAs[Long]("neg_id")) !== r.getAs[Int]("label"))
+      assert(labels(r.getAs[Long]("query_id")) === r.getAs[Int]("label"))
+      assert(!r.isNullAt(r.fieldIndex("pos_sim_r")),
+        "corpus labels repeat, so every anchor has a positive")
+    }
+  }
+
   test("q167 filtered search: every hit shares the query label (corpus)") {
     val labels = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label")).collect()
