@@ -200,6 +200,9 @@ object SparkEntry {
     "q180_hard_negatives"          -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "q181_cluster_silhouette"      -> ((s: SparkSession, d: String) => KMeansOp.silhouette(s, d)),
     "q182_cooccurrence"            -> ((s: SparkSession, d: String) => Curation.cooccurrence(s, d)),
+    "q183_pq_recall"               -> ((s: SparkSession, d: String) => PqOp.pqRecall(s, d)),
+    "q184_zipf_fit"                -> ((s: SparkSession, d: String) => Search.zipfFit(s, d)),
+    "q185_packing_efficiency"      -> ((s: SparkSession, d: String) => Packing.packingEfficiency(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -858,6 +861,9 @@ object SparkEntry {
     "q180_hard_negatives" -> Similarity.hardNegativesOracleSql,
     "q181_cluster_silhouette" -> KMeansOp.silhouetteOracleSql,
     "q182_cooccurrence" -> Curation.cooccurrenceOracleSql,
+    "q183_pq_recall" -> PqOp.pqRecallOracleSql,
+    "q184_zipf_fit" -> Search.zipfFitOracleSql,
+    "q185_packing_efficiency" -> Packing.packingEfficiencyOracleSql(),
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

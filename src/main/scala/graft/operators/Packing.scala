@@ -100,6 +100,58 @@ object Packing {
       .orderBy("source", "shard", "doc_id")
   }
 
+  /** q185: packing-efficiency audit — the readout a q48 rollout is
+    * judged on: per source the pack count, padding waste, and fill
+    * efficiency (Σ tokens / (packs × budget)); `n_oversize` counts the
+    * single-doc packs that EXCEED the budget (they truncate or stream
+    * at train time, so they are their own line item; their pad is 0,
+    * never negative). Dense packing is the whole point of q48 —
+    * unfilled context is wasted compute — and this is the operator
+    * that says whether the greedy scan actually achieves it per
+    * source, or a source's length mix needs a different budget.
+    *
+    * Scale notes: runs OVER the q48 assignment (same sharded
+    * `flatMapGroups` scan), then two map-side-combined aggregates —
+    * (source, pack) sized, then |sources| sized. All counters exact
+    * integers; ONE final IEEE division per source. */
+  def packingEfficiency(s: SparkSession, dir: String): DataFrame =
+    packingEfficiency(Tables.documents(s, dir), Budget)
+
+  def packingEfficiency(docs: DataFrame, budget: Long): DataFrame = {
+    val packs = packSequences(docs, budget)
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("used"))
+    packs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_packs"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("used")).as("sum_tokens"),
+        sum(greatest(lit(0L), lit(budget) - col("used"))).as("pad_tokens"),
+        sum(when(col("used") > budget, 1L).otherwise(0L)).as("n_oversize"))
+      .withColumn("eff_r",
+        round(col("sum_tokens").cast("double")
+          / (col("n_packs").cast("double") * lit(budget.toDouble)), 6))
+      .orderBy("source")
+  }
+
+  /** q185 oracle: the q48 recursive chain rolled up per (source, pack)
+    * then per source, identical pad/efficiency arithmetic. */
+  def packingEfficiencyOracleSql(budget: Long = Budget): String = {
+    val base = packSequencesOracleSql(budget)
+    val chain = base.substring(0, base.lastIndexOf("SELECT source, doc_id")).trim
+    s"""$chain,
+       |pk AS (SELECT source, pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS used
+       |  FROM p GROUP BY source, pack_id)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_packs,
+       |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(SUM(used) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(GREATEST(0, $budget - used)) AS BIGINT) AS pad_tokens,
+       |  CAST(SUM(CASE WHEN used > $budget THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+       |  ROUND(CAST(SUM(used) AS DOUBLE) /
+       |    (CAST(COUNT(*) AS DOUBLE) * ${budget}.0), 6) AS eff_r
+       |FROM pk GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** Generated DuckDB oracle for q48: the same greedy scan as a linear
     * recursive CTE stepping row_number+1 within each source. */
   def packSequencesOracleSql(budget: Long = Budget): String =

@@ -463,4 +463,88 @@ object PqOp {
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
        |  FROM rr)
        |WHERE rn <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** q183: PQ compression-quality audit — recall@[[TopK]] of the raw
+    * ADC ranking (q111) and of the two-stage rerank (q112) against the
+    * exact-cosine truth for the same [[NQ]] queries. The q129 recall
+    * audit aimed at the LSH family; THIS one closes the loop on the
+    * compressed index: it is the number that decides whether 8-byte
+    * codes (32× compression at d=64) can serve directly or need the
+    * rerank stage — the standard accept/reject gate for a PQ rollout
+    * (Jégou et al., TPAMI 2011 §V evaluates exactly this recall curve).
+    *
+    * Scale notes: the truth arm is q27's shape (broadcast queries,
+    * map-side bounded-heap top-k — the corpus never shuffles); the ADC
+    * and rerank arms are the PERSISTED serving read paths (no retrain —
+    * the q111/q112 artifact); the joins and rollup run over
+    * NQ·[[TopK]]-row frames. Recall integers are exact; no doubles in
+    * the output at all. */
+  def pqRecall(s: SparkSession, dir: String): DataFrame = {
+    val v = Dedup.normalized(Tables.embeddings(s, dir))
+    val q = v.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"))
+    val c = v.select(col("vec_id").as("__cand_id"), col("e").as("ec"),
+      col("nrm").as("nc"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("__cand_id"))
+      .select(col("query_id"), col("__cand_id"),
+        cosinePre(col("eq"), col("ec"), col("nq"), col("nc")).as("sim"))
+    val truth = Similarity.explodeTopKPerGroup(scored, "query_id", "neighbor_id", TopK)
+      .select(col("query_id"), col("neighbor_id"))
+    val adc = pqAdcTopK(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit_adc"))
+    val rr = pqRerankTopK(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit_rerank"))
+    truth.join(adc, Seq("query_id", "neighbor_id"), "left")
+      .join(rr, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit_adc"), lit(0L))).as("hits_adc"),
+        sum(coalesce(col("hit_rerank"), lit(0L))).as("hits_rerank"))
+      .orderBy("query_id")
+  }
+
+  /** q183 oracle: the q111/q112 chains and the exact-cosine chain
+    * composed under one WITH, joined on (query, neighbor) like the
+    * engine. */
+  def pqRecallOracleSql: String =
+    s"""WITH $adcCtes,
+       |at AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+       |    FROM adc) WHERE rn <= $TopK),
+       |sl AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+       |    FROM adc) WHERE rn <= $ShortlistK),
+       |n0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |n AS (SELECT vec_id, e,
+       |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm FROM n0),
+       |rrp AS (SELECT sl.query_id, sl.neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(q.e)+1), i -> q.e[i]*c.e[i])), (x,y) -> x+y)
+       |     / (q.nrm * c.nrm) AS sim
+       |  FROM sl JOIN n c ON c.vec_id = sl.neighbor_id
+       |  JOIN n q ON q.vec_id = sl.query_id),
+       |rt AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |    FROM rrp) WHERE rn <= $TopK),
+       |bp AS (SELECT q2.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(q2.e)+1), i -> q2.e[i]*c.e[i])), (x,y) -> x+y)
+       |     / (q2.nrm * c.nrm) AS sim
+       |  FROM n q2 JOIN n c ON q2.vec_id < $NQ AND q2.vec_id <> c.vec_id),
+       |bt AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |    FROM bp) WHERE rn <= $TopK)
+       |SELECT bt.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |  CAST(SUM(CASE WHEN at.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_adc,
+       |  CAST(SUM(CASE WHEN rt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_rerank
+       |FROM bt
+       |LEFT JOIN at ON bt.query_id = at.query_id AND bt.neighbor_id = at.neighbor_id
+       |LEFT JOIN rt ON bt.query_id = rt.query_id AND bt.neighbor_id = rt.neighbor_id
+       |GROUP BY bt.query_id ORDER BY bt.query_id""".stripMargin
 }

@@ -144,6 +144,97 @@ object Search {
       |  CAST(COALESCE(round(pd.s / CAST(pd.n_tokens AS DOUBLE)), 0) AS BIGINT) AS avg_logp_micro
       |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** q184 fit depth: OLS over the top [[ZipfRanks]] ranks per lang. */
+  val ZipfRanks = 256
+
+  /** q184: Zipf-law fit audit per language — OLS slope/intercept of
+    * (ln rank, ln freq) over each language's top-[[ZipfRanks]] words
+    * (Zipf 1949; Piantadosi, Psychon Bull Rev 2014 reviews why natural
+    * text sits near slope −1). Generated filler, template spam, and
+    * tokenizer damage bend the rank-frequency line long before q31's
+    * ratio heuristics fire — the corpus-level complement to q165's
+    * per-doc entropy gate.
+    *
+    * Engine-exact: x = round(ln r·10⁶), y = round(ln f·10⁶) are
+    * integral micro-nats (q67's quantization); all OLS moments are
+    * exact integer/DECIMAL sums (order-independent, partials commute);
+    * the slope num/den is scale-invariant (both axes carry the same
+    * 10⁶), the intercept converts back through ONE /10⁶; the exact
+    * DECIMAL numerators reach doubles through the shared
+    * VARCHAR-mediated cast (q176's trap: int128→double casts are not
+    * correctly rounded). n_ranks < 2 → zero denominator → NULL fit,
+    * kept; NULL lang keeps its own bucket, NULLS-LAST both engines.
+    *
+    * Scale notes: ONE (lang, word) count shuffle over the corpus; the
+    * rank window runs over the |vocab| aggregate, not the corpus, and
+    * at a 100 TB vocab the q98 two-pass bucketed rank replaces it —
+    * the moments and fit are unchanged. Output is |langs| rows. */
+  def zipfFit(s: SparkSession, dir: String): DataFrame =
+    zipfFit(Tables.documents(s, dir))
+
+  def zipfFit(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    val toD = (c: Column) => c.cast("string").cast("double")
+    val freq = docs.filter(col("text").isNotNull)
+      .select(col("lang"), explode(TextAnalysis.words(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("f"))
+    val ranked = freq
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("f").desc, col("word"))))
+      .filter(col("r") <= ZipfRanks)
+      .select(col("lang"),
+        round(log(col("r").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("f").cast("double")) * 1e6).cast("long").as("y"))
+    ranked.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_ranks"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"))
+      .withColumn("num", dec(col("n_ranks")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+      .withColumn("den", dec(col("n_ranks")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+      .withColumn("inum", dec(col("sy")) * col("sxx") - dec(col("sx")) * col("sxy"))
+      .select(col("lang"), col("n_ranks"), col("sx"), col("sy"),
+        when(col("den") === 0, lit(null).cast("double"))
+          .otherwise(round(toD(col("num")) / toD(col("den")), 6)).as("slope_r"),
+        when(col("den") === 0, lit(null).cast("double"))
+          .otherwise(round(toD(col("inum")) / toD(col("den")) / lit(1e6), 6))
+          .as("intercept_r"))
+      .orderBy(col("lang").asc_nulls_last)
+  }
+
+  /** q184 oracle: identical tokenize/rank/quantize, HUGEINT moments,
+    * VARCHAR-routed doubles, NULLS LAST to match the engine. */
+  def zipfFitOracleSql: String =
+    s"""WITH w AS (SELECT lang,
+       |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+       | FROM documents WHERE text IS NOT NULL),
+       |f AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS f FROM w GROUP BY lang, word),
+       |r AS (SELECT lang, f,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY f DESC, word) AS r
+       |  FROM f),
+       |t AS (SELECT lang,
+       |    CAST(round(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+       |    CAST(round(ln(CAST(f AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+       |  FROM r WHERE r <= $ZipfRanks),
+       |m AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_ranks,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    SUM(CAST(x AS HUGEINT) * y) AS sxy, SUM(CAST(x AS HUGEINT) * x) AS sxx
+       |  FROM t GROUP BY lang),
+       |v AS (SELECT lang, n_ranks, sx, sy,
+       |    CAST(n_ranks AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+       |    CAST(n_ranks AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+       |    CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS inum
+       |  FROM m)
+       |SELECT lang, n_ranks, sx, sy,
+       |  CASE WHEN den = 0 THEN NULL
+       |    ELSE ROUND(CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(CAST(den AS VARCHAR) AS DOUBLE), 6)
+       |  END AS slope_r,
+       |  CASE WHEN den = 0 THEN NULL
+       |    ELSE ROUND(CAST(CAST(inum AS VARCHAR) AS DOUBLE) / CAST(CAST(den AS VARCHAR) AS DOUBLE) / 1000000.0, 6)
+       |  END AS intercept_r
+       |FROM v ORDER BY lang NULLS LAST""".stripMargin
+
   /** q69: top-3 tf-idf terms per document — the classic sparse
     * featurization of a corpus (keyword extraction / topic labeling).
     *

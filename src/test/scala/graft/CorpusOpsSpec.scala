@@ -310,6 +310,41 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out(("s2", 6L)) === ((1L, 1L)))
   }
 
+  test("q185: pad, oversize, and efficiency arithmetic by hand") {
+    val docs = Seq(
+      (1L, Seq.fill(4)("w").mkString(" "), "s1"),  // pack 1: 4+4 = 8
+      (2L, Seq.fill(4)("w").mkString(" "), "s1"),
+      (3L, Seq.fill(4)("w").mkString(" "), "s1"),  // pack 2: 4
+      (4L, Seq.fill(15)("w").mkString(" "), "s2")  // oversize: own pack, pad 0
+    ).toDF("doc_id", "text", "source")
+    val out = Packing.packingEfficiency(docs, 10L).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_packs"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("sum_tokens"), r.getAs[Long]("pad_tokens"),
+          r.getAs[Long]("n_oversize"), r.getAs[Double]("eff_r"))).toMap
+    assert(out("s1") === ((2L, 3L, 12L, 8L, 0L, 0.6)))
+    assert(out("s2") === ((1L, 1L, 15L, 0L, 1L, 1.5)),
+      "oversize pack: pad clamps at 0, efficiency may exceed 1")
+  }
+
+  test("q185 on the corpus: identity sum_tokens + pad - overflow ≡ packs × budget") {
+    val eff = Packing.packingEfficiency(spark, sfDir)
+    val out = eff.collect()
+    assert(out.nonEmpty)
+    // recompute overflow from the q48 assignment to close the identity
+    val over = Packing.packSequences(spark, sfDir)
+      .groupBy("source", "pack_id").agg(sum("n_tokens").as("used"))
+      .groupBy("source")
+      .agg(sum(greatest(lit(0L), col("used") - Packing.Budget)).as("overflow"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("overflow")).toMap
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("sum_tokens") + r.getAs[Long]("pad_tokens") -
+        over(src) === r.getAs[Long]("n_packs") * Packing.Budget, s"source $src")
+      assert(r.getAs[Double]("eff_r") > 0.0)
+    }
+  }
+
   test("sharded packing covers every doc once and respects the budget per shard") {
     val docs = Tables.documents(spark, sfDir)
     val out = Packing.packSequencesSharded(docs, Packing.Budget, shards = 4)

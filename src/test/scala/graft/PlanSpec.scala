@@ -245,6 +245,29 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("word_shingles"), "gram build must run as the native kernel")
   }
 
+  test("q182: co-occurrence pairs build array-locally — zero joins in the plan") {
+    val p = plan(graft.operators.Curation.cooccurrence(spark, sfDir))
+    assert(!p.contains("Join"), s"pair stream must not come from a positional self-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must be a bounded per-partition heap:\n$p")
+  }
+
+  test("q180: anchors broadcast into both arms; the corpus never hash-shuffles pre-agg") {
+    val p = plan(graft.operators.Similarity.hardNegatives(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"anchor side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join means the corpus shuffled for the anchor set:\n$p")
+  }
+
+  test("q181: silhouette scoring is a narrow projection — no join, one agg shuffle") {
+    val p = plan(graft.operators.KMeansOp.silhouette(spark, sfDir))
+    assert(!p.contains("Join"),
+      s"centroids must ride as literals, not a join:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 1, s"expected at most the cell-agg exchange, got $hashEx:\n$p")
+  }
+
   test("q79: containment candidates come from an equi-join, never nested-loop") {
     val p = plan(graft.operators.ApproxDedup.containmentPairs(spark, sfDir))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -86,6 +86,25 @@ class PqSpec extends SparkTestBase {
       s"rerank top-1 recall $agree/${exact.size}: exact=$exact rr=$rr")
   }
 
+  test("q183: recall audit — truth-sized rows, rerank never below raw ADC") {
+    val out = PqOp.pqRecall(spark, sfDir).collect()
+    assert(out.length === PqOp.NQ)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_truth") === PqOp.TopK.toLong)
+      val adc = r.getAs[Long]("hits_adc")
+      val rr = r.getAs[Long]("hits_rerank")
+      assert(adc >= 0L && adc <= PqOp.TopK)
+      assert(rr >= 0L && rr <= PqOp.TopK)
+      // the 50-shortlist rerank scores the ADC top-5's superset with
+      // exact cosine, so every truth member ADC surfaced stays surfaced
+      assert(rr >= adc,
+        s"query ${r.getAs[Long]("query_id")}: rerank $rr < adc $adc")
+    }
+    // the rerank stage must be worth its cost somewhere on the corpus
+    assert(out.map(_.getAs[Long]("hits_rerank")).sum >=
+      out.map(_.getAs[Long]("hits_adc")).sum)
+  }
+
   test("persisted index path equals the inline train path, row for row") {
     // the gated (s, dir) entry serves codebooks + codes from the
     // ArtifactStore; values must be identical to training in place —

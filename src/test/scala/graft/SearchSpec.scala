@@ -101,4 +101,46 @@ class SearchSpec extends SparkTestBase {
     assert(out(1L) > out(3L), s"fluent ${out(1L)} !> reordered ${out(3L)}")
     assert(out(3L) > out(5L), s"backoff ${out(3L)} !> OOV floor ${out(5L)}")
   }
+
+  test("q184: OLS fit matches a BigInt model; single-word lang yields NULL fit") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a b b c", "xx"),  // freqs 4,2,1 at ranks 1,2,3
+      (2L, "solo solo", "yy")       // one distinct word → n_ranks=1 → NULL
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.operators.Search.zipfFit(docs).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    // the engine's exact integer chain, replayed with BigInt
+    val fs = Seq(4L, 2L, 1L)
+    val xs = fs.indices.map(i => BigInt(math.round(math.log(i + 1.0) * 1e6)))
+    val ys = fs.map(f => BigInt(math.round(math.log(f.toDouble) * 1e6)))
+    val n = BigInt(3)
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val inum = sy * sxx - sx * sxy
+    val slope = out("xx").getAs[Double]("slope_r")
+    val icept = out("xx").getAs[Double]("intercept_r")
+    assert(math.abs(slope - num.toDouble / den.toDouble) < 1e-6)
+    assert(math.abs(icept - inum.toDouble / den.toDouble / 1e6) < 1e-6)
+    assert(slope < 0.0, "rank-frequency must fall")
+    assert(out("xx").getAs[Long]("n_ranks") === 3L)
+    assert(out("yy").getAs[Long]("n_ranks") === 1L)
+    assert(out("yy").isNullAt(out("yy").fieldIndex("slope_r")))
+    assert(out("yy").isNullAt(out("yy").fieldIndex("intercept_r")))
+  }
+
+  test("q184 on the corpus: every lang fits a falling line near Zipf") {
+    val out = graft.operators.Search.zipfFit(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_ranks") >= 1L &&
+        r.getAs[Long]("n_ranks") <= graft.operators.Search.ZipfRanks)
+      if (!r.isNullAt(r.fieldIndex("slope_r")))
+        assert(r.getAs[Double]("slope_r") < 0.0,
+          s"lang ${r.getAs[String]("lang")} slope must be negative")
+    }
+  }
 }
