@@ -203,6 +203,8 @@ object SparkEntry {
     "q183_pq_recall"               -> ((s: SparkSession, d: String) => PqOp.pqRecall(s, d)),
     "q184_zipf_fit"                -> ((s: SparkSession, d: String) => Search.zipfFit(s, d)),
     "q185_packing_efficiency"      -> ((s: SparkSession, d: String) => Packing.packingEfficiency(s, d)),
+    "q186_langid_confusion"        -> ((s: SparkSession, d: String) => TextAnalysis.langidConfusion(s, d)),
+    "q187_minhash_calibration"     -> ((s: SparkSession, d: String) => ApproxDedup.minhashCalibration(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -864,6 +866,8 @@ object SparkEntry {
     "q183_pq_recall" -> PqOp.pqRecallOracleSql,
     "q184_zipf_fit" -> Search.zipfFitOracleSql,
     "q185_packing_efficiency" -> Packing.packingEfficiencyOracleSql(),
+    "q186_langid_confusion" -> TextAnalysis.langidConfusionOracleSql,
+    "q187_minhash_calibration" -> ApproxDedup.minhashCalibrationOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

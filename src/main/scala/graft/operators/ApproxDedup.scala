@@ -323,6 +323,119 @@ object ApproxDedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** q187: MinHash estimator CALIBRATION audit — for every LSH band
+    * candidate pair (q24's candidate set, BEFORE the τ verification),
+    * compare the signature estimate Ĵ = matching-slots/128 against the
+    * exact shingle Jaccard, bucketed by exact-J decile: the per-band
+    * error curve that validates the (bands=32, rows=4) choice before
+    * anyone trusts Ĵ at 100 TB, where exact verification of every
+    * candidate is the cost being avoided (Broder 1997's estimator;
+    * LSH-book banding analysis). A biased bucket here means the banding
+    * needs re-tuning — found by measurement, not by the S-curve alone.
+    *
+    * Exactness: Ĵ and J quantize to micro integers via integer division
+    * (matches·10⁶ div 128, common·10⁶ div union — SURVEY §5, no
+    * doubles), so every sum/min/max in the rollup is exact integer
+    * arithmetic and the single mean division closes it.
+    *
+    * Scale notes: reuses q24's slim (doc, band, key) band join for
+    * candidates; signatures ride the doc_id-keyed joins (128 longs per
+    * doc — the compressed representation, corpus-linear); the
+    * per-pair slot comparison is a bounded 128-element fold; the
+    * rollup is map-side-combined to ≤11 buckets × partitions. */
+  def minhashCalibration(s: SparkSession, dir: String): DataFrame =
+    minhashCalibration(Tables.documents(s, dir))
+
+  def minhashCalibration(docs: DataFrame): DataFrame = {
+    val sh = shingleSets(docs).filter(size(col("shingles")) > 0)
+    val sig = sh.select(col("doc_id"), signature(col("shingles")).as("sig"))
+      .repartition(col("doc_id")) // same CollapseProject barrier as bandRows
+    val banded = bandRows(sh)
+    val a = banded.select(col("doc_id").as("a_id"), col("band"), col("band_key"))
+    val b = banded.select(col("doc_id").as("b_id"), col("band"), col("band_key"))
+    val cand = a.join(b, Seq("band", "band_key")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    val pairs = cand
+      .join(sig.select(col("doc_id").as("a_id"), col("sig").as("siga")), Seq("a_id"))
+      .join(sig.select(col("doc_id").as("b_id"), col("sig").as("sigb")), Seq("b_id"))
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), Seq("b_id"))
+      .withColumn("matches", aggregate(
+        zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("uni",
+        size(col("sa")).cast("long") + size(col("sb")).cast("long") - col("common"))
+      .withColumn("est_micro", expr(s"(matches * 1000000) div $NumPerms"))
+      .withColumn("ex_micro", expr("(common * 1000000) div uni"))
+      .withColumn("err", col("est_micro") - col("ex_micro"))
+    pairs
+      .withColumn("j_bucket", expr("ex_micro div 100000"))
+      .groupBy(col("j_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("est_micro")).as("sum_est"),
+        sum(col("ex_micro")).as("sum_exact"),
+        sum(col("err")).as("sum_err"),
+        sum(abs(col("err"))).as("sum_abs_err"),
+        max(abs(col("err"))).as("max_abs_err"))
+      .withColumn("mean_abs_err_r",
+        round(col("sum_abs_err").cast("double") / col("n_pairs").cast("double")
+          / lit(1000000.0), 6))
+      .orderBy("j_bucket")
+  }
+
+  /** q187 oracle: shingle/md5/permutation constants replayed in SQL —
+    * signatures as a min-fold per permutation, band keys as the same
+    * 4-slot comma strings, then the identical integer calibration. */
+  def minhashCalibrationOracleSql: String = {
+    val pa = permA.mkString("[", ",", "]")
+    val pb = permB.mkString("[", ",", "]")
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+       |shl AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN []
+       |  ELSE list_distinct(list_transform(range(1, len(ws)-1),
+       |         i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) END AS s FROM w),
+       |hs AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n,
+       |    list_transform(s, sg -> CAST(('0x' || substring(md5(sg),1,15)) AS BIGINT) % $P) AS hl
+       |  FROM shl WHERE len(s) > 0),
+       |pc AS (SELECT $pa AS pa, $pb AS pb),
+       |sg AS (SELECT doc_id, n,
+       |    list_transform(range(1, $NumPerms + 1), i ->
+       |      list_reduce(list_prepend(CAST($P AS BIGINT),
+       |        list_transform(hl, h -> (pc.pa[i]*h + pc.pb[i]) % $P)),
+       |        (x,y) -> least(x,y))) AS sig
+       |  FROM hs CROSS JOIN pc),
+       |bd AS (SELECT doc_id, t.b AS band,
+       |    array_to_string(sig[t.b*$Rows+1 : t.b*$Rows+$Rows], ',') AS band_key
+       |  FROM sg CROSS JOIN range(0, $Bands) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bd a JOIN bd b ON a.band = b.band AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id),
+       |ex AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS common
+       |  FROM (SELECT doc_id, unnest(s) AS shingle FROM shl) a
+       |  JOIN (SELECT doc_id, unnest(s) AS shingle FROM shl) b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pm AS (SELECT cand.a_id, cand.b_id,
+       |    CAST(len(list_filter(range(1, $NumPerms + 1), i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS matches,
+       |    COALESCE(ex.common, 0) AS common, sa.n AS na, sb.n AS nb
+       |  FROM cand JOIN sg sa ON sa.doc_id = cand.a_id
+       |  JOIN sg sb ON sb.doc_id = cand.b_id
+       |  LEFT JOIN ex ON ex.a_id = cand.a_id AND ex.b_id = cand.b_id),
+       |x AS (SELECT (matches * 1000000) // $NumPerms AS est_micro,
+       |    (common * 1000000) // (na + nb - common) AS ex_micro
+       |  FROM pm),
+       |y AS (SELECT ex_micro // 100000 AS j_bucket, est_micro, ex_micro,
+       |    est_micro - ex_micro AS err FROM x)
+       |SELECT j_bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(est_micro) AS BIGINT) AS sum_est,
+       |  CAST(SUM(ex_micro) AS BIGINT) AS sum_exact,
+       |  CAST(SUM(err) AS BIGINT) AS sum_err,
+       |  CAST(SUM(ABS(err)) AS BIGINT) AS sum_abs_err,
+       |  CAST(MAX(ABS(err)) AS BIGINT) AS max_abs_err,
+       |  ROUND(CAST(SUM(ABS(err)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS mean_abs_err_r
+       |FROM y GROUP BY j_bucket ORDER BY j_bucket""".stripMargin
+  }
+
   /** Boundary for q71's deterministic corpus/batch split: doc_id <
     * [[IncrementalCorpusMax]] plays the already-validated corpus. */
   val IncrementalCorpusMax = 250L

@@ -67,6 +67,64 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q186: language-ID confusion matrix — the q30 classifier audited
+    * against the corpus's `lang` labels: per (label, prediction) the
+    * count and within-label share. The accuracy readout any heuristic
+    * (or model) language filter needs before it gates a corpus: the
+    * diagonal is per-language recall, off-diagonal cells say WHICH
+    * languages leak into which (the es/fr 'de la' class of confusion),
+    * and the 'unknown' column is the classifier's abstention rate.
+    * Reuses [[langId]] itself, so classifier and audit can never drift
+    * (the q156 producer/auditor argument).
+    *
+    * Scale notes: one doc_id-keyed equi-join of two corpus projections
+    * (same partitioning, AQE-planned), one map-side-combined count to
+    * |langs|² rows, and the share window runs over that tiny matrix.
+    * NULL labels coalesce to '' (q48's convention) so the join stays
+    * null-safe-free and ordering engine-identical. */
+  def langidConfusion(s: SparkSession, dir: String): DataFrame =
+    langidConfusion(Tables.documents(s, dir))
+
+  def langidConfusion(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pred = langId(docs).select(col("doc_id"), col("pred_lang"))
+    docs.select(col("doc_id"), coalesce(col("lang"), lit("")).as("lang"))
+      .join(pred, Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("label_total",
+        sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("pred_lang"), col("cnt"), col("label_total"),
+        round(col("cnt").cast("double") / col("label_total").cast("double"), 6)
+          .as("share_r"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** q186 oracle: the q30 scoring chain + label join + share window. */
+  val langidConfusionOracleSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  len(list_filter(string_split(lower(text),' '), w -> list_contains(['the','a','of','and','to','in','is'], w))) AS score_en,
+      |  len(list_filter(string_split(lower(text),' '), w -> list_contains(['el','la','de','y','que','en','un'], w))) AS score_es,
+      |  len(list_filter(string_split(lower(text),' '), w -> list_contains(['der','die','das','und','ist','ein','nicht'], w))) AS score_de,
+      |  len(list_filter(string_split(lower(text),' '), w -> list_contains(['le','la','de','et','les','des','un'], w))) AS score_fr
+      | FROM documents),
+      |pr AS (SELECT doc_id,
+      | CASE WHEN score_en=0 AND score_es=0 AND score_de=0 AND score_fr=0 THEN 'unknown'
+      |      WHEN score_en>=score_es AND score_en>=score_de AND score_en>=score_fr THEN 'en'
+      |      WHEN score_es>=score_de AND score_es>=score_fr THEN 'es'
+      |      WHEN score_de>=score_fr THEN 'de'
+      |      ELSE 'fr' END AS pred_lang
+      | FROM t),
+      |j AS (SELECT COALESCE(d.lang, '') AS lang, pr.pred_lang
+      |  FROM documents d JOIN pr USING (doc_id)),
+      |c AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM j GROUP BY lang, pred_lang)
+      |SELECT lang, pred_lang, cnt,
+      |  CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS label_total,
+      |  ROUND(CAST(cnt AS DOUBLE) /
+      |    CAST(CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS DOUBLE), 6) AS share_r
+      |FROM c ORDER BY lang, pred_lang""".stripMargin
+
   /** q31: quality features + weighted score (length, vocabulary
     * diversity, punctuation load, function-word rate — the classic
     * heuristic filter stack for web-scale corpora). */

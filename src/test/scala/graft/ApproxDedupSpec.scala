@@ -173,4 +173,36 @@ class ApproxDedupSpec extends SparkTestBase {
       assert(keys.contains(r.getAs[Long]("best_match_key")))
     }
   }
+
+  test("q187: identical docs calibrate exactly — est = exact = 1, zero error") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),  // exact dup of 1
+      (3L, "totally different words here now") // no shared shingles
+    ).toDF("doc_id", "text")
+    val out = ApproxDedup.minhashCalibration(d).collect()
+    assert(out.length === 1, "only the dup pair is a band candidate")
+    val r = out.head
+    assert(r.getAs[Long]("j_bucket") === 10L)
+    assert(r.getAs[Long]("n_pairs") === 1L)
+    assert(r.getAs[Long]("sum_est") === 1000000L)
+    assert(r.getAs[Long]("sum_exact") === 1000000L)
+    assert(r.getAs[Long]("sum_err") === 0L)
+    assert(r.getAs[Long]("max_abs_err") === 0L)
+  }
+
+  test("q187 on the corpus: the 128-perm estimator is tightly calibrated") {
+    val out = ApproxDedup.minhashCalibration(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val b = r.getAs[Long]("j_bucket")
+      assert(b >= 0L && b <= 10L)
+      assert(r.getAs[Long]("n_pairs") >= 1L)
+      assert(r.getAs[Long]("max_abs_err") <= 1000000L)
+      // σ(Ĵ) = √(J(1−J)/128) ≤ 0.045; a biased bucket would blow this
+      assert(r.getAs[Double]("mean_abs_err_r") < 0.1,
+        s"bucket $b mean error ${r.getAs[Double]("mean_abs_err_r")}")
+    }
+  }
 }

@@ -213,4 +213,34 @@ class TextAnalysisSpec extends SparkTestBase {
         s"doc ${r.getAs[Long]("doc_id")}: H=$h outside [0, ln distinct=$hMax]")
     }
   }
+
+  test("q186: confusion cells, abstention, and NULL-label bucket by hand") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the of and", "en"),            // correct diagonal
+      (2L, "el la de", "en"),              // en labeled, es predicted
+      (3L, "zz zz", null.asInstanceOf[String]), // unknown pred, '' label
+      (4L, "the of and", "en")             // second correct en
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.operators.TextAnalysis.langidConfusion(d).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("pred_lang")) ->
+        (r.getAs[Long]("cnt"), r.getAs[Long]("label_total"),
+          r.getAs[Double]("share_r"))).toMap
+    assert(out(("en", "en")) === ((2L, 3L, 0.666667)))
+    assert(out(("en", "es")) === ((1L, 3L, 0.333333)))
+    assert(out(("", "unknown")) === ((1L, 1L, 1.0)))
+    assert(out.size === 3)
+  }
+
+  test("q186 on the corpus: shares sum to 1 per label, totals cover the corpus") {
+    val out = graft.operators.TextAnalysis.langidConfusion(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val byLabel = out.groupBy(_.getAs[String]("lang"))
+    byLabel.foreach { case (l, rs) =>
+      assert(rs.map(_.getAs[Long]("cnt")).sum === rs.head.getAs[Long]("label_total"), l)
+      assert(math.abs(rs.map(_.getAs[Double]("share_r")).sum - 1.0) < 1e-4, l)
+    }
+    assert(out.map(_.getAs[Long]("cnt")).sum ===
+      Tables.documents(spark, sfDir).count())
+  }
 }
