@@ -205,6 +205,10 @@ object SparkEntry {
     "q185_packing_efficiency"      -> ((s: SparkSession, d: String) => Packing.packingEfficiency(s, d)),
     "q186_langid_confusion"        -> ((s: SparkSession, d: String) => TextAnalysis.langidConfusion(s, d)),
     "q187_minhash_calibration"     -> ((s: SparkSession, d: String) => ApproxDedup.minhashCalibration(s, d)),
+    "q188_ivfpq"                   -> ((s: SparkSession, d: String) => IvfPq.ivfpqTopK(s, d)),
+    "q189_brand_affinity"          -> ((s: SparkSession, d: String) => Itemsets.brandAffinity(s, d)),
+    "q190_jl_distortion"           -> ((s: SparkSession, d: String) => RandomProjection.jlDistortion(s, d)),
+    "q191_cluster_terms"           -> ((s: SparkSession, d: String) => TopicProfile.clusterTerms(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -868,6 +872,10 @@ object SparkEntry {
     "q185_packing_efficiency" -> Packing.packingEfficiencyOracleSql(),
     "q186_langid_confusion" -> TextAnalysis.langidConfusionOracleSql,
     "q187_minhash_calibration" -> ApproxDedup.minhashCalibrationOracleSql,
+    "q188_ivfpq" -> IvfPq.ivfpqOracleSql,
+    "q189_brand_affinity" -> Itemsets.brandAffinityOracleSql,
+    "q190_jl_distortion" -> RandomProjection.jlDistortionOracleSql,
+    "q191_cluster_terms" -> TopicProfile.clusterTermsOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Frequent-itemset / association-rule mining (Agrawal & Srikant 1994,
+  * "Fast Algorithms for Mining Association Rules" — the a-priori
+  * family), the market-basket analysis a curation dashboard runs over
+  * co-occurring facets; the reference's gallery facets
+  * (app.py's material/technique panels) are exactly such itemsets
+  * browsed one at a time. Baskets are orders; items are the part
+  * BRANDS an order touches (a small dense domain — pair statistics are
+  * meaningful where raw partkey pairs at TPC-H uniformity are noise).
+  *
+  * The plan IS the a-priori pruning argument, staged for scale:
+  *   1. basket→item pairs, DISTINCT (one shuffle on the basket key);
+  *   2. frequent 1-itemsets (support ≥ [[MinSup]]) — item-domain-sized,
+  *      broadcast back as a semi-join: the downward-closure property
+  *      says no pair with an infrequent member can be frequent, so
+  *      infrequent items never reach pair generation;
+  *   3. per-basket pair generation via a self-join ON the basket key —
+  *      co-partitioned, no cross-basket pairs ever materialize; the
+  *      per-basket width is capped by the FREQUENT-item domain, which
+  *      is what bounds the O(Σ k²) blowup at 100 TB (the classic
+  *      a-priori candidate bound);
+  *   4. pair counts (one shuffle on the pair key, map-side combined) +
+  *      confidence/lift from the broadcast 1-row basket total.
+  *
+  * Determinism: every statistic is an integer count until ONE final
+  * rounded division (conf = sup/n_a; lift = sup·N/(n_a·n_b) with exact
+  * integer-in-double products) — both engines agree bitwise. NULL
+  * brands are filtered explicitly on both sides. */
+object Itemsets {
+
+  val MinSup = 2
+
+  /** q189: all frequent brand pairs with support, directional
+    * confidences, and lift. */
+  def brandAffinity(s: SparkSession, dir: String): DataFrame =
+    brandAffinity(Tables.lineitem(s, dir), Tables.part(s, dir))
+
+  def brandAffinity(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val items = lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .where(col("p_brand").isNotNull)
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      .distinct()
+    val nb = items.agg(countDistinct(col("basket")).as("n_baskets"))
+    val freq = items.groupBy(col("item"))
+      .agg(count(lit(1)).as("n_item"))
+      .where(col("n_item") >= MinSup)
+    val pruned = items.join(broadcast(freq), Seq("item"))
+    val a = pruned.select(col("basket"), col("item").as("item_a"),
+      col("n_item").as("n_a"))
+    val b = pruned.select(col("basket"), col("item").as("item_b"),
+      col("n_item").as("n_b"))
+    a.join(b, Seq("basket"))
+      .where(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= MinSup)
+      .crossJoin(broadcast(nb))
+      .select(col("item_a"), col("item_b"), col("support"),
+        col("n_a"), col("n_b"), col("n_baskets"),
+        round(col("support").cast("double") / col("n_a"), 9).as("conf_ab_r"),
+        round(col("support").cast("double") / col("n_b"), 9).as("conf_ba_r"),
+        round(col("support").cast("double") * col("n_baskets") /
+          (col("n_a").cast("double") * col("n_b")), 9).as("lift_r"))
+      .orderBy(col("item_a").asc_nulls_last, col("item_b").asc_nulls_last)
+  }
+
+  /** q189 oracle: the identical staged chain. */
+  def brandAffinityOracleSql: String =
+    s"""WITH items AS (SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |  WHERE p.p_brand IS NOT NULL),
+       |nb AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM items),
+       |freq AS (SELECT item, COUNT(*) AS n_item FROM items
+       |  GROUP BY item HAVING COUNT(*) >= $MinSup),
+       |pruned AS (SELECT i.basket, i.item, f.n_item
+       |  FROM items i JOIN freq f USING (item)),
+       |pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+       |    a.n_item AS n_a, b.n_item AS n_b, COUNT(*) AS support
+       |  FROM pruned a JOIN pruned b
+       |    ON a.basket = b.basket AND a.item < b.item
+       |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= $MinSup)
+       |SELECT item_a, item_b, support, n_a, n_b, nb.n_baskets,
+       |  ROUND(CAST(support AS DOUBLE) / n_a, 9) AS conf_ab_r,
+       |  ROUND(CAST(support AS DOUBLE) / n_b, 9) AS conf_ba_r,
+       |  ROUND(CAST(support AS DOUBLE) * nb.n_baskets /
+       |    (CAST(n_a AS DOUBLE) * n_b), 9) AS lift_r
+       |FROM pairs CROSS JOIN nb
+       |ORDER BY item_a, item_b""".stripMargin
+}

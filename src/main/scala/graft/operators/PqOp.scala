@@ -117,7 +117,7 @@ object PqOp {
     * [[KMeansOp.dist2]] and the oracle's list_reduce chains: qq and qc
     * fold left over ascending dims, cc folds over the centroid, and
     * the combination is (qq − 2·qc) + cc. */
-  private def lutDist(qsub: Seq[Double], c: Seq[Double]): Double = {
+  private[graft] def lutDist(qsub: Seq[Double], c: Seq[Double]): Double = {
     val qq = qsub.foldLeft(0.0)((a, x) => a + x * x)
     val qc = qsub.indices.foldLeft(0.0)((a, i) => a + qsub(i) * c(i))
     val cc = c.foldLeft(0.0)((a, x) => a + x * x)
@@ -129,7 +129,7 @@ object PqOp {
     * — at production Ks=256 the maps ride a broadcast like
     * [[KMeansOp.assignBroadcast]]'s centroids; at gate scale literals
     * keep the whole projection in codegen). */
-  private def adcDistCols(queries: Seq[(Long, Seq[Double])],
+  private[graft] def adcDistCols(queries: Seq[(Long, Seq[Double])],
       books: Seq[Seq[(Long, Seq[Double])]]): Seq[Column] =
     queries.map { case (qid, qvec) =>
       val d = (0 until M).map { m =>
@@ -239,7 +239,7 @@ object PqOp {
   /** Collect the persisted codebooks — ≤ M·Ks rows, bounded. Explicit
     * schema: an untrainable build's codebook file may carry no footer
     * to infer from (the PostingsIndex precedent). */
-  private def loadBooks(s: SparkSession, path: String): Seq[Seq[(Long, Seq[Double])]] = {
+  private[graft] def loadBooks(s: SparkSession, path: String): Seq[Seq[(Long, Seq[Double])]] = {
     val rows = s.read.schema(booksSchema).parquet(s"$path/codebooks.parquet")
       .orderBy("m", "cell").collect()
     (0 until M).map(m => rows.filter(_.getInt(0) == m)
@@ -270,7 +270,7 @@ object PqOp {
   /** The ADC top-[[TopK]] ranking over a scored frame — bounded-heap
     * (≤k rows per partition-query into the one shuffle), ties
     * (dist, id). */
-  private def adcRank(scored: DataFrame): DataFrame =
+  private[graft] def adcRank(scored: DataFrame): DataFrame =
     scored.select(col("query_id"), col("__cand_id"), negate(col("dist")).as("sim"))
       .groupBy(col("query_id"))
       .agg(Similarity.topKAgg(col("sim"), col("__cand_id"), TopK).as("tk"))
@@ -352,7 +352,7 @@ object PqOp {
       case Some(scored) => rerankChain(scored, embeddings, shortlistK)
     }
 
-  private def emptyResult(s: SparkSession, scoreCol: String): DataFrame = {
+  private[graft] def emptyResult(s: SparkSession, scoreCol: String): DataFrame = {
     import org.apache.spark.sql.types._
     s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(
@@ -363,7 +363,7 @@ object PqOp {
   // ------------------------------------------------------------------
   // Oracle: the identical chain unrolled as DuckDB CTEs.
 
-  private def lr(dim: Int, expr: String): String =
+  private[graft] def lr(dim: Int, expr: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $dim+1), i -> $expr)), (x,y) -> x+y)"
 
   /** Subspace dist2 between sub-table alias `qv`'s 16-dim q and
@@ -401,7 +401,7 @@ object PqOp {
 
   /** WITH-body: quantize, M subspace chains, `enc` (vec_id + codes),
     * `adc` ((query, cand) ADC distances via the final codebooks). */
-  private def adcCtes: String = {
+  private[graft] def adcCtes: String = {
     val subs = (0 until M).map(subspaceCtes).mkString(",\n")
     val encFrom = (0 until M).map(m =>
       if (m == 0) s"enc_m$m e$m" else s"JOIN enc_m$m e$m USING (vec_id)").mkString(" ")
