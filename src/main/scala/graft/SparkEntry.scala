@@ -209,6 +209,8 @@ object SparkEntry {
     "q189_brand_affinity"          -> ((s: SparkSession, d: String) => Itemsets.brandAffinity(s, d)),
     "q190_jl_distortion"           -> ((s: SparkSession, d: String) => RandomProjection.jlDistortion(s, d)),
     "q191_cluster_terms"           -> ((s: SparkSession, d: String) => TopicProfile.clusterTerms(s, d)),
+    "q192_auc"                     -> ((s: SparkSession, d: String) => Eval.aucOneVsRest(s, d)),
+    "q193_gains"                   -> ((s: SparkSession, d: String) => Eval.gainsDeciles(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -876,6 +878,8 @@ object SparkEntry {
     "q189_brand_affinity" -> Itemsets.brandAffinityOracleSql,
     "q190_jl_distortion" -> RandomProjection.jlDistortionOracleSql,
     "q191_cluster_terms" -> TopicProfile.clusterTermsOracleSql,
+    "q192_auc" -> Eval.aucOneVsRestOracleSql,
+    "q193_gains" -> Eval.gainsDecilesOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Ranking-quality evaluation operators over the event stream — the
+  * family's third and fourth members after q164's Welch A/B test and
+  * q172's Wilson leaderboard: ROC-AUC (does a score ORDER the positives
+  * above the negatives?) and the decile gains/lift table (how much of
+  * the positive mass does the top-k% of the ranking capture?). The
+  * reference's dashboard plots per-facet metric panels
+  * (streamlit/app/app.py:84-140); these are the two readouts that turn
+  * a score column on those panels into an accept/reject decision for
+  * the model that produced it.
+  */
+object Eval {
+
+  /** q192: one-vs-rest ROC-AUC per event_type — for each observed type,
+    * how well does `value` rank events OF that type above the rest?
+    * AUC is computed as the normalized Mann–Whitney U statistic with
+    * the standard average-rank tie treatment: doubling the statistic
+    * makes ties contribute exactly 1 (a win 2, a loss 0), so
+    * `u2 = Σ_s pos_s · (2·negBelow_s + neg_s)` over distinct scores s
+    * and `AUC = u2 / (2·n_pos·n_neg)` — every term an exact integer
+    * until the single final IEEE division.
+    *
+    * Engine-exact: values integerize to milli (q164's floor·10³); the
+    * per-score profile counts are exact BIGINTs; u2 accumulates in
+    * DECIMAL(38,0) (q146's cross-product pattern — pos·negBelow is
+    * corpus², past int64 at trillion-row scale) and reaches the double
+    * division through the shared VARCHAR-mediated cast (q171); the
+    * gate also ships u2 as a VARCHAR column, which both engines print
+    * identically from DECIMAL(38,0).
+    *
+    * Scale notes: the corpus collapses ONCE to the distinct-milli-score
+    * profile (map-combined; bounded by the value RANGE × 10³, not the
+    * corpus — the reason for quantizing before ranking) and every
+    * window/join below runs on profile-sized frames: cumulative
+    * totals over |scores| rows, per-type cumulative positives over the
+    * (type, score) rows, one |scores|-key join. No corpus-wide sort,
+    * no per-row rank. The unpartitioned profile windows are the
+    * q166/q146 "right frame for a global series" shape; if a raw
+    * unquantized score ever made the profile corpus-sized, the
+    * cumulative flips to q98's two-pass bucketed form unchanged. */
+  def aucOneVsRest(s: SparkSession, dir: String): DataFrame =
+    aucOneVsRest(Tables.events(s, dir))
+
+  def aucOneVsRest(events: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val e = events
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), floor(col("value") * 1e3).cast("long").as("x"))
+    // ONE corpus scan: the (type, score) count table; every row has a
+    // type post-filter, so the score profile and the grand total both
+    // derive from it — materialized so its three consumers don't each
+    // re-aggregate the corpus (the q191 shared-frame idiom).
+    val typeScore = e.groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("pos")).localCheckpoint()
+    // Distinct-score profile: total count per score + count below it.
+    val prof = typeScore.groupBy(col("x")).agg(sum(col("pos")).as("tot"))
+      .withColumn("tot_below", coalesce(sum(col("tot")).over(
+        Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    // Per (type, score) positives + positives of that type below.
+    val pos = typeScore
+      .withColumn("pos_below", coalesce(sum(col("pos")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val n = typeScore.agg(sum(col("pos")).as("n_all"))
+    val joined = pos.join(prof, Seq("x"))
+      .withColumn("neg", col("tot") - col("pos"))
+      .withColumn("neg_below", col("tot_below") - col("pos_below"))
+      .withColumn("contrib",
+        d38(col("pos")) * d38(lit(2L) * col("neg_below") + col("neg")))
+    val byType = joined.groupBy(col("event_type"))
+      .agg(sum(col("pos")).as("n_pos"), sum(col("contrib")).cast("decimal(38,0)").as("u2"))
+      .crossJoin(broadcast(n))
+      .withColumn("n_neg", col("n_all") - col("n_pos"))
+    byType.select(col("event_type"), col("n_pos"), col("n_neg"),
+        col("u2").cast("string").as("u2_s"),
+        round(col("u2").cast("string").cast("double") /
+          when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))
+            .otherwise(lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")),
+          9).as("auc_r"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q192 oracle: identical profile, tie-doubled U, and final division. */
+  def aucOneVsRestOracleSql: String =
+    """WITH e AS (SELECT event_type, CAST(FLOOR(value * 1e3) AS BIGINT) AS x
+      |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      |prof AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS tot FROM e GROUP BY 1),
+      |profb AS (SELECT x, tot,
+      |    CAST(COALESCE(SUM(tot) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tot_below
+      |  FROM prof),
+      |pos AS (SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS pos
+      |  FROM e GROUP BY 1, 2),
+      |posb AS (SELECT event_type, x, pos,
+      |    CAST(COALESCE(SUM(pos) OVER (PARTITION BY event_type ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pos_below
+      |  FROM pos),
+      |n AS (SELECT CAST(SUM(tot) AS BIGINT) AS n_all FROM prof),
+      |j AS (SELECT p.event_type, p.pos,
+      |    CAST(p.pos AS DECIMAL(38,0)) *
+      |      CAST(2 * (b.tot_below - p.pos_below) + (b.tot - p.pos) AS DECIMAL(38,0)) AS contrib
+      |  FROM posb p JOIN profb b USING (x)),
+      |t AS (SELECT event_type, CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |    CAST(SUM(contrib) AS DECIMAL(38,0)) AS u2
+      |  FROM j GROUP BY 1)
+      |SELECT event_type, n_pos, n_all - n_pos AS n_neg,
+      |  CAST(u2 AS VARCHAR) AS u2_s,
+      |  ROUND(CAST(CAST(u2 AS VARCHAR) AS DOUBLE) /
+      |    (CASE WHEN n_pos = 0 OR n_all - n_pos = 0 THEN NULL
+      |     ELSE 2.0 * CAST(n_pos AS DOUBLE) * CAST(n_all - n_pos AS DOUBLE) END),
+      |    9) AS auc_r
+      |FROM t CROSS JOIN n ORDER BY event_type""".stripMargin
+
+  /** q193: decile gains/lift table for `value` as a purchase predictor —
+    * rank all events by score descending, cut the ranking into ten
+    * equal-frequency deciles, and report per decile how many purchases
+    * it contains, the cumulative share of all purchases captured, and
+    * the lift over the base rate. THE model-triage readout ("the top
+    * 10 % of the ranking holds 31 % of the positives") behind every
+    * targeting/curation cutoff decision.
+    *
+    * Engine-exact: milli scores; the global descending rank is the
+    * q98 two-pass decomposition — per-score offsets from a cumulative
+    * window over the distinct-score profile plus a row_number INSIDE
+    * each tie group ordered by event_id — so both engines replay the
+    * identical total order (x desc, event_id asc) without either ever
+    * sorting the corpus on one reducer; deciles are q170's explicit
+    * ((rank−1)·10 div n)+1 (never NTILE); counts exact BIGINTs, each
+    * reported ratio ONE rounded division of exact integers.
+    *
+    * Scale notes: one map-combined profile agg, one |scores|-row
+    * window, one profile join back (AQE splits a viral tie group), a
+    * tie-group-bounded row_number, one map-combined decile rollup to
+    * 10 rows; the cumulative-capture window runs over the 10-row
+    * table. Nothing corpus-sized is ever globally sorted. */
+  def gainsDeciles(s: SparkSession, dir: String): DataFrame =
+    gainsDeciles(Tables.events(s, dir))
+
+  def gainsDeciles(events: DataFrame): DataFrame = {
+    val e = events
+      .filter(col("event_id").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull)
+      .select(col("event_id"), floor(col("value") * 1e3).cast("long").as("x"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_pos"))
+    // First pass: the distinct-score profile, materialized so the
+    // offset window and the grand total read it instead of each
+    // re-aggregating the corpus. The row pass below is the second —
+    // two corpus scans total, the irreducible cost of a two-pass rank.
+    val prof = e.groupBy(col("x")).agg(count(lit(1)).as("tot")).localCheckpoint()
+    val offs = prof
+      .withColumn("off", coalesce(sum(col("tot")).over(
+        Window.orderBy(col("x").desc).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val n = prof.agg(sum(col("tot")).as("n_all"))
+    val ranked = e.join(offs.select(col("x"), col("off")), Seq("x"))
+      .withColumn("rn_in", row_number().over(
+        Window.partitionBy(col("x")).orderBy(col("event_id"))).cast("long"))
+      .crossJoin(broadcast(n))
+      .withColumn("decile", expr("((off + rn_in - 1) * 10) div n_all + 1"))
+    val g = ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("is_pos")).as("n_pos"),
+        first(col("n_all")).as("n_all"))
+    val wc = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wa = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("cum_pos", sum(col("n_pos")).over(wc))
+      .withColumn("total_pos", sum(col("n_pos")).over(wa))
+      .select(col("decile"), col("n"), col("n_pos"), col("cum_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 9).as("pos_rate_r"),
+        round(col("cum_pos").cast("double") /
+          when(col("total_pos") === 0L, lit(null))
+            .otherwise(col("total_pos").cast("double")), 9).as("cum_capture_r"),
+        round((col("n_pos").cast("double") / col("n").cast("double")) /
+          when(col("total_pos") === 0L, lit(null))
+            .otherwise(col("total_pos").cast("double") / col("n_all").cast("double")),
+          9).as("lift_r"))
+      .orderBy(col("decile"))
+  }
+
+  /** q193 oracle: identical two-pass rank, explicit deciles, ratios. */
+  def gainsDecilesOracleSql: String =
+    """WITH e AS (SELECT event_id, CAST(FLOOR(value * 1e3) AS BIGINT) AS x,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_pos
+      |  FROM events
+      |  WHERE event_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
+      |prof AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS tot FROM e GROUP BY 1),
+      |offs AS (SELECT x,
+      |    CAST(COALESCE(SUM(tot) OVER (ORDER BY x DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |  FROM prof),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM e),
+      |r AS (SELECT e.event_id, e.is_pos,
+      |    o.off + CAST(ROW_NUMBER() OVER (PARTITION BY e.x ORDER BY e.event_id) AS BIGINT) AS rnk
+      |  FROM e JOIN offs o USING (x)),
+      |b AS (SELECT ((rnk - 1) * 10) // n_all + 1 AS decile, is_pos
+      |  FROM r CROSS JOIN n),
+      |g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(is_pos) AS BIGINT) AS n_pos
+      |  FROM b GROUP BY 1),
+      |c AS (SELECT *,
+      |    CAST(SUM(n_pos) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+      |    CAST(SUM(n_pos) OVER () AS BIGINT) AS total_pos
+      |  FROM g)
+      |SELECT decile, n, n_pos, cum_pos,
+      |  ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 9) AS pos_rate_r,
+      |  ROUND(CAST(cum_pos AS DOUBLE) /
+      |    (CASE WHEN total_pos = 0 THEN NULL ELSE CAST(total_pos AS DOUBLE) END),
+      |    9) AS cum_capture_r,
+      |  ROUND((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |    (CASE WHEN total_pos = 0 THEN NULL
+      |     ELSE CAST(total_pos AS DOUBLE) / CAST(n_all AS DOUBLE) END),
+      |    9) AS lift_r
+      |FROM c CROSS JOIN n ORDER BY decile""".stripMargin
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.Eval
+
+/** Ranking-quality eval (q192 AUC, q193 gains): closed forms on planted
+  * rankings, tie handling, NULL policy, decile boundary determinism. */
+class EvalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ev(rows: (Option[String], Option[Double])*) =
+    rows.toDF("event_type", "value")
+  private def evId(rows: (Long, Option[String], Option[Double])*) =
+    rows.toDF("event_id", "event_type", "value")
+
+  test("auc: perfect separation scores 1 for the top type, 0 for the bottom") {
+    val out = Eval.aucOneVsRest(ev(
+      (Some("p"), Some(10.0)), (Some("p"), Some(9.0)),
+      (Some("n"), Some(1.0)), (Some("n"), Some(2.0)))).collect()
+    assert(out.length == 2)
+    val p = out.find(_.getString(0) == "p").get
+    val n = out.find(_.getString(0) == "n").get
+    assert(p.getAs[Long]("n_pos") == 2L && p.getAs[Long]("n_neg") == 2L)
+    assert(p.getAs[String]("u2_s") == "8" && p.getAs[Double]("auc_r") == 1.0)
+    assert(n.getAs[String]("u2_s") == "0" && n.getAs[Double]("auc_r") == 0.0)
+  }
+
+  test("auc: an all-tied score column is chance level for every type") {
+    val out = Eval.aucOneVsRest(ev(
+      (Some("p"), Some(5.0)), (Some("p"), Some(5.0)),
+      (Some("n"), Some(5.0)), (Some("n"), Some(5.0)))).collect()
+    assert(out.forall(_.getAs[Double]("auc_r") == 0.5))
+  }
+
+  test("auc: one win one loss of two pairs is 0.5; u2 counts wins twice") {
+    // desc order: 3.0(p) 2.0(n) 1.0(p) -> p beats n once, loses once
+    val out = Eval.aucOneVsRest(ev(
+      (Some("p"), Some(3.0)), (Some("p"), Some(1.0)), (Some("n"), Some(2.0))))
+      .collect()
+    val p = out.find(_.getString(0) == "p").get
+    assert(p.getAs[Long]("n_pos") == 2L && p.getAs[Long]("n_neg") == 1L)
+    assert(p.getAs[String]("u2_s") == "2" && p.getAs[Double]("auc_r") == 0.5)
+  }
+
+  test("auc: NULL rows drop; a single-type corpus yields NULL auc") {
+    val out = Eval.aucOneVsRest(ev(
+      (Some("only"), Some(1.0)), (Some("only"), Some(2.0)),
+      (Some("only"), Some(3.0)), (None, Some(9.0)), (Some("only"), None)))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_pos") == 3L && r.getAs[Long]("n_neg") == 0L)
+    assert(r.isNullAt(r.fieldIndex("auc_r")))
+  }
+
+  test("gains: planted 20-row ranking hits the closed-form capture and lift") {
+    // ids 1..20, value 21-id (distinct, so rank i = id i); purchases at
+    // ranks 1, 2 (decile 1) and 20 (decile 10); 2 rows per decile.
+    val rows = (1L to 20L).map { id =>
+      val t = if (id <= 2L || id == 20L) "purchase" else "view"
+      (id, Option(t), Option(21.0 - id))
+    }
+    val out = Eval.gainsDeciles(evId(rows: _*)).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getAs[Long]("n")).sum == 20L)
+    val d1 = out.find(_.getAs[Long]("decile") == 1L).get
+    assert(d1.getAs[Long]("n") == 2L && d1.getAs[Long]("n_pos") == 2L)
+    assert(d1.getAs[Double]("pos_rate_r") == 1.0)
+    assert(d1.getAs[Double]("cum_capture_r") == 0.666666667)
+    assert(d1.getAs[Double]("lift_r") == 6.666666667)
+    val d10 = out.find(_.getAs[Long]("decile") == 10L).get
+    assert(d10.getAs[Long]("n_pos") == 1L)
+    assert(d10.getAs[Double]("cum_capture_r") == 1.0)
+    assert(d10.getAs[Double]("lift_r") == 3.333333333)
+    val caps = out.sortBy(_.getAs[Long]("decile")).map(_.getAs[Double]("cum_capture_r"))
+    assert(caps.zip(caps.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("gains: tie groups split across deciles by event_id order") {
+    // four rows, one score; ranks follow event_id asc, so the purchase
+    // at the smallest id lands in the first decile deterministically
+    val out = Eval.gainsDeciles(evId(
+      (4L, Some("view"), Some(1.0)), (3L, Some("view"), Some(1.0)),
+      (2L, Some("view"), Some(1.0)), (1L, Some("purchase"), Some(1.0))))
+      .collect()
+    assert(out.map(_.getAs[Long]("decile")).toSet == Set(1L, 3L, 6L, 8L))
+    val d1 = out.find(_.getAs[Long]("decile") == 1L).get
+    assert(d1.getAs[Long]("n") == 1L && d1.getAs[Long]("n_pos") == 1L)
+    assert(out.filter(_.getAs[Long]("decile") != 1L)
+      .forall(_.getAs[Long]("n_pos") == 0L))
+  }
+
+  test("gated entries run nonempty on the smoke fixture") {
+    val auc = Eval.aucOneVsRest(spark, "/root/testdata/sf0.001")
+    val g = Eval.gainsDeciles(spark, "/root/testdata/sf0.001")
+    assert(auc.count() > 0 && g.count() == 10)
+  }
+}
