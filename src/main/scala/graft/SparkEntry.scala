@@ -211,6 +211,8 @@ object SparkEntry {
     "q191_cluster_terms"           -> ((s: SparkSession, d: String) => TopicProfile.clusterTerms(s, d)),
     "q192_auc"                     -> ((s: SparkSession, d: String) => Eval.aucOneVsRest(s, d)),
     "q193_gains"                   -> ((s: SparkSession, d: String) => Eval.gainsDeciles(s, d)),
+    "q194_phrase_search"           -> ((s: SparkSession, d: String) => PhraseSearch.phraseSearch(s, d)),
+    "q195_kcore"                   -> ((s: SparkSession, d: String) => Cluster.kcore(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -880,6 +882,8 @@ object SparkEntry {
     "q191_cluster_terms" -> TopicProfile.clusterTermsOracleSql,
     "q192_auc" -> Eval.aucOneVsRestOracleSql,
     "q193_gains" -> Eval.gainsDecilesOracleSql,
+    "q194_phrase_search" -> PhraseSearch.phraseSearchOracleSql,
+    "q195_kcore" -> Cluster.kcoreOracleSql(jaccardPairCtes),
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -359,6 +359,82 @@ object Cluster {
     dist.select(col("id").as("doc_id"), col("hop")).orderBy("doc_id")
   }
 
+  /** Peel parameters for [[kcore]]: K = 2 (the smallest core that
+    * separates cyclic density from trees/chains) and a FIXED number of
+    * synchronous peel rounds, mirrored round-for-round in the oracle —
+    * the q87/q158 stance on data-dependent loops: the OPERATOR's
+    * semantics are "R peel rounds", the spec proves the fixture
+    * graphs reach fixpoint well inside R (they converge in 2). */
+  val KCoreK = 2
+  val KCoreRounds = 4
+
+  /** q195: k-core decomposition of the near-dup pair graph — the
+    * seventh consumer of the shared τ=0.8 pair table, and the density
+    * primitive the family still lacked: q46's components say WHO is
+    * connected, q138's triangles say where cliques are, the k-core
+    * says which region stays dense after every weakly-attached node is
+    * peeled away (Seidman 1983; the standard dense-subgraph seed).
+    * On a dedup graph the 2-core is exactly the template-stamped /
+    * mass-duplicated region — chains and pendants (one-off near-dups)
+    * peel off, so survivor budgeting can treat the core differently
+    * from incidental pairs.
+    *
+    * Synchronous peel: each round recomputes degrees over the
+    * SURVIVING subgraph and drops every node below K at once (the
+    * parallel-friendly formulation; sequential peeling is equivalent
+    * at the fixpoint). Output: surviving nodes with their in-core
+    * degree.
+    *
+    * Scale notes: the [[connectedComponents]] loop hygiene — the
+    * undirected edge frame is checkpointed each round (it only ever
+    * SHRINKS), degrees are one map-combined |E|-row aggregate, the
+    * survivor filter is two semi-join-shaped equi-joins on the edge
+    * keys; per-round work is O(|E|) regardless of corpus size and
+    * rounds are fixed. */
+  def kcore(s: SparkSession, dir: String): DataFrame =
+    kcoreGraph(pairsTable(s, dir).select("a_id", "b_id"))
+
+  def kcoreGraph(edges: DataFrame, k: Int = KCoreK,
+      rounds: Int = KCoreRounds): DataFrame = {
+    var cur = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val alive = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k.toLong)
+        .select(col("src"))
+      cur = cur
+        .join(alive, Seq("src"))
+        .join(alive.select(col("src").as("dst")), Seq("dst"))
+        .select(col("src"), col("dst"))
+        .repartition(col("src"))
+        .localCheckpoint()
+    }
+    cur.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+      .select(col("src").as("doc_id"), col("core_degree"))
+      .orderBy("doc_id")
+  }
+
+  /** q195 oracle: the peel unrolled — ka_i = nodes of degree ≥ K in
+    * ke_{i−1}, ke_i = ke_{i−1} restricted to ka_i on both endpoints. */
+  def kcoreOracleSql(jaccardPairCtes: String): String = {
+    val rounds = (1 to KCoreRounds).map { i =>
+      s"""ka$i AS (SELECT src AS id FROM ke${i - 1}
+         |  GROUP BY src HAVING COUNT(*) >= $KCoreK),
+         |ke$i AS (SELECT e.src, e.dst FROM ke${i - 1} e
+         |  JOIN ka$i x ON e.src = x.id JOIN ka$i y ON e.dst = y.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $jaccardPairCtes,
+       |prk AS (SELECT a_id, b_id FROM p
+       |  WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.8),
+       |ke0 AS (SELECT a_id AS src, b_id AS dst FROM prk
+       |  UNION ALL SELECT b_id, a_id FROM prk),
+       |$rounds
+       |SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+       |FROM ke$KCoreRounds GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q158 oracle: the BFS unrolled — h_k = neighbors of h_{k−1}, MIN
     * hop over the union (exact-distance-d nodes appear in h_d, and
     * every h_k member is within k, so MIN is the true distance). */
