@@ -66,9 +66,20 @@ object RandomProjection {
     jlDistortion(Tables.embeddings(s, dir))
 
   def jlDistortion(embeddings: DataFrame): DataFrame = {
-    val pr = KMeansOp.quantized(embeddings)
+    // Materialize the quantized frame BEFORE the unrolled projection:
+    // `q` comes from a transform() HOF, and CollapseProject would
+    // otherwise inline that lambda into every one of the 16×64
+    // element_at terms below — re-evaluating it per term (measured
+    // 30s at sf0.1 vs ~1s materialized). The checkpoint makes q a
+    // concrete column, so the 1,024 unrolled terms read cheap array
+    // slots in codegen.
+    val qmat = KMeansOp.quantized(embeddings).localCheckpoint()
+    // Materialized again after projecting: both join sides below read
+    // pr, and without the barrier the corpus projection runs twice.
+    val pr = qmat
       .select(col("vec_id"), col("q"),
         array((0 until R).map(j => projCol(col("q"), j)): _*).as("p"))
+      .localCheckpoint()
     val a = pr.select(col("vec_id").as("vec_id_a"), col("q").as("qa"),
       col("p").as("pa"))
     val b = pr.select((col("vec_id") - 1).as("vec_id_a"),
