@@ -48,6 +48,9 @@ object Itemsets {
       .where(col("p_brand").isNotNull)
       .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
       .distinct()
+      // four consumers (basket total, frequent-1, both self-join arms)
+      // — materialized so the fact scan + distinct shuffle run ONCE
+      .localCheckpoint()
     val nb = items.agg(countDistinct(col("basket")).as("n_baskets"))
     val freq = items.groupBy(col("item"))
       .agg(count(lit(1)).as("n_item"))
