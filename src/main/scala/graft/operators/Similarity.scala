@@ -330,6 +330,114 @@ object Similarity {
        |GROUP BY bt.query_id ORDER BY bt.query_id""".stripMargin
   }
 
+  /** Integer micro-nano DCG discount weights for [[rankQuality]]:
+    * wq(r) = round(10⁹ / log2(r+1)), computed ONCE here and inlined as
+    * the SAME literals into both the Spark plan and the oracle SQL —
+    * log2 never runs in either engine (the q74 libm stance), and DCG
+    * sums are exact longs in any aggregation order. */
+  private val dcgW: IndexedSeq[Long] = (1 to 10).map(r =>
+    Math.round(1e9 / (Math.log(r + 1.0) / Math.log(2.0))))
+  private val dcgCum: IndexedSeq[Long] = dcgW.scanLeft(0L)(_ + _).tail
+
+  /** q196: rank-AWARE quality of the LSH ranking (q28) against exact
+    * truth (q27) — MRR and nDCG@10 per query. q129's recall counts
+    * WHICH true neighbors an ANN index returns; serving quality also
+    * depends on WHERE it ranks them (a true neighbor at rank 10 is
+    * worth less than at rank 1 to every UI and every RAG prompt
+    * window). MRR = 1/rank of the first true hit; DCG = Σ w(rank) over
+    * true hits with the standard 1/log2(rank+1) discount; nDCG
+    * normalizes by the ideal prefix. The fourth member of the IR-eval
+    * family (recall q129/q183, calibration q187, THIS).
+    *
+    * Engine-exact: discounts are precomputed integer literals
+    * ([[dcgW]]) so DCG/IDCG are exact long sums and the single nDCG
+    * division is one IEEE op over exact longs; MRR is one division of
+    * small exact integers; hitless queries report 0 (the standard
+    * convention) with NULL first_hit_rank.
+    *
+    * Scale notes: both input rankings are the existing bounded-heap
+    * operators (probe·k rows each); everything here joins and
+    * aggregates probe·k-sized frames — nothing corpus-sized. */
+  def rankQuality(s: SparkSession, dir: String): DataFrame =
+    rankQuality(graft.Tables.embeddings(s, dir))
+
+  def rankQuality(embeddings: DataFrame): DataFrame = {
+    val truth = bruteForceTopK(embeddings)
+      .select(col("query_id"), col("neighbor_id"))
+    val ranked = lshTopK(embeddings)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val wCase = dcgW.zipWithIndex.foldLeft(lit(0L)) { case (acc, (w, i)) =>
+      when(col("rank") === (i + 1).toLong, lit(w)).otherwise(acc)
+    }
+    val hits = truth.join(ranked, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("rank")).as("first_hit_rank"),
+        sum(wCase).as("dcg_q"))
+    val idcgCase = dcgCum.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, i)) =>
+      when(col("n_truth") === (i + 1).toLong, lit(c)).otherwise(acc)
+    }
+    truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("first_hit_rank"),
+        coalesce(round(lit(1.0) / col("first_hit_rank").cast("double"), 9),
+          lit(0.0)).as("mrr_r"),
+        coalesce(col("dcg_q"), lit(0L)).as("dcg_q"),
+        round(coalesce(col("dcg_q"), lit(0L)).cast("double") /
+          idcgCase.cast("double"), 9).as("ndcg_r"))
+      .orderBy("query_id")
+  }
+
+  /** q196 oracle: q27/q28's chains (same planes, folds, tie order)
+    * with the LSH rank kept, the identical integer discount literals,
+    * and the identical hitless-query conventions. */
+  def rankQualityOracleSql: String = {
+    val bucketExpr = bucketSqlExpr(hyperplanes)
+    val cosSql =
+      """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(range(1, len(q2.e)+1), i -> q2.e[i]*c.e[i])), (x,y) -> x+y)
+        |   / (q2.nrm * c.nrm)""".stripMargin
+    val wCase = dcgW.zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }.mkString(" ")
+    val cumCase = dcgCum.zipWithIndex
+      .map { case (c, i) => s"WHEN ${i + 1} THEN $c" }.mkString(" ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE embedding IS NOT NULL),
+       |n AS (SELECT vec_id, e,
+       |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm,
+       |  $bucketExpr AS bucket FROM v),
+       |bp AS (SELECT q2.vec_id AS query_id, c.vec_id AS neighbor_id, $cosSql AS sim
+       |  FROM n q2 JOIN n c ON q2.vec_id < 10 AND q2.vec_id <> c.vec_id),
+       |bt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM bp) WHERE rank <= 10),
+       |lp AS (SELECT q2.vec_id AS query_id, c.vec_id AS neighbor_id, $cosSql AS sim
+       |  FROM n q2 JOIN n c ON q2.bucket = c.bucket
+       |   AND q2.vec_id < 10 AND q2.vec_id <> c.vec_id),
+       |ltr AS (SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM lp) WHERE rank <= 10),
+       |tq AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth FROM bt GROUP BY 1),
+       |h AS (SELECT bt.query_id, ltr.rank
+       |  FROM bt JOIN ltr ON bt.query_id = ltr.query_id AND bt.neighbor_id = ltr.neighbor_id),
+       |ag AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       |    CAST(MIN(rank) AS BIGINT) AS first_hit_rank,
+       |    CAST(SUM(CASE rank $wCase ELSE 0 END) AS BIGINT) AS dcg_q
+       |  FROM h GROUP BY 1)
+       |SELECT tq.query_id, tq.n_truth,
+       |  COALESCE(ag.n_hits, 0) AS n_hits,
+       |  ag.first_hit_rank,
+       |  COALESCE(ROUND(1.0 / ag.first_hit_rank, 9), 0.0) AS mrr_r,
+       |  COALESCE(ag.dcg_q, 0) AS dcg_q,
+       |  ROUND(CAST(COALESCE(ag.dcg_q, 0) AS DOUBLE) /
+       |    CAST(CASE tq.n_truth $cumCase ELSE 0 END AS DOUBLE), 9) AS ndcg_r
+       |FROM tq LEFT JOIN ag ON tq.query_id = ag.query_id
+       |ORDER BY tq.query_id""".stripMargin
+  }
+
   /** IVF (inverted-file) top-k: k-means coarse quantizer over the
     * corpus, queries probe their `nprobe` nearest cells and score only
     * those candidates. The standard billion-scale ANN layout: at 100 TB

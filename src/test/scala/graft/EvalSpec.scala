@@ -94,4 +94,32 @@ class EvalSpec extends SparkTestBase {
     val g = Eval.gainsDeciles(spark, "/root/testdata/sf0.001")
     assert(auc.count() > 0 && g.count() == 10)
   }
+
+  test("rank quality: hit counts agree with the recall audit; metrics bounded") {
+    import graft.operators.Similarity
+    val sfDir = "/root/testdata/sf0.001"
+    val rq = Similarity.rankQuality(spark, sfDir).collect()
+    assert(rq.nonEmpty)
+    val recall = Similarity.annRecall(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("hits_lsh")).toMap
+    rq.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val nTruth = r.getAs[Long]("n_truth")
+      val nHits = r.getAs[Long]("n_hits")
+      assert(nHits == recall(q), s"q$q: rankQuality hits $nHits != recall ${recall(q)}")
+      assert(nHits <= nTruth)
+      val mrr = r.getAs[Double]("mrr_r")
+      val ndcg = r.getAs[Double]("ndcg_r")
+      assert(mrr >= 0.0 && mrr <= 1.0)
+      assert(ndcg >= 0.0 && ndcg <= 1.0)
+      if (nHits == 0)
+        assert(mrr == 0.0 && ndcg == 0.0 &&
+          r.isNullAt(r.fieldIndex("first_hit_rank")))
+      else {
+        val first = r.getAs[Long]("first_hit_rank")
+        assert(mrr == BigDecimal(1.0 / first)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+  }
 }
