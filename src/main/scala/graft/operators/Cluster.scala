@@ -360,13 +360,25 @@ object Cluster {
   }
 
   /** Peel parameters for [[kcore]]: K = 2 (the smallest core that
-    * separates cyclic density from trees/chains) and a FIXED number of
-    * synchronous peel rounds, mirrored round-for-round in the oracle —
-    * the q87/q158 stance on data-dependent loops: the OPERATOR's
-    * semantics are "R peel rounds", the spec proves the fixture
-    * graphs reach fixpoint well inside R (they converge in 2). */
+    * separates cyclic density from trees/chains). The peel runs to
+    * FIXPOINT — a fixed round count silently returns a SUPERSET of the
+    * true core on any chain deeper than the count (exactly what
+    * template drift produces at 100 TB), so the loop instead stops
+    * when a round drops nothing, and [[KCoreMaxRounds]] is a runaway
+    * cap that THROWS rather than truncates (a graph needing more than
+    * 64 synchronous rounds means peel depth > 64, i.e. pathological
+    * input worth failing loudly on, not mislabeling as "core").
+    *
+    * The DuckDB oracle cannot run a data-dependent loop, so it unrolls
+    * [[KCoreOracleRounds]] = 12 materialized rounds: past the
+    * fixpoint, extra peel rounds are no-ops, so oracle == fixpoint as
+    * long as the gated data converges within 12 (the sf0.001–sf1 pair
+    * graphs converge in ≤ 3; a gate mismatch here means convergence
+    * got deeper than 12 — bump the constant, the gate fails loudly
+    * instead of silently blessing a truncated peel). */
   val KCoreK = 2
-  val KCoreRounds = 4
+  val KCoreMaxRounds = 64
+  val KCoreOracleRounds = 12
 
   /** q195: k-core decomposition of the near-dup pair graph — the
     * seventh consumer of the shared τ=0.8 pair table, and the density
@@ -382,57 +394,81 @@ object Cluster {
     * Synchronous peel: each round recomputes degrees over the
     * SURVIVING subgraph and drops every node below K at once (the
     * parallel-friendly formulation; sequential peeling is equivalent
-    * at the fixpoint). Output: surviving nodes with their in-core
+    * at the fixpoint). The loop runs until a round removes no edge —
+    * an edge count is invariant across a round iff every node passed
+    * the degree filter (a dropped node takes its ≥1 edges with it),
+    * so the cheap `count()` on the just-checkpointed frame IS the
+    * convergence check. Output: surviving nodes with their in-core
     * degree.
     *
     * Scale notes: the [[connectedComponents]] loop hygiene — the
     * undirected edge frame is checkpointed each round (it only ever
     * SHRINKS), degrees are one map-combined |E|-row aggregate, the
     * survivor filter is two semi-join-shaped equi-joins on the edge
-    * keys; per-round work is O(|E|) regardless of corpus size and
-    * rounds are fixed. */
+    * keys; per-round work is O(|E|) regardless of corpus size, and
+    * round COUNT is the graph's peel depth (≤ 3 on the gated pair
+    * graphs; [[KCoreMaxRounds]] guards runaways by throwing). */
   def kcore(s: SparkSession, dir: String): DataFrame =
     kcoreGraph(pairsTable(s, dir).select("a_id", "b_id"))
 
   def kcoreGraph(edges: DataFrame, k: Int = KCoreK,
-      rounds: Int = KCoreRounds): DataFrame = {
+      maxRounds: Int = KCoreMaxRounds): DataFrame = {
     var cur = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .repartition(col("src"))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    var curEdges = cur.count()
+    var round = 0
+    var converged = curEdges == 0L
+    while (!converged) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"k-core peel still shrinking after $maxRounds rounds " +
+            s"($curEdges directed edges left) — refusing to truncate; " +
+            "raise maxRounds if a peel depth this deep is expected")
       val alive = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k.toLong)
         .select(col("src"))
-      cur = cur
+      val next = cur
         .join(alive, Seq("src"))
         .join(alive.select(col("src").as("dst")), Seq("dst"))
         .select(col("src"), col("dst"))
         .repartition(col("src"))
         .localCheckpoint()
+      val nextEdges = next.count()
+      converged = nextEdges == curEdges
+      cur = next
+      curEdges = nextEdges
     }
     cur.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
       .select(col("src").as("doc_id"), col("core_degree"))
       .orderBy("doc_id")
   }
 
-  /** q195 oracle: the peel unrolled — ka_i = nodes of degree ≥ K in
-    * ke_{i−1}, ke_i = ke_{i−1} restricted to ka_i on both endpoints. */
+  /** q195 oracle: the peel unrolled to [[KCoreOracleRounds]] — ka_i =
+    * nodes of degree ≥ K in ke_{i−1}, ke_i = ke_{i−1} restricted to
+    * ka_i on both endpoints. Rounds past the fixpoint are no-ops, so
+    * this equals the converged peel whenever the data's peel depth is
+    * ≤ the unroll (see [[KCoreOracleRounds]]). Every CTE is
+    * MATERIALIZED: ke_{i−1} is referenced twice per round and DuckDB
+    * inlines plain CTEs per reference — an unmaterialized 12-round
+    * unroll would expand 2^12 scans. */
   def kcoreOracleSql(jaccardPairCtes: String): String = {
-    val rounds = (1 to KCoreRounds).map { i =>
-      s"""ka$i AS (SELECT src AS id FROM ke${i - 1}
+    val rounds = (1 to KCoreOracleRounds).map { i =>
+      s"""ka$i AS MATERIALIZED (SELECT src AS id FROM ke${i - 1}
          |  GROUP BY src HAVING COUNT(*) >= $KCoreK),
-         |ke$i AS (SELECT e.src, e.dst FROM ke${i - 1} e
+         |ke$i AS MATERIALIZED (SELECT e.src, e.dst FROM ke${i - 1} e
          |  JOIN ka$i x ON e.src = x.id JOIN ka$i y ON e.dst = y.id)""".stripMargin
     }.mkString(",\n")
     s"""WITH $jaccardPairCtes,
        |prk AS (SELECT a_id, b_id FROM p
        |  WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.8),
-       |ke0 AS (SELECT a_id AS src, b_id AS dst FROM prk
+       |ke0 AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM prk
        |  UNION ALL SELECT b_id, a_id FROM prk),
        |$rounds
        |SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
-       |FROM ke$KCoreRounds GROUP BY 1 ORDER BY 1""".stripMargin
+       |FROM ke$KCoreOracleRounds GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** q158 oracle: the BFS unrolled — h_k = neighbors of h_{k−1}, MIN

@@ -3,7 +3,7 @@ package graft
 import graft.operators.Cluster
 
 /** k-core peel (q195): planted peel semantics, cascade removal,
-  * parameterized k, fixture convergence inside the fixed rounds. */
+  * parameterized k, fixpoint on deep chains, throwing rounds cap. */
 class KCoreSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -42,16 +42,33 @@ class KCoreSpec extends SparkTestBase {
     assert(Cluster.kcoreGraph(edges()).collect().isEmpty)
   }
 
-  test("fixture graph reaches fixpoint inside the fixed rounds") {
+  test("deep chain peels to fixpoint: a 12-node path fully dissolves " +
+      "while an attached triangle survives") {
+    // a 12-node path needs 6 synchronous peel rounds to empty — the old
+    // fixed 4-round peel left a 4-node remnant and mislabeled it "core".
+    // Hang a triangle off node 1 so the true 2-core is non-empty.
+    val chain = (1L to 11L).map(i => (i, i + 1))
+    val tri = Seq((1L, 100L), (1L, 101L), (100L, 101L))
+    val out = Cluster.kcoreGraph(edges(chain ++ tri: _*)).collect()
+    assert(result(out) == Seq((1L, 2L), (100L, 2L), (101L, 2L)))
+  }
+
+  test("rounds cap throws instead of truncating") {
+    // a 10-node path needs 5 rounds; cap at 2 must fail loudly
+    val chain = (1L to 9L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] {
+      Cluster.kcoreGraph(edges(chain: _*), maxRounds = 2).collect()
+    }
+    assert(ex.getMessage.contains("refusing to truncate"))
+  }
+
+  test("fixture pair graph converges well inside the oracle unroll") {
     val sfDir = "/root/testdata/sf0.001"
-    val atR = Cluster.kcore(spark, sfDir).collect()
-    // run with extra rounds over the same edge table
-    val pairs = graft.operators.ApproxDedup
-      .ngramJaccardPairs(graft.Tables.documents(spark, sfDir))
-      .select("a_id", "b_id")
-    val atMore = Cluster.kcoreGraph(pairs, rounds = Cluster.KCoreRounds + 2)
-      .collect()
-    assert(result(atR).nonEmpty)
-    assert(result(atR) == result(atMore))
+    val atFix = Cluster.kcore(spark, sfDir).collect()
+    assert(result(atFix).nonEmpty)
+    // the converged core is a genuine fixpoint: one more synchronous
+    // peel over the result's own edge restriction changes nothing —
+    // equivalently, every reported core_degree is ≥ K
+    assert(atFix.forall(_.getLong(1) >= Cluster.KCoreK.toLong))
   }
 }
