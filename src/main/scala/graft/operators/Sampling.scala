@@ -385,27 +385,38 @@ object Sampling {
     * anchor: the dashboard's sampled preview panels, `app.py:176` —
     * LIMIT-based, not weight-aware.)
     *
-    * Scale notes: one narrow projection computes the priority, then a
-    * row_number window PARTITIONED BY SOURCE — per-source frames, no
-    * global sort. At 100 TB with a hot source, the window's sort is
-    * per-partition-key and spills locally; the output is K rows per
-    * source. */
+    * Scale notes: one narrow projection computes the priority, then
+    * per-source selection runs as the bounded-heap TopKSimId aggregate
+    * (sim = −priority; the priority is < 2^30·10⁶ < 2^53 so its
+    * negated double is exact and the heap's (sim desc, id asc) order
+    * is bit-identical to the oracle's (priority asc, doc_id asc)).
+    * Each map partition ships at most K rows per source into the
+    * shuffle — a hot source that IS the corpus costs one map-combined
+    * pass, never a whole-source sort (the row_number window idiom
+    * sorts every row of the hottest source on one reducer and spills;
+    * that sort is the 100 TB killer this rewrite removes). The K·
+    * |sources| winners then broadcast back onto the corpus scan to
+    * recover n_chars. */
   def weightedSample(s: SparkSession, dir: String): DataFrame =
     weightedSample(Tables.documents(s, dir))
 
   def weightedSample(docs: DataFrame): DataFrame = {
-    val pr = docs
+    val base = docs
       .filter(col("n_chars").isNotNull && col("n_chars") > 0)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val scored = base
+      .withColumn("u30",
+        TextAnalysis.md5Long(concat(col("doc_id").cast("string"), lit(WsSeed))) % WsU)
+      .select(col("source"), col("doc_id").as("__cand_id"),
+        (-expr(s"(u30 * $WsScale) div n_chars")).cast("double").as("sim"))
+    val winners = Similarity.explodeTopKPerGroup(scored, "source", "doc_id", WsK)
+      .select(col("source"), col("doc_id"),
+        (-col("sim_r")).cast("long").as("priority"),
+        col("rank").as("rk"))
+    base.select(col("doc_id"), col("n_chars"))
+      .join(broadcast(winners), Seq("doc_id"))
       .select(col("source"), col("doc_id"), col("n_chars"),
-        (TextAnalysis.md5Long(concat(col("doc_id").cast("string"), lit(WsSeed))) % WsU).as("u30"))
-      .withColumn("priority", expr(s"(u30 * $WsScale) div n_chars"))
-    pr.withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source"))
-          .orderBy(col("priority").asc, col("doc_id").asc)))
-      .filter(col("rk") <= WsK)
-      .select(col("source"), col("doc_id"), col("n_chars"),
-        col("priority"), col("rk").cast("long").as("rk"))
+        col("priority"), col("rk"))
       .orderBy(col("source").asc_nulls_last, col("rk"))
   }
 

@@ -125,6 +125,14 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), "k-per-group must be a partial top-k aggregate")
   }
 
+  test("q175: weighted sample ranks via the bounded heap and broadcasts " +
+      "the winners back, never sorting a whole source") {
+    val p = plan(graft.operators.Sampling.weightedSample(spark, sfDir))
+    assert(p.contains("topk_sim_id"))
+    assert(!p.contains("Window"), "per-source selection must be a partial top-k aggregate")
+    assert(p.contains("BroadcastHashJoin"), "winners must broadcast onto the n_chars scan")
+  }
+
   test("q49: stratum totals ride a broadcast, no single-partition window") {
     val p = plan(graft.operators.Sampling.domainRebalance(spark, sfDir))
     assert(!p.contains("Window"), s"global window must not appear:\n$p")
