@@ -214,6 +214,7 @@ object SparkEntry {
     "q194_phrase_search"           -> ((s: SparkSession, d: String) => PhraseSearch.phraseSearch(s, d)),
     "q195_kcore"                   -> ((s: SparkSession, d: String) => Cluster.kcore(s, d)),
     "q196_rank_quality"            -> ((s: SparkSession, d: String) => Similarity.rankQuality(s, d)),
+    "q197_bm25_wand"               -> (PostingsIndex.bm25TopK _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -886,6 +887,7 @@ object SparkEntry {
     "q194_phrase_search" -> PhraseSearch.phraseSearchOracleSql,
     "q195_kcore" -> Cluster.kcoreOracleSql(jaccardPairCtes),
     "q196_rank_quality" -> Similarity.rankQualityOracleSql,
+    "q197_bm25_wand" -> PostingsIndex.bm25TopKOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -200,6 +200,18 @@ class PlanSpec extends SparkTestBase {
     assert(dfB === PostingsIndex.bucketOf(PostingsIndex.Terms.head))
   }
 
+  test("q197: ranked BM25 serves the postings index — static bucket " +
+      "pruning, no corpus scan, bounded top-k") {
+    import graft.operators.PostingsIndex
+    val p = plan(PostingsIndex.bm25TopK(spark, sfDir))
+    assert(p.contains("PartitionFilters") && p.contains("bucket"),
+      s"bucket predicate did not prune partitions:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"ranked lookup re-scanned the corpus instead of the index:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be bounded, not a global sort:\n$p")
+  }
+
   test("q109: conjunction runs rarest-first as a broadcast semi-join chain") {
     import graft.operators.PostingsIndex
     val p = plan(PostingsIndex.lookup(spark, sfDir))

@@ -132,6 +132,48 @@ class SearchSpec extends SparkTestBase {
     assert(out("yy").isNullAt(out("yy").fieldIndex("intercept_r")))
   }
 
+  test("q197 indexed BM25 == q60 scan-scoring, with pruning engaged " +
+      "(planted corpus: stopword-hot list, rarest df past TopN)") {
+    import spark.implicits._
+    import graft.operators.{PostingsIndex, Search}
+    // 1200 docs, every one contains the hot term "join"; "spark" in 60
+    // (> TopN=20, so the seed threshold engages and the hot list is
+    // prunable); "window" in 25; lengths vary so dl matters
+    val docs = (1L to 1200L).map { i =>
+      val sb = new StringBuilder("join")
+      if (i % 20 == 0) sb.append(" spark spark")
+      if (i % 48 == 0) sb.append(" window")
+      sb.append(" filler" * (i % 7).toInt)
+      (i, sb.toString, "en", "s", sb.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wand").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val expect = Search.bm25(docs).collect().map(_.toString).toSeq
+    val got = PostingsIndex.bm25TopK(spark, dir).collect().map(_.toString).toSeq
+    assert(got === expect, "indexed top-k diverged from scan-scoring")
+  }
+
+  test("q197 on the corpus equals q60 row for row (no pruning needed " +
+      "at this SF — the fallback path)") {
+    import graft.operators.{PostingsIndex, Search}
+    val expect = Search.bm25(spark, sfDir).collect().map(_.toString).toSeq
+    val got = PostingsIndex.bm25TopK(spark, sfDir).collect().map(_.toString).toSeq
+    assert(got === expect)
+  }
+
+  test("q197 empty and absent-term edges return empty with q60's schema") {
+    import spark.implicits._
+    import graft.operators.PostingsIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_wand_empty").toString
+    Seq((1L, "nothing matches here", "en", "s", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = PostingsIndex.bm25TopK(spark, dir)
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "dl") ++ PostingsIndex.Terms.map(t => s"tf_$t") :+ "score_r")
+    assert(out.collect().isEmpty)
+  }
+
   test("q184 on the corpus: every lang fits a falling line near Zipf") {
     val out = graft.operators.Search.zipfFit(spark, sfDir).collect()
     assert(out.nonEmpty)
