@@ -215,6 +215,7 @@ object SparkEntry {
     "q195_kcore"                   -> ((s: SparkSession, d: String) => Cluster.kcore(s, d)),
     "q196_rank_quality"            -> ((s: SparkSession, d: String) => Similarity.rankQuality(s, d)),
     "q197_bm25_wand"               -> (PostingsIndex.bm25TopK _),
+    "q198_ivfpq_recall"            -> (IvfPq.ivfpqRecall _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -888,6 +889,7 @@ object SparkEntry {
     "q195_kcore" -> Cluster.kcoreOracleSql(jaccardPairCtes),
     "q196_rank_quality" -> Similarity.rankQualityOracleSql,
     "q197_bm25_wand" -> PostingsIndex.bm25TopKOracleSql,
+    "q198_ivfpq_recall" -> IvfPq.ivfpqRecallOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

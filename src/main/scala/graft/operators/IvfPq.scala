@@ -19,29 +19,47 @@ import graft.Tables
   * IVF-PQ is the layout such engines switch to when the corpus outgrows
   * RAM.
   *
-  * Variant: codebooks are trained GLOBALLY on the unit-quantized
-  * vectors (FAISS `by_residual=false`), not on per-cell residuals —
-  * that keeps the ADC arithmetic identical to q111's proven chain and
-  * lets the oracle compose the two existing CTE families verbatim. The
-  * coarse quantizer runs on the SAME unit-sphere quantized vectors as
-  * PQ (cosine metric end-to-end, [[PqOp.unitQuantized]]).
+  * RESIDUAL encoding (FAISS `by_residual=true`, the IVFADC default):
+  * PQ codes quantize x − c(cell), not x. Inside a coarse cell the
+  * residuals span a far smaller box than the raw corpus, so the same
+  * Ks codebook centroids land much closer — the codes get "sharper"
+  * exactly where the probe already narrowed the search; q198 measures
+  * the recall gain against the raw-vector variant. Residuals are
+  * floored to the quantization grid (ScaleQ units) before PQ training:
+  * raw x is integral there and the Lloyd centroid is a rational with a
+  * bit-identical value in both engines, so `floor(x − c)` is an
+  * integral double and the ENTIRE downstream PQ chain keeps the exact
+  * integer-sum recenter arithmetic [[KMeansOp]]'s determinism rests on
+  * (an unfloored residual would make recenter SUMs order-dependent
+  * doubles — the one thing the oracle cannot replay). At ScaleQ = 10⁶
+  * the flooring changes each coordinate by < 1 part in 10⁶ of the unit
+  * sphere — noise far below PQ's own quantization error.
+  *
+  * The COARSE seed takes the [[NList]] lowest md5(vec_id) rows, not the
+  * first NList vec_ids: a corpus whose id-prefix is boilerplate
+  * duplicates (the q104 SemDeDup lesson) would hand Lloyd NList copies
+  * of ONE point — every vector ties to the lowest cell and the
+  * partition degenerates to a single list. Hash-scrambling makes the
+  * seed a uniform corpus sample regardless of id layout, at the cost of
+  * one bounded TakeOrdered.
   *
   * Index layout (build-once [[graft.ArtifactStore]] artifact, the
   * q72/q111 pattern):
   *   cells.parquet              (cell, c)          — [[NList]] rows, tiny
-  *   codebooks.parquet          (m, cell, c)       — M·Ks rows, tiny
+  *   codebooks.parquet          (m, cell, c)       — M·Ks rows (residual-
+  *                                                   trained), tiny
   *   codes/cell=<g>/...         (vec_id, code0..M−1) — hive-partitioned
   * Serving: rank the [[NList]] cells per query driver-side (bounded —
   * NList·Dim work), read ONLY the probed partitions (static partition
   * pruning on the `cell IN (...)` filter — IvfPqSpec pins the file
-  * pruning), ADC-score with per-query probe masks, bounded-heap top-k.
+  * pruning), ADC-score each probed cell against the query's PER-CELL
+  * residual LUT, bounded-heap top-k.
   *
   * Determinism: coarse train replays [[KMeansOp]]'s proven Lloyd
   * conventions at Dim=64 over the unit-quantized frame (integral-double
   * vectors, exact integer recenter sums, fixed left-to-right folds,
-  * ties by lowest cell id); the PQ half is exactly q111's. With
-  * NProbe = NList the search degenerates to q111's full ADC ranking —
-  * IvfPqSpec asserts that equality bit-for-bit.
+  * ties by lowest cell id); the PQ half is exactly q111's machinery
+  * pointed at the integral residual frame.
   */
 object IvfPq {
 
@@ -52,8 +70,9 @@ object IvfPq {
   val CoarseRounds = 2
   private val Dim = KMeansOp.Dim
 
-  /** Bump when the stored schema, quantizer, or encoding changes. */
-  private val LayoutVersion = "v1"
+  /** Bump when the stored schema, quantizer, or encoding changes.
+    * v2: residual-encoded codes + md5-scrambled coarse seed. */
+  private val LayoutVersion = "v2"
 
   import org.apache.spark.sql.types._
 
@@ -88,15 +107,36 @@ object IvfPq {
     }
   }
 
-  /** Seed = first [[NList]] vec_ids' unit-quantized vectors,
-    * [[CoarseRounds]] Lloyd rounds. */
+  /** Seed = the [[NList]] lowest-md5(vec_id) rows (a hash-scrambled
+    * corpus sample — immune to a degenerate id-prefix, one bounded
+    * TakeOrdered), then [[CoarseRounds]] Lloyd rounds. */
   private[graft] def trainCoarse(qv: DataFrame): Seq[(Long, Seq[Double])] = {
-    var cents: Seq[(Long, Seq[Double])] = qv.filter(col("vec_id") < NList)
-      .orderBy("vec_id").collect()
+    var cents: Seq[(Long, Seq[Double])] = qv
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(NList).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
     for (_ <- 1 to CoarseRounds if cents.nonEmpty)
       cents = recenterCoarse(KMeansOp.assign(qv, cents), cents)
     cents
+  }
+
+  /** Coarse-assign, then replace q by the floored residual q − c(cell)
+    * — the frame every PQ stage (train, encode) runs on. The map of
+    * centroid literals is NList·Dim doubles (bounded); the checkpoint
+    * is load-bearing: `encode` slices q once per subspace and a live
+    * HOF-built column would re-evaluate the transform per slice (the
+    * q190 inlining trap). */
+  private def residualized(qv: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val cmap = map(cents.flatMap { case (id, c) =>
+      Seq(lit(id), array(c.map(lit): _*)) }: _*)
+    KMeansOp.assign(qv, cents)
+      .withColumnRenamed("cell", "gcell")
+      .withColumn("__c", element_at(cmap, col("gcell")))
+      .withColumn("q", transform(col("q"),
+        (x, i) => floor(x - element_at(col("__c"), i + 1)).cast("double")))
+      .drop("__c")
+      .localCheckpoint()
   }
 
   // ------------------------------------------------------------------
@@ -111,7 +151,10 @@ object IvfPq {
     val spark = embeddings.sparkSession
     val qv = PqOp.unitQuantized(embeddings).localCheckpoint()
     val cents = trainCoarse(qv)
-    val books = (0 until PqOp.M).map(m => PqOp.trainSub(qv, m))
+    val rqv =
+      if (cents.isEmpty) qv // empty corpus: nothing to residualize
+      else residualized(qv, cents)
+    val books = (0 until PqOp.M).map(m => PqOp.trainSub(rqv, m))
     spark.createDataFrame(cents.map { case (id, c) => (id, c) })
       .toDF("cell", "c")
       .coalesce(1).write.parquet(s"$staging/cells.parquet")
@@ -123,18 +166,12 @@ object IvfPq {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], codesCellSchema)
         .write.parquet(s"$staging/codes")
-    else {
-      // coarse-assign FIRST (renamed so the M per-subspace assigns
-      // inside encode can't collide on "cell"), then PQ-encode — one
-      // corpus pass, no self-join
-      val withCell = KMeansOp.assign(qv, cents)
-        .withColumnRenamed("cell", "gcell")
-      PqOp.encode(withCell, books)
+    else
+      PqOp.encode(rqv, books)
         .select(col("vec_id") +:
           (0 until PqOp.M).map(m => col(s"code$m")) :+
           col("gcell").as("cell"): _*)
         .write.partitionBy("cell").parquet(s"$staging/codes")
-    }
   }
 
   // ------------------------------------------------------------------
@@ -150,13 +187,51 @@ object IvfPq {
         .sortBy { case (d, cell) => (d, cell) }.take(nprobe).map(_._2)
     }
 
-  /** ADC-score the probed slice of a codes frame: scan only rows whose
-    * cell is probed by ANY query (at the gated read this filter is the
-    * partition-pruning predicate), then mask (query, cand) pairs to the
-    * query's OWN probe list via a literal map — no join, no shuffle
-    * before the bounded top-k heap. */
-  private def scoreProbed(codes: DataFrame, queries: Seq[(Long, Seq[Double])],
-      books: Seq[Seq[(Long, Seq[Double])]],
+  /** ADC-score the probed slice of a residual-encoded codes frame: one
+    * struct per (query, probed cell) carrying that pair's LUT — the
+    * query's residual against THAT cell's centroid, since residual
+    * codes only compare inside their own cell — exploded over the
+    * pruned scan and masked to cell equality. No join, no shuffle
+    * before the bounded top-k heap; NQ·NProbe structs per row. */
+  private def scoreProbedResidual(codes: DataFrame,
+      queries: Seq[(Long, Seq[Double])], books: Seq[Seq[(Long, Seq[Double])]],
+      probes: Seq[(Long, Seq[Long])],
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val union = probes.flatMap(_._2).distinct.sorted
+    val qmap = queries.toMap
+    val centMap = cents.toMap
+    val qcStructs = probes.flatMap { case (qid, cells) =>
+      val qvec = qmap(qid)
+      cells.map { cell =>
+        val c = centMap(cell)
+        // the query's residual vs this cell — floored like the data side
+        val qr = qvec.indices.map(i => math.floor(qvec(i) - c(i)))
+        val d = (0 until PqOp.M).map { m =>
+          val qsub = qr.slice(m * PqOp.SubDim, (m + 1) * PqOp.SubDim)
+          val entries = books(m).flatMap { case (bc, cv) =>
+            Seq(lit(bc), lit(PqOp.lutDist(qsub, cv)))
+          }
+          element_at(map(entries: _*), col(s"code$m"))
+        }.reduce(_ + _)
+        struct(lit(qid).as("query_id"), lit(cell).as("pcell"), d.as("dist"))
+      }
+    }
+    codes
+      .where(col("cell").isin(union: _*))
+      .select(col("vec_id").as("__cand_id"), col("cell"),
+        explode(array(qcStructs: _*)).as("qd"))
+      .where(col("qd.pcell") === col("cell"))
+      .select(col("qd.query_id").as("query_id"), col("__cand_id"),
+        col("qd.dist").as("dist"))
+      .where(col("query_id") =!= col("__cand_id"))
+  }
+
+  /** Raw-vector scoring (FAISS `by_residual=false`) — kept as the
+    * comparison arm for the recall spec: one LUT per query (valid
+    * across cells, since codes quantize the raw vector), masked to the
+    * query's own probe list. */
+  private def scoreProbedRaw(codes: DataFrame,
+      queries: Seq[(Long, Seq[Double])], books: Seq[Seq[(Long, Seq[Double])]],
       probes: Seq[(Long, Seq[Long])]): DataFrame = {
     val union = probes.flatMap(_._2).distinct.sorted
     val probeMap = map(probes.flatMap { case (qid, cells) =>
@@ -179,7 +254,7 @@ object IvfPq {
     val em = Tables.embeddings(s, dir)
     val path = graft.ArtifactStore.ensureCurrent(s, s"ivfpq_$LayoutVersion",
       Tables.dirFingerprint(s, dir,
-        s"ivfpq;nlist=$NList;cr=$CoarseRounds;m=${PqOp.M};ks=${PqOp.Ks};" +
+        s"ivfpq;res;md5seed;nlist=$NList;cr=$CoarseRounds;m=${PqOp.M};ks=${PqOp.Ks};" +
         s"r=${PqOp.Rounds};scale=${KMeansOp.ScaleQ};${em.schema.catalogString}")) {
       staging => buildIvfPq(em, staging)
     }
@@ -194,7 +269,8 @@ object IvfPq {
     if (cents.isEmpty || books.exists(_.isEmpty) || queries.isEmpty) None
     else {
       val codes = s.read.schema(codesCellSchema).parquet(s"$path/codes")
-      Some(scoreProbed(codes, queries, books, probeCells(queries, cents, nprobe)))
+      Some(scoreProbedResidual(codes, queries, books,
+        probeCells(queries, cents, nprobe), cents))
     }
   }
 
@@ -207,40 +283,71 @@ object IvfPq {
     }
 
   /** Inline (train-in-place) twin for ad-hoc corpora — same chain, no
-    * artifact; IvfPqSpec proves it equals the indexed path, and that at
-    * nprobe = NList it equals q111's full ADC ranking exactly. */
+    * artifact; IvfPqSpec proves it equals the indexed path. The
+    * `byResidual = false` arm keeps the raw-vector variant alive purely
+    * as the recall-comparison baseline. */
   def ivfpqTopK(embeddings: DataFrame): DataFrame =
     ivfpqTopK(embeddings, NProbe)
 
-  private[graft] def ivfpqTopK(embeddings: DataFrame, nprobe: Int): DataFrame = {
+  private[graft] def ivfpqTopK(embeddings: DataFrame, nprobe: Int,
+      byResidual: Boolean = true): DataFrame = {
     val qv = PqOp.unitQuantized(embeddings).localCheckpoint()
     val cents = trainCoarse(qv)
-    val books = (0 until PqOp.M).map(m => PqOp.trainSub(qv, m))
     val queries: Seq[(Long, Seq[Double])] =
       qv.filter(col("vec_id") < PqOp.NQ).orderBy("vec_id").collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
-    if (cents.isEmpty || books.exists(_.isEmpty) || queries.isEmpty)
-      PqOp.emptyResult(embeddings.sparkSession, "dist_r")
-    else {
-      val withCell = KMeansOp.assign(qv, cents)
-        .withColumnRenamed("cell", "gcell")
-      val codes = PqOp.encode(withCell, books)
-        .select(col("vec_id") +:
-          (0 until PqOp.M).map(m => col(s"code$m")) :+
-          col("gcell").as("cell"): _*)
-      PqOp.adcRank(scoreProbed(codes, queries, books,
-        probeCells(queries, cents, nprobe)))
-    }
+    if (cents.isEmpty || queries.isEmpty)
+      return PqOp.emptyResult(embeddings.sparkSession, "dist_r")
+    val enc =
+      if (byResidual) residualized(qv, cents)
+      else KMeansOp.assign(qv, cents).withColumnRenamed("cell", "gcell")
+    val books = (0 until PqOp.M).map(m => PqOp.trainSub(enc, m))
+    if (books.exists(_.isEmpty))
+      return PqOp.emptyResult(embeddings.sparkSession, "dist_r")
+    val codes = PqOp.encode(enc, books)
+      .select(col("vec_id") +:
+        (0 until PqOp.M).map(m => col(s"code$m")) :+
+        col("gcell").as("cell"): _*)
+    val probes = probeCells(queries, cents, nprobe)
+    val scored =
+      if (byResidual) scoreProbedResidual(codes, queries, books, probes, cents)
+      else scoreProbedRaw(codes, queries, books, probes)
+    PqOp.adcRank(scored)
   }
 
   // ------------------------------------------------------------------
-  // Oracle: q111's adc chain + the coarse chain, composed.
+  // q198: IVF-PQ recall audit.
 
-  /** Coarse-quantizer CTEs over the shared `qv` (unit-quantized): seed
-    * `cg0`, [[CoarseRounds]] assign/recenter rounds, final assignment
-    * `gaf` (vec_id → cell) and per-query probe set `gprobed`. Same
-    * shapes as [[KMeansOp.kmeansCtes]], renamed to compose with
-    * [[PqOp.adcCtes]] under one WITH. */
+  /** q198: recall@[[PqOp.TopK]] of the residual IVF-PQ serving read
+    * (q188) against the exact-cosine truth for the same [[PqOp.NQ]]
+    * queries — the accept/reject number for the compressed+pruned
+    * layout, completing the audit ladder (q129 LSH, q183 PQ, THIS the
+    * combined index). The residual-vs-raw comparison itself is
+    * spec-level (IvfPqSpec proves residual recall ≥ raw on the planted
+    * fixture); the gated number tracks the shipping variant.
+    *
+    * Scale notes: the truth arm is q27's shape (broadcast queries,
+    * map-side bounded-heap top-k); the IVF-PQ arm is the persisted
+    * pruned serving read; the join and rollup run over NQ·TopK rows. */
+  def ivfpqRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = PqOp.exactTruthTopK(Tables.embeddings(s, dir))
+    val ivf = ivfpqTopK(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit_ivfpq"))
+    truth.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit_ivfpq"), lit(0L))).as("hits_ivfpq"))
+      .orderBy("query_id")
+  }
+
+  // ------------------------------------------------------------------
+  // Oracle: coarse chain + residual frame + q111's PQ chains, composed.
+
+  /** Coarse-quantizer CTEs over the shared `qv` (unit-quantized):
+    * md5-scrambled seed `cg0`, [[CoarseRounds]] assign/recenter rounds,
+    * final assignment `gaf` (vec_id, q, cell) and per-query probe set
+    * `gprobed`. Same shapes as [[KMeansOp.kmeansCtes]], renamed to
+    * compose with [[PqOp]]'s chains under one WITH. */
   private def coarseCtes: String = {
     def lr64(expr: String) = PqOp.lr(Dim, expr)
     def d2(cin: String) =
@@ -263,7 +370,9 @@ object IvfPq {
       s"${assignCte(cin, s"ga$r")},\n${recenterCte(s"ga$r", cin, s"cg$r")}"
     }.mkString(",\n")
     val cR = s"cg$CoarseRounds"
-    s"""cg0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, q AS c FROM qv WHERE vec_id < $NList),
+    s"""cg0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, q AS c FROM (
+       |  SELECT vec_id, q FROM qv
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NList)),
        |$rounds,
        |${assignCte(cR, "gaf")},
        |gpr AS (SELECT qv.vec_id AS query_id, $cR.cell,
@@ -273,19 +382,61 @@ object IvfPq {
        |gprobed AS (SELECT query_id, cell FROM gpr WHERE cr <= $NProbe)""".stripMargin
   }
 
-  /** q188 oracle: q111's ADC pair distances restricted to (query,
-    * candidate) pairs where the candidate's coarse cell is probed by
-    * the query, then the same top-k ranking. */
+  /** The residual-scored candidate CTEs: `rqv` (floored residual per
+    * corpus vector, MATERIALIZED — the M subspace chains each reference
+    * it and DuckDB inlines plain CTEs per reference), q111's PQ chains
+    * pointed at rqv, `qres` (the query's floored residual per PROBED
+    * cell), `adcr` ((query, cand) residual-ADC distances, candidates
+    * joined through their own cell). */
+  private def residualAdcCtes: String = {
+    val cR = s"cg$CoarseRounds"
+    s"""rqv AS MATERIALIZED (SELECT gaf.vec_id, gaf.cell AS gcell,
+       |    list(floor(gaf.q[t.i] - cg.c[t.i]) ORDER BY t.i) AS q
+       |  FROM gaf JOIN $cR cg ON cg.cell = gaf.cell
+       |  CROSS JOIN range(1, $Dim+1) t(i)
+       |  GROUP BY gaf.vec_id, gaf.cell),
+       |${PqOp.pqChainCtes("rqv")},
+       |qs AS (SELECT vec_id AS query_id, q FROM qv WHERE vec_id < ${PqOp.NQ}),
+       |qres AS (SELECT gp.query_id, gp.cell,
+       |    list(floor(qs.q[t.i] - cg.c[t.i]) ORDER BY t.i) AS qr
+       |  FROM gprobed gp JOIN qs ON qs.query_id = gp.query_id
+       |  JOIN $cR cg ON cg.cell = gp.cell
+       |  CROSS JOIN range(1, $Dim+1) t(i)
+       |  GROUP BY gp.query_id, gp.cell),
+       |adcr AS (SELECT qres.query_id, enc.vec_id AS neighbor_id,
+       |    ${PqOp.adcTermsSql("qres.qr")} AS dist
+       |  FROM qres JOIN rqv ON rqv.gcell = qres.cell
+       |  JOIN enc ON enc.vec_id = rqv.vec_id ${PqOp.cfJoinsSql}
+       |  WHERE qres.query_id <> enc.vec_id)""".stripMargin
+  }
+
+  /** q188 oracle: the coarse chain, the residual PQ chains, and the
+    * per-cell residual ADC distances, then the same top-k ranking. */
   def ivfpqOracleSql: String =
-    s"""WITH ${PqOp.adcCtes},
+    s"""WITH ${PqOp.qvCte},
        |$coarseCtes,
-       |adcf AS (SELECT adc.query_id, adc.neighbor_id, adc.dist
-       |  FROM adc JOIN gaf ON gaf.vec_id = adc.neighbor_id
-       |  JOIN gprobed ON gprobed.query_id = adc.query_id AND gprobed.cell = gaf.cell)
+       |$residualAdcCtes
        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
        |  ROUND(dist / ${KMeansOp.ScaleQ * KMeansOp.ScaleQ}, 9) AS dist_r
        |FROM (SELECT query_id, neighbor_id, dist,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
-       |  FROM adcf)
+       |  FROM adcr)
        |WHERE rn <= ${PqOp.TopK} ORDER BY query_id, rank""".stripMargin
+
+  /** q198 oracle: q188's chain top-k'd, left-joined onto the exact
+    * truth (the q183 rollup shape). */
+  def ivfpqRecallOracleSql: String =
+    s"""WITH ${PqOp.qvCte},
+       |$coarseCtes,
+       |$residualAdcCtes,
+       |ivt AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+       |    FROM adcr) WHERE rn <= ${PqOp.TopK}),
+       |${PqOp.exactTruthCtes}
+       |SELECT bt.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |  CAST(SUM(CASE WHEN ivt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_ivfpq
+       |FROM bt
+       |LEFT JOIN ivt ON bt.query_id = ivt.query_id AND bt.neighbor_id = ivt.neighbor_id
+       |GROUP BY bt.query_id ORDER BY bt.query_id""".stripMargin
 }

@@ -372,8 +372,10 @@ object PqOp {
     s"${lr(SubDim, "qv.q[i]*qv.q[i]")} - 2.0 * ${lr(SubDim, s"qv.q[i]*$cin.c[i]")} + ${lr(SubDim, s"$cin.c[i]*$cin.c[i]")}"
 
   /** Per-subspace Lloyd chain (qv_m / c0_m / a{r}_m / c{r}_m), the
-    * [[KMeansOp.kmeansCtes]] shape parameterized to a vector slice. */
-  private def subspaceCtes(m: Int): String = {
+    * [[KMeansOp.kmeansCtes]] shape parameterized to a vector slice.
+    * `src` is the (vec_id, q) table the chain trains/encodes over —
+    * "qv" for q111's raw vectors, "rqv" for IVF-PQ's coarse residuals. */
+  private[graft] def subspaceCtes(m: Int, src: String = "qv"): String = {
     val lo = m * SubDim + 1
     val hi = (m + 1) * SubDim
     def assignCte(cin: String, aout: String) =
@@ -393,42 +395,57 @@ object PqOp {
       val cin = if (r == 1) s"c0_m$m" else s"c${r - 1}_m$m"
       s"${assignCte(cin, s"a${r}_m$m")},\n${recenterCte(s"a${r}_m$m", cin, s"c${r}_m$m")}"
     }.mkString(",\n")
-    s"""qv_m$m AS (SELECT vec_id, q[$lo:$hi] AS q FROM qv),
+    s"""qv_m$m AS (SELECT vec_id, q[$lo:$hi] AS q FROM $src),
        |c0_m$m AS (SELECT CAST(vec_id AS BIGINT) AS cell, q AS c FROM qv_m$m WHERE vec_id < $Ks),
        |$rounds,
        |${assignCte(s"c${Rounds}_m$m", s"enc_m$m")}""".stripMargin
   }
 
-  /** WITH-body: quantize, M subspace chains, `enc` (vec_id + codes),
-    * `adc` ((query, cand) ADC distances via the final codebooks). */
-  private[graft] def adcCtes: String = {
-    val subs = (0 until M).map(subspaceCtes).mkString(",\n")
-    val encFrom = (0 until M).map(m =>
-      if (m == 0) s"enc_m$m e$m" else s"JOIN enc_m$m e$m USING (vec_id)").mkString(" ")
-    val codeCols = (0 until M).map(m => s"e$m.cell AS code$m").mkString(", ")
-    val cfJoins = (0 until M).map(m =>
-      s"JOIN c${Rounds}_m$m cf$m ON cf$m.cell = enc.code$m").mkString(" ")
-    // per-subspace ADC term: exact dist2 between the query's subvector
-    // (sliced from the full q at offset) and the candidate's assigned
-    // centroid — folds match the engine's driver-side LUT bitwise
-    val terms = (0 until M).map { m =>
-      val off = m * SubDim
-      s"${lr(SubDim, s"qs.q[$off+i]*qs.q[$off+i]")} - 2.0 * ${lr(SubDim, s"qs.q[$off+i]*cf$m.c[i]")} + ${lr(SubDim, s"cf$m.c[i]*cf$m.c[i]")}"
-    }.map(t => s"($t)").mkString(" + ")
+  /** The unit-quantization CTE (`qv`) — [[unitQuantized]] replayed. */
+  private[graft] def qvCte: String =
     s"""qv AS (SELECT vec_id, list_transform(e, x -> round(x / nrm * ${KMeansOp.ScaleQ})) AS q
        | FROM (SELECT vec_id, e,
        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm
        |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |    FROM embeddings WHERE embedding IS NOT NULL))
-       | WHERE nrm > 0),
-       |$subs,
-       |enc AS (SELECT e0.vec_id, $codeCols FROM $encFrom),
-       |qs AS (SELECT vec_id AS query_id, q FROM qv WHERE vec_id < $NQ),
-       |adc AS (SELECT qs.query_id, enc.vec_id AS neighbor_id, $terms AS dist
-       |  FROM qs CROSS JOIN enc $cfJoins
-       |  WHERE qs.query_id <> enc.vec_id)""".stripMargin
+       | WHERE nrm > 0)""".stripMargin
+
+  /** M subspace train/encode chains over `src` plus the combined `enc`
+    * (vec_id, code0..M−1) — the PQ half, reusable over raw vectors
+    * ("qv") or coarse residuals ("rqv"). */
+  private[graft] def pqChainCtes(src: String): String = {
+    val subs = (0 until M).map(m => subspaceCtes(m, src)).mkString(",\n")
+    val encFrom = (0 until M).map(m =>
+      if (m == 0) s"enc_m$m e$m" else s"JOIN enc_m$m e$m USING (vec_id)").mkString(" ")
+    val codeCols = (0 until M).map(m => s"e$m.cell AS code$m").mkString(", ")
+    s"""$subs,
+       |enc AS (SELECT e0.vec_id, $codeCols FROM $encFrom)""".stripMargin
   }
+
+  /** The M codebook joins resolving a candidate's codes to centroids. */
+  private[graft] def cfJoinsSql: String = (0 until M).map(m =>
+    s"JOIN c${Rounds}_m$m cf$m ON cf$m.cell = enc.code$m").mkString(" ")
+
+  /** Per-subspace ADC terms: exact dist2 between the query vector
+    * `qref` (a full-Dim list column reference, e.g. "qs.q") sliced at
+    * each offset and the candidate's assigned centroid — folds match
+    * the engine's driver-side LUT bitwise. */
+  private[graft] def adcTermsSql(qref: String): String =
+    (0 until M).map { m =>
+      val off = m * SubDim
+      s"${lr(SubDim, s"$qref[$off+i]*$qref[$off+i]")} - 2.0 * ${lr(SubDim, s"$qref[$off+i]*cf$m.c[i]")} + ${lr(SubDim, s"cf$m.c[i]*cf$m.c[i]")}"
+    }.map(t => s"($t)").mkString(" + ")
+
+  /** WITH-body: quantize, M subspace chains, `enc` (vec_id + codes),
+    * `adc` ((query, cand) ADC distances via the final codebooks). */
+  private[graft] def adcCtes: String =
+    s"""$qvCte,
+       |${pqChainCtes("qv")},
+       |qs AS (SELECT vec_id AS query_id, q FROM qv WHERE vec_id < $NQ),
+       |adc AS (SELECT qs.query_id, enc.vec_id AS neighbor_id, ${adcTermsSql("qs.q")} AS dist
+       |  FROM qs CROSS JOIN enc $cfJoinsSql
+       |  WHERE qs.query_id <> enc.vec_id)""".stripMargin
 
   /** q111 oracle. */
   def pqAdcOracleSql: String =
@@ -480,16 +497,7 @@ object PqOp {
     * NQ·[[TopK]]-row frames. Recall integers are exact; no doubles in
     * the output at all. */
   def pqRecall(s: SparkSession, dir: String): DataFrame = {
-    val v = Dedup.normalized(Tables.embeddings(s, dir))
-    val q = v.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"))
-    val c = v.select(col("vec_id").as("__cand_id"), col("e").as("ec"),
-      col("nrm").as("nc"))
-    val scored = broadcast(q).join(c, col("query_id") =!= col("__cand_id"))
-      .select(col("query_id"), col("__cand_id"),
-        cosinePre(col("eq"), col("ec"), col("nq"), col("nc")).as("sim"))
-    val truth = Similarity.explodeTopKPerGroup(scored, "query_id", "neighbor_id", TopK)
-      .select(col("query_id"), col("neighbor_id"))
+    val truth = exactTruthTopK(Tables.embeddings(s, dir))
     val adc = pqAdcTopK(s, dir)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit_adc"))
     val rr = pqRerankTopK(s, dir)
@@ -502,6 +510,40 @@ object PqOp {
         sum(coalesce(col("hit_rerank"), lit(0L))).as("hits_rerank"))
       .orderBy("query_id")
   }
+
+  /** The exact-cosine truth arm shared by the recall audits (q183/q198):
+    * q27's shape — broadcast queries, map-side bounded-heap top-k, the
+    * corpus never shuffles. Returns (query_id, neighbor_id). */
+  private[graft] def exactTruthTopK(embeddings: DataFrame): DataFrame = {
+    val v = Dedup.normalized(embeddings)
+    val q = v.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"))
+    val c = v.select(col("vec_id").as("__cand_id"), col("e").as("ec"),
+      col("nrm").as("nc"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("__cand_id"))
+      .select(col("query_id"), col("__cand_id"),
+        cosinePre(col("eq"), col("ec"), col("nq"), col("nc")).as("sim"))
+    Similarity.explodeTopKPerGroup(scored, "query_id", "neighbor_id", TopK)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Oracle twin of [[exactTruthTopK]]: n0/n (normalized vectors),
+    * bp (all exact-cosine pairs), bt (truth top-[[TopK]]). */
+  private[graft] def exactTruthCtes: String =
+    s"""n0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |n AS (SELECT vec_id, e,
+       |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm FROM n0),
+       |bp AS (SELECT q2.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(q2.e)+1), i -> q2.e[i]*c.e[i])), (x,y) -> x+y)
+       |     / (q2.nrm * c.nrm) AS sim
+       |  FROM n q2 JOIN n c ON q2.vec_id < $NQ AND q2.vec_id <> c.vec_id),
+       |bt AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |    FROM bp) WHERE rn <= $TopK)""".stripMargin
 
   /** q183 oracle: the q111/q112 chains and the exact-cosine chain
     * composed under one WITH, joined on (query, neighbor) like the
@@ -516,11 +558,7 @@ object PqOp {
        |    SELECT query_id, neighbor_id,
        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
        |    FROM adc) WHERE rn <= $ShortlistK),
-       |n0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-       |  FROM embeddings WHERE embedding IS NOT NULL),
-       |n AS (SELECT vec_id, e,
-       |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm FROM n0),
+       |$exactTruthCtes,
        |rrp AS (SELECT sl.query_id, sl.neighbor_id,
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list_transform(range(1, len(q.e)+1), i -> q.e[i]*c.e[i])), (x,y) -> x+y)
@@ -530,16 +568,7 @@ object PqOp {
        |rt AS (SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
-       |    FROM rrp) WHERE rn <= $TopK),
-       |bp AS (SELECT q2.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_transform(range(1, len(q2.e)+1), i -> q2.e[i]*c.e[i])), (x,y) -> x+y)
-       |     / (q2.nrm * c.nrm) AS sim
-       |  FROM n q2 JOIN n c ON q2.vec_id < $NQ AND q2.vec_id <> c.vec_id),
-       |bt AS (SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
-       |    FROM bp) WHERE rn <= $TopK)
+       |    FROM rrp) WHERE rn <= $TopK)
        |SELECT bt.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
        |  CAST(SUM(CASE WHEN at.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_adc,
        |  CAST(SUM(CASE WHEN rt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_rerank

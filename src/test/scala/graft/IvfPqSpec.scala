@@ -4,10 +4,22 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.FileSourceScanExec
 import graft.operators.{IvfPq, PqOp}
 
-/** IVF-PQ (q188): degenerate-equality with q111, indexed ≡ inline,
-  * partition-pruned serving scan, and probe-masking behavior. */
+/** IVF-PQ (q188/q198): residual-vs-raw recall, seed hardening,
+  * indexed ≡ inline, partition-pruned serving scan, probe masking. */
 class IvfPqSpec extends SparkTestBase {
   import spark.implicits._
+
+  /** recall@TopK of an inline IVF-PQ variant against exact-cosine
+    * truth, both computed on the same frame. */
+  private def recallOf(em: org.apache.spark.sql.DataFrame,
+      byResidual: Boolean, nprobe: Int = IvfPq.NProbe): Double = {
+    val truth = PqOp.exactTruthTopK(em).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = IvfPq.ivfpqTopK(em, nprobe, byResidual).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    if (truth.isEmpty) 1.0
+    else truth.intersect(got).size.toDouble / truth.size
+  }
 
   /** PqSpec's planted geometry: two tight clusters on different axes —
     * coarse cells separate them, so small nprobe keeps the far cluster
@@ -25,11 +37,45 @@ class IvfPqSpec extends SparkTestBase {
     (head ++ clusterA ++ clusterB).toDF("vec_id", "embedding")
   }
 
-  test("nprobe = NList degenerates to q111's full ADC ranking, bit-for-bit") {
+  test("residual codes recall ≥ raw codes at the same nprobe " +
+      "(corpus and planted fixtures)") {
     val em = Tables.embeddings(spark, sfDir)
-    val full = PqOp.pqAdcTopK(em).collect().toSeq
-    val ivf = IvfPq.ivfpqTopK(em, IvfPq.NList).collect().toSeq
-    assert(ivf == full)
+    val corpusRes = recallOf(em, byResidual = true)
+    val corpusRaw = recallOf(em, byResidual = false)
+    assert(corpusRes >= corpusRaw,
+      s"corpus: residual $corpusRes < raw $corpusRaw")
+    val plantedRes = recallOf(planted, byResidual = true)
+    val plantedRaw = recallOf(planted, byResidual = false)
+    assert(plantedRes >= plantedRaw,
+      s"planted: residual $plantedRes < raw $plantedRaw")
+    assert(plantedRes > 0.0, "residual variant found nothing")
+  }
+
+  test("coarse seed survives a boilerplate-duplicate id-prefix " +
+      "(the q104 degenerate-prefix shape)") {
+    // ids 0..15 — exactly the old `vec_id < NList` seed range — are ONE
+    // repeated vector; the real structure lives at ids 100+: 4
+    // orthogonal clusters of 16. First-N seeding handed Lloyd 16 copies
+    // of one point (ties collapse every vector into the lowest cell);
+    // the md5-scrambled seed samples across the id space instead.
+    def v(axis: Int, jitter: Int): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      a(axis) = 10.0f
+      a((axis + 5) % 64) = 0.02f * jitter
+      a
+    }
+    val dup = (0 until IvfPq.NList).map(i => (i.toLong, v(0, 0)))
+    val rest = for (c <- 0 until 4; j <- 0 until 16)
+      yield ((100 + c * 16 + j).toLong, v(8 + c * 12, j))
+    val em = (dup ++ rest).toDF("vec_id", "embedding")
+    val qv = PqOp.unitQuantized(em)
+    val cents = IvfPq.trainCoarse(qv)
+    val distinctCents = cents.map(_._2).distinct.size
+    assert(distinctCents >= 4,
+      s"seeds collapsed to $distinctCents distinct centroids")
+    val cellsUsed = graft.operators.KMeansOp.assign(qv, cents)
+      .select("cell").distinct().count()
+    assert(cellsUsed >= 4, s"assignment collapsed to $cellsUsed cells")
   }
 
   test("gated indexed path equals the inline twin") {
