@@ -27,6 +27,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // scale-campaign knobs (unset in driver runs → behavior unchanged):
+    // SKIP drops named queries (the deliberate exact-O(n²) oracle twins
+    // at 100× data); COLD_ONLY measures one pass, no warm/isolated
+    // re-runs — growth RATIOS come from cold passes either way
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val coldOnly = sys.env.get("SPARK_GRAFT_COLD_ONLY").contains("1")
+    val benchQueries = SparkEntry.queries.filterNot { case (n, _) => skip(n) }
     def newSession(): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
@@ -44,7 +53,7 @@ object Bench {
     val warmupDir =
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir))) warmDir
       else sfDir
-    SparkEntry.queries.foreach { case (_, fn) =>
+    benchQueries.foreach { case (_, fn) =>
       try fn(spark, warmupDir).count()
       catch { case _: Throwable => () } // failures surface in the measured pass
     }
@@ -73,7 +82,7 @@ object Bench {
 
     def measure(s: SparkSession): (Map[String, Double], List[String]) = {
       var failed = List.empty[String]
-      val times = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> timeOne(s, name, fn, failed ::= _)
       }.toMap
       (times, failed.reverse)
@@ -83,20 +92,27 @@ object Bench {
     // fresh session between passes: keeps JIT warm but drops accumulated
     // block-manager/broadcast state, so warm isolates PLAN cost
     spark.stop()
-    spark = newSession()
-    val (warm, failedWarm) = measure(spark)
-    spark.stop()
+    val (warm, failedWarm) =
+      if (coldOnly) (cold, List.empty[String])
+      else {
+        spark = newSession()
+        val w = measure(spark)
+        spark.stop()
+        w
+      }
     val failed = (failedCold ++ failedWarm).distinct
 
     // isolated re-runs: top-N cold costs, each on its own fresh session
-    val isolated: Seq[(String, Double)] = cold.toSeq
-      .filter(_._2 >= 0).sortBy(-_._2).take(IsolatedN).map(_._1).sorted
-      .map { name =>
-        val s = newSession()
-        val t = timeOne(s, name, SparkEntry.queries(name), _ => ())
-        s.stop()
-        name -> t
-      }
+    val isolated: Seq[(String, Double)] =
+      if (coldOnly) Seq.empty
+      else cold.toSeq
+        .filter(_._2 >= 0).sortBy(-_._2).take(IsolatedN).map(_._1).sorted
+        .map { name =>
+          val s = newSession()
+          val t = timeOne(s, name, SparkEntry.queries(name), _ => ())
+          s.stop()
+          name -> t
+        }
 
     // The driver captures only a bounded tail of this process's stdout, so
     // the contract JSON line must stay SHORT: qNN keys (the contract's
