@@ -216,6 +216,10 @@ object SparkEntry {
     "q196_rank_quality"            -> ((s: SparkSession, d: String) => Similarity.rankQuality(s, d)),
     "q197_bm25_wand"               -> (PostingsIndex.bm25TopK _),
     "q198_ivfpq_recall"            -> (IvfPq.ivfpqRecall _),
+    "q199_attribution"             -> (graft.streaming.Streams.q199 _),
+    "q200_calibration"             -> ((s: SparkSession, d: String) => Eval.calibration(s, d)),
+    "q201_table_stats"             -> ((s: SparkSession, d: String) => TableStats.tableStats(s, d)),
+    "q202_source_similarity"       -> ((s: SparkSession, d: String) => ApproxDedup.sourceSimilarity(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -890,6 +894,10 @@ object SparkEntry {
     "q196_rank_quality" -> Similarity.rankQualityOracleSql,
     "q197_bm25_wand" -> PostingsIndex.bm25TopKOracleSql,
     "q198_ivfpq_recall" -> IvfPq.ivfpqRecallOracleSql,
+    "q199_attribution" -> graft.streaming.Streams.attributionOracleSql,
+    "q200_calibration" -> Eval.calibrationOracleSql,
+    "q201_table_stats" -> TableStats.tableStatsOracleSql,
+    "q202_source_similarity" -> ApproxDedup.sourceSimilarityOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

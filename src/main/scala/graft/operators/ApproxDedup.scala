@@ -436,6 +436,121 @@ object ApproxDedup {
        |FROM y GROUP BY j_bucket ORDER BY j_bucket""".stripMargin
   }
 
+  /** Permutations used for the SOURCE-level signatures (first 64 of
+    * [[permA]]/[[permB]]): agreement/64 is dyadic, so the estimate
+    * survives the exact-float gate. */
+  val SrcPerms = 64
+
+  /** q202: corpus-level source-similarity matrix — one MinHash
+    * signature per SOURCE (the minimum of each permutation over the
+    * source's UNION of shingle sets: set-union is exactly what MinHash
+    * signatures merge by, the property that makes a per-partition /
+    * per-day sketch foldable into a corpus sketch for free), then
+    * pairwise signature agreement estimates the Jaccard similarity
+    * BETWEEN sources. The corpus-mixture monitor upstream of q155's
+    * domain drift: "these two crawls are 40 % the same corpus" is the
+    * number that decides dedup-before-mix vs weight-down (reference
+    * analog: the per-source facet panels, app.py:84-140).
+    *
+    * The exact source-level Jaccard (distinct-shingle intersection /
+    * union) rides along as the verification column, q74's
+    * truth-beside-sketch stance: at 100 TB the exact arm — which
+    * carries every distinct (source, shingle) pair through a
+    * shingle-keyed join — is the one you drop; the sketch arm folds
+    * the same exploded frame map-side to sources × 64 minima and is
+    * the plan. Pairs are sources², sources are enum-sized.
+    *
+    * Scale notes: one explode + distinct on (source, shingle) feeds
+    * both arms; the signature aggregate map-combines (64 MIN columns);
+    * the pair join is a broadcast over the sources-sized signature
+    * table. Nothing here is ever corpus² — documents never pair with
+    * documents. */
+  def sourceSimilarity(s: SparkSession, dir: String): DataFrame =
+    sourceSimilarity(Tables.documents(s, dir))
+
+  def sourceSimilarity(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, WordShingles}
+    val sh = docs.filter(col("source").isNotNull)
+      .select(col("source"),
+        ColumnBridge.column(WordShingles(ColumnBridge.expression(col("text")), 3))
+          .as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val es = sh.select(col("source"), explode(col("shingles")).as("shingle"))
+      .distinct()
+    val hs = es.select(col("source"), hMod(col("shingle")).as("h"))
+    val minAggs = (0 until SrcPerms).map(i =>
+      min((lit(permA(i)) * col("h") + lit(permB(i))) % lit(P)).as(s"m$i"))
+    val sigArr = array((0 until SrcPerms).map(i => col(s"m$i")): _*)
+    val ns = es.groupBy(col("source")).agg(count(lit(1)).as("n_shingles"))
+    val sigs = hs.groupBy(col("source")).agg(minAggs.head, minAggs.tail: _*)
+      .join(ns, Seq("source"))
+      .select(col("source"), sigArr.as("sig"), col("n_shingles"))
+    val a = sigs.select(col("source").as("source_a"), col("sig").as("sig_a"),
+      col("n_shingles").as("n_a"))
+    val b = sigs.select(col("source").as("source_b"), col("sig").as("sig_b"),
+      col("n_shingles").as("n_b"))
+    val pairs = a.join(broadcast(b), col("source_a") < col("source_b"))
+    val common = es.select(col("source").as("source_a"), col("shingle"))
+      .join(es.select(col("source").as("source_b"), col("shingle")), Seq("shingle"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs.join(common, Seq("source_a", "source_b"), "left")
+      .withColumn("common", coalesce(col("common"), lit(0L)))
+      .withColumn("n_agree", aggregate(
+        zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("uni", col("n_a") + col("n_b") - col("common"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("common"), col("uni"), col("n_agree"),
+        expr(s"(n_agree * 1000000) div $SrcPerms").as("est_j_micro"),
+        expr("(common * 1000000) div uni").as("exact_j_micro"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** q202 oracle: the q187 shingle/md5/permutation replay keyed by
+    * source, signatures as per-permutation grouped minima. */
+  def sourceSimilarityOracleSql: String = {
+    val pa = permA.take(SrcPerms).mkString("[", ",", "]")
+    val pb = permB.take(SrcPerms).mkString("[", ",", "]")
+    s"""WITH w AS (SELECT source, list_filter(string_split(text,' '), x -> x <> '') AS ws
+       |  FROM documents WHERE source IS NOT NULL),
+       |shl AS (SELECT source, CASE WHEN len(ws) < 3 THEN []
+       |  ELSE list_distinct(list_transform(range(1, len(ws)-1),
+       |         i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) END AS s FROM w),
+       |es AS (SELECT DISTINCT source, shingle FROM
+       |  (SELECT source, unnest(s) AS shingle FROM shl WHERE len(s) > 0)),
+       |hs AS (SELECT source,
+       |    CAST(('0x' || substring(md5(shingle),1,15)) AS BIGINT) % $P AS h
+       |  FROM es),
+       |pc AS (SELECT $pa AS pa, $pb AS pb),
+       |sig AS (SELECT source, i, MIN((pc.pa[i]*h + pc.pb[i]) % $P) AS m
+       |  FROM hs CROSS JOIN pc CROSS JOIN range(1, ${SrcPerms + 1}) t(i)
+       |  GROUP BY 1, 2),
+       |ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM es GROUP BY 1),
+       |ag AS (SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+       |  FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |cm AS (SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(COUNT(*) AS BIGINT) AS common
+       |  FROM es a JOIN es b ON a.shingle = b.shingle AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT ag.source_a, ag.source_b, na.n AS n_a, nb.n AS n_b,
+       |  COALESCE(cm.common, 0) AS common,
+       |  na.n + nb.n - COALESCE(cm.common, 0) AS uni,
+       |  ag.n_agree,
+       |  (ag.n_agree * 1000000) // $SrcPerms AS est_j_micro,
+       |  (COALESCE(cm.common, 0) * 1000000)
+       |    // (na.n + nb.n - COALESCE(cm.common, 0)) AS exact_j_micro
+       |FROM ag
+       |JOIN ns na ON na.source = ag.source_a
+       |JOIN ns nb ON nb.source = ag.source_b
+       |LEFT JOIN cm ON cm.source_a = ag.source_a AND cm.source_b = ag.source_b
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** Boundary for q71's deterministic corpus/batch split: doc_id <
     * [[IncrementalCorpusMax]] plays the already-validated corpus. */
   val IncrementalCorpusMax = 250L

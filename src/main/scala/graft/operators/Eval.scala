@@ -221,4 +221,97 @@ object Eval {
       |     ELSE CAST(total_pos AS DOUBLE) / CAST(n_all AS DOUBLE) END),
       |    9) AS lift_r
       |FROM c CROSS JOIN n ORDER BY decile""".stripMargin
+
+  /** q200: calibration (reliability) table + Brier score for `value` as
+    * a purchase predictor — the family's fifth member and the readout
+    * AUC cannot give: AUC says the score ORDERS positives above
+    * negatives, the reliability table says whether the score's
+    * MAGNITUDE means what it claims ("events the model scores ~0.7
+    * convert ~70 % of the time"), which is what a curation threshold or
+    * a sampling temperature actually consumes. Scores min-max-map to a
+    * predicted probability, the probability axis cuts into ten fixed
+    * bins, and each bin reports mean prediction vs observed positive
+    * rate (their gap is the reliability curve) plus the bin's Brier
+    * contribution (mean squared error of prediction vs outcome — the
+    * proper score that decomposes into calibration + refinement).
+    *
+    * Engine-exact: milli scores (q192's floor·10³); the predicted
+    * probability is the INTEGER micro-unit `((x−min)·10⁶) div
+    * max(range,1)` so bin edges are integer-exact in both engines
+    * (bin = min(p_micro div 10⁵, 9) — p=1.0 closes the top bin);
+    * per-bin sums accumulate in DECIMAL(38,0) (Σp ≤ corpus·10⁶ and
+    * Σ(p−y·10⁶)² ≤ corpus·10¹² both pass int64 at trillion-row scale)
+    * and ship as VARCHAR (q192's u2_s stance); every reported ratio is
+    * one identically-associated division of exact integers.
+    *
+    * Scale notes: pass 1 is a map-combined global min/max (2 values),
+    * pass 2 a map-combined 10-group aggregate — nothing is sorted,
+    * ranked, or joined at corpus size, so the shape is strictly
+    * cheaper than q193's two-pass rank and survives any scale the
+    * scan itself survives. */
+  def calibration(s: SparkSession, dir: String): DataFrame =
+    calibration(Tables.events(s, dir))
+
+  def calibration(events: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val e = events
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(floor(col("value") * 1e3).cast("long").as("x"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_pos"))
+    val mm = e.agg(min(col("x")).as("minx"), max(col("x")).as("maxx"))
+    val p = e.crossJoin(broadcast(mm))
+      .withColumn("p_micro",
+        expr("((x - minx) * 1000000) div greatest(maxx - minx, 1)"))
+      .withColumn("bin", least(expr("p_micro div 100000"), lit(9L)))
+      .withColumn("d", col("p_micro") - col("is_pos") * lit(1000000L))
+    p.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("is_pos")).as("n_pos"),
+        sum(d38(col("p_micro"))).cast("decimal(38,0)").as("sum_p"),
+        sum(d38(col("d")) * d38(col("d"))).cast("decimal(38,0)").as("sum_sq"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        col("sum_p").cast("string").as("sum_p_micro_s"),
+        col("sum_sq").cast("string").as("sum_sq_err_s"),
+        round(col("sum_p").cast("string").cast("double") /
+          (col("n").cast("double") * lit(1.0e6)), 9).as("mean_p_r"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 9)
+          .as("frac_pos_r"),
+        round(col("sum_p").cast("string").cast("double") /
+            (col("n").cast("double") * lit(1.0e6))
+          - col("n_pos").cast("double") / col("n").cast("double"), 9)
+          .as("gap_r"),
+        round(col("sum_sq").cast("string").cast("double") /
+          (col("n").cast("double") * lit(1.0e12)), 9).as("brier_r"))
+      .orderBy(col("bin"))
+  }
+
+  /** q200 oracle: identical integer micro-probabilities, bins, decimal
+    * accumulators, and final float associations. */
+  def calibrationOracleSql: String =
+    """WITH e AS (SELECT CAST(FLOOR(value * 1e3) AS BIGINT) AS x,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_pos
+      |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      |mm AS (SELECT MIN(x) AS minx, MAX(x) AS maxx FROM e),
+      |p AS (SELECT is_pos,
+      |    ((x - minx) * 1000000) // GREATEST(maxx - minx, 1) AS p_micro
+      |  FROM e CROSS JOIN mm),
+      |b AS (SELECT LEAST(p_micro // 100000, 9) AS bin, is_pos, p_micro,
+      |    p_micro - is_pos * 1000000 AS d FROM p),
+      |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+      |    CAST(SUM(CAST(p_micro AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_p,
+      |    CAST(SUM(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0)))
+      |      AS DECIMAL(38,0)) AS sum_sq
+      |  FROM b GROUP BY 1)
+      |SELECT bin, n, n_pos,
+      |  CAST(sum_p AS VARCHAR) AS sum_p_micro_s,
+      |  CAST(sum_sq AS VARCHAR) AS sum_sq_err_s,
+      |  ROUND(CAST(CAST(sum_p AS VARCHAR) AS DOUBLE) /
+      |    (CAST(n AS DOUBLE) * 1.0e6), 9) AS mean_p_r,
+      |  ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 9) AS frac_pos_r,
+      |  ROUND(CAST(CAST(sum_p AS VARCHAR) AS DOUBLE) /
+      |      (CAST(n AS DOUBLE) * 1.0e6)
+      |    - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 9) AS gap_r,
+      |  ROUND(CAST(CAST(sum_sq AS VARCHAR) AS DOUBLE) /
+      |    (CAST(n AS DOUBLE) * 1.0e12), 9) AS brier_r
+      |FROM g ORDER BY bin""".stripMargin
 }

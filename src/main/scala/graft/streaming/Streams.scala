@@ -598,4 +598,75 @@ object Streams {
       .select("event_id", "ts", "user_id", "event_type", "value")
       .orderBy("event_id")
   }
+
+  /** Last-click attribution on top of [[intervalJoinStream]] — the
+    * production shape the raw interval join exists to feed: every
+    * purchase is credited to the LATEST click by the same user within
+    * the preceding [[graft.operators.Temporal.IntervalSeconds]] window
+    * (ties on click ts broken by highest click event_id — a total
+    * order, so the winner is deterministic), with the candidate-click
+    * count alongside. Reference analog: the conversion panel joining
+    * the ugc event stream to itself by guid + time window
+    * (app.py:84-140's per-facet engagement readouts).
+    *
+    * One transform for batch and stream (the file's contract): on
+    * batch frames the join is a user-keyed equi-join with a bounded
+    * time predicate and the winner is a map-combinable MAX of the
+    * packed (ts, id) struct; on streams both inputs carry watermarks —
+    * the time-bound join purges its state past watermark + window, and
+    * the downstream aggregate is grouped by a purchase-time tumbling
+    * window (each purchase_event_id lives in exactly ONE window, so
+    * the window column changes no group boundaries — it exists so the
+    * chained stateful aggregate after the stream-stream join has the
+    * event-time column Spark requires to emit and evict in append
+    * mode; StreamingSpec proves batch ≡ stream across micro-batch
+    * splits). Scale: no corpus-wide sort or window — per-purchase
+    * state is click-count-bounded and the aggregate map-combines. */
+  def attribution(events: DataFrame): DataFrame = {
+    val base = events.filter(col("ts").isNotNull && col("user_id").isNotNull &&
+      col("event_id").isNotNull)
+    val clicks = base.filter(col("event_type") === "click")
+    val purchases = base.filter(col("event_type") === "purchase")
+    val j = intervalJoinStream(clicks, purchases)
+    j.groupBy(
+        window(col("purchase_ts"),
+          s"${graft.operators.Temporal.IntervalSeconds} seconds"),
+        col("purchase_event_id"))
+      .agg(max(col("user_id")).as("user_id"),
+        max(col("purchase_ts")).as("purchase_ts"),
+        max(col("purchase_value")).as("purchase_value"),
+        count(lit(1)).as("n_clicks"),
+        max(struct(col("view_ts"), col("view_event_id"))).as("w"))
+      .select(col("purchase_event_id"), col("user_id"), col("purchase_ts"),
+        col("purchase_value"), col("n_clicks"),
+        col("w.view_event_id").as("click_event_id"),
+        col("w.view_ts").as("click_ts"))
+  }
+
+  /** q199: batch run of [[attribution]] over the events table. */
+  def q199(s: SparkSession, dir: String): DataFrame =
+    attribution(Tables.events(s, dir)).orderBy("purchase_event_id")
+
+  /** q199 oracle: same join window, last-click total order via an
+    * explicit (ts DESC, id DESC) rank instead of the struct MAX. */
+  val attributionOracleSql: String =
+    s"""WITH b AS (SELECT event_id, ts, user_id, event_type, value FROM events
+       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL),
+       |c AS (SELECT user_id, event_id AS view_event_id, ts AS view_ts
+       |  FROM b WHERE event_type = 'click'),
+       |p AS (SELECT user_id, event_id AS purchase_event_id, ts AS purchase_ts,
+       |    value AS purchase_value FROM b WHERE event_type = 'purchase'),
+       |j AS (SELECT p.purchase_event_id, p.user_id, p.purchase_ts,
+       |    p.purchase_value, c.view_event_id, c.view_ts
+       |  FROM p JOIN c ON p.user_id = c.user_id
+       |    AND p.purchase_ts > c.view_ts
+       |    AND p.purchase_ts <= c.view_ts + INTERVAL ${graft.operators.Temporal.IntervalSeconds} SECONDS),
+       |r AS (SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY purchase_event_id
+       |      ORDER BY view_ts DESC, view_event_id DESC) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY purchase_event_id) AS BIGINT) AS n_clicks
+       |  FROM j)
+       |SELECT purchase_event_id, user_id, purchase_ts, purchase_value, n_clicks,
+       |  view_event_id AS click_event_id, view_ts AS click_ts
+       |FROM r WHERE rn = 1 ORDER BY purchase_event_id""".stripMargin
 }

@@ -205,4 +205,41 @@ class ApproxDedupSpec extends SparkTestBase {
         s"bucket $b mean error ${r.getAs[Double]("mean_abs_err_r")}")
     }
   }
+
+  test("q202: identical sources agree on every permutation; disjoint sources share nothing") {
+    val docs = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b c d", "s2"),   // identical shingle sets
+      (3L, "x y z w v", "s3"),                          // disjoint from both
+      (4L, "a b", "s3"),                                // shingle-less: no effect
+      (5L, "q r s t", null.asInstanceOf[String]))       // NULL source: excluded
+      .toDF("doc_id", "text", "source")
+    val out = ApproxDedup.sourceSimilarity(docs).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) -> r).toMap
+    assert(out.keySet === Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    val dup = out(("s1", "s2"))
+    assert(dup.getAs[Long]("common") == 2L && dup.getAs[Long]("uni") == 2L)
+    assert(dup.getAs[Long]("n_agree") == ApproxDedup.SrcPerms.toLong)
+    assert(dup.getAs[Long]("est_j_micro") == 1000000L &&
+      dup.getAs[Long]("exact_j_micro") == 1000000L)
+    for (p <- Seq(("s1", "s3"), ("s2", "s3"))) {
+      assert(out(p).getAs[Long]("common") == 0L)
+      assert(out(p).getAs[Long]("exact_j_micro") == 0L)
+      assert(out(p).getAs[Long]("est_j_micro") < 1000000L)
+    }
+  }
+
+  test("q202: source signature is the signature of the UNION of its docs' shingles") {
+    // s1 split across two docs vs s2 holding the union in one doc:
+    // the source-level sketches (and exact sets) must coincide.
+    val docs = Seq(
+      (1L, "a b c d", "s1"), (2L, "m n o p", "s1"),
+      (3L, "a b c d", "s2"), (4L, "m n o p", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = ApproxDedup.sourceSimilarity(docs).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Long]("n_agree") == ApproxDedup.SrcPerms.toLong)
+    assert(r.getAs[Long]("exact_j_micro") == 1000000L)
+  }
 }

@@ -122,4 +122,41 @@ class EvalSpec extends SparkTestBase {
       }
     }
   }
+
+  test("calibration: extreme scores land in the edge bins with closed-form Brier") {
+    // x in {0, 1000}: p_micro is 0 or 1_000_000 -> bins 0 and 9 only.
+    // Each bin holds one positive and one negative: frac_pos = 0.5,
+    // mean_p is 0.0 / 1.0, gap is ∓0.5, Brier = 1e12 / (2 * 1e12) = 0.5.
+    val out = Eval.calibration(ev(
+      (Some("view"), Some(0.0)), (Some("purchase"), Some(0.0)),
+      (Some("view"), Some(1.0)), (Some("purchase"), Some(1.0)))).collect()
+    assert(out.map(_.getAs[Long]("bin")).toSeq === Seq(0L, 9L))
+    val b0 = out(0); val b9 = out(1)
+    assert(b0.getAs[Long]("n") == 2L && b0.getAs[Long]("n_pos") == 1L)
+    assert(b0.getAs[String]("sum_p_micro_s") == "0")
+    assert(b0.getAs[String]("sum_sq_err_s") == "1000000000000")
+    assert(b0.getAs[Double]("mean_p_r") == 0.0 && b0.getAs[Double]("frac_pos_r") == 0.5)
+    assert(b0.getAs[Double]("gap_r") == -0.5 && b0.getAs[Double]("brier_r") == 0.5)
+    assert(b9.getAs[String]("sum_p_micro_s") == "2000000")
+    assert(b9.getAs[Double]("mean_p_r") == 1.0 && b9.getAs[Double]("gap_r") == 0.5)
+    assert(b9.getAs[Double]("brier_r") == 0.5)
+  }
+
+  test("calibration: a constant score column degenerates to one bin-0 row") {
+    val out = Eval.calibration(ev(
+      (Some("purchase"), Some(3.5)), (Some("view"), Some(3.5)),
+      (Some("view"), Some(3.5)))).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("bin") == 0L && out(0).getAs[Long]("n") == 3L)
+    assert(out(0).getAs[Double]("mean_p_r") == 0.0)
+    // one positive predicted 0 -> Brier = 1e12 / (3 * 1e12)
+    assert(out(0).getAs[Double]("brier_r") == 0.333333333)
+  }
+
+  test("calibration: NULL type or value rows are excluded") {
+    val out = Eval.calibration(ev(
+      (Some("purchase"), Some(1.0)), (None, Some(9.0)), (Some("view"), None)))
+      .collect()
+    assert(out.length == 1 && out(0).getAs[Long]("n") == 1L)
+  }
 }

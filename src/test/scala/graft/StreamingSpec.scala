@@ -593,4 +593,69 @@ class StreamingSpec extends SparkTestBase {
       } finally q.stop()
     }
   }
+
+  test("attribution: last click wins, ties break to higher id, window closed at +1800s") {
+    import spark.implicits._
+    val e = Seq(
+      // user 1: two clicks before the purchase -> latest (id 2) wins
+      E(1, tsAt(10, 0), 1, "click", 0.0), E(2, tsAt(10, 10), 1, "click", 0.0),
+      E(20, tsAt(10, 20), 1, "purchase", 5.0),
+      // user 2: clicks tied on ts -> higher event_id (4) wins
+      E(3, tsAt(10, 5), 2, "click", 0.0), E(4, tsAt(10, 5), 2, "click", 0.0),
+      E(21, tsAt(10, 15), 2, "purchase", 6.0),
+      // user 3: purchase exactly 1800s after the click -> included;
+      // purchase at the same instant as the click -> excluded
+      E(5, tsAt(10, 0), 3, "click", 0.0),
+      E(22, tsAt(10, 30), 3, "purchase", 7.0),
+      E(23, tsAt(10, 0), 3, "purchase", 8.0),
+      // user 4: a click AFTER the purchase attributes nothing
+      E(6, tsAt(10, 39), 4, "click", 0.0), E(7, tsAt(10, 41), 4, "click", 0.0),
+      E(24, tsAt(10, 40), 4, "purchase", 9.0))
+    val out = Streams.attribution(e.toDF()).orderBy("purchase_event_id").collect()
+      .map(r => (r.getAs[Long]("purchase_event_id"), r.getAs[Long]("click_event_id"),
+        r.getAs[Long]("n_clicks")))
+    assert(out.toSeq === Seq((20L, 2L, 2L), (21L, 4L, 2L), (22L, 5L, 1L),
+      (24L, 6L, 1L)))
+  }
+
+  test("attribution stream (self-joined, chained stateful agg) equals batch across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      E(1, tsAt(10, 0), 1, "click", 0.0), E(2, tsAt(10, 10), 1, "click", 0.0),
+      E(20, tsAt(10, 20), 1, "purchase", 5.0),
+      E(3, tsAt(10, 5), 2, "click", 0.0), E(4, tsAt(10, 5), 2, "click", 0.0),
+      E(21, tsAt(10, 15), 2, "purchase", 6.0),
+      E(5, tsAt(10, 0), 3, "click", 0.0), E(22, tsAt(10, 30), 3, "purchase", 7.0))
+    // sentinels: advance BOTH arms' watermarks (global watermark is the
+    // min) far enough to close every 30-min purchase window above; the
+    // sentinel purchase itself has no click within its window, so it
+    // appears in neither the batch nor the stream output
+    val sentinels = Seq(
+      E(90, tsAt(22, 0), 9, "click", 0.0), E(91, tsAt(23, 0), 9, "purchase", 0.0))
+    val batch = Streams.attribution((events ++ sentinels).toDF()).collect()
+      .map(r => (r.getAs[Long]("purchase_event_id"), r.getAs[Long]("click_event_id"),
+        r.getAs[Long]("n_clicks"), r.getAs[Double]("purchase_value"))).toSet
+    assert(batch.size === 3)
+    for ((split, n) <- Seq(Seq(10), Seq(5, 5), Seq(3, 3, 4)).zipWithIndex) {
+      val src = MemoryStream[E]
+      val q = Streams.attribution(src.toDF())
+        .writeStream.format("memory").queryName(s"attr_$n")
+        .outputMode("append").start()
+      try {
+        val all = events ++ sentinels
+        var off = 0
+        split.foreach { sz =>
+          src.addData(all.slice(off, off + sz): _*); off += sz
+          q.processAllAvailable()
+        }
+        // one extra empty pass lets the closed windows flush
+        q.processAllAvailable()
+        val streamed = spark.table(s"attr_$n").collect()
+          .map(r => (r.getAs[Long]("purchase_event_id"), r.getAs[Long]("click_event_id"),
+            r.getAs[Long]("n_clicks"), r.getAs[Double]("purchase_value"))).toSet
+        assert(streamed === batch, s"split $split diverged from batch")
+      } finally q.stop()
+    }
+  }
 }
