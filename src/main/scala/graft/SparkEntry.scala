@@ -220,6 +220,8 @@ object SparkEntry {
     "q200_calibration"             -> ((s: SparkSession, d: String) => Eval.calibration(s, d)),
     "q201_table_stats"             -> ((s: SparkSession, d: String) => TableStats.tableStats(s, d)),
     "q202_source_similarity"       -> ((s: SparkSession, d: String) => ApproxDedup.sourceSimilarity(s, d)),
+    "q203_qdigest"                 -> ((s: SparkSession, d: String) => QDigest.qdigest(s, d)),
+    "q204_term_burstiness"         -> ((s: SparkSession, d: String) => Curation.termBurstiness(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -898,6 +900,8 @@ object SparkEntry {
     "q200_calibration" -> Eval.calibrationOracleSql,
     "q201_table_stats" -> TableStats.tableStatsOracleSql,
     "q202_source_similarity" -> ApproxDedup.sourceSimilarityOracleSql,
+    "q203_qdigest" -> QDigest.qdigestOracleSql,
+    "q204_term_burstiness" -> Curation.termBurstinessOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -1093,4 +1093,89 @@ object Curation {
       |    / CAST(CAST(CAST(ttot + $DsirBuckets AS DECIMAL(38,0)) * CAST(rtot + $DsirBuckets AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE), 6) AS weight_ppm_r,
       |  CAST(CASE WHEN wnum > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** q204: per-term burstiness (Church & Gale 1995's "Poisson mixtures"
+    * observation; Katz 1996) — for the corpus's heaviest terms, the
+    * index of dispersion of the within-document term frequency among
+    * the documents that CONTAIN the term: a Poisson-like content word
+    * spreads (VMR ≈ its mean), a bursty boilerplate/template token
+    * piles its occurrences into few documents (VMR ≫ 1). The
+    * term-level cousin of q173's doc-level boilerplate n-grams and the
+    * curation signal q45's stopword-ratio heuristic cannot give: it
+    * separates "frequent because the language needs it" from "frequent
+    * because a template repeats it".
+    *
+    * Engine-exact: tf/df are exact BIGINTs; Σtf and Σtf² accumulate in
+    * DECIMAL(38,0) (tf² is doc-length², corpus-summed — past int64 at
+    * trillion-row scale; the q192 u2 stance) and ship as VARCHAR; the
+    * dispersion VMR = (df·Σtf² − (Σtf)²) / (df·Σtf) reaches its ONE
+    * float division through the shared VARCHAR-mediated cast.
+    *
+    * Scale notes: one explode to (doc, term) counts (map-combined),
+    * one term-keyed rollup — the Zipf-skewed shuffle AQE splits (the
+    * q67 stance) — then a bounded global top-[[BurstTopK]] by total
+    * frequency (TakeOrdered, never a corpus sort). df ≥ [[BurstMinDf]]
+    * guards the VMR against tiny-sample noise. */
+  val BurstTopK = 50
+  val BurstMinDf = 5L
+
+  def termBurstiness(s: SparkSession, dir: String): DataFrame =
+    termBurstiness(Tables.documents(s, dir))
+
+  def termBurstiness(docs: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val tf = docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), " "), w => w =!= "")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(d38(col("tf"))).cast("decimal(38,0)").as("sum_tf"),
+        sum(d38(col("tf")) * d38(col("tf"))).cast("decimal(38,0)").as("sum_tf2"))
+      .filter(col("df") >= BurstMinDf)
+      .orderBy(col("sum_tf").desc, col("term"))
+      .limit(BurstTopK)
+      .select(col("term"), col("df"),
+        col("sum_tf").cast("string").as("sum_tf_s"),
+        col("sum_tf2").cast("string").as("sum_tf2_s"),
+        round(col("sum_tf").cast("string").cast("double") /
+          col("df").cast("double"), 9).as("mean_tf_r"),
+        round(
+          (d38(col("df")) * col("sum_tf2") - col("sum_tf") * col("sum_tf"))
+            .cast("decimal(38,0)").cast("string").cast("double") /
+          (d38(col("df")) * col("sum_tf"))
+            .cast("decimal(38,0)").cast("string").cast("double"), 9)
+          .as("vmr_r"))
+      // the projection sits above a TakeOrdered; re-assert the output
+      // order on the stringified decimal (numeric, not lexicographic)
+      .orderBy(col("sum_tf_s").cast("decimal(38,0)").desc, col("term"))
+  }
+
+  /** q204 oracle: identical tf rollup, decimal accumulators, top-k
+    * order, and float associations. */
+  def termBurstinessOracleSql: String =
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2),
+       |g AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       |    CAST(SUM(CAST(tf AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_tf,
+       |    CAST(SUM(CAST(tf AS DECIMAL(38,0)) * CAST(tf AS DECIMAL(38,0)))
+       |      AS DECIMAL(38,0)) AS sum_tf2
+       |  FROM tf GROUP BY 1),
+       |t AS (SELECT * FROM g WHERE df >= $BurstMinDf
+       |  ORDER BY sum_tf DESC, term LIMIT $BurstTopK)
+       |SELECT term, df,
+       |  CAST(sum_tf AS VARCHAR) AS sum_tf_s,
+       |  CAST(sum_tf2 AS VARCHAR) AS sum_tf2_s,
+       |  ROUND(CAST(CAST(sum_tf AS VARCHAR) AS DOUBLE) / CAST(df AS DOUBLE), 9)
+       |    AS mean_tf_r,
+       |  ROUND(
+       |    CAST(CAST(CAST(CAST(df AS DECIMAL(38,0)) * sum_tf2 - sum_tf * sum_tf
+       |      AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) /
+       |    CAST(CAST(CAST(CAST(df AS DECIMAL(38,0)) * sum_tf
+       |      AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE), 9) AS vmr_r
+       |FROM t ORDER BY sum_tf DESC, term""".stripMargin
 }

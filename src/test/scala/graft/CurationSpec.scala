@@ -384,4 +384,29 @@ class CurationSpec extends SparkTestBase {
       assert(wt >= cnt * 250000L && wt <= cnt * 1000000L)
     }
   }
+
+  test("q204 burstiness: a template token disperses, an even token has VMR 0") {
+    // "x": tf (4,1,1,1,1) over 5 docs -> df=5, sum=8, sum2=20,
+    //   VMR = (5*20 - 64) / (5*8) = 0.9
+    // "a": once in each of 8 docs -> VMR = 0, mean 1
+    val d = docs(
+      (1L, "a x x x x"), (2L, "a x"), (3L, "a x"), (4L, "a x"), (5L, "a x"),
+      (6L, "a"), (7L, "a"), (8L, "a"))
+    val out = graft.operators.Curation.termBurstiness(d).collect()
+      .map(r => r.getAs[String]("term") -> r).toMap
+    assert(out.keySet === Set("a", "x")) // df >= 5 only
+    val x = out("x"); val a = out("a")
+    assert(x.getAs[Long]("df") == 5L && x.getAs[String]("sum_tf_s") == "8")
+    assert(x.getAs[String]("sum_tf2_s") == "20")
+    assert(x.getAs[Double]("mean_tf_r") == 1.6 && x.getAs[Double]("vmr_r") == 0.9)
+    assert(a.getAs[Long]("df") == 8L && a.getAs[Double]("vmr_r") == 0.0)
+    assert(a.getAs[Double]("mean_tf_r") == 1.0)
+  }
+
+  test("q204 burstiness: output is the top-k by total frequency, ties by term") {
+    val d = docs((1L to 6L).map(i => (i, "t1 t1 t1 t2 t2 t3")): _*)
+    val out = graft.operators.Curation.termBurstiness(d).collect()
+    assert(out.map(_.getAs[String]("term")).toSeq === Seq("t1", "t2", "t3"))
+    assert(out.map(_.getAs[String]("sum_tf_s")).toSeq === Seq("18", "12", "6"))
+  }
 }
