@@ -74,9 +74,18 @@ object ArtifactStore {
     * and an unconditional sweep here would delete artifacts out from
     * under their readers on every dir switch and rebuild "build-once"
     * work each time. The count bound caps disk growth; the age bound
-    * protects a reader that resolved a path and reads it lazily. */
+    * protects a reader that resolved a path and reads it lazily.
+    *
+    * retainSiblings sizing: a round's gate cycle serves 8+ live dirs at
+    * once (sf0.001/0.01/0.1/1/10 + the three injected fixtures, each
+    * re-injection a fresh fingerprint) — at the old bound of 8 a fixture
+    * sweep evicted the bench-scale artifacts and the next bench silently
+    * re-paid every "build-once" cost (q128: 115 s rebuild vs 5 s read at
+    * sf1). 24 covers every dir the verify+bench cycle touches with room
+    * for re-injections; disk cost is bounded by the artifact sizes, not
+    * the corpus. */
   def ensureCurrent(spark: SparkSession, base: String, fingerprint: String,
-      retainSiblings: Int = 8, graceMs: Long = 3600L * 1000)
+      retainSiblings: Int = 24, graceMs: Long = 3600L * 1000)
       (build: String => Unit): String = {
     val name = s"${base}_$fingerprint"
     val path = ensure(spark, name)(build)

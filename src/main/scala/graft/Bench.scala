@@ -29,13 +29,20 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // scale-campaign knobs (unset in driver runs → behavior unchanged):
     // SKIP drops named queries (the deliberate exact-O(n²) oracle twins
-    // at 100× data); COLD_ONLY measures one pass, no warm/isolated
-    // re-runs — growth RATIOS come from cold passes either way
+    // at 100× data); ONLY restricts to the named queries (benching a
+    // round's new adds at several SFs without re-running the inventory);
+    // COLD_ONLY measures one pass, no warm/isolated re-runs — growth
+    // RATIOS come from cold passes either way
     val skip = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val coldOnly = sys.env.get("SPARK_GRAFT_COLD_ONLY").contains("1")
-    val benchQueries = SparkEntry.queries.filterNot { case (n, _) => skip(n) }
+    val benchQueries = SparkEntry.queries
+      .filterNot { case (n, _) => skip(n) }
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     def newSession(): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
