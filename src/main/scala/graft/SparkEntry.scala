@@ -222,6 +222,9 @@ object SparkEntry {
     "q202_source_similarity"       -> ((s: SparkSession, d: String) => ApproxDedup.sourceSimilarity(s, d)),
     "q203_qdigest"                 -> ((s: SparkSession, d: String) => QDigest.qdigest(s, d)),
     "q204_term_burstiness"         -> ((s: SparkSession, d: String) => Curation.termBurstiness(s, d)),
+    "q205_join_cardinality"        -> ((s: SparkSession, d: String) => Sketch.joinCardinality(s, d)),
+    "q206_fd_audit"                -> ((s: SparkSession, d: String) => TableStats.fdAudit(s, d)),
+    "q207_zonemap_audit"           -> ((s: SparkSession, d: String) => ZOrder.zonemapAudit(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -902,6 +905,9 @@ object SparkEntry {
     "q202_source_similarity" -> ApproxDedup.sourceSimilarityOracleSql,
     "q203_qdigest" -> QDigest.qdigestOracleSql,
     "q204_term_burstiness" -> Curation.termBurstinessOracleSql,
+    "q205_join_cardinality" -> Sketch.joinCardinalityOracleSql,
+    "q206_fd_audit" -> TableStats.fdAuditOracleSql,
+    "q207_zonemap_audit" -> ZOrder.zonemapAuditOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

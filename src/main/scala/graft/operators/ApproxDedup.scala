@@ -464,7 +464,9 @@ object ApproxDedup {
     * both arms; the signature aggregate map-combines (64 MIN columns);
     * the pair join is a broadcast over the sources-sized signature
     * table. Nothing here is ever corpus² — documents never pair with
-    * documents. */
+    * documents. MIN is multiset-invariant, so when the exact column is
+    * dropped at scale the sketch arm also drops the distinct: explode →
+    * map-combined minima, no corpus-wide shuffle at all. */
   def sourceSimilarity(s: SparkSession, dir: String): DataFrame =
     sourceSimilarity(Tables.documents(s, dir))
 

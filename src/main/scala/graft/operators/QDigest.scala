@@ -64,7 +64,13 @@ object QDigest {
   def sketch(events: DataFrame, k: Long = QdK): DataFrame = {
     val prof = leafProfile(events).localCheckpoint()
     val n = prof.agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0).getLong(0)
-    val t = n / k
+    sketchFromProfile(prof, n / k)
+  }
+
+  /** Compression from an already-materialized leaf profile — the shared
+    * entry point: [[qdigest]] scans the corpus ONCE and feeds the same
+    * checkpointed profile to both the sketch and the exact arm. */
+  private def sketchFromProfile(prof: DataFrame, t: Long): DataFrame = {
     var cur = prof.select(col("x").as("node"), col("cnt"))
     var kept: DataFrame = null
     for (l <- 0 until QdLevels) {
@@ -90,7 +96,7 @@ object QDigest {
     val prof = leafProfile(events).localCheckpoint()
     val n = prof.agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0).getLong(0)
     val t = n / QdK
-    val sk = sketch(events).localCheckpoint()
+    val sk = sketchFromProfile(prof, t).localCheckpoint()
     val cum = sk
       .withColumn("hi", expr("shiftleft(node + 1, CAST(level AS INT)) - 1"))
       .withColumn("cum", sum(col("cnt")).over(

@@ -162,4 +162,85 @@ object Sketch {
        |FROM pc JOIN sketch s USING (r, c)
        |GROUP BY pc.user_id, pc.true_cnt ORDER BY pc.user_id""".stripMargin
   }
+
+  /** q205: CMS join-cardinality estimate (the AMS/CMS inner-product
+    * application, Cormode & Muthukrishnan 2005 §4.2; Alon-Matias-Szegedy
+    * 1996 for the F2 idea) — estimate |orders ⋈ customer ON custkey|
+    * WITHOUT running the join: per hash row r, the inner product
+    * Σ_c A[r][c]·B[r][c] of the two sides' CMS counter rows; the
+    * estimate is the MIN over the d rows (each row overestimates by
+    * hash collisions, expected excess (N_A·N_B − true)/w). THE number a
+    * cost-based optimizer wants before picking a join strategy, from
+    * two d×w-row sketches instead of a shuffle of either table — and
+    * the sketches are the same streaming-maintainable state as q68's.
+    *
+    * Exact truth rides along (q74's stance): Σ_v f_A(v)·f_B(v) from the
+    * two frequency tables — the arm whose cost (a key-shuffled join)
+    * the sketch exists to avoid at 100 TB. Products and sums accumulate
+    * in DECIMAL(38,0) (corpus² at trillion rows) and ship as VARCHAR;
+    * the per-row overestimate ratio is ONE VARCHAR-mediated division.
+    *
+    * Scale notes: each sketch is one map-combined aggregate whose whole
+    * shuffle is ≤ d·w rows; the estimate joins two ≤ d·w-row tables.
+    * Nothing in the sketch arm scales with either input. */
+  def joinCardinality(s: SparkSession, dir: String): DataFrame =
+    joinCardinality(Tables.orders(s, dir), Tables.customer(s, dir))
+
+  def joinCardinality(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val sa = cmsSketch(orders.select(col("o_custkey").as("k")), "k")
+    val sb = cmsSketch(customer.select(col("c_custkey").as("k")), "k")
+      .withColumnRenamed("cnt", "cnt_b")
+    val est = sa.join(sb, Seq("r", "c"))
+      .groupBy(col("r"))
+      .agg(sum(d38(col("cnt")) * d38(col("cnt_b"))).cast("decimal(38,0)").as("est"))
+    val fa = orders.filter(col("o_custkey").isNotNull)
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("fa"))
+    val fb = customer.filter(col("c_custkey").isNotNull)
+      .groupBy(col("c_custkey").as("k")).agg(count(lit(1)).as("fb"))
+    val exact = fa.join(fb, Seq("k"))
+      .agg(coalesce(sum(d38(col("fa")) * d38(col("fb"))), lit(0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("exact"))
+    est.crossJoin(broadcast(exact))
+      .select(col("r"),
+        col("est").cast("string").as("est_s"),
+        col("exact").cast("string").as("exact_s"),
+        round(col("est").cast("string").cast("double") /
+          when(col("exact") === lit(0).cast("decimal(38,0)"), lit(null))
+            .otherwise(col("exact").cast("string").cast("double")), 9)
+          .as("over_ratio_r"))
+      .orderBy(col("r"))
+  }
+
+  /** q205 oracle: same salted md5 cells, same decimal inner products. */
+  def joinCardinalityOracleSql: String = {
+    val rs = (0 until D).mkString("[", ",", "]")
+    val cellSql = (rExpr: String, kExpr: String) =>
+      s"((CAST(('0x' || substring(md5('cms:' || CAST($kExpr AS VARCHAR)), 1, 15)) AS BIGINT) >> (15 * $rExpr)) & 32767) % $W"
+    s"""WITH ea AS (SELECT t.r, ${cellSql("t.r", "o.o_custkey")} AS c
+       |  FROM orders o CROSS JOIN (SELECT unnest($rs) AS r) t
+       |  WHERE o.o_custkey IS NOT NULL),
+       |sa AS (SELECT r, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM ea GROUP BY r, c),
+       |eb AS (SELECT t.r, ${cellSql("t.r", "cu.c_custkey")} AS c
+       |  FROM customer cu CROSS JOIN (SELECT unnest($rs) AS r) t
+       |  WHERE cu.c_custkey IS NOT NULL),
+       |sb AS (SELECT r, c, CAST(COUNT(*) AS BIGINT) AS cnt_b FROM eb GROUP BY r, c),
+       |est AS (SELECT sa.r,
+       |    CAST(SUM(CAST(sa.cnt AS DECIMAL(38,0)) * CAST(sb.cnt_b AS DECIMAL(38,0)))
+       |      AS DECIMAL(38,0)) AS est
+       |  FROM sa JOIN sb USING (r, c) GROUP BY 1),
+       |fa AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS fa FROM orders
+       |  WHERE o_custkey IS NOT NULL GROUP BY 1),
+       |fb AS (SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS fb FROM customer
+       |  WHERE c_custkey IS NOT NULL GROUP BY 1),
+       |ex AS (SELECT CAST(COALESCE(SUM(CAST(fa.fa AS DECIMAL(38,0))
+       |      * CAST(fb.fb AS DECIMAL(38,0))), 0) AS DECIMAL(38,0)) AS exact
+       |  FROM fa JOIN fb USING (k))
+       |SELECT est.r, CAST(est.est AS VARCHAR) AS est_s,
+       |  CAST(ex.exact AS VARCHAR) AS exact_s,
+       |  ROUND(CAST(CAST(est.est AS VARCHAR) AS DOUBLE) /
+       |    (CASE WHEN ex.exact = 0 THEN NULL
+       |     ELSE CAST(CAST(ex.exact AS VARCHAR) AS DOUBLE) END), 9) AS over_ratio_r
+       |FROM est CROSS JOIN ex ORDER BY est.r""".stripMargin
+  }
 }

@@ -129,4 +129,76 @@ object TableStats {
        |FROM st JOIN mm USING (col_name) JOIN sk USING (col_name) CROSS JOIN n
        |ORDER BY col_name""".stripMargin
   }
+
+  /** Column pairs probed for functional dependency / correlation. The
+    * (o_orderkey, o_custkey) pair plants a TRUE dependency (the key
+    * determines everything); the other two probe real-world soft
+    * correlation. */
+  val FdPairs: Seq[(String, String)] = Seq(
+    ("o_custkey", "o_orderstatus"),
+    ("o_orderkey", "o_custkey"),
+    ("o_orderpriority", "o_orderstatus"))
+
+  /** q206: functional-dependency / correlated-columns audit — for each
+    * probed column pair of `orders`, the three distinct counts a
+    * cost-based optimizer combines cardinalities from: ndv(a), ndv(b),
+    * ndv(a,b). fd(a→b) = ndv(a)/ndv(a,b) is 1.0 exactly when a
+    * determines b (the FD-discovery readout; schema normalization and
+    * denormalization-detection both start here); ndv(a,b)/(ndv(a)·ndv(b))
+    * ≈ 1 means the columns are independent — the correction factor that
+    * keeps a CBO from multiplying correlated selectivities (the classic
+    * underestimation bug q201's per-column stats alone cannot see).
+    *
+    * Engine-exact: counts are exact BIGINTs on the pair's both-non-null
+    * subset (explicitly filtered on BOTH engines — the two disagree on
+    * NULL tuple distincts); each ratio is one identically-associated
+    * division. Scale: ONE corpus scan — the pair list explodes to
+    * (pair, a, b) rows and a single distinct-expand aggregate computes
+    * every count (the q201 stance; the documented 100 TB swap is the
+    * same aggregate over q74 HLL registers per pair element). */
+  def fdAudit(s: SparkSession, dir: String): DataFrame =
+    fdAudit(Tables.orders(s, dir))
+
+  def fdAudit(df: DataFrame): DataFrame = {
+    val arr = array(FdPairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(a).cast("string").as("a_s"), col(b).cast("string").as("b_s"))
+    }: _*)
+    df.select(explode(arr).as("p")).select(col("p.*"))
+      .filter(col("a_s").isNotNull && col("b_s").isNotNull)
+      .groupBy(col("col_a"), col("col_b"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("a_s")).as("ndv_a"),
+        countDistinct(col("b_s")).as("ndv_b"),
+        countDistinct(col("a_s"), col("b_s")).as("ndv_ab"))
+      .select(col("col_a"), col("col_b"), col("n"),
+        col("ndv_a"), col("ndv_b"), col("ndv_ab"),
+        round(col("ndv_a").cast("double") / col("ndv_ab").cast("double"), 9)
+          .as("fd_ab_r"),
+        round(col("ndv_b").cast("double") / col("ndv_ab").cast("double"), 9)
+          .as("fd_ba_r"),
+        round(col("ndv_ab").cast("double") /
+          (col("ndv_a").cast("double") * col("ndv_b").cast("double")), 9)
+          .as("indep_r"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  /** q206 oracle: per-pair blocks on the both-non-null subset, row-value
+    * distinct for the pair NDV. */
+  def fdAuditOracleSql: String = {
+    val blocks = FdPairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(DISTINCT CAST($a AS VARCHAR)) AS BIGINT) AS ndv_a,
+         |  CAST(COUNT(DISTINCT CAST($b AS VARCHAR)) AS BIGINT) AS ndv_b,
+         |  CAST(COUNT(DISTINCT (CAST($a AS VARCHAR), CAST($b AS VARCHAR))) AS BIGINT) AS ndv_ab
+         |FROM orders WHERE $a IS NOT NULL AND $b IS NOT NULL""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH g AS ($blocks)
+       |SELECT col_a, col_b, n, ndv_a, ndv_b, ndv_ab,
+       |  ROUND(CAST(ndv_a AS DOUBLE) / CAST(ndv_ab AS DOUBLE), 9) AS fd_ab_r,
+       |  ROUND(CAST(ndv_b AS DOUBLE) / CAST(ndv_ab AS DOUBLE), 9) AS fd_ba_r,
+       |  ROUND(CAST(ndv_ab AS DOUBLE) /
+       |    (CAST(ndv_a AS DOUBLE) * CAST(ndv_b AS DOUBLE)), 9) AS indep_r
+       |FROM g ORDER BY col_a, col_b""".stripMargin
+  }
 }

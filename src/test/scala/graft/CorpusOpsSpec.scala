@@ -445,4 +445,27 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("alloc")).sum === graft.operators.Sampling.MixBudget)
     assert(out.forall(_.getAs[Long]("alloc") > 0L))
   }
+
+  test("q205 join cardinality: CMS inner product never underestimates; exact matches hand count") {
+    import spark.implicits._
+    val o = Seq(1L, 1L, 2L, 3L, 3L, 3L).toDF("o_custkey")
+    val c = Seq(1L, 2L, 2L, 4L).toDF("c_custkey")
+    // exact = f(1)*1 + f(2)*2 = 2 + 2 = 4 (key 3 and 4 unmatched)
+    val out = operators.Sketch.joinCardinality(o, c).collect()
+    assert(out.length == operators.Sketch.D)
+    assert(out.forall(_.getAs[String]("exact_s") == "4"))
+    out.foreach { r =>
+      assert(r.getAs[String]("est_s").toLong >= 4L)
+      assert(r.getAs[Double]("over_ratio_r") >= 1.0)
+    }
+  }
+
+  test("q205 join cardinality: disjoint key sets give exact 0 and a NULL ratio") {
+    import spark.implicits._
+    val o = Seq(1L, 2L).toDF("o_custkey")
+    val c = Seq(3L, 4L).toDF("c_custkey")
+    val out = operators.Sketch.joinCardinality(o, c).collect()
+    assert(out.forall(_.getAs[String]("exact_s") == "0"))
+    assert(out.forall(_.isNullAt(out(0).fieldIndex("over_ratio_r"))))
+  }
 }

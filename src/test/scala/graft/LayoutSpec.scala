@@ -52,4 +52,42 @@ class LayoutSpec extends SparkTestBase {
       assert(zt <= 4) // an 8x8 query spans at most 2x2 of the 8x8 tiles
     }
   }
+
+  test("q207 zonemap: a clustered 2-D grid prunes under z but not under time-sort") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 16x16 grid of (hour, value) cells, 4 rows each: under the z
+    // layout every file is a tight tile; under time-sort every file
+    // spans the full value range and the value predicate prunes nothing
+    val rows = for {
+      h <- 0 until 16; v <- 0 until 16; r <- 0 until 4
+    } yield (Timestamp.valueOf(f"2024-01-${h / 24 + 1}%02d ${h % 24}%02d:00:00"),
+      v * 3.0 + r * 0.01)
+    val df = rows.toDF("ts", "value")
+    val out = graft.operators.ZOrder.zonemapAudit(df).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    assert(out.keySet === Set("time", "z_morton"))
+    val z = out("z_morton"); val t = out("time")
+    assert(z.getAs[Long]("n_rows") == 1024L && t.getAs[Long]("n_rows") == 1024L)
+    // the time layout reads >= the z layout, strictly more here
+    assert(t.getAs[Long]("n_scanned_rows") > z.getAs[Long]("n_scanned_rows"))
+    assert(z.getAs[Double]("scan_frac_r") < 0.5)
+    // z tiles have (far) smaller total bounding-box area
+    assert(z.getAs[Long]("sum_box_area") < t.getAs[Long]("sum_box_area"))
+  }
+
+  test("q207 zonemap: single-cell corpus degenerates to one always-scanned file") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val df = Seq.fill(8)((Timestamp.valueOf("2024-01-01 05:00:00"), 7.0))
+      .toDF("ts", "value")
+    val out = graft.operators.ZOrder.zonemapAudit(df).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_files") == 1L)
+      assert(r.getAs[Long]("n_scanned_files") == 1L)
+      assert(r.getAs[Double]("scan_frac_r") == 1.0)
+      assert(r.getAs[Long]("sum_box_area") == 1L)
+    }
+  }
 }

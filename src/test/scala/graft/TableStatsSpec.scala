@@ -54,4 +54,33 @@ class TableStatsSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("n_rows")).distinct.length == 1)
     assert(out.forall(r => r.getAs[Long]("ndv") >= 1L))
   }
+
+  test("q206 FD audit: a determining column scores 1.0; a full cross scores independent") {
+    // o_orderkey unique -> o_orderkey determines o_custkey (fd 1.0);
+    // (o_custkey, o_orderstatus) covers all 2x2 combos -> indep_r = 1.0
+    val out = TableStats.fdAudit(orders(
+      (Some(1L), Some(10L), Some("A"), Some("p")),
+      (Some(2L), Some(10L), Some("B"), Some("p")),
+      (Some(3L), Some(20L), Some("A"), Some("p")),
+      (Some(4L), Some(20L), Some("B"), Some("p"))))
+      .collect().map(r => (r.getAs[String]("col_a"), r.getAs[String]("col_b")) -> r).toMap
+    val key = out(("o_orderkey", "o_custkey"))
+    assert(key.getAs[Long]("ndv_a") == 4L && key.getAs[Long]("ndv_ab") == 4L)
+    assert(key.getAs[Double]("fd_ab_r") == 1.0)
+    val cross = out(("o_custkey", "o_orderstatus"))
+    assert(cross.getAs[Long]("ndv_ab") == 4L)
+    assert(cross.getAs[Double]("indep_r") == 1.0)
+    assert(cross.getAs[Double]("fd_ab_r") == 0.5)
+  }
+
+  test("q206 FD audit: NULL in either column drops the row from that pair only") {
+    val out = TableStats.fdAudit(orders(
+      (Some(1L), Some(10L), Some("A"), Some("p")),
+      (Some(2L), None, Some("B"), Some("p")),
+      (None, Some(30L), Some("C"), Some("p"))))
+      .collect().map(r => (r.getAs[String]("col_a"), r.getAs[String]("col_b")) -> r).toMap
+    assert(out(("o_orderkey", "o_custkey")).getAs[Long]("n") == 1L)
+    assert(out(("o_custkey", "o_orderstatus")).getAs[Long]("n") == 2L)
+    assert(out(("o_orderpriority", "o_orderstatus")).getAs[Long]("n") == 3L)
+  }
 }
