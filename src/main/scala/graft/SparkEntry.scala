@@ -225,6 +225,10 @@ object SparkEntry {
     "q205_join_cardinality"        -> ((s: SparkSession, d: String) => Sketch.joinCardinality(s, d)),
     "q206_fd_audit"                -> ((s: SparkSession, d: String) => TableStats.fdAudit(s, d)),
     "q207_zonemap_audit"           -> ((s: SparkSession, d: String) => ZOrder.zonemapAudit(s, d)),
+    "q208_common_neighbors"        -> ((s: SparkSession, d: String) => Cluster.commonNeighbors(s, d)),
+    "q209_kmv_overlap"             -> ((s: SparkSession, d: String) => Sketch.kmvOverlap(s, d)),
+    "q210_bucketed_join"           -> (Bucketing.bucketedJoin _),
+    "q211_k_anonymity"             -> ((s: SparkSession, d: String) => Curation.kAnonymity(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -908,6 +912,10 @@ object SparkEntry {
     "q205_join_cardinality" -> Sketch.joinCardinalityOracleSql,
     "q206_fd_audit" -> TableStats.fdAuditOracleSql,
     "q207_zonemap_audit" -> ZOrder.zonemapAuditOracleSql,
+    "q208_common_neighbors" -> Cluster.commonNeighborsOracleSql,
+    "q209_kmv_overlap" -> Sketch.kmvOverlapOracleSql,
+    "q210_bucketed_join" -> Bucketing.bucketedJoinOracleSql,
+    "q211_k_anonymity" -> Curation.kAnonymityOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -491,4 +491,114 @@ object Cluster {
       |  UNION ALL SELECT id, 3 FROM h3)
       |SELECT id AS doc_id, CAST(MIN(hop) AS BIGINT) AS hop
       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Support threshold for [[commonNeighbors]]' co-purchase edges — a
+    * pair of parts must co-occur in ≥ this many orders to be an edge
+    * (q189's MinSup stance: incidental single co-occurrences are not
+    * relationships). */
+  val CnMinSupport = 2
+
+  /** q208: common-neighbor link prediction (Newman 2001; Liben-Nowell
+    * & Kleinberg 2003's strongest cheap predictor) over the part
+    * co-purchase graph: for every NON-adjacent part pair sharing ≥1
+    * co-purchase neighbor, the number of shared neighbors plus both
+    * endpoint degrees — the classic "customers who bought X and Y
+    * also…" recommendation primitive, and the generic graph operator
+    * is [[commonNeighborsGraph]] over ANY (a_id, b_id) edge set.
+    *
+    * The GATE deliberately runs on the co-purchase graph rather than
+    * the shared τ=0.8 dedup pair table: near-dup clusters on the
+    * fixtures (and on real template-stamped corpora) are CLIQUES —
+    * every candidate pair is already adjacent, so the prediction set
+    * is empty at every threshold (measured: 0 rows at sf0.001–sf1,
+    * τ sweep 0.8→0.2), and a permanently-empty gate checks nothing.
+    * Co-purchase baskets produce genuine open wedges at every SF.
+    *
+    * Deliberately integer-exact: the predictor is the common-neighbor
+    * COUNT with deg_a/deg_b alongside (enough to derive Jaccard-,
+    * Adamic-Adar- or cosine-style normalizations downstream) — no
+    * float score leaves the plan, per the repo's exactness convention
+    * (a Σ1/log(deg) would be summation-order-dependent).
+    *
+    * Scale notes: edge construction replays q189's staged a-priori
+    * shape — distinct (order, part) is checkpointed once, the pair
+    * self-join is co-partitioned on the basket key (baskets are
+    * order-sized, so pair volume is Σ basket² ≈ |lineitem|·avg_basket,
+    * never corpus²), and the ≥[[CnMinSupport]] filter bounds |E|.
+    * Wedge enumeration is then one self-join of the undirected edge
+    * frame on the shared MIDDLE vertex, an |wedge|-row count
+    * aggregate, one anti-join against the edge set (drops pairs
+    * already adjacent), and two degree joins; wedge volume is
+    * Σ deg(b)² — the standard high-degree mitigation (cap or sample
+    * wedges at hub vertices) is documented here and unnecessary at
+    * support-thresholded co-purchase degrees. The undirected frame is
+    * checkpointed once and reused by all three arms. */
+  def commonNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .distinct()
+      .localCheckpoint() // both self-join arms read it
+    val edges = li.select(col("basket"), col("item").as("a_id"))
+      .join(li.select(col("basket"), col("item").as("b_id")), Seq("basket"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= CnMinSupport.toLong)
+      .select(col("a_id"), col("b_id"))
+    commonNeighborsGraph(edges)
+  }
+
+  def commonNeighborsGraph(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint() // read 4× below (two wedge arms, degrees ×2)
+    // every unordered pair {a,b} with a common neighbor m appears as
+    // exactly one wedge (m→a, m→b) with a<b per middle vertex
+    val wedgeA = und.select(col("src").as("mid"), col("dst").as("a_id"))
+    val wedgeB = und.select(col("src").as("mid"), col("dst").as("b_id"))
+    val cand = wedgeA.join(wedgeB, Seq("mid"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_common"))
+    // edges arrive a_id<b_id by construction, so the adjacency check is
+    // one equi-anti-join on the normalized pair key
+    val nonAdjacent = cand.join(edges.select("a_id", "b_id"),
+      Seq("a_id", "b_id"), "left_anti")
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+    nonAdjacent
+      .join(deg.select(col("src").as("a_id"), col("dg").as("deg_a")), Seq("a_id"))
+      .join(deg.select(col("src").as("b_id"), col("dg").as("deg_b")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("n_common"),
+        col("deg_a"), col("deg_b"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** q208 oracle: the same co-purchase edges and wedge enumeration in
+    * SQL — candidates from the undirected self-join on the middle
+    * vertex, adjacency removed by anti-join on the normalized (a<b)
+    * pair key, degrees joined. */
+  def commonNeighborsOracleSql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |pr AS (SELECT a.item AS a_id, b.item AS b_id
+      |  FROM li a JOIN li b ON a.basket = b.basket AND a.item < b.item
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= $CnMinSupport),
+      |und AS (SELECT a_id AS src, b_id AS dst FROM pr
+      |  UNION ALL SELECT b_id, a_id FROM pr),
+      |cand AS (SELECT u1.dst AS a_id, u2.dst AS b_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_common
+      |  FROM und u1 JOIN und u2 ON u1.src = u2.src AND u1.dst < u2.dst
+      |  GROUP BY 1, 2),
+      |nonadj AS (SELECT c.a_id, c.b_id, c.n_common FROM cand c
+      |  LEFT JOIN pr e ON e.a_id = c.a_id AND e.b_id = c.b_id
+      |  WHERE e.a_id IS NULL),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dg
+      |  FROM und GROUP BY 1)
+      |SELECT n.a_id, n.b_id, n.n_common, da.dg AS deg_a, db.dg AS deg_b
+      |FROM nonadj n
+      |JOIN deg da ON da.src = n.a_id
+      |JOIN deg db ON db.src = n.b_id
+      |ORDER BY 1, 2""".stripMargin
 }

@@ -1178,4 +1178,64 @@ object Curation {
        |    CAST(CAST(CAST(CAST(df AS DECIMAL(38,0)) * sum_tf
        |      AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE), 9) AS vmr_r
        |FROM t ORDER BY sum_tf DESC, term""".stripMargin
+
+  /** k-anonymity threshold for [[kAnonymity]] — groups smaller than
+    * this are re-identification risks (Sweeney 2002's canonical k=5). */
+  val KAnonK = 5L
+
+  /** q211: k-anonymity audit over the quasi-identifier combination
+    * (nation, market segment, account-balance band) — the privacy
+    * gate that complements q43's PII scrub: redaction removes DIRECT
+    * identifiers, but a record is still re-identifiable when its
+    * quasi-identifier combination is shared by fewer than k people
+    * (Sweeney 2002). Output is the bounded equivalence-class-size
+    * histogram: for each observed group size, how many QI groups and
+    * records sit at that size and whether that size is below
+    * [[KAnonK]] — the one-screen readout a release reviewer reads
+    * before an export ("640 records live in QI groups of size <5:
+    * suppress or widen the bands").
+    *
+    * The balance band is `floor(c_acctbal / 1000.0)` — one double
+    * division + floor, the identically-associated single-op shape both
+    * engines compute bit-identically; counts are exact BIGINTs and
+    * n_records is the product group_size·n_groups, so no SUM crosses
+    * the engines' integer-overflow-promotion divide. NULL QI values
+    * form their own group in both engines (a NULL segment is itself a
+    * rare, risky combination — collapsing it would hide exactly the
+    * records most worth flagging).
+    *
+    * Scale notes: two map-combined aggregations — the first shuffles
+    * distinct QI combos (bounded by the QI domain, ≪ corpus), the
+    * second shuffles distinct group SIZES (≈ O(√n) values); nothing
+    * corpus-sized moves, no sort, no join. At 100 TB this is the
+    * cheapest query in the governance family. */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame =
+    kAnonymity(Tables.customer(s, dir))
+
+  def kAnonymity(customer: DataFrame): DataFrame =
+    customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("group_size"))
+      .groupBy("group_size")
+      .agg(count(lit(1)).as("n_groups"))
+      .select(col("group_size"), col("n_groups"),
+        (col("group_size") * col("n_groups")).as("n_records"),
+        (col("group_size") < lit(KAnonK)).as("at_risk"))
+      .orderBy("group_size")
+
+  /** q211 oracle: the same two-level rollup; n_records stays a product
+    * of two BIGINTs (DuckDB's SUM would promote to HUGEINT). */
+  val kAnonymityOracleSql: String =
+    s"""WITH qi AS (SELECT c_nationkey, c_mktsegment,
+      |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+      |  FROM customer),
+      |g AS (SELECT c_nationkey, c_mktsegment, bal_band,
+      |    CAST(COUNT(*) AS BIGINT) AS group_size
+      |  FROM qi GROUP BY 1, 2, 3)
+      |SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  group_size * CAST(COUNT(*) AS BIGINT) AS n_records,
+      |  group_size < $KAnonK AS at_risk
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 }

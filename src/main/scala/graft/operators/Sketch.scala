@@ -243,4 +243,151 @@ object Sketch {
        |     ELSE CAST(CAST(ex.exact AS VARCHAR) AS DOUBLE) END), 9) AS over_ratio_r
        |FROM est CROSS JOIN ex ORDER BY est.r""".stripMargin
   }
+
+  /** KMV sketch size for [[kmvOverlap]] — 256 minima give ~1/√254 ≈ 6 %
+    * relative NDV error (Beyer et al. 2007 §3.2). */
+  val KmvK = 256
+
+  /** q209: K-minimum-values distinct-overlap estimate between sources
+    * (Bar-Yossef et al. 2002; Beyer et al. SIGMOD 2007's unbiased
+    * estimator) — the sketch-family member the set-OPERATION questions
+    * need: q74's HLL counts one set and unions for free but cannot
+    * intersect; q202's per-source MinHash estimates Jaccard SHAPE but
+    * not set SIZE. A KMV sketch (the K smallest salted-md5 values of
+    * each source's distinct texts) supports union natively (merge,
+    * keep K smallest) and intersection by counting agreement inside
+    * the merged sketch: with L = K smallest of A∪B, ρ = |L∩A∩B|,
+    * ndv(A∪B) ≈ (K−1)·2⁶⁰/h_(K) and |A∩B| ≈ ρ·ndv(A∪B)/K — "these
+    * two crawls share ~1.2M distinct documents", the absolute-size
+    * companion to q202's relative overlap, from 256 longs per source.
+    *
+    * Integer spine, floats only at the edge (repo convention): h_(K),
+    * ρ, k_used and both truth arms are exact BIGINTs; the two
+    * estimates are ROUND(...,9) doubles built from identically-
+    * associated ops both engines fold the same way (255·2⁶⁰ has 8
+    * significant bits — exactly representable; saturation branch:
+    * k_used < K means the merged sketch IS the exact union, so the
+    * estimator returns k_used and ρ equals the exact intersection).
+    * Selection via the bounded heap is EXACT even though scores are
+    * doubles: long→double rounding is monotone, and the heap's id-asc
+    * tiebreak re-orders any rounding tie by the exact hash.
+    *
+    * Scale notes: one distinct-shuffle of (source, h) feeds BOTH arms;
+    * the sketch then folds through the bounded-heap TopKSimId (≤ K
+    * rows per partition×source into the shuffle) and every pairwise
+    * frame after that is ≤ sources²·2K rows — the per-pair ranking
+    * window is over ≤ 2K rows BY CONSTRUCTION, not data-sized. The
+    * truth arms (exact NDV + pairwise h-join) are the corpus-cost
+    * reference the sketch replaces; at 100 TB you drop them and keep
+    * the heap fold, whose only corpus-sized step is the map-combined
+    * distinct. */
+  def kmvOverlap(s: SparkSession, dir: String): DataFrame =
+    kmvOverlap(Tables.documents(s, dir))
+
+  def kmvOverlap(docs: DataFrame): DataFrame = {
+    val K = KmvK
+    // distinct (source, text-hash): the shared spine of both arms.
+    // NULL text/source excluded on both sides (concat_ws-vs-|| rule).
+    val v = docs.filter(col("source").isNotNull && col("text").isNotNull)
+      .select(col("source"),
+        TextAnalysis.md5Long(concat_ws(":", lit("kmv"), col("text"))).as("h"))
+      .distinct()
+      .localCheckpoint() // read 4× (sketch, NDV, pair join ×2)
+    // per-source KMV: bottom-K hashes via the bounded heap on -h
+    val kept = v.groupBy(col("source"))
+      .agg(Similarity.topKAgg((-col("h")).cast("double"), col("h"), K).as("tk"))
+      .select(col("source"), explode(col("tk.id")).as("h"))
+    val srcs = v.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("source_a"))
+      .crossJoin(srcs.select(col("source").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    // merged sketch per pair: ≤ 2K rows/pair — the rank window is over
+    // a fixed-size frame by construction, never data-sized
+    val merged = pairs
+      .join(broadcast(kept),
+        col("source") === col("source_a") || col("source") === col("source_b"))
+      .groupBy(col("source_a"), col("source_b"), col("h"))
+      .agg(max(when(col("source") === col("source_a"), 1L).otherwise(0L)).as("in_a"),
+        max(when(col("source") === col("source_b"), 1L).otherwise(0L)).as("in_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source_a"), col("source_b")).orderBy(col("h"))
+    val sk = merged.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"),
+        sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L).otherwise(0L))
+          .as("rho"))
+    // truth arms: exact per-source NDV + exact pairwise intersection
+    val ndv = v.groupBy(col("source")).agg(count(lit(1)).as("ndv"))
+    val inter = v.as("a").join(v.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("exact_intersect"))
+    val estU = when(col("k_used") < K, col("k_used").cast("double"))
+      .otherwise(lit((K - 1).toDouble * math.pow(2.0, 60)) /
+        col("kth_hash").cast("double"))
+    sk
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .join(broadcast(ndv.select(col("source").as("source_a"), col("ndv").as("ndv_a"))),
+        Seq("source_a"))
+      .join(broadcast(ndv.select(col("source").as("source_b"), col("ndv").as("ndv_b"))),
+        Seq("source_b"))
+      .withColumn("exact_intersect", coalesce(col("exact_intersect"), lit(0L)))
+      .withColumn("est_u", estU)
+      .select(col("source_a"), col("source_b"), col("k_used"), col("kth_hash"),
+        col("rho"),
+        (col("ndv_a") + col("ndv_b") - col("exact_intersect")).as("exact_union"),
+        col("exact_intersect"),
+        round(col("est_u"), 9).as("est_union_r"),
+        round(col("rho").cast("double") * col("est_u") /
+          col("k_used").cast("double"), 9).as("est_intersect_r"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** q209 oracle: same salted hash, exact bottom-K per source, same
+    * merged-sketch counters and identically-associated estimators. */
+  def kmvOverlapOracleSql: String = {
+    val K = KmvK
+    s"""WITH v AS (SELECT DISTINCT source,
+       |    CAST(('0x' || substring(md5('kmv:' || text), 1, 15)) AS BIGINT) AS h
+       |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+       |sk AS (SELECT source, h FROM (
+       |    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM v) WHERE rn <= $K),
+       |srcs AS (SELECT DISTINCT source FROM v),
+       |pr AS (SELECT a.source AS source_a, b.source AS source_b
+       |  FROM srcs a JOIN srcs b ON a.source < b.source),
+       |u AS (SELECT p.source_a, p.source_b, s.h,
+       |    MAX(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+       |    MAX(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+       |  FROM pr p JOIN sk s ON s.source IN (p.source_a, p.source_b)
+       |  GROUP BY 1, 2, 3),
+       |topu AS (SELECT * FROM (
+       |    SELECT u.*, ROW_NUMBER() OVER (
+       |      PARTITION BY source_a, source_b ORDER BY h) AS rn FROM u)
+       |  WHERE rn <= $K),
+       |agg AS (SELECT source_a, source_b,
+       |    CAST(COUNT(*) AS BIGINT) AS k_used, MAX(h) AS kth_hash,
+       |    CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rho
+       |  FROM topu GROUP BY 1, 2),
+       |ndv AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ndv FROM v GROUP BY 1),
+       |ix AS (SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(COUNT(*) AS BIGINT) AS exact_intersect
+       |  FROM v a JOIN v b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2),
+       |je AS (SELECT g.*, COALESCE(ix.exact_intersect, 0) AS exact_intersect,
+       |    na.ndv AS ndv_a, nb.ndv AS ndv_b,
+       |    CASE WHEN g.k_used < $K THEN CAST(g.k_used AS DOUBLE)
+       |      ELSE (${(K - 1).toDouble} * POWER(2.0, 60)) / CAST(g.kth_hash AS DOUBLE)
+       |    END AS est_u
+       |  FROM agg g
+       |  LEFT JOIN ix ON ix.source_a = g.source_a AND ix.source_b = g.source_b
+       |  JOIN ndv na ON na.source = g.source_a
+       |  JOIN ndv nb ON nb.source = g.source_b)
+       |SELECT source_a, source_b, k_used, kth_hash, rho,
+       |  ndv_a + ndv_b - exact_intersect AS exact_union, exact_intersect,
+       |  ROUND(est_u, 9) AS est_union_r,
+       |  ROUND(CAST(rho AS DOUBLE) * est_u / CAST(k_used AS DOUBLE), 9)
+       |    AS est_intersect_r
+       |FROM je ORDER BY 1, 2""".stripMargin
+  }
 }

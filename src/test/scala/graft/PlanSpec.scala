@@ -444,6 +444,22 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.guard.cartesianMinBytes")
   }
 
+  test("q210: bucketed join + rollup plan no hash exchange anywhere — " +
+      "only the deterministic output sort repartitions") {
+    // suppress broadcast: at fixture scale customer would broadcast and
+    // trivially hide the co-location the layout exists to provide
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(graft.operators.Bucketing.bucketedJoin(spark, sfDir))
+      assert(p.contains("SortMergeJoin"), s"expected a zipped-bucket SMJ:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"join and rollup must inherit the bucket partitioning:\n$p")
+      val rangeEx = "Exchange rangepartitioning".r.findAllIn(p).length
+      assert(rangeEx <= 1, s"only the output orderBy may exchange:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q139: checksum is one map-combined aggregate over a 2-column scan") {
     val p = plan(graft.operators.Cleanse.partitionChecksum(spark, sfDir))
     assert(!p.contains("Window") && !p.contains("Join"), "audit must be agg-only")
