@@ -229,6 +229,7 @@ object SparkEntry {
     "q209_kmv_overlap"             -> ((s: SparkSession, d: String) => Sketch.kmvOverlap(s, d)),
     "q210_bucketed_join"           -> (Bucketing.bucketedJoin _),
     "q211_k_anonymity"             -> ((s: SparkSession, d: String) => Curation.kAnonymity(s, d)),
+    "q212_join_skew_audit"         -> ((s: SparkSession, d: String) => Skew.joinSkewAudit(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -916,6 +917,7 @@ object SparkEntry {
     "q209_kmv_overlap" -> Sketch.kmvOverlapOracleSql,
     "q210_bucketed_join" -> Bucketing.bucketedJoinOracleSql,
     "q211_k_anonymity" -> Curation.kAnonymityOracleSql,
+    "q212_join_skew_audit" -> Skew.joinSkewAuditOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

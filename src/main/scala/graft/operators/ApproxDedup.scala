@@ -122,10 +122,12 @@ object ApproxDedup {
   val DfCap = 1000L
 
   /** Gated q23 entry: serves the shared materialized pair table
-    * ([[Cluster.pairsTable]] — the verified prefix-filter output written
-    * once per source dir), so q23 and its three graph consumers
-    * (q46/q87/q93) pay the pipeline exactly once between them. The
-    * frame-API overload below still computes inline. */
+    * ([[Cluster.pairsTable]] — banded candidates + exact verification,
+    * written once per source dir), so q23 and the graph consumers pay
+    * the pipeline exactly once between them; the gate's exact-SQL
+    * oracle value-checks banding recall on every run. The frame-API
+    * overloads below still compute the exact-complete prefix-filter
+    * path inline. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     Cluster.pairsTable(s, dir)
       .select("a_id", "b_id", "common", "na", "nb", "jaccard")
@@ -303,7 +305,19 @@ object ApproxDedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
   }
 
-  def minhashLsh(docs: DataFrame): DataFrame = {
+  def minhashLsh(docs: DataFrame): DataFrame =
+    minhashLshPairs(docs).orderBy("a_id", "b_id")
+
+  /** [[minhashLsh]] without the presentation sort — the
+    * [[Cluster.pairsTable]] builder (jpairs_v3): band-join candidates +
+    * exact verification. At 100× the bench scale this is what keeps the
+    * shared pair table buildable — a band key encodes a Jaccard-
+    * threshold test, so candidate volume tracks TRUE pair volume, where
+    * the exact-complete prefix filter's Σ prefix-df² explodes once
+    * common trigrams crowd the df cap (1.68B candidates at sf10, see
+    * pairsTable). Recall is value-gated, not assumed: q23/q24 compare
+    * this output to the exact-SQL oracle at every gated SF. */
+  def minhashLshPairs(docs: DataFrame): DataFrame = {
     val sh = shingleSets(docs).filter(size(col("shingles")) > 0)
     val banded = bandRows(sh)
     val a = banded.select(col("doc_id").as("a_id"), col("band"), col("band_key"))
@@ -320,7 +334,6 @@ object ApproxDedup {
       .filter(col("jaccard") >= Tau)
       .select(col("a_id"), col("b_id"), col("common"),
         col("na").cast("long").as("na"), col("nb").cast("long").as("nb"), col("jaccard"))
-      .orderBy("a_id", "b_id")
   }
 
   /** q187: MinHash estimator CALIBRATION audit — for every LSH band

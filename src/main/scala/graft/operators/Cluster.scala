@@ -80,19 +80,36 @@ object Cluster {
 
   /** The τ=0.8 Jaccard pair table materialized ONCE per source dir and
     * shared by every consumer — q23 reads it verbatim (it IS q23's
-    * output), q46/q87/q93 use the (a_id, b_id) edges — at 100 TB the
-    * pair join is the expensive step and each downstream pass reads the
-    * materialized result, exactly like q72 serves reads off the
-    * persisted IVF index. Stored with the full verified columns
-    * (common/na/nb/jaccard ride along at ~24 bytes/pair). Resolved
-    * through [[graft.ArtifactStore]] (Hadoop FS + atomic staging
-    * rename); content-fingerprinted name (Tables.dirFingerprint covers
-    * size and mtime, the literal version covers layout changes) ⇒ the
-    * existence check can never serve a stale artifact. */
+    * output), q46/q87/q93/q117/q121/q138/q141/q158/q195 use the
+    * (a_id, b_id) edges — at 100 TB the pair join is the expensive step
+    * and each downstream pass reads the materialized result, exactly
+    * like q72 serves reads off the persisted IVF index. Stored with the
+    * full verified columns (common/na/nb/jaccard ride along at ~24
+    * bytes/pair). Resolved through [[graft.ArtifactStore]] (Hadoop FS +
+    * atomic staging rename); content-fingerprinted name
+    * (Tables.dirFingerprint covers size and mtime, the literal version
+    * covers layout changes) ⇒ the existence check can never serve a
+    * stale artifact.
+    *
+    * v3 (the round-8 100× lesson): the builder is the LSH band join +
+    * exact verification ([[ApproxDedup.minhashLshPairs]]), NOT the
+    * exact-complete prefix filter ([[ApproxDedup.ngramJaccardPairs]]).
+    * Prefix blocking's candidate volume is Σ_shingle prefix-df² and a
+    * FIXED df cap stops protecting it as the corpus grows: common
+    * trigrams' df scales WITH the corpus, so ever more shingles crowd
+    * the band just under the cap — measured at sf10 (100× the bench
+    * SF): 1.68 BILLION candidate pairs (max prefix-df 903 under the
+    * 1000 cap), >60 GB of shuffle spill, disk exhaustion; the banded
+    * builder's candidates stay true-pair-sized because a band key is a
+    * Jaccard-threshold test, not a shared-token test. Banding recall
+    * is not assumed: the q23/q24 gates value-check this table against
+    * the exact-SQL oracle at every gated SF, so a recall miss is a
+    * gate FAIL, and the exact-complete prefix path stays available as
+    * the frame-API overloads (spec-exercised). */
   private[operators] def pairsTable(s: SparkSession, dir: String): DataFrame = {
     val path = graft.ArtifactStore.ensureCurrent(s,
-      "jpairs_v2", Tables.dirFingerprint(s, dir)) { staging =>
-      ApproxDedup.ngramJaccardPairs(Tables.documents(s, dir))
+      "jpairs_v3", Tables.dirFingerprint(s, dir)) { staging =>
+      ApproxDedup.minhashLshPairs(Tables.documents(s, dir))
         .write.mode("overwrite").parquet(staging)
     }
     s.read.parquet(path)
