@@ -154,17 +154,25 @@ object Dedup {
   val BlockedBits = 4
 
   /** q40: the oracle-gated blocked near-dup scale path —
-    * [[nearDupPairsBlocked]] pairs at τ=0.35 within 4-bit sign-LSH
-    * buckets. The DuckDB oracle bakes the same hyperplanes in, so the
-    * bucket restriction itself is value-checked, not just spec-asserted. */
-  def embeddingBlockedPairs(s: SparkSession, dir: String): DataFrame =
-    nearDupPairsBlocked(Tables.embeddings(s, dir), BlockedTau, BlockedBits)
+    * [[nearDupPairsBlocked]] pairs at τ=0.35 within corpus-scaled
+    * sign-LSH buckets ([[Similarity.scaledBits]] from [[BlockedBits]] —
+    * the sf10 lesson: 16 fixed buckets cost 58 s at 100× data). The
+    * DuckDB oracle bakes the same hyperplanes in AND re-derives the
+    * same bit count from the same row count, so the bucket restriction
+    * and the sizing ladder are both value-checked. */
+  def embeddingBlockedPairs(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val bits = Similarity.scaledBits(normalized(emb).count(), BlockedBits)
+    nearDupPairsBlocked(emb, BlockedTau, bits)
       .select(col("a_id"), col("b_id"), round(col("sim"), 9).as("sim_r"))
       .orderBy("a_id", "b_id")
+  }
 
-  /** Generated DuckDB oracle for q40 (same planes → same buckets). */
+  /** Generated DuckDB oracle for q40 (same planes → same buckets,
+    * same count → same bit count). */
   def embeddingBlockedOracleSql: String = {
-    val bucketExpr = Similarity.bucketSqlExpr(Similarity.hyperplanesFor(BlockedBits))
+    val bucketExpr =
+      Similarity.scaledBucketSqlExpr("(SELECT COUNT(*) FROM v)", BlockedBits)
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE embedding IS NOT NULL),
        |n AS (SELECT vec_id, e,
        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -245,18 +253,26 @@ object Dedup {
     * not once per batch run. */
   def dedupIncrementalQ(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val corpusPath = graft.ArtifactStore.ensureCurrent(s, "inc_corpus_emb_v1",
+    val corpusRaw = emb.filter(col("vec_id") % 5 =!= 0)
+    // corpus-scaled bit count (the sf10 lesson: 4 fixed buckets cost
+    // 109 s at 100× data); the batch side MUST hash with the corpus's
+    // bit count, so bits derive from the corpus row count — the same
+    // count the oracle re-derives in SQL
+    val bits = Similarity.scaledBits(normalized(corpusRaw).count(), IncrementalBits)
+    val corpusPath = graft.ArtifactStore.ensureCurrent(s, "inc_corpus_emb_v2",
       Tables.dirFingerprint(s, dir)) { staging =>
-      corpusSideEmb(emb.filter(col("vec_id") % 5 =!= 0), IncrementalBits)
+      corpusSideEmb(corpusRaw, bits)
         .write.mode("overwrite").parquet(staging)
     }
     dedupIncrementalPre(s.read.parquet(corpusPath),
-      emb.filter(col("vec_id") % 5 === 0), IncrementalTau, IncrementalBits)
+      emb.filter(col("vec_id") % 5 === 0), IncrementalTau, bits)
   }
 
-  /** Generated DuckDB oracle for q42 (same planes, same split). */
+  /** Generated DuckDB oracle for q42 (same planes, same split, same
+    * corpus count → same corpus-scaled bit count on both sides). */
   def dedupIncrementalOracleSql: String = {
-    val bucketExpr = Similarity.bucketSqlExpr(Similarity.hyperplanesFor(IncrementalBits))
+    val bucketExpr = Similarity.scaledBucketSqlExpr(
+      "(SELECT COUNT(*) FROM v WHERE vec_id % 5 <> 0)", IncrementalBits)
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE embedding IS NOT NULL),
        |n AS (SELECT vec_id, e,
        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),

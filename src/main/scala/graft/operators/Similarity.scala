@@ -91,6 +91,44 @@ object Similarity {
 
   val hyperplanes: Seq[Seq[Double]] = hyperplanesFor(LshBits)
 
+  /** Corpus-scaled sign-LSH sizing — the round-8 sf10 lesson: a FIXED
+    * bit count means n²/2^bits within-bucket pairs, and at 100× the
+    * bench SF the fixed-16-bucket blocks cost q41 406 s (733× growth),
+    * q42 109 s, q40 58 s. The bit count must grow with the corpus so
+    * expected bucket size stays ≤ [[TargetBucket]]: bits = the smallest
+    * b in [minBits, [[MaxLshBits]]] with n ≤ TargetBucket·2^b — an
+    * INTEGER threshold ladder (no log/libm), replayed exactly in the
+    * oracle by [[scaledBitsSql]] over the same COUNT. Recall shifts
+    * with n are the documented blocking semantic (more planes = finer
+    * blocks), and the gate re-verifies value identity at every SF
+    * because the oracle derives the identical bit count from the
+    * identical count. */
+  val MaxLshBits = 12
+  val TargetBucket = 500L
+
+  def scaledBits(n: Long, minBits: Int = LshBits): Int = {
+    var b = minBits
+    while (b < MaxLshBits && n > TargetBucket * (1L << b)) b += 1
+    b
+  }
+
+  /** SQL twin of [[scaledBits]]: the same integer CASE ladder applied
+    * to `nExpr` (typically a COUNT(*) scalar subquery). */
+  def scaledBitsSql(nExpr: String, minBits: Int = LshBits): String = {
+    val arms = (minBits until MaxLshBits)
+      .map(b => s"WHEN $nExpr <= ${TargetBucket * (1L << b)} THEN $b")
+      .mkString(" ")
+    s"(CASE $arms ELSE $MaxLshBits END)"
+  }
+
+  /** SQL fragment: the [[MaxLshBits]]-plane bucket masked down to the
+    * ladder-derived bit count — `full % (1 << bits)` equals
+    * [[lshBucket]] over the first `bits` planes because the plane
+    * stream is prefix-consistent and bit i carries weight 2^i. */
+  def scaledBucketSqlExpr(nExpr: String, minBits: Int = LshBits): String =
+    s"(${bucketSqlExpr(hyperplanesFor(MaxLshBits))}) % " +
+      s"(CAST(1 AS BIGINT) << ${scaledBitsSql(nExpr, minBits)})"
+
   /** Sign-LSH bucket id of an array<double> column. */
   def lshBucket(e: org.apache.spark.sql.Column,
       planes: Seq[Seq[Double]] = hyperplanes): org.apache.spark.sql.Column =
@@ -612,9 +650,16 @@ object Similarity {
     * is a pure function of the fixed hyperplanes — reproducible in any
     * engine, which is what lets the DuckDB oracle check it exactly).
     * Vectors alone in their bucket emit no rows; the approximation trade
-    * is identical to q28's and multiprobe recovers recall the same way. */
-  def knnJoinLshBlocked(s: SparkSession, dir: String): DataFrame =
-    knnJoinLshBlocked(graft.Tables.embeddings(s, dir))
+    * is identical to q28's and multiprobe recovers recall the same way.
+    * The bit count is corpus-scaled ([[scaledBits]] — the sf10 lesson:
+    * 4 fixed bits cost 406 s at 100× data; the ladder keeps expected
+    * bucket size ≤ [[TargetBucket]] and the oracle derives the same
+    * count, so the gate checks the sizing too). */
+  def knnJoinLshBlocked(s: SparkSession, dir: String): DataFrame = {
+    val v = Dedup.normalized(graft.Tables.embeddings(s, dir))
+    knnJoinLshBlocked(graft.Tables.embeddings(s, dir),
+      bits = scaledBits(v.count()))
+  }
 
   def knnJoinLshBlocked(embeddings: DataFrame, k: Int = 3, bits: Int = LshBits): DataFrame = {
     val planes = hyperplanesFor(bits)
@@ -631,9 +676,12 @@ object Similarity {
   }
 
   /** Generated DuckDB oracle for q41: same hyperplane constants → same
-    * buckets → same candidate set; ranking replayed as a window. */
-  def knnJoinLshOracleSql(k: Int = 3, bits: Int = LshBits): String = {
-    val bucketExpr = bucketSqlExpr(hyperplanesFor(bits))
+    * buckets → same candidate set; the corpus-scaled bit count is
+    * re-derived IN SQL from the same row count and applied as a low-bit
+    * mask of the full [[MaxLshBits]]-plane bucket; ranking replayed as
+    * a window. */
+  def knnJoinLshOracleSql(k: Int = 3): String = {
+    val bucketExpr = scaledBucketSqlExpr("(SELECT COUNT(*) FROM v)")
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE embedding IS NOT NULL),
        |n AS (SELECT vec_id, e,
        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
