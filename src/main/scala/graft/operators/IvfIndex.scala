@@ -27,7 +27,7 @@ object IvfIndex {
     * the READ path ([[searchExact]]) is value-oracle-checkable. */
   def buildExact(embeddings: DataFrame, path: String): Unit = {
     val spark = embeddings.sparkSession
-    val (qv, cents) = KMeansOp.trainCents(embeddings)
+    val (qv, cents) = KMeansOp.trainCentsScaled(embeddings)
     val assigned = KMeansOp.assignAuto(qv, cents).select(col("vec_id"), col("cell"))
     spark.createDataFrame(cents.map { case (id, c) => (id, c) })
       .toDF("cell", "center")
@@ -71,7 +71,7 @@ object IvfIndex {
   /** Layout version baked into the index name: bump when the stored
     * schema or quantizer changes so a stale on-disk index can never
     * satisfy the existence check after a code change. */
-  private val LayoutVersion = "v2"
+  private val LayoutVersion = "v3"
 
   /** q72: build-once + search the exact persisted index in one gated
     * query — result equals q65 (shared oracle), but the candidates come
@@ -85,7 +85,8 @@ object IvfIndex {
   def ivfIndexedTopK(s: SparkSession, dir: String): DataFrame = {
     val em = graft.Tables.embeddings(s, dir)
     val path = graft.ArtifactStore.ensureCurrent(s,
-      s"ivf_exact_$LayoutVersion", graft.Tables.dirFingerprint(s, dir)) {
+      s"ivf_exact_$LayoutVersion",
+      graft.Tables.dirFingerprint(s, dir, KMeansOp.nlistLadderTag)) {
       staging => buildExact(em, staging)
     }
     searchExact(s, path, em.filter(col("vec_id") < 10))
@@ -125,7 +126,8 @@ object IvfIndex {
     val em = graft.Tables.embeddings(s, dir)
     val path = graft.ArtifactStore.ensureCurrent(s,
       s"ivf_upsert_$LayoutVersion",
-      graft.Tables.dirFingerprint(s, dir, "ivf-upsert;base=mod5ne0")) { staging =>
+      graft.Tables.dirFingerprint(s, dir,
+        s"ivf-upsert;base=mod5ne0;${KMeansOp.nlistLadderTag}")) { staging =>
       buildExact(em.filter(col("vec_id") % 5 =!= 0), staging)
       upsertBatch(s, staging, em.filter(col("vec_id") % 5 === 0))
     }
@@ -137,7 +139,9 @@ object IvfIndex {
     * over the full assigned corpus. */
   def ivfUpsertOracleSql(nprobe: Int = 3, k: Int = 10): String = {
     val cR = s"c${KMeansOp.Rounds}"
-    s"""WITH ${KMeansOp.kmeansCtes(KMeansOp.K, "vec_id % 5 <> 0", includeAllAssign = true)},
+    s"""WITH ${KMeansOp.kmeansCtes(
+          KMeansOp.scaledNListSql("(SELECT COUNT(*) FROM qv)"),
+          "vec_id % 5 <> 0", includeAllAssign = true)},
        |n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(range(1, len(embedding)+1),

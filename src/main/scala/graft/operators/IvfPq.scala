@@ -35,9 +35,10 @@ import graft.Tables
   * the flooring changes each coordinate by < 1 part in 10⁶ of the unit
   * sphere — noise far below PQ's own quantization error.
   *
-  * The COARSE seed takes the [[NList]] lowest md5(vec_id) rows, not the
-  * first NList vec_ids: a corpus whose id-prefix is boilerplate
-  * duplicates (the q104 SemDeDup lesson) would hand Lloyd NList copies
+  * The COARSE seed takes the nlist lowest md5(vec_id) rows (nlist
+  * corpus-scaled via [[KMeansOp.scaledNList]], floor [[MinNList]]), not
+  * the first nlist vec_ids: a corpus whose id-prefix is boilerplate
+  * duplicates (the q104 SemDeDup lesson) would hand Lloyd nlist copies
   * of ONE point — every vector ties to the lowest cell and the
   * partition degenerates to a single list. Hash-scrambling makes the
   * seed a uniform corpus sample regardless of id layout, at the cost of
@@ -45,12 +46,12 @@ import graft.Tables
   *
   * Index layout (build-once [[graft.ArtifactStore]] artifact, the
   * q72/q111 pattern):
-  *   cells.parquet              (cell, c)          — [[NList]] rows, tiny
+  *   cells.parquet              (cell, c)          — nlist rows, tiny
   *   codebooks.parquet          (m, cell, c)       — M·Ks rows (residual-
   *                                                   trained), tiny
   *   codes/cell=<g>/...         (vec_id, code0..M−1) — hive-partitioned
-  * Serving: rank the [[NList]] cells per query driver-side (bounded —
-  * NList·Dim work), read ONLY the probed partitions (static partition
+  * Serving: rank the nlist cells per query driver-side (bounded —
+  * nlist·Dim work), read ONLY the probed partitions (static partition
   * pruning on the `cell IN (...)` filter — IvfPqSpec pins the file
   * pruning), ADC-score each probed cell against the query's PER-CELL
   * residual LUT, bounded-heap top-k.
@@ -63,16 +64,19 @@ import graft.Tables
   */
 object IvfPq {
 
-  /** 16 cells at gate scale; production uses √N cells — the layout and
-    * plan shape are what scale, not this constant. */
-  val NList = 16
+  /** Ladder floor: 16 cells at gate scale; the served nlist is
+    * CORPUS-SCALED via [[KMeansOp.scaledNList]] (round-9: the q40-q42
+    * fixed-constant lesson applied to the index family — a fixed
+    * nlist=16 made q188's probe read nprobe/16 of the corpus at any
+    * size, measured 10.7× at 100× data). */
+  val MinNList = 16
   val NProbe = 4
   val CoarseRounds = 2
   private val Dim = KMeansOp.Dim
 
   /** Bump when the stored schema, quantizer, or encoding changes.
     * v2: residual-encoded codes + md5-scrambled coarse seed. */
-  private val LayoutVersion = "v2"
+  private val LayoutVersion = "v3"
 
   import org.apache.spark.sql.types._
 
@@ -89,7 +93,7 @@ object IvfPq {
   // Coarse quantizer: Lloyd at full Dim over the unit-quantized frame.
 
   /** [[KMeansOp]] recenter at Dim — exact integer sums over the
-    * integral-double vectors, one bounded collect of ≤ NList rows. */
+    * integral-double vectors, one bounded collect of ≤ nlist rows. */
   private def recenterCoarse(assigned: DataFrame,
       old: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = {
     val aggs = count(lit(1)).cast("double").as("n") +:
@@ -107,32 +111,38 @@ object IvfPq {
     }
   }
 
-  /** Seed = the [[NList]] lowest-md5(vec_id) rows (a hash-scrambled
-    * corpus sample — immune to a degenerate id-prefix, one bounded
-    * TakeOrdered), then [[CoarseRounds]] Lloyd rounds. */
+  /** Seed = the corpus-scaled-nlist lowest-md5(vec_id) rows (a
+    * hash-scrambled corpus sample — immune to a degenerate id-prefix,
+    * one bounded TakeOrdered), then [[CoarseRounds]] Lloyd rounds. The
+    * count runs on the caller's already-checkpointed frame (one cached
+    * scan); assignment auto-switches to the broadcast argmin kernel
+    * past 64 cells. */
   private[graft] def trainCoarse(qv: DataFrame): Seq[(Long, Seq[Double])] = {
+    val nlist = KMeansOp.scaledNList(qv.count(), MinNList)
     var cents: Seq[(Long, Seq[Double])] = qv
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(NList).collect()
+      .limit(nlist).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
     for (_ <- 1 to CoarseRounds if cents.nonEmpty)
-      cents = recenterCoarse(KMeansOp.assign(qv, cents), cents)
+      cents = recenterCoarse(KMeansOp.assignAuto(qv, cents), cents)
     cents
   }
 
   /** Coarse-assign, then replace q by the floored residual q − c(cell)
-    * — the frame every PQ stage (train, encode) runs on. The map of
-    * centroid literals is NList·Dim doubles (bounded); the checkpoint
-    * is load-bearing: `encode` slices q once per subspace and a live
-    * HOF-built column would re-evaluate the transform per slice (the
-    * q190 inlining trap). */
+    * — the frame every PQ stage (train, encode) runs on. Centroids
+    * ride a broadcast (cell, c) join rather than a literal map — a
+    * nlist·Dim literal map was fine at 16 cells but is a plan/codegen
+    * wall at the corpus-scaled 512+. The checkpoint is load-bearing:
+    * `encode` slices q once per subspace and a live HOF-built column
+    * would re-evaluate the transform per slice (the q190 inlining
+    * trap). */
   private def residualized(qv: DataFrame,
       cents: Seq[(Long, Seq[Double])]): DataFrame = {
-    val cmap = map(cents.flatMap { case (id, c) =>
-      Seq(lit(id), array(c.map(lit): _*)) }: _*)
-    KMeansOp.assign(qv, cents)
+    val centsDf = KMeansOp.centsToDf(qv.sparkSession, cents)
+      .select(col("cell").as("gcell"), col("c").as("__c"))
+    KMeansOp.assignAuto(qv, cents)
       .withColumnRenamed("cell", "gcell")
-      .withColumn("__c", element_at(cmap, col("gcell")))
+      .join(broadcast(centsDf), Seq("gcell"))
       .withColumn("q", transform(col("q"),
         (x, i) => floor(x - element_at(col("__c"), i + 1)).cast("double")))
       .drop("__c")
@@ -178,7 +188,7 @@ object IvfPq {
   // Serve.
 
   /** Per-query probe list: exact dist2 to each coarse centroid
-    * (driver-side — NList·Dim work, the same fold as the oracle's
+    * (driver-side — nlist·Dim work, the same fold as the oracle's
     * ORDER BY), ties by lowest cell, take [[NProbe]]. */
   private def probeCells(queries: Seq[(Long, Seq[Double])],
       cents: Seq[(Long, Seq[Double])], nprobe: Int): Seq[(Long, Seq[Long])] =
@@ -254,7 +264,7 @@ object IvfPq {
     val em = Tables.embeddings(s, dir)
     val path = graft.ArtifactStore.ensureCurrent(s, s"ivfpq_$LayoutVersion",
       Tables.dirFingerprint(s, dir,
-        s"ivfpq;res;md5seed;nlist=$NList;cr=$CoarseRounds;m=${PqOp.M};ks=${PqOp.Ks};" +
+        s"ivfpq;res;md5seed;${KMeansOp.nlistLadderTag(MinNList)};cr=$CoarseRounds;m=${PqOp.M};ks=${PqOp.Ks};" +
         s"r=${PqOp.Rounds};scale=${KMeansOp.ScaleQ};${em.schema.catalogString}")) {
       staging => buildIvfPq(em, staging)
     }
@@ -349,6 +359,8 @@ object IvfPq {
     * `gprobed`. Same shapes as [[KMeansOp.kmeansCtes]], renamed to
     * compose with [[PqOp]]'s chains under one WITH. */
   private def coarseCtes: String = {
+    // the corpus-scaled seed count, re-derived from the same COUNT(*)
+    val nlistSql = KMeansOp.scaledNListSql("(SELECT COUNT(*) FROM qv)", MinNList)
     def lr64(expr: String) = PqOp.lr(Dim, expr)
     def d2(cin: String) =
       s"${lr64("qv.q[i]*qv.q[i]")} - 2.0 * ${lr64(s"qv.q[i]*$cin.c[i]")} + ${lr64(s"$cin.c[i]*$cin.c[i]")}"
@@ -371,8 +383,9 @@ object IvfPq {
     }.mkString(",\n")
     val cR = s"cg$CoarseRounds"
     s"""cg0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, q AS c FROM (
-       |  SELECT vec_id, q FROM qv
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NList)),
+       |  SELECT vec_id, q, ROW_NUMBER() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn FROM qv)
+       |  WHERE srn <= $nlistSql),
        |$rounds,
        |${assignCte(cR, "gaf")},
        |gpr AS (SELECT qv.vec_id AS query_id, $cR.cell,

@@ -35,6 +35,58 @@ object KMeansOp {
   val Dim = 64
   val ScaleQ = 1000000.0
 
+  /** Corpus-scaled IVF cell count — the q40-q42 sign-LSH lesson applied
+    * to the index family's coarse quantizer: a FIXED nlist means each
+    * probe reads nprobe/nlist of the corpus REGARDLESS of corpus size,
+    * so the serving read grows linearly with data (measured: q188
+    * 10.7× at 100× data under nlist=16). The ladder doubles the cell
+    * count until the expected rows-per-cell drops to
+    * [[TargetCellRows]]: nlist = the smallest power-of-2 multiple of
+    * `minNList` with n ≤ TargetCellRows·nlist, capped at [[MaxNList]]
+    * (driver-side probe ranking and the recenter collect stay bounded
+    * at nlist·Dim doubles). An INTEGER threshold ladder — no log/libm —
+    * so the DuckDB oracle re-derives the IDENTICAL count from the
+    * IDENTICAL COUNT(*) ([[scaledNListSql]]), which makes the sizing
+    * itself gate-checked. FAISS practice sizes nlist between √n and
+    * n/256; a fixed rows-per-cell budget keeps the per-probe candidate
+    * read FLAT as data grows, which is the property the serving gate
+    * measures. Recall shifting with nlist (finer cells, fixed nprobe)
+    * is the documented IVF trade — q129/q198 audit it. */
+  val TargetCellRows = 500L
+  val MaxNList = 4096
+
+  def scaledNList(n: Long, minNList: Int = K): Int = {
+    // power-of-two so the doubling ladder lands exactly on MaxNList —
+    // a non-divisor min would let the Scala loop overshoot the cap the
+    // SQL twin's ELSE arm pins
+    require(minNList > 0 && minNList <= MaxNList
+        && Integer.bitCount(minNList) == 1,
+      s"minNList $minNList must be a power of two in (0, $MaxNList]")
+    var k = minNList
+    while (k < MaxNList && n > TargetCellRows * k) k *= 2
+    k
+  }
+
+  /** Artifact-fingerprint tag for the ladder: a persisted index keyed
+    * on these constants can never serve a layout built under different
+    * sizing (the derived nlist itself is a pure function of the corpus
+    * count, which the data fingerprint already keys). */
+  def nlistLadderTag(minNList: Int = K): String =
+    s"nlist=scaled(min=$minNList,t=$TargetCellRows,max=$MaxNList)"
+  def nlistLadderTag: String = nlistLadderTag(K)
+
+  /** SQL twin of [[scaledNList]]: the same integer CASE ladder applied
+    * to `nExpr` (typically a COUNT(*) scalar subquery over the same
+    * quantized frame the Spark side counts). */
+  def scaledNListSql(nExpr: String, minNList: Int = K): String = {
+    val arms = Iterator.iterate(minNList.toLong)(_ * 2)
+      .takeWhile(_ < MaxNList)
+      .map(k => s"WHEN $nExpr <= ${TargetCellRows * k} THEN $k")
+      .mkString(" ")
+    if (arms.isEmpty) MaxNList.toString
+    else s"(CASE $arms ELSE $MaxNList END)"
+  }
+
   /** vec_id + quantized integral-double vector. */
   private[graft] def quantized(embeddings: DataFrame): DataFrame =
     embeddings
@@ -153,6 +205,22 @@ object KMeansOp {
   private[graft] def trainCents(embeddings: DataFrame,
       k: Int = K): (DataFrame, Seq[(Long, Seq[Double])]) = {
     val qv = quantized(embeddings).localCheckpoint() // reused every round
+    (qv, trainCentsOn(qv, k))
+  }
+
+  /** [[trainCents]] with the cell count CORPUS-SCALED via
+    * [[scaledNList]] — the IVF index family's trainer (q65/q72/q157):
+    * the count runs on the already-checkpointed frame, so it costs one
+    * cached-scan, and the oracle re-derives the identical k from the
+    * identical COUNT(*) over its qv CTE. q63's CLUSTERING semantics
+    * keep the fixed user-k [[trainCents]]. */
+  private[graft] def trainCentsScaled(embeddings: DataFrame,
+      minNList: Int = K): (DataFrame, Seq[(Long, Seq[Double])]) = {
+    val qv = quantized(embeddings).localCheckpoint()
+    (qv, trainCentsOn(qv, scaledNList(qv.count(), minNList)))
+  }
+
+  private def trainCentsOn(qv: DataFrame, k: Int): Seq[(Long, Seq[Double])] = {
     var cents: Seq[(Long, Seq[Double])] = qv.filter(col("vec_id") < k)
       .orderBy("vec_id").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
@@ -161,7 +229,7 @@ object KMeansOp {
     // grouping and its collect would NPE on getLong
     for (_ <- 1 to Rounds if cents.nonEmpty)
       cents = recenter(assignAuto(qv, cents), cents)
-    (qv, cents)
+    cents
   }
 
   def kmeans(embeddings: DataFrame): DataFrame = {
@@ -193,7 +261,13 @@ object KMeansOp {
     * vector, regardless of basePred) and `afa` (its assignment to the
     * FINAL centroids) — the assign-without-retrain arm an index upsert
     * replays. */
-  def kmeansCtes(k: Int, basePred: String, includeAllAssign: Boolean): String = {
+  def kmeansCtes(k: Int, basePred: String, includeAllAssign: Boolean): String =
+    kmeansCtes(k.toString, basePred, includeAllAssign)
+
+  /** The `kSql` form takes the seed count as a SQL expression — the
+    * corpus-scaled index oracles pass [[scaledNListSql]] over a
+    * COUNT(*) scalar subquery so the replay derives the same k. */
+  def kmeansCtes(kSql: String, basePred: String, includeAllAssign: Boolean): String = {
     def assignCte(cin: String, aout: String, src: String = "qv") =
       s"""$aout AS (SELECT vec_id, q, cell FROM (
          |  SELECT qv.vec_id, qv.q, $cin.cell,
@@ -223,7 +297,7 @@ object KMeansOp {
     s"""qv AS (SELECT vec_id,
        |  list_transform(embedding, x -> round(CAST(x AS DOUBLE) * $ScaleQ)) AS q
        | FROM embeddings WHERE embedding IS NOT NULL$basePredSql),
-       |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, q AS c FROM qv WHERE vec_id < $k),
+       |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, q AS c FROM qv WHERE vec_id < ($kSql)),
        |$rounds,
        |${assignCte(s"c$Rounds", "af")}$allAssign""".stripMargin
   }

@@ -115,6 +115,9 @@ object Similarity {
   /** SQL twin of [[scaledBits]]: the same integer CASE ladder applied
     * to `nExpr` (typically a COUNT(*) scalar subquery). */
   def scaledBitsSql(nExpr: String, minBits: Int = LshBits): String = {
+    // minBits == MaxLshBits would emit a zero-arm `CASE ELSE … END` —
+    // a SQL syntax error; the ladder is then the constant
+    if (minBits >= MaxLshBits) return MaxLshBits.toString
     val arms = (minBits until MaxLshBits)
       .map(b => s"WHEN $nExpr <= ${TargetBucket * (1L << b)} THEN $b")
       .mkString(" ")
@@ -548,8 +551,8 @@ object Similarity {
     ivfTopKExact(graft.Tables.embeddings(s, dir))
 
   def ivfTopKExact(embeddings: DataFrame, nprobe: Int = 3, k: Int = 10): DataFrame = {
-    val (qv, cents) = KMeansOp.trainCents(embeddings)
-    val assigned = KMeansOp.assign(qv, cents).select(col("vec_id"), col("cell"))
+    val (qv, cents) = KMeansOp.trainCentsScaled(embeddings)
+    val assigned = KMeansOp.assignAuto(qv, cents).select(col("vec_id"), col("cell"))
     val v = Dedup.normalized(embeddings)
     val cand = v.join(assigned, Seq("vec_id"))
       .select(col("vec_id").as("__cand_id"), col("e").as("ec"),
@@ -569,19 +572,30 @@ object Similarity {
   private[operators] def ivfProbeScore(qv: DataFrame, v: DataFrame,
       cents: Seq[(Long, Seq[Double])], cand: DataFrame,
       nprobe: Int, k: Int): DataFrame = {
-    // zero cells (empty corpus): a zero-element array(...) literal is
-    // NullType and `pr.cell` fails analysis — no cells means no probes
+    // Probe ranking runs DRIVER-side (the q188 pattern): the query set
+    // is bounded (≤ NQ rows) and a nlist-literal struct array would put
+    // nlist·Dim doubles in the plan — fine at 8 cells, a codegen wall
+    // at the corpus-scaled 512+. PqOp.lutDist is the same
+    // qq − 2·qc + cc left-fold as KMeansOp.dist2 and the oracle's
+    // list_reduce chain, so ranks (ties by lowest cell) agree exactly.
+    val spark = qv.sparkSession
+    val qrows: Seq[(Long, Seq[Double])] = qv.select(col("vec_id"), col("q"))
+      .collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+    val probePairs: Seq[(Long, Long)] = qrows.flatMap { case (qid, q) =>
+      cents.map { case (cell, c) => (PqOp.lutDist(q, c), cell) }
+        .sortBy { case (d, cell) => (d, cell) }
+        .take(nprobe).map { case (_, cell) => (qid, cell) }
+    }
     val probes =
-      if (cents.isEmpty)
+      if (probePairs.isEmpty)
+        // zero cells (empty corpus) or zero queries: no probes — keep
+        // the typed degenerate so downstream analysis resolves
         qv.select(col("vec_id").as("query_id"),
           lit(null).cast("long").as("cell")).limit(0)
       else {
-        val qq = dot(col("q"), col("q"))
-        val cellStructs = array(cents.map { case (id, c) =>
-          struct(KMeansOp.dist2(qq, c).as("d"), lit(id).as("cell")) }: _*)
-        qv.select(col("vec_id").as("query_id"),
-            explode(slice(array_sort(cellStructs), 1, nprobe)).as("pr"))
-          .select(col("query_id"), col("pr.cell").as("cell"))
+        import spark.implicits._
+        probePairs.toDF("query_id", "cell")
       }
     val q = probes
       .join(v.select(col("vec_id").as("query_id"), col("e").as("eq"),
@@ -600,7 +614,10 @@ object Similarity {
     * cell and probe cells are distinct, so no DISTINCT is needed. */
   def ivfExactOracleSql(nprobe: Int = 3, k: Int = 10): String = {
     val cR = s"c${KMeansOp.Rounds}"
-    s"""WITH ${KMeansOp.kmeansCtes},
+    // seed count = the corpus-scaled nlist ladder over the SAME count
+    // the Spark side derives it from (non-null-embedding rows)
+    val kSql = KMeansOp.scaledNListSql("(SELECT COUNT(*) FROM qv)")
+    s"""WITH ${KMeansOp.kmeansCtes(kSql, "", includeAllAssign = false)},
        |n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(range(1, len(embedding)+1),

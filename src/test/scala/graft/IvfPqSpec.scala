@@ -64,7 +64,7 @@ class IvfPqSpec extends SparkTestBase {
       a((axis + 5) % 64) = 0.02f * jitter
       a
     }
-    val dup = (0 until IvfPq.NList).map(i => (i.toLong, v(0, 0)))
+    val dup = (0 until IvfPq.MinNList).map(i => (i.toLong, v(0, 0)))
     val rest = for (c <- 0 until 4; j <- 0 until 16)
       yield ((100 + c * 16 + j).toLong, v(8 + c * 12, j))
     val em = (dup ++ rest).toDF("vec_id", "embedding")
