@@ -230,6 +230,9 @@ object SparkEntry {
     "q210_bucketed_join"           -> (Bucketing.bucketedJoin _),
     "q211_k_anonymity"             -> ((s: SparkSession, d: String) => Curation.kAnonymity(s, d)),
     "q212_join_skew_audit"         -> ((s: SparkSession, d: String) => Skew.joinSkewAudit(s, d)),
+    "q213_table_stats_sketch"      -> ((s: SparkSession, d: String) => TableStats.tableStatsSketch(s, d)),
+    "q214_bucketed_fact_join"      -> (Bucketing.bucketedLineitemJoin _),
+    "q215_containment_blocked"     -> (ApproxDedup.containmentBlocked _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -918,6 +921,9 @@ object SparkEntry {
     "q210_bucketed_join" -> Bucketing.bucketedJoinOracleSql,
     "q211_k_anonymity" -> Curation.kAnonymityOracleSql,
     "q212_join_skew_audit" -> Skew.joinSkewAuditOracleSql,
+    "q213_table_stats_sketch" -> TableStats.tableStatsSketchOracleSql,
+    "q214_bucketed_fact_join" -> Bucketing.bucketedLineitemJoinOracleSql,
+    "q215_containment_blocked" -> ApproxDedup.containmentBlockedOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -245,6 +245,105 @@ object ApproxDedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** One-sided banding geometry for [[containmentBlocked]]: the same
+    * 128 MinHash permutations re-cut as 64 bands × 2 rows. Containment
+    * C(A→B) = τ at sizes (na, nb) implies Jaccard
+    * J = τ·na/(na + nb − τ·na), which decays with the size ratio — the
+    * reason the SYMMETRIC q24 geometry (32×4, tuned to J ≥ 0.8) cannot
+    * witness asymmetric containment: at nb = 4·na a perfect inclusion
+    * has J ≈ 0.22 and a 4-row band fires at J⁴ ≈ 0.2 %. Two-row bands
+    * fire at J², giving detection 1−(1−J²)^64 ≈ 0.999 at same-size
+    * (J ≈ 0.31), ≈ 0.88 at 2× (J ≈ 0.18), ≈ 0.47 at 4× — the
+    * documented recall curve; rows=1 would detect everything but keys
+    * single MinHash values, whose buckets regrow the hot-shingle df²
+    * wall banding exists to avoid (a hot shingle is the min for ~df/m
+    * of its docs). LSH Ensemble (Zhu et al., VLDB 2016) is the
+    * published refinement — size-partition the corpus and retune
+    * (bands, rows) per partition; the extreme-ratio residual
+    * (boilerplate inclusion at 10×+) is q216's anchor-gram substring
+    * machinery, not minhash. */
+  val CBands = 64
+  val CRows = 2 // NumPerms / CBands
+
+  /** q215: one-sided-signature blocked containment — the oracle-gated
+    * SCALE path of q79 (which stays the exact-complete twin, its
+    * A-prefix × B-full-postings candidates being Σ prefix-df(t)·df(t)
+    * — the same df² class measured at 1.68 B candidates for jpairs at
+    * sf10). Candidates here come from the [[CBands]]×[[CRows]] MinHash
+    * band join — collision volume tracks TRUE pair similarity (J² per
+    * band), not shared-token df — then verify EXACTLY like q79: size
+    * prune nb ≥ τ·na, exact intersection, C = common/na ≥ τ. Both
+    * directions of every collision are tested, so near-identical pairs
+    * emit twice and strict inclusions once, matching q79's contract.
+    * The oracle replays signature, banding, and verify in SQL (the q40
+    * stance: the gate checks the BLOCKING, the spec checks recall
+    * against the exact twin on planted inclusions). */
+  def containmentBlocked(s: SparkSession, dir: String): DataFrame =
+    containmentBlocked(Tables.documents(s, dir))
+
+  def containmentBlocked(docs: DataFrame): DataFrame = {
+    val sized = shingleSets(docs).filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("n"))
+    val banded = bandRows(sized, CBands, CRows)
+    val a = banded.select(col("doc_id").as("a_id"), col("band"), col("band_key"))
+    val b = banded.select(col("doc_id").as("b_id"), col("band"), col("band_key"))
+    // both orderings survive (containment is directional); the size
+    // prune |B| ≥ τ|A| rides the candidate join like q79's
+    val cand = a.join(b, Seq("band", "band_key"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    cand
+      .join(sized.select(col("doc_id").as("a_id"), col("shingles").as("sa"),
+        col("n").as("na")), Seq("a_id"))
+      .join(sized.select(col("doc_id").as("b_id"), col("shingles").as("sb"),
+        col("n").as("nb")), Seq("b_id"))
+      .filter(col("nb") >= col("na") * TauC)
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("containment", col("common").cast("double") / col("na").cast("double"))
+      .filter(col("containment") >= TauC)
+      .select("a_id", "b_id", "common", "na", "containment")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** q215 oracle: signature, 64×2 banding, and the containment verify
+    * replayed in SQL — the md5/permutation constants baked in exactly
+    * as q187's calibration oracle does. */
+  def containmentBlockedOracleSql: String = {
+    val pa = permA.mkString("[", ",", "]")
+    val pb = permB.mkString("[", ",", "]")
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+       |shl AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN []
+       |  ELSE list_distinct(list_transform(range(1, len(ws)-1),
+       |         i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) END AS s FROM w),
+       |sz AS (SELECT doc_id, s, CAST(len(s) AS BIGINT) AS n FROM shl WHERE len(s) > 0),
+       |hs AS (SELECT doc_id,
+       |    list_transform(s, sg -> CAST(('0x' || substring(md5(sg),1,15)) AS BIGINT) % $P) AS hl
+       |  FROM sz),
+       |pc AS (SELECT $pa AS pa, $pb AS pb),
+       |sg AS (SELECT doc_id,
+       |    list_transform(range(1, $NumPerms + 1), i ->
+       |      list_reduce(list_prepend(CAST($P AS BIGINT),
+       |        list_transform(hl, h -> (pc.pa[i]*h + pc.pb[i]) % $P)),
+       |        (x,y) -> least(x,y))) AS sig
+       |  FROM hs CROSS JOIN pc),
+       |bd AS (SELECT doc_id, t.b AS band,
+       |    array_to_string(sig[t.b*$CRows+1 : t.b*$CRows+$CRows], ',') AS band_key
+       |  FROM sg CROSS JOIN range(0, $CBands) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bd a JOIN bd b ON a.band = b.band AND a.band_key = b.band_key
+       |    AND a.doc_id <> b.doc_id),
+       |v AS (SELECT cand.a_id, cand.b_id,
+       |    CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS common,
+       |    sa.n AS na
+       |  FROM cand JOIN sz sa ON sa.doc_id = cand.a_id
+       |  JOIN sz sb ON sb.doc_id = cand.b_id
+       |  WHERE sb.n >= sa.n * ${TauC}e0)
+       |SELECT a_id, b_id, common, na,
+       |  CAST(common AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+       |FROM v WHERE CAST(common AS DOUBLE) / CAST(na AS DOUBLE) >= ${TauC}e0
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** Naive blocked exact Jaccard (explode + full shingle equi-join) —
     * reference semantics for [[ngramJaccard]], used by specs. */
   def ngramJaccardNaive(s: SparkSession, dir: String): DataFrame =
@@ -296,12 +395,14 @@ object ApproxDedup {
     * needs a shuffle anyway, so the barrier costs nothing extra; the
     * shingle arrays stay out of the 32× exploded shuffle and are
     * re-joined after pair dedup. */
-  private def bandRows(sh: DataFrame): DataFrame = {
+  private def bandRows(sh: DataFrame): DataFrame = bandRows(sh, Bands, Rows)
+
+  private def bandRows(sh: DataFrame, bands: Int, rows: Int): DataFrame = {
     val sig = sh.select(col("doc_id"), signature(col("shingles")).as("sig"))
       .repartition(col("doc_id"))
     sig.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-          b => concat_ws(",", slice(col("sig"), b * Rows + 1, lit(Rows)).cast("array<string>")))))
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)).cast("array<string>")))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
   }
 

@@ -53,7 +53,12 @@ object Bucketing {
     val schemaDdl = src.schema.toDDL
     val path = ArtifactStore.ensureCurrent(s, s"${base}_$Version", fingerprint) {
       staging =>
-        val tmpName = s"${base}_staging_${fingerprint.take(12)}"
+        // UUID-suffixed staging name (mirroring ArtifactStore.ensure's
+        // staging dirs): a deterministic name would let two concurrent
+        // builders in one session race on DROP/saveAsTable of the same
+        // catalog entry
+        val tmpName = s"${base}_staging_${fingerprint.take(12)}_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
         s.sql(s"DROP TABLE IF EXISTS $tmpName")
         src.repartition(Buckets, col(key))
           .write.bucketBy(Buckets, key).sortBy(key)
@@ -102,6 +107,47 @@ object Bucketing {
         Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
         "c_custkey"))
   }
+
+  /** q214: the layout generalization proof — a SECOND recurring join
+    * shape (lineitem×orders, the TPC-H fact-to-fact spine) co-located
+    * on a DIFFERENT key (the ORDER key; q210's pair clusters on the
+    * customer key). Same artifact machinery, same zero-Exchange
+    * contract (PlanSpec pins the join, the rollup on the bucket key,
+    * AND the point-read bucket pruning — an o_orderkey = k probe reads
+    * 1 of [[Buckets]] buckets off the file metadata alone). At 100 TB
+    * lineitem×orders is THE join every mart query repays: one layout
+    * shuffle at landing, zero on every read after. */
+  def bucketedLineitemJoin(s: SparkSession, dir: String): DataFrame = {
+    val (li, ord) = lineitemTablesFor(s, dir)
+    lineitemJoinPlan(li, ord)
+  }
+
+  /** The q214 join+rollup, factored for plan assertions in PlanSpec. */
+  private[graft] def lineitemJoinPlan(li: DataFrame, ord: DataFrame): DataFrame =
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(12,4)")).cast("double").as("sum_qty"))
+      .orderBy("o_orderkey")
+
+  /** Test hook: the two order-key bucketed tables for a dir. */
+  private[graft] def lineitemTablesFor(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val fp = Tables.dirFingerprint(s, dir)
+    (bucketedTable(s, "bucketed_lineitem", fp,
+      Tables.lineitem(s, dir).select("l_orderkey", "l_quantity"),
+      "l_orderkey"),
+      bucketedTable(s, "bucketed_orders_ok", fp,
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        "o_orderkey"))
+  }
+
+  /** q214 oracle: the same join+rollup straight off the source tables. */
+  val bucketedLineitemJoinOracleSql: String =
+    """SELECT o_orderkey, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+      |    AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
   /** q210 oracle: the same join+rollup straight off the source tables —
     * bucketing is a LAYOUT, the values must be layout-invariant. */

@@ -545,11 +545,16 @@ object Cluster {
     * Wedge enumeration is then one self-join of the undirected edge
     * frame on the shared MIDDLE vertex, an |wedge|-row count
     * aggregate, one anti-join against the edge set (drops pairs
-    * already adjacent), and two degree joins; wedge volume is
-    * Σ deg(b)² — the standard high-degree mitigation (cap or sample
-    * wedges at hub vertices) is documented here and unnecessary at
-    * support-thresholded co-purchase degrees. The undirected frame is
-    * checkpointed once and reused by all three arms. */
+    * already adjacent), and two degree joins. Wedge volume is
+    * Σ deg(b)², so HUB middles are CAPPED (round 9): a middle vertex
+    * with degree > [[HubWedgeDegCap]] enumerates wedges only over its
+    * cap lowest-id neighbors (deterministic, oracle-replayable — a
+    * real co-purchase catalog has hub items whose deg² would dominate
+    * the join), degrees stay exact/uncapped, and the number of capped
+    * hubs rides every output row as `n_hubs_capped` (the no-silent-caps
+    * rule: n_common is a lower bound whenever that column is > 0).
+    * The undirected frame is checkpointed once and reused by all
+    * three arms. */
   def commonNeighbors(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
@@ -566,15 +571,36 @@ object Cluster {
     commonNeighborsGraph(edges)
   }
 
-  def commonNeighborsGraph(edges: DataFrame): DataFrame = {
+  /** Wedge-enumeration degree cap for hub middle vertices — 256 keeps
+    * per-hub wedge volume ≤ ~32k pairs however large the hub; the
+    * local-fixture degrees sit far below it, so the gate values are
+    * cap-invariant there (the spec plants a hub that is not). */
+  val HubWedgeDegCap = 256
+
+  def commonNeighborsGraph(edges: DataFrame,
+      cap: Int = HubWedgeDegCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .repartition(col("src"))
-      .localCheckpoint() // read 4× below (two wedge arms, degrees ×2)
-    // every unordered pair {a,b} with a common neighbor m appears as
-    // exactly one wedge (m→a, m→b) with a<b per middle vertex
-    val wedgeA = und.select(col("src").as("mid"), col("dst").as("a_id"))
-    val wedgeB = und.select(col("src").as("mid"), col("dst").as("b_id"))
+      .localCheckpoint() // read 5× below (two wedge arms, cap, degrees ×2)
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+    // hub cap: wedges enumerate only the cap lowest-id neighbors per
+    // middle — und is already partitioned by src, so the rank is an
+    // in-partition sort, no extra exchange
+    val wByMid = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val undCapped = und
+      .withColumn("__rn", row_number().over(wByMid))
+      .filter(col("__rn") <= cap).drop("__rn")
+    // the audited truncation count: how many middles were capped (1-row
+    // frame, broadcast onto every output row)
+    val hubs = deg.agg(coalesce(sum(
+      when(col("dg") > cap, lit(1L)).otherwise(lit(0L))), lit(0L))
+      .as("n_hubs_capped"))
+    // every unordered pair {a,b} with a common (kept) neighbor m appears
+    // as exactly one wedge (m→a, m→b) with a<b per middle vertex
+    val wedgeA = undCapped.select(col("src").as("mid"), col("dst").as("a_id"))
+    val wedgeB = undCapped.select(col("src").as("mid"), col("dst").as("b_id"))
     val cand = wedgeA.join(wedgeB, Seq("mid"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
@@ -583,19 +609,20 @@ object Cluster {
     // one equi-anti-join on the normalized pair key
     val nonAdjacent = cand.join(edges.select("a_id", "b_id"),
       Seq("a_id", "b_id"), "left_anti")
-    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("dg"))
     nonAdjacent
       .join(deg.select(col("src").as("a_id"), col("dg").as("deg_a")), Seq("a_id"))
       .join(deg.select(col("src").as("b_id"), col("dg").as("deg_b")), Seq("b_id"))
+      .crossJoin(broadcast(hubs))
       .select(col("a_id"), col("b_id"), col("n_common"),
-        col("deg_a"), col("deg_b"))
+        col("deg_a"), col("deg_b"), col("n_hubs_capped"))
       .orderBy("a_id", "b_id")
   }
 
   /** q208 oracle: the same co-purchase edges and wedge enumeration in
     * SQL — candidates from the undirected self-join on the middle
-    * vertex, adjacency removed by anti-join on the normalized (a<b)
-    * pair key, degrees joined. */
+    * vertex (hub-capped via the same lowest-id ROW_NUMBER rank),
+    * adjacency removed by anti-join on the normalized (a<b) pair key,
+    * exact degrees joined, the hub truncation count cross-joined. */
   def commonNeighborsOracleSql: String =
     s"""WITH li AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
       |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
@@ -604,18 +631,25 @@ object Cluster {
       |  GROUP BY 1, 2 HAVING COUNT(*) >= $CnMinSupport),
       |und AS (SELECT a_id AS src, b_id AS dst FROM pr
       |  UNION ALL SELECT b_id, a_id FROM pr),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dg
+      |  FROM und GROUP BY 1),
+      |undc AS (SELECT src, dst FROM (
+      |  SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+      |  FROM und) WHERE rn <= $HubWedgeDegCap),
+      |hub AS (SELECT CAST(COALESCE(SUM(CASE WHEN dg > $HubWedgeDegCap THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |    AS n_hubs_capped FROM deg),
       |cand AS (SELECT u1.dst AS a_id, u2.dst AS b_id,
       |    CAST(COUNT(*) AS BIGINT) AS n_common
-      |  FROM und u1 JOIN und u2 ON u1.src = u2.src AND u1.dst < u2.dst
+      |  FROM undc u1 JOIN undc u2 ON u1.src = u2.src AND u1.dst < u2.dst
       |  GROUP BY 1, 2),
       |nonadj AS (SELECT c.a_id, c.b_id, c.n_common FROM cand c
       |  LEFT JOIN pr e ON e.a_id = c.a_id AND e.b_id = c.b_id
-      |  WHERE e.a_id IS NULL),
-      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dg
-      |  FROM und GROUP BY 1)
-      |SELECT n.a_id, n.b_id, n.n_common, da.dg AS deg_a, db.dg AS deg_b
+      |  WHERE e.a_id IS NULL)
+      |SELECT n.a_id, n.b_id, n.n_common, da.dg AS deg_a, db.dg AS deg_b,
+      |  hub.n_hubs_capped
       |FROM nonadj n
       |JOIN deg da ON da.src = n.a_id
       |JOIN deg db ON db.src = n.b_id
+      |CROSS JOIN hub
       |ORDER BY 1, 2""".stripMargin
 }

@@ -62,9 +62,18 @@ object TableStats {
       expr(s"stack(${ProfiledCols.size}, $stackArgs) AS " +
         "(col_name, n_null, ndv, min_s, max_s)"))
 
-    // Sketch arm: q74's register construction, keyed per column over the
-    // one exploded (col_name, value-string) frame. NULLs carry no value
-    // and are excluded (the per-column null count is exact above).
+    long.join(hllSketch(df), Seq("col_name"))
+      .select(col("col_name"), col("n_rows"), col("n_null"), col("ndv"),
+        col("min_s"), col("max_s"), col("n_hll_regs"), col("hll_intsum"),
+        estRCol.as("est_r"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Sketch arm shared by q201 and q213: q74's register construction,
+    * keyed per column over the one exploded (col_name, value-string)
+    * frame. NULLs carry no value and are excluded (the per-column null
+    * count is exact in both profiles). */
+  private def hllSketch(df: DataFrame): DataFrame = {
     val kv = ProfiledCols.flatMap(c => Seq(lit(c), col(c).cast("string")))
     val regs = df.select(explode(map(kv: _*)).as(Seq("col_name", "val_s")))
       .filter(col("val_s").isNotNull)
@@ -78,18 +87,51 @@ object TableStats {
         expr("bit_count((x & -x) - 1) + 1").as("rank"))
       .groupBy(col("col_name"), col("j"))
       .agg(max(col("rank")).as("mj"))
-    val sk = regs.groupBy(col("col_name"))
+    regs.groupBy(col("col_name"))
       .agg(count(lit(1)).as("nr"),
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${Hll.WBits} - mj AS INT))")).as("sp"))
       .select(col("col_name"), col("nr").cast("long").as("n_hll_regs"),
         (col("sp") + (lit(Hll.M.toLong) - col("nr")) * lit(Hll.Pow52)).as("hll_intsum"))
+  }
 
-    long.join(sk, Seq("col_name"))
-      .select(col("col_name"), col("n_rows"), col("n_null"), col("ndv"),
+  /** The HLL NDV estimate off `hll_intsum` — one fixed-order IEEE
+    * expression, identical text in the oracle. */
+  private def estRCol: Column =
+    round(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+      * lit(65536.0) * lit(4.503599627370496e15)
+      / col("hll_intsum").cast("double"), 3)
+
+  /** q213: the 100 TB profile — q201's readout WITHOUT the exact-NDV
+    * arm. The exact multi-distinct is the one piece of q201 whose
+    * shuffle carries every distinct value through the Expand plan
+    * (scan cost ×|cols|); dropping it leaves (1) ONE plain map-combined
+    * wide aggregate for rows/nulls/min/max and (2) the register fold —
+    * both flat in distinct-value volume. The NDV readout is the HLL
+    * estimate (`est_r`), whose accuracy contract is AUDITED by q201's
+    * exact arm at gate scale (the q74/q148 sketch-contract pattern:
+    * the truth column is the first thing a 100 TB profile omits, so it
+    * lives in the audit query, not the serving one). */
+  def tableStatsSketch(s: SparkSession, dir: String): DataFrame =
+    tableStatsSketch(Tables.orders(s, dir))
+
+  def tableStatsSketch(df: DataFrame): DataFrame = {
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: ProfiledCols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nnull"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = ProfiledCols.map { c =>
+      s"'$c', ${c}__nnull, ${c}__min, ${c}__max"
+    }.mkString(", ")
+    val long = wide.select(col("n_rows"),
+      expr(s"stack(${ProfiledCols.size}, $stackArgs) AS " +
+        "(col_name, n_null, min_s, max_s)"))
+    long.join(hllSketch(df), Seq("col_name"))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
         col("min_s"), col("max_s"), col("n_hll_regs"), col("hll_intsum"),
-        round(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
-          * lit(65536.0) * lit(4.503599627370496e15)
-          / col("hll_intsum").cast("double"), 3).as("est_r"))
+        estRCol.as("est_r"))
       .orderBy(col("col_name"))
   }
 
@@ -122,6 +164,41 @@ object TableStats {
        |      + (${Hll.M} - COUNT(*)) * ${Hll.Pow52} AS hll_intsum
        |  FROM m GROUP BY 1)
        |SELECT st.col_name, n.n_rows, st.n_null, st.ndv, mm.min_s, mm.max_s,
+       |  sk.n_hll_regs, sk.hll_intsum,
+       |  ROUND(0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0)
+       |    * 65536.0e0 * 4503599627370496.0e0
+       |    / CAST(sk.hll_intsum AS DOUBLE), 3) AS est_r
+       |FROM st JOIN mm USING (col_name) JOIN sk USING (col_name) CROSS JOIN n
+       |ORDER BY col_name""".stripMargin
+  }
+
+  /** q213 oracle: q201's replay without the exact-NDV column. */
+  def tableStatsSketchOracleSql: String = {
+    val valExprs = ProfiledCols.map(c =>
+      s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS val_s FROM orders")
+      .mkString("\n  UNION ALL ")
+    val mmExprs = ProfiledCols.map(c =>
+      s"SELECT '$c' AS col_name, CAST(MIN($c) AS VARCHAR) AS min_s, " +
+      s"CAST(MAX($c) AS VARCHAR) AS max_s FROM orders")
+      .mkString("\n  UNION ALL ")
+    s"""WITH v AS ($valExprs),
+       |mm AS ($mmExprs),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders),
+       |st AS (SELECT col_name,
+       |    CAST(SUM(CASE WHEN val_s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+       |  FROM v GROUP BY 1),
+       |k AS (SELECT col_name,
+       |    CAST(('0x' || substring(md5('st:' || val_s), 1, 15)) AS BIGINT) AS h
+       |  FROM v WHERE val_s IS NOT NULL),
+       |r AS (SELECT col_name, h & 255 AS j,
+       |    bit_count((((h >> 8) | 2251799813685248) & -((h >> 8) | 2251799813685248)) - 1) + 1 AS rank
+       |  FROM k),
+       |m AS (SELECT col_name, j, MAX(rank) AS mj FROM r GROUP BY 1, 2),
+       |sk AS (SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_hll_regs,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST(${Hll.WBits} - mj AS INTEGER)) AS BIGINT)
+       |      + (${Hll.M} - COUNT(*)) * ${Hll.Pow52} AS hll_intsum
+       |  FROM m GROUP BY 1)
+       |SELECT st.col_name, n.n_rows, st.n_null, mm.min_s, mm.max_s,
        |  sk.n_hll_regs, sk.hll_intsum,
        |  ROUND(0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0)
        |    * 65536.0e0 * 4503599627370496.0e0

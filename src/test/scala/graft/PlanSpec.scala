@@ -460,6 +460,34 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q214: the second bucketed layout (order key) joins and rolls up " +
+      "exchange-free, and a point read prunes to one bucket") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(graft.operators.Bucketing.bucketedLineitemJoin(spark, sfDir))
+      assert(p.contains("SortMergeJoin"), s"expected a zipped-bucket SMJ:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"join and rollup must inherit the bucket partitioning:\n$p")
+      val rangeEx = "Exchange rangepartitioning".r.findAllIn(p).length
+      assert(rangeEx <= 1, s"only the output orderBy may exchange:\n$p")
+      // bucket pruning: an equality probe on the bucket key reads 1 of
+      // Buckets buckets straight off the file layout. autoBucketedScan
+      // turns bucketed reading off for a bare filter (no join/agg to
+      // co-partition for), which also forfeits the pruning — disable it
+      // to assert the layout's point-read contract
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val (li, _) = graft.operators.Bucketing.lineitemTablesFor(spark, sfDir)
+        val probe = li.filter(org.apache.spark.sql.functions.col("l_orderkey") === 1L)
+        val pp = probe.queryExecution.executedPlan.toString
+        assert(pp.contains(s"SelectedBucketsCount: 1 out of ${graft.operators.Bucketing.Buckets}"),
+          s"point read must prune to one bucket:\n$pp")
+      } finally
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q139: checksum is one map-combined aggregate over a 2-column scan") {
     val p = plan(graft.operators.Cleanse.partitionChecksum(spark, sfDir))
     assert(!p.contains("Window") && !p.contains("Join"), "audit must be agg-only")

@@ -158,6 +158,43 @@ class StatsOpsSpec extends SparkTestBase {
     assert(!jac.contains((1L, 2L)))
   }
 
+  test("q215 blocked containment: sound vs the exact twin, catches the " +
+      "planted inclusion and both twin directions") {
+    val quote = (1 to 30).map(i => s"q$i").mkString(" ")
+    val filler = (1 to 60).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),                // short doc
+      (2L, quote + " " + filler), // contains doc 1 wholesale, ~3x larger
+      (3L, quote)                 // exact twin of doc 1
+    ).toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        (r.getAs[Long]("common"), r.getAs[Long]("na"), r.getAs[Double]("containment")))
+      .toMap
+    val exact = asMap(ApproxDedup.containmentPairs(docs))
+    val blocked = asMap(ApproxDedup.containmentBlocked(docs))
+    // soundness: every banded pair verifies to the exact twin's values
+    blocked.foreach { case (k, v) =>
+      assert(exact.get(k).contains(v), s"blocked pair $k diverges: $v vs ${exact.get(k)}")
+    }
+    // the planted strict inclusion (J ~ 0.33, invisible to the 32x4
+    // geometry) and both twin directions are caught
+    assert(blocked((1L, 2L))._3 == 1.0)
+    assert(!blocked.contains((2L, 1L)))
+    assert(blocked((1L, 3L))._3 == 1.0 && blocked((3L, 1L))._3 == 1.0)
+  }
+
+  test("q215 on the corpus: banded recall matches the exact twin at test scale") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val exact = ApproxDedup.containmentPairs(docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val blocked = ApproxDedup.containmentBlocked(docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(exact), "blocked must verify exactly")
+    assert(blocked == exact,
+      s"recall gap at test scale: missing ${(exact -- blocked).take(5)}")
+  }
+
   // ---- q80 rolling features ----
 
   test("q80 rolling: hand-checked ROWS and RANGE frames on a tiny user") {
