@@ -233,6 +233,7 @@ object SparkEntry {
     "q213_table_stats_sketch"      -> ((s: SparkSession, d: String) => TableStats.tableStatsSketch(s, d)),
     "q214_bucketed_fact_join"      -> (Bucketing.bucketedLineitemJoin _),
     "q215_containment_blocked"     -> (ApproxDedup.containmentBlocked _),
+    "q216_substring_dedup"         -> (SubstringDedup.duplicatedRegions _),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -924,6 +925,7 @@ object SparkEntry {
     "q213_table_stats_sketch" -> TableStats.tableStatsSketchOracleSql,
     "q214_bucketed_fact_join" -> Bucketing.bucketedLineitemJoinOracleSql,
     "q215_containment_blocked" -> ApproxDedup.containmentBlockedOracleSql,
+    "q216_substring_dedup" -> SubstringDedup.duplicatedRegionsOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

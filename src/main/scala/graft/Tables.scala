@@ -81,6 +81,20 @@ object Tables {
   def dirFingerprint(spark: SparkSession, dir: String): String =
     dirFingerprint(spark, dir, "")
 
+  /** Session-lifetime memo for corpus COUNTS that exist only to derive
+    * a sizing ladder (the q40/q41/q42 bit counts): keyed by the dir's
+    * content fingerprint plus a semantic tag, so a regenerated dir
+    * mints a fresh count while repeat invocations — and sibling queries
+    * sharing the same tag — skip the re-scan. The fingerprint itself is
+    * a file-status read, ~free next to the corpus scan it replaces. */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def cachedCount(spark: SparkSession, dir: String, tag: String)(
+      compute: => Long): Long =
+    countCache.computeIfAbsent(s"${dirFingerprint(spark, dir)}#$tag",
+      _ => compute).longValue()
+
   /** [[dirFingerprint]] with a WRITER-SEMANTICS token folded into the
     * key. Round 5's lesson: the source files' (size, mtime) fingerprint
     * protects against regenerated DATA, but not against a change in what

@@ -162,7 +162,9 @@ object Dedup {
     * and the sizing ladder are both value-checked. */
   def embeddingBlockedPairs(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val bits = Similarity.scaledBits(normalized(emb).count(), BlockedBits)
+    val bits = Similarity.scaledBits(
+      Tables.cachedCount(s, dir, "emb_nonnull")(normalized(emb).count()),
+      BlockedBits)
     nearDupPairsBlocked(emb, BlockedTau, bits)
       .select(col("a_id"), col("b_id"), round(col("sim"), 9).as("sim_r"))
       .orderBy("a_id", "b_id")
@@ -258,7 +260,10 @@ object Dedup {
     // 109 s at 100× data); the batch side MUST hash with the corpus's
     // bit count, so bits derive from the corpus row count — the same
     // count the oracle re-derives in SQL
-    val bits = Similarity.scaledBits(normalized(corpusRaw).count(), IncrementalBits)
+    val bits = Similarity.scaledBits(
+      Tables.cachedCount(s, dir, "emb_nonnull_mod5ne0")(
+        normalized(corpusRaw).count()),
+      IncrementalBits)
     val corpusPath = graft.ArtifactStore.ensureCurrent(s, "inc_corpus_emb_v2",
       Tables.dirFingerprint(s, dir)) { staging =>
       corpusSideEmb(corpusRaw, bits)

@@ -673,9 +673,9 @@ object Similarity {
     * bucket size ≤ [[TargetBucket]] and the oracle derives the same
     * count, so the gate checks the sizing too). */
   def knnJoinLshBlocked(s: SparkSession, dir: String): DataFrame = {
-    val v = Dedup.normalized(graft.Tables.embeddings(s, dir))
-    knnJoinLshBlocked(graft.Tables.embeddings(s, dir),
-      bits = scaledBits(v.count()))
+    val n = graft.Tables.cachedCount(s, dir, "emb_nonnull")(
+      Dedup.normalized(graft.Tables.embeddings(s, dir)).count())
+    knnJoinLshBlocked(graft.Tables.embeddings(s, dir), bits = scaledBits(n))
   }
 
   def knnJoinLshBlocked(embeddings: DataFrame, k: Int = 3, bits: Int = LshBits): DataFrame = {
