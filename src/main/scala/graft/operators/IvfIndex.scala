@@ -139,8 +139,7 @@ object IvfIndex {
     * over the full assigned corpus. */
   def ivfUpsertOracleSql(nprobe: Int = 3, k: Int = 10): String = {
     val cR = s"c${KMeansOp.Rounds}"
-    s"""WITH ${KMeansOp.kmeansCtes(
-          KMeansOp.scaledNListSql("(SELECT COUNT(*) FROM qv)"),
+    s"""WITH ${KMeansOp.kmeansScaledCtes(KMeansOp.K,
           "vec_id % 5 <> 0", includeAllAssign = true)},
        |n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),

@@ -75,6 +75,22 @@ object KMeansOp {
     s"nlist=scaled(min=$minNList,t=$TargetCellRows,max=$MaxNList)"
   def nlistLadderTag: String = nlistLadderTag(K)
 
+  /** FAISS-style training-set cap (max_points_per_centroid): Lloyd
+    * rounds at a corpus-scaled k run over a deterministic md5-strided
+    * SAMPLE of ≤ ~TrainPointsPerCell·k vectors — training cost stays
+    * ~flat per cell as the corpus grows, while the FINAL assignment
+    * still covers every vector. Round-9 lesson: unsampled inline
+    * training made q65 grow 16× at 100× data. */
+  val TrainPointsPerCell = 64L
+
+  /** Every `stride`-th vector by md5 order trains; 1 = no sampling. */
+  def trainStride(n: Long, k: Int): Long =
+    math.max(1L, n / (TrainPointsPerCell * k))
+
+  /** SQL twin of [[trainStride]] (DuckDB `//` = integer division). */
+  def trainStrideSql(nExpr: String, kSql: String): String =
+    s"GREATEST(1, ($nExpr) // ($TrainPointsPerCell * ($kSql)))"
+
   /** SQL twin of [[scaledNList]]: the same integer CASE ladder applied
     * to `nExpr` (typically a COUNT(*) scalar subquery over the same
     * quantized frame the Spark side counts). */
@@ -126,7 +142,7 @@ object KMeansOp {
     * assignment to the broadcast path: a K×64 literal matrix per
     * expression is ideal small-K codegen but blows up plan size and
     * generated code as K grows toward a real IVF's 2¹⁶. */
-  val LiteralAssignMaxK = 64
+  val LiteralAssignMaxK = 32
 
   /** Large-K assignment twin of [[assign]] (bit-identical, spec-checked):
     * centroids ride in ONE broadcast row (packed array of
@@ -217,7 +233,24 @@ object KMeansOp {
   private[graft] def trainCentsScaled(embeddings: DataFrame,
       minNList: Int = K): (DataFrame, Seq[(Long, Seq[Double])]) = {
     val qv = quantized(embeddings).localCheckpoint()
-    (qv, trainCentsOn(qv, scaledNList(qv.count(), minNList)))
+    val n = qv.count()
+    val k = scaledNList(n, minNList)
+    val stride = trainStride(n, k)
+    // md5-strided training sample (unbiased w.r.t. id layout); seeds =
+    // the k lowest vec_ids IN THE SAMPLE (rank-based — `vec_id < k`
+    // would find no seeds once the sample thins), both re-derived by
+    // the oracle from the same COUNT
+    val qvt =
+      if (stride == 1L) qv
+      else qv.filter(
+        TextAnalysis.md5Long(col("vec_id").cast("string")) % stride === 0L)
+        .localCheckpoint()
+    var cents: Seq[(Long, Seq[Double])] = qvt.orderBy("vec_id").limit(k)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    for (_ <- 1 to Rounds if cents.nonEmpty)
+      cents = recenter(assignAuto(qvt, cents), cents)
+    (qv, cents)
   }
 
   private def trainCentsOn(qv: DataFrame, k: Int): Seq[(Long, Seq[Double])] = {
@@ -300,6 +333,56 @@ object KMeansOp {
        |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, q AS c FROM qv WHERE vec_id < ($kSql)),
        |$rounds,
        |${assignCte(s"c$Rounds", "af")}$allAssign""".stripMargin
+  }
+
+  /** CTE chain for the CORPUS-SCALED, SAMPLE-TRAINED quantizer
+    * ([[trainCentsScaled]]'s oracle twin): `qv` (all quantized vectors
+    * under `basePred`), `qvt` (the md5-strided training sample), `c0`
+    * (rank-based seeds — the k lowest vec_ids IN the sample), Lloyd
+    * rounds over `qvt`, and the final assignment `af` over the FULL
+    * `qv` (plus `qva`/`afa` when `includeAllAssign`). k and the stride
+    * are both re-derived from the same COUNT(*) the Spark side uses. */
+  def kmeansScaledCtes(minNList: Int, basePred: String,
+      includeAllAssign: Boolean): String = {
+    def assignCte(cin: String, aout: String, src: String) =
+      s"""$aout AS (SELECT vec_id, q, cell FROM (
+         |  SELECT qv.vec_id, qv.q, $cin.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY qv.vec_id ORDER BY
+         |      ${lr("qv.q[i]*qv.q[i]")} - 2.0 * ${lr("qv.q[i]*$cin.c[i]").replace("$cin", cin)} + ${lr("$cin.c[i]*$cin.c[i]").replace("$cin", cin)},
+         |      $cin.cell) AS rn
+         |  FROM $src qv CROSS JOIN $cin) WHERE rn = 1)""".stripMargin
+    def recenterCte(ain: String, cin: String, cout: String) =
+      s"""${cout}_m AS (SELECT cell, list(s ORDER BY dim) AS c FROM (
+         |  SELECT cell, t.i AS dim, SUM(q[t.i]) / CAST(COUNT(*) AS DOUBLE) AS s
+         |  FROM $ain CROSS JOIN range(1, $Dim+1) t(i) GROUP BY cell, t.i)
+         | GROUP BY cell),
+         |$cout AS (SELECT $cin.cell, COALESCE(${cout}_m.c, $cin.c) AS c
+         |  FROM $cin LEFT JOIN ${cout}_m USING (cell))""".stripMargin
+    val kSql = scaledNListSql("(SELECT COUNT(*) FROM qv)", minNList)
+    val sSql = trainStrideSql("(SELECT COUNT(*) FROM qv)", kSql)
+    val rounds = (1 to Rounds).map { r =>
+      val cin = if (r == 1) "c0" else s"c${r - 1}"
+      s"${assignCte(cin, s"a$r", "qvt")},\n${recenterCte(s"a$r", cin, s"c$r")}"
+    }.mkString(",\n")
+    val basePredSql = if (basePred.isEmpty) "" else s" AND ($basePred)"
+    val allAssign =
+      if (!includeAllAssign) ""
+      else s""",
+        |qva AS (SELECT vec_id,
+        |  list_transform(embedding, x -> round(CAST(x AS DOUBLE) * $ScaleQ)) AS q
+        | FROM embeddings WHERE embedding IS NOT NULL),
+        |${assignCte(s"c$Rounds", "afa", "qva")}""".stripMargin
+    s"""qv AS (SELECT vec_id,
+       |  list_transform(embedding, x -> round(CAST(x AS DOUBLE) * $ScaleQ)) AS q
+       | FROM embeddings WHERE embedding IS NOT NULL$basePredSql),
+       |qvt AS (SELECT vec_id, q FROM qv
+       |  WHERE CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |    % ($sSql) = 0),
+       |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, q AS c FROM (
+       |  SELECT vec_id, q, ROW_NUMBER() OVER (ORDER BY vec_id) AS srn FROM qvt)
+       |  WHERE srn <= ($kSql)),
+       |$rounds,
+       |${assignCte(s"c$Rounds", "af", "qv")}$allAssign""".stripMargin
   }
 
   /** DuckDB expression for the squared distance between `qv.q` and a

@@ -614,10 +614,9 @@ object Similarity {
     * cell and probe cells are distinct, so no DISTINCT is needed. */
   def ivfExactOracleSql(nprobe: Int = 3, k: Int = 10): String = {
     val cR = s"c${KMeansOp.Rounds}"
-    // seed count = the corpus-scaled nlist ladder over the SAME count
-    // the Spark side derives it from (non-null-embedding rows)
-    val kSql = KMeansOp.scaledNListSql("(SELECT COUNT(*) FROM qv)")
-    s"""WITH ${KMeansOp.kmeansCtes(kSql, "", includeAllAssign = false)},
+    // corpus-scaled nlist + md5-strided training sample, both
+    // re-derived from the SAME count the Spark side uses
+    s"""WITH ${KMeansOp.kmeansScaledCtes(KMeansOp.K, "", includeAllAssign = false)},
        |n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(range(1, len(embedding)+1),
