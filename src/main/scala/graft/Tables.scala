@@ -91,9 +91,21 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   def cachedCount(spark: SparkSession, dir: String, tag: String)(
-      compute: => Long): Long =
-    countCache.computeIfAbsent(s"${dirFingerprint(spark, dir)}#$tag",
-      _ => compute).longValue()
+      compute: => Long): Long = {
+    // Compute OUTSIDE the map's bin lock: the count is a long Spark job,
+    // and computeIfAbsent would hold the bin for its whole duration
+    // (stalling unrelated keys, risking re-entrant IllegalStateException).
+    // The count is deterministic, so a racing duplicate compute is
+    // harmless — putIfAbsent keeps the first and both callers agree.
+    val key = s"${dirFingerprint(spark, dir)}#$tag"
+    val hit = countCache.get(key)
+    if (hit != null) hit.longValue()
+    else {
+      val v = compute
+      val prev = countCache.putIfAbsent(key, java.lang.Long.valueOf(v))
+      if (prev != null) prev.longValue() else v
+    }
+  }
 
   /** [[dirFingerprint]] with a WRITER-SEMANTICS token folded into the
     * key. Round 5's lesson: the source files' (size, mtime) fingerprint

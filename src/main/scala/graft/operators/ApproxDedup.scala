@@ -565,7 +565,7 @@ object ApproxDedup {
        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id
        |    FROM bd a JOIN bd b ON a.band = b.band AND a.band_key = b.band_key
        |      AND a.doc_id < b.doc_id)
-       |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinBandHits),
+       |  GROUP BY 1, 2),
        |ex AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS common
        |  FROM (SELECT doc_id, unnest(s) AS shingle FROM shl) a
        |  JOIN (SELECT doc_id, unnest(s) AS shingle FROM shl) b

@@ -509,11 +509,14 @@ object Cluster {
       |SELECT id AS doc_id, CAST(MIN(hop) AS BIGINT) AS hop
       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Support threshold for [[commonNeighbors]]' co-purchase edges — a
-    * pair of parts must co-occur in ≥ this many orders to be an edge
-    * (q189's MinSup stance: incidental single co-occurrences are not
-    * relationships). */
-  val CnMinSupport = 2
+  /** Support threshold for [[commonNeighbors]]' co-purchase edges is
+    * the DENSITY-SCALED ladder shared with q189
+    * ([[Itemsets.scaledMinSup]]): incidental single co-occurrences are
+    * never relationships (base 2), and on a fixed catalog where orders
+    * keep arriving the threshold doubles with basket-memberships per
+    * item, so |E| stays bounded instead of densifying toward items².
+    * On TPC-H-shaped growth (catalog ∝ facts, density ~30 rows/item)
+    * the ladder stays at 2 — gate values are SF-stable. */
 
   /** q208: common-neighbor link prediction (Newman 2001; Liben-Nowell
     * & Kleinberg 2003's strongest cheap predictor) over the part
@@ -541,7 +544,7 @@ object Cluster {
     * shape — distinct (order, part) is checkpointed once, the pair
     * self-join is co-partitioned on the basket key (baskets are
     * order-sized, so pair volume is Σ basket² ≈ |lineitem|·avg_basket,
-    * never corpus²), and the ≥[[CnMinSupport]] filter bounds |E|.
+    * never corpus²), and the ≥[[Itemsets.scaledMinSup]] filter bounds |E|.
     * Wedge enumeration is then one self-join of the undirected edge
     * frame on the shared MIDDLE vertex, an |wedge|-row count
     * aggregate, one anti-join against the edge set (drops pairs
@@ -561,12 +564,16 @@ object Cluster {
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
       .distinct()
       .localCheckpoint() // both self-join arms read it
+    // density-scaled support (two cheap aggregates on the checkpoint)
+    val st = li.agg(count(lit(1)).as("nr"),
+      countDistinct(col("item")).as("ni")).first()
+    val minSup = Itemsets.scaledMinSup(st.getLong(0), st.getLong(1))
     val edges = li.select(col("basket"), col("item").as("a_id"))
       .join(li.select(col("basket"), col("item").as("b_id")), Seq("basket"))
       .where(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("support"))
-      .where(col("support") >= CnMinSupport.toLong)
+      .where(col("support") >= minSup.toLong)
       .select(col("a_id"), col("b_id"))
     commonNeighborsGraph(edges)
   }
@@ -583,20 +590,27 @@ object Cluster {
     val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .repartition(col("src"))
-      .localCheckpoint() // read 5× below (two wedge arms, cap, degrees ×2)
+      .localCheckpoint() // read 4-5× below (two wedge arms, degrees, probe)
+    // item-domain-sized; read 3× (hub probe + two degree joins) —
+    // materialized so the und aggregate runs once
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("dg"))
-    // hub cap: wedges enumerate only the cap lowest-id neighbors per
-    // middle — und is already partitioned by src, so the rank is an
-    // in-partition sort, no extra exchange
-    val wByMid = Window.partitionBy(col("src")).orderBy(col("dst"))
-    val undCapped = und
-      .withColumn("__rn", row_number().over(wByMid))
-      .filter(col("__rn") <= cap).drop("__rn")
-    // the audited truncation count: how many middles were capped (1-row
-    // frame, broadcast onto every output row)
-    val hubs = deg.agg(coalesce(sum(
-      when(col("dg") > cap, lit(1L)).otherwise(lit(0L))), lit(0L))
-      .as("n_hubs_capped"))
+      .localCheckpoint()
+    // round-10: PROBE before paying for the cap. Round 9's unconditional
+    // row_number sorted the whole edge frame on a graph whose hubs never
+    // exceed the cap (q208 sf10 33.5 → 84.8 s for machinery the data
+    // never triggers). One 1-row max-degree aggregate on the
+    // checkpointed degree frame decides; output is IDENTICAL either way
+    // (rn ≤ cap is a no-op when max(deg) ≤ cap), so the oracle keeps
+    // the single always-capped formulation.
+    val maxDeg = deg.agg(coalesce(max(col("dg")), lit(0L))).first().getLong(0)
+    val undCapped = if (maxDeg <= cap) und else {
+      // hub cap: wedges enumerate only the cap lowest-id neighbors per
+      // middle — und is already partitioned by src, so the rank is an
+      // in-partition sort, no extra exchange
+      val wByMid = Window.partitionBy(col("src")).orderBy(col("dst"))
+      und.withColumn("__rn", row_number().over(wByMid))
+        .filter(col("__rn") <= cap).drop("__rn")
+    }
     // every unordered pair {a,b} with a common (kept) neighbor m appears
     // as exactly one wedge (m→a, m→b) with a<b per middle vertex
     val wedgeA = undCapped.select(col("src").as("mid"), col("dst").as("a_id"))
@@ -609,10 +623,19 @@ object Cluster {
     // one equi-anti-join on the normalized pair key
     val nonAdjacent = cand.join(edges.select("a_id", "b_id"),
       Seq("a_id", "b_id"), "left_anti")
-    nonAdjacent
+    val withDegrees = nonAdjacent
       .join(deg.select(col("src").as("a_id"), col("dg").as("deg_a")), Seq("a_id"))
       .join(deg.select(col("src").as("b_id"), col("dg").as("deg_b")), Seq("b_id"))
-      .crossJoin(broadcast(hubs))
+    // the audited truncation count: how many middles were capped (1-row
+    // frame broadcast onto every output row; a literal 0 when the probe
+    // already proved no hub exists)
+    val withHubCount = if (maxDeg <= cap)
+      withDegrees.withColumn("n_hubs_capped", lit(0L))
+    else withDegrees.crossJoin(broadcast(
+      deg.agg(coalesce(sum(
+        when(col("dg") > cap, lit(1L)).otherwise(lit(0L))), lit(0L))
+        .as("n_hubs_capped"))))
+    withHubCount
       .select(col("a_id"), col("b_id"), col("n_common"),
         col("deg_a"), col("deg_b"), col("n_hubs_capped"))
       .orderBy("a_id", "b_id")
@@ -623,12 +646,17 @@ object Cluster {
     * vertex (hub-capped via the same lowest-id ROW_NUMBER rank),
     * adjacency removed by anti-join on the normalized (a<b) pair key,
     * exact degrees joined, the hub truncation count cross-joined. */
-  def commonNeighborsOracleSql: String =
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+  def commonNeighborsOracleSql: String = {
+    val msSql = Itemsets.scaledMinSupSql("(SELECT nr FROM st)", "(SELECT ni FROM st)")
+    s"""WITH li AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
       |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |st AS MATERIALIZED (SELECT COUNT(*) AS nr, COUNT(DISTINCT item) AS ni
+      |  FROM li),
+      |ms AS MATERIALIZED (SELECT $msSql AS v),
       |pr AS (SELECT a.item AS a_id, b.item AS b_id
       |  FROM li a JOIN li b ON a.basket = b.basket AND a.item < b.item
-      |  GROUP BY 1, 2 HAVING COUNT(*) >= $CnMinSupport),
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT v FROM ms)),
       |und AS (SELECT a_id AS src, b_id AS dst FROM pr
       |  UNION ALL SELECT b_id, a_id FROM pr),
       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dg
@@ -652,4 +680,5 @@ object Cluster {
       |JOIN deg db ON db.src = n.b_id
       |CROSS JOIN hub
       |ORDER BY 1, 2""".stripMargin
+  }
 }

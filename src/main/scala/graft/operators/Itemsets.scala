@@ -16,7 +16,7 @@ import graft.Tables
   *
   * The plan IS the a-priori pruning argument, staged for scale:
   *   1. basket→item pairs, DISTINCT (one shuffle on the basket key);
-  *   2. frequent 1-itemsets (support ≥ [[MinSup]]) — item-domain-sized,
+  *   2. frequent 1-itemsets (support ≥ [[scaledMinSup]]) — item-domain-sized,
   *      broadcast back as a semi-join: the downward-closure property
   *      says no pair with an infrequent member can be frequent, so
   *      infrequent items never reach pair generation;
@@ -34,7 +34,45 @@ import graft.Tables
   * brands are filtered explicitly on both sides. */
 object Itemsets {
 
-  val MinSup = 2
+  /** Base (minimum) support for co-occurrence edges/pairs: a single
+    * shared basket is never a relationship. */
+  val BaseSup = 2
+
+  /** Density rung of the support ladder: support doubles each time the
+    * average basket-memberships PER ITEM exceed this × support. On a
+    * catalog that grows with the fact table (TPC-H-like: rows/items ≈
+    * constant ~30) the ladder never moves, so gate values are stable
+    * across SF; on a FIXED catalog where orders keep arriving, support
+    * scales with density and the pair/edge set stays bounded instead of
+    * densifying toward items² (the round-9 verdict's q208/q189 concern:
+    * a fixed support-2 is exactly the class of constant — df cap, LSH
+    * bits, nlist — that rounds 8-9 kept re-paying). */
+  val SupDensity = 64
+
+  /** Ladder cap — beyond this, relative-support mining (a σ·N fraction)
+    * is the right tool, not an absolute count. Power of two so the
+    * doubling lands exactly on it. */
+  val MaxSup = 4096
+
+  /** Density-scaled minimum support: doubles from [[BaseSup]] while
+    * nRows > [[SupDensity]]·s·nItems, capped at [[MaxSup]]. Re-derived
+    * verbatim in oracle SQL by [[scaledMinSupSql]] from the SAME two
+    * counts, so both engines agree at any corpus size. */
+  def scaledMinSup(nRows: Long, nItems: Long): Int = {
+    var s = BaseSup
+    while (s < MaxSup && nRows > SupDensity.toLong * s * math.max(nItems, 1L)) s *= 2
+    s
+  }
+
+  /** SQL twin of [[scaledMinSup]]: the same integer CASE ladder over
+    * caller-supplied scalar expressions for the two counts (pass 1-row
+    * MATERIALIZED-CTE lookups so the base relation is scanned once). */
+  def scaledMinSupSql(rowsExpr: String, itemsExpr: String): String = {
+    val arms = Iterator.iterate(BaseSup.toLong)(_ * 2).takeWhile(_ < MaxSup)
+      .map(s => s"WHEN $rowsExpr <= $SupDensity * $s * GREATEST($itemsExpr, 1) THEN $s")
+      .mkString(" ")
+    s"(CASE $arms ELSE $MaxSup END)"
+  }
 
   /** q189: all frequent brand pairs with support, directional
     * confidences, and lift. */
@@ -51,10 +89,14 @@ object Itemsets {
       // four consumers (basket total, frequent-1, both self-join arms)
       // — materialized so the fact scan + distinct shuffle run ONCE
       .localCheckpoint()
+    // density-scaled support (two cheap aggregates on the checkpoint)
+    val st = items.agg(count(lit(1)).as("nr"),
+      countDistinct(col("item")).as("ni")).first()
+    val minSup = scaledMinSup(st.getLong(0), st.getLong(1))
     val nb = items.agg(countDistinct(col("basket")).as("n_baskets"))
     val freq = items.groupBy(col("item"))
       .agg(count(lit(1)).as("n_item"))
-      .where(col("n_item") >= MinSup)
+      .where(col("n_item") >= minSup.toLong)
     val pruned = items.join(broadcast(freq), Seq("item"))
     val a = pruned.select(col("basket"), col("item").as("item_a"),
       col("n_item").as("n_a"))
@@ -64,7 +106,7 @@ object Itemsets {
       .where(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("support"))
-      .where(col("support") >= MinSup)
+      .where(col("support") >= minSup.toLong)
       .crossJoin(broadcast(nb))
       .select(col("item_a"), col("item_b"), col("support"),
         col("n_a"), col("n_b"), col("n_baskets"),
@@ -75,21 +117,27 @@ object Itemsets {
       .orderBy(col("item_a").asc_nulls_last, col("item_b").asc_nulls_last)
   }
 
-  /** q189 oracle: the identical staged chain. */
-  def brandAffinityOracleSql: String =
-    s"""WITH items AS (SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+  /** q189 oracle: the identical staged chain, the support ladder
+    * re-derived from the same (rows, items) counts. */
+  def brandAffinityOracleSql: String = {
+    val msSql = scaledMinSupSql("(SELECT nr FROM st)", "(SELECT ni FROM st)")
+    s"""WITH items AS MATERIALIZED (
+       |  SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
        |  WHERE p.p_brand IS NOT NULL),
+       |st AS MATERIALIZED (SELECT COUNT(*) AS nr, COUNT(DISTINCT item) AS ni
+       |  FROM items),
+       |ms AS MATERIALIZED (SELECT $msSql AS v),
        |nb AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM items),
        |freq AS (SELECT item, COUNT(*) AS n_item FROM items
-       |  GROUP BY item HAVING COUNT(*) >= $MinSup),
+       |  GROUP BY item HAVING COUNT(*) >= (SELECT v FROM ms)),
        |pruned AS (SELECT i.basket, i.item, f.n_item
        |  FROM items i JOIN freq f USING (item)),
        |pairs AS (SELECT a.item AS item_a, b.item AS item_b,
        |    a.n_item AS n_a, b.n_item AS n_b, COUNT(*) AS support
        |  FROM pruned a JOIN pruned b
        |    ON a.basket = b.basket AND a.item < b.item
-       |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= $MinSup)
+       |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= (SELECT v FROM ms))
        |SELECT item_a, item_b, support, n_a, n_b, nb.n_baskets,
        |  ROUND(CAST(support AS DOUBLE) / n_a, 9) AS conf_ab_r,
        |  ROUND(CAST(support AS DOUBLE) / n_b, 9) AS conf_ba_r,
@@ -97,4 +145,5 @@ object Itemsets {
        |    (CAST(n_a AS DOUBLE) * n_b), 9) AS lift_r
        |FROM pairs CROSS JOIN nb
        |ORDER BY item_a, item_b""".stripMargin
+  }
 }

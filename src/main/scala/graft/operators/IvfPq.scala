@@ -116,7 +116,7 @@ object IvfPq {
     * one bounded TakeOrdered), then [[CoarseRounds]] Lloyd rounds. The
     * count runs on the caller's already-checkpointed frame (one cached
     * scan); assignment auto-switches to the broadcast argmin kernel
-    * past 64 cells. */
+    * past [[KMeansOp.LiteralAssignMaxK]] cells. */
   private[graft] def trainCoarse(qv: DataFrame): Seq[(Long, Seq[Double])] = {
     val nlist = KMeansOp.scaledNList(qv.count(), MinNList)
     var cents: Seq[(Long, Seq[Double])] = qv

@@ -27,8 +27,11 @@ object BandingRecallAudit {
     val mod = if (args.length > 1) args(1).toInt else 64
     val spark = graft.GraftSession.builder().getOrCreate()
     try {
+      // md5-keyed sample, exactly as the scaladoc says: md5Long is
+      // non-negative (60 bits), so % mod has no abs(Long.MinValue)
+      // exclusion hole and the draw replays verbatim in DuckDB SQL.
       val docs = graft.Tables.documents(spark, dir)
-        .filter(abs(xxhash64(col("doc_id"))) % mod === 0L)
+        .filter(graft.operators.TextAnalysis.md5Long(col("doc_id")) % mod === 0L)
         .localCheckpoint()
       val nDocs = docs.count()
       // exact within-sample τ-pairs via the exact-complete prefix path

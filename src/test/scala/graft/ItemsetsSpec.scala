@@ -56,6 +56,26 @@ class ItemsetsSpec extends SparkTestBase {
       "n_a", "n_b", "n_baskets", "conf_ab_r", "conf_ba_r", "lift_r"))
   }
 
+  test("support ladder: base at TPC-H density, doubles with density, capped") {
+    import Itemsets._
+    assert(scaledMinSup(0L, 0L) == BaseSup)
+    assert(scaledMinSup(30L * 1000, 1000L) == BaseSup) // density 30 ≤ 128
+    assert(scaledMinSup(200L * 1000, 1000L) == 4)      // 128 < 200 ≤ 256
+    assert(scaledMinSup(3000L * 1000, 1000L) == 64)    // 2048 < 3000 ≤ 4096
+    assert(scaledMinSup(Long.MaxValue / 2, 1L) == MaxSup)
+  }
+
+  test("SQL ladder twin matches the Scala ladder") {
+    val cases = Seq((0L, 0L), (30000L, 1000L), (200000L, 1000L),
+      (3000000L, 1000L), (Long.MaxValue / 2, 1L))
+    cases.foreach { case (nr, ni) =>
+      val sql = Itemsets.scaledMinSupSql(nr.toString, ni.toString)
+      val got = spark.sql(s"SELECT CAST($sql AS BIGINT) AS v").first().getLong(0)
+      assert(got == Itemsets.scaledMinSup(nr, ni).toLong,
+        s"SQL ladder diverges at (nr=$nr, ni=$ni)")
+    }
+  }
+
   test("gated entry runs on the fixture tables and orders by pair") {
     val out = Itemsets.brandAffinity(spark, sfDir).collect()
     assert(out.nonEmpty)
