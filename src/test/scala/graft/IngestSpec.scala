@@ -255,6 +255,22 @@ class IngestSpec extends SparkTestBase {
     assert(bounded("failOnDataLoss") === "true")
   }
 
+  test("q128: landing sample mod ladder is bounded and its SQL twin agrees") {
+    import graft.sources.Ingest._
+    assert(binSampleMod(0L) === 1L)
+    assert(binSampleMod(BinTargetFiles) === 1L)          // fixture scale: no sampling
+    assert(binSampleMod(BinTargetFiles + 1) === 2L)
+    assert(binSampleMod(500000L) === 128L)               // sf10-class corpus
+    // sampled file count is bounded for any n
+    Seq(1L, 5000L, 500000L, 50000000L, 1L << 40).foreach { n =>
+      assert(n / binSampleMod(n) <= BinTargetFiles)
+      val got = spark.sql(
+        s"SELECT CAST(${binSampleModSql(n.toString)} AS BIGINT) AS v")
+        .first().getLong(0)
+      assert(got === binSampleMod(n), s"SQL mod ladder diverges at n=$n")
+    }
+  }
+
   test("q128: binaryFile ingest round-trips every non-null payload by id and md5") {
     val docs = Tables.documents(spark, sfDir)
     val out = graft.sources.Ingest.binaryIngest(spark, sfDir).collect()
