@@ -245,38 +245,69 @@ object ApproxDedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** One-sided banding geometry for [[containmentBlocked]]: the same
-    * 128 MinHash permutations re-cut as 64 bands × 2 rows. Containment
-    * C(A→B) = τ at sizes (na, nb) implies Jaccard
-    * J = τ·na/(na + nb − τ·na), which decays with the size ratio — the
-    * reason the SYMMETRIC q24 geometry (32×4, tuned to J ≥ 0.8) cannot
-    * witness asymmetric containment: at nb = 4·na a perfect inclusion
-    * has J ≈ 0.22 and a 4-row band fires at J⁴ ≈ 0.2 %. Two-row bands
-    * fire at J², giving detection 1−(1−J²)^64 ≈ 0.999 at same-size
-    * (J ≈ 0.31), ≈ 0.88 at 2× (J ≈ 0.18), ≈ 0.47 at 4× — the
-    * documented recall curve; rows=1 would detect everything but keys
-    * single MinHash values, whose buckets regrow the hot-shingle df²
-    * wall banding exists to avoid (a hot shingle is the min for ~df/m
-    * of its docs). LSH Ensemble (Zhu et al., VLDB 2016) is the
-    * published refinement — size-partition the corpus and retune
-    * (bands, rows) per partition; the extreme-ratio residual
-    * (boilerplate inclusion at 10×+) is q216's anchor-gram substring
-    * machinery, not minhash. */
-  val CBands = 64
-  val CRows = 2 // NumPerms / CBands
+  /** LSH-Ensemble geometry for [[containmentBlocked]] (round 10 —
+    * Zhu et al., "LSH Ensemble: Internet-Scale Domain Search",
+    * VLDB 2016). Containment C(A→B) = τ at sizes (na, nb) implies
+    * Jaccard J = τ·na/(na + nb − τ·na), which decays with the size
+    * ratio — the reason the SYMMETRIC q24 geometry (32×4, tuned to
+    * J ≥ 0.8) cannot witness asymmetric containment, and the reason
+    * round 9's single 64×2 cut decayed past 2× ratios (~0.24 detection
+    * at 4×). The ensemble move: size-partition the corpus into
+    * power-of-two buckets on shingle count (bucket = ⌊log₂ n⌋, exact
+    * integer via length(bin(n))−1 in BOTH engines — no float log at
+    * boundary values) and tune the banding evidence REQUIRED for a
+    * candidate to the bucket distance d = |k_a − k_b| of the pair,
+    * over one [[CNumPerms]]-permutation signature cut as
+    * [[CBands]]×[[CRows]] bands:
+    *
+    *  - d ≤ 1 (ratio < 4): worst-case J ≥ τ/(4−τ+1·τ̄) ≈ 0.22; a true
+    *    pair expects 128·J² ≥ 6.2 matching bands, so requiring
+    *    [[CNearHits]] = 3 keeps boundary detection ~0.95 (planted
+    *    same-size/2× inclusions ≈ 1.0) while pricing J ≈ 0.05 noise at
+    *    P(≥3 | E=0.32) ≈ 0.004 — LESS noise than round 9's ≥2-of-64.
+    *  - d ∈ [2, [[CMaxBucketDist]]] (ratio 2..16): J down to ~0.056 at
+    *    the τ-boundary; evidence floor [[CFarHits]] = 1. Detection
+    *    1−(1−J²)^128: planted C=1 inclusions ≈ 0.9997 at 4× (J=0.25)
+    *    and ≈ 0.87 at 8× (J=0.125); the τ=0.9-boundary worst case is
+    *    ~0.80 at 8× and decays inside d=3 toward 16× — the documented
+    *    residual. Cross-bucket pairs are RARE (few docs are weakly
+    *    similar across a 4×+ size gap), so the loose floor adds little
+    *    candidate volume.
+    *  - d > [[CMaxBucketDist]] (ratio ≥ 16): out of this operator's
+    *    declared range — a wholesale quote at 16×+ is boilerplate
+    *    inclusion, q216's anchor-gram substring machinery (exact, not
+    *    minhash), and the pre-round-10 geometry detected ≈ 0 there
+    *    anyway, so the explicit bound only names an existing residual.
+    *
+    * rows=1 would detect everything but keys single MinHash values,
+    * whose buckets regrow the hot-shingle df² wall banding exists to
+    * avoid (a hot shingle is the min for ~df/m of its docs) — the
+    * ensemble buys far-ratio recall with MORE 2-row bands (256 perms,
+    * builder-only: every other minhash consumer keeps the 128-perm
+    * signature) plus distance-tuned floors, never with 1-row bands. */
+  val CNumPerms = 256
+  val CBands = 128
+  val CRows = 2 // CNumPerms / CBands
 
-  /** Minimum matching bands per candidate pair. Two-row bands are what
-    * let low-J containment surface at all, but they also fire once in
-    * a while for WEAKLY similar pairs (measured at sf10: 78M collision
-    * rows, 1800× the 32×4 volume — template families collide on
-    * exactly one band each, and dragging shingle arrays through the
-    * verify join for them spilled past the disk). A true C ≥ 0.9 pair
-    * expects 64·J² ≥ 6 matching bands; J ≈ 0.05 noise expects 0.16 —
-    * requiring 2 keeps same-size detection at ~0.98 (2×: ~0.62, 4×:
-    * ~0.24 — the documented decay; beyond that is q216's regime) and
-    * cuts noise candidates ~13×. The count is a slim 16-byte-row
-    * aggregate BEFORE any payload joins. */
-  val MinBandHits = 2
+  /** Extra 128 fixed-seed permutations appended to [[permA]]/[[permB]]
+    * for the containment builder's 256-perm signature; a separate seed
+    * keeps the first 128 bit-identical to every other consumer's. */
+  val (permAC, permBC): (Seq[Long], Seq[Long]) = {
+    val rng = new scala.util.Random(43)
+    val a2 = Seq.fill(CNumPerms - NumPerms)(1L + rng.nextInt((P - 1).toInt).toLong)
+    val b2 = Seq.fill(CNumPerms - NumPerms)(rng.nextInt(P.toInt).toLong)
+    (permA ++ a2, permB ++ b2)
+  }
+
+  /** Matching-band floors per bucket distance (see geometry above), and
+    * the declared maximum bucket distance. The hit counts are slim
+    * 16-byte-row aggregates BEFORE any payload joins — the round-9
+    * lesson (78M collision rows at sf10 dragged shingle arrays through
+    * the verify join and spilled past the disk) kept: floor first,
+    * verify after. */
+  val CNearHits = 3
+  val CFarHits = 1
+  val CMaxBucketDist = 3
 
   /** q215: one-sided-signature blocked containment — the oracle-gated
     * SCALE path of q79 (which stays the exact-complete twin, its
@@ -293,11 +324,12 @@ object ApproxDedup {
     * against the exact twin on planted inclusions). */
   def containmentBlocked(s: SparkSession, dir: String): DataFrame = {
     // build-once artifact (the q23 pairsTable stance, learned the hard
-    // way: the inline 64-band self-join re-run per invocation spilled
+    // way: the inline band self-join re-run per invocation spilled
     // past the disk at sf10; a pair table is corpus state, built once)
-    val path = graft.ArtifactStore.ensureCurrent(s, "contain_pairs_v1",
+    val path = graft.ArtifactStore.ensureCurrent(s, "contain_pairs_v2",
       Tables.dirFingerprint(s, dir,
-        s"containment;bands=$CBands;rows=$CRows;minhits=$MinBandHits;tau=$TauC")) { staging =>
+        s"containment;bands=$CBands;rows=$CRows;near=$CNearHits;" +
+          s"far=$CFarHits;dist=$CMaxBucketDist;tau=$TauC")) { staging =>
       containmentBlockedPairs(Tables.documents(s, dir))
         .write.parquet(staging)
     }
@@ -316,14 +348,28 @@ object ApproxDedup {
   private def containmentBlockedPairs(docs: DataFrame): DataFrame = {
     val sized = shingleSets(docs).filter(size(col("shingles")) > 0)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("n"))
-    val banded = bandRows(sized, CBands, CRows)
-    val a = banded.select(col("doc_id").as("a_id"), col("band"), col("band_key"))
-    val b = banded.select(col("doc_id").as("b_id"), col("band"), col("band_key"))
+    // 256-perm signature + size bucket ⌊log₂ n⌋ (exact: length(bin(n))−1)
+    val sig = sized.select(col("doc_id"),
+        signature(col("shingles"), permAC, permBC).as("sig"),
+        (length(bin(col("n"))) - 1).cast("long").as("k"))
+      .repartition(col("doc_id")) // CollapseProject barrier, as bandRows
+    val banded = sig.select(col("doc_id"), col("k"),
+        posexplode(transform(sequence(lit(0), lit(CBands - 1)),
+          b => concat_ws(",", slice(col("sig"), b * CRows + 1, lit(CRows))
+            .cast("array<string>")))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val a = banded.select(col("doc_id").as("a_id"), col("k").as("ka"),
+      col("band"), col("band_key"))
+    val b = banded.select(col("doc_id").as("b_id"), col("k").as("kb"),
+      col("band"), col("band_key"))
     val cand = a.join(b, Seq("band", "band_key"))
-      .filter(col("a_id") < col("b_id"))
+      .filter(col("a_id") < col("b_id") &&
+        abs(col("ka") - col("kb")) <= CMaxBucketDist.toLong)
       .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("__hits"))
-      .filter(col("__hits") >= MinBandHits.toLong)
+      .agg(count(lit(1)).as("__hits"),
+        max(abs(col("ka") - col("kb"))).as("__d")) // d is pair-constant
+      .filter(col("__hits") >= when(col("__d") <= 1L, CNearHits.toLong)
+        .otherwise(CFarHits.toLong))
       .select("a_id", "b_id")
     val ver = cand
       .join(sized.select(col("doc_id").as("a_id"), col("shingles").as("sa"),
@@ -340,35 +386,37 @@ object ApproxDedup {
     fwd.unionByName(rev).filter(col("containment") >= TauC)
   }
 
-  /** q215 oracle: signature, 64×2 banding, and the containment verify
-    * replayed in SQL — the md5/permutation constants baked in exactly
-    * as q187's calibration oracle does. */
+  /** q215 oracle: 256-perm signature, size buckets, 128×2 banding with
+    * the distance-tuned hit floors, and the containment verify replayed
+    * in SQL — the md5/permutation constants baked in exactly as q187's
+    * calibration oracle does. */
   def containmentBlockedOracleSql: String = {
-    val pa = permA.mkString("[", ",", "]")
-    val pb = permB.mkString("[", ",", "]")
+    val pa = permAC.mkString("[", ",", "]")
+    val pb = permBC.mkString("[", ",", "]")
     s"""WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
        |shl AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN []
        |  ELSE list_distinct(list_transform(range(1, len(ws)-1),
        |         i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) END AS s FROM w),
        |sz AS (SELECT doc_id, s, CAST(len(s) AS BIGINT) AS n FROM shl WHERE len(s) > 0),
-       |hs AS (SELECT doc_id,
+       |hs AS (SELECT doc_id, CAST(length(bin(n)) - 1 AS BIGINT) AS k,
        |    list_transform(s, sg -> CAST(('0x' || substring(md5(sg),1,15)) AS BIGINT) % $P) AS hl
        |  FROM sz),
        |pc AS (SELECT $pa AS pa, $pb AS pb),
-       |sg AS (SELECT doc_id,
-       |    list_transform(range(1, $NumPerms + 1), i ->
+       |sg AS (SELECT doc_id, k,
+       |    list_transform(range(1, $CNumPerms + 1), i ->
        |      list_reduce(list_prepend(CAST($P AS BIGINT),
        |        list_transform(hl, h -> (pc.pa[i]*h + pc.pb[i]) % $P)),
        |        (x,y) -> least(x,y))) AS sig
        |  FROM hs CROSS JOIN pc),
-       |bd AS (SELECT doc_id, t.b AS band,
+       |bd AS (SELECT doc_id, k, t.b AS band,
        |    array_to_string(sig[t.b*$CRows+1 : t.b*$CRows+$CRows], ',') AS band_key
        |  FROM sg CROSS JOIN range(0, $CBands) t(b)),
        |cand AS (SELECT a_id, b_id FROM (
-       |    SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, abs(a.k - b.k) AS d
        |    FROM bd a JOIN bd b ON a.band = b.band AND a.band_key = b.band_key
-       |      AND a.doc_id < b.doc_id)
-       |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinBandHits),
+       |      AND a.doc_id < b.doc_id AND abs(a.k - b.k) <= $CMaxBucketDist)
+       |  GROUP BY 1, 2 HAVING COUNT(*) >=
+       |    (CASE WHEN MAX(d) <= 1 THEN $CNearHits ELSE $CFarHits END)),
        |v AS (SELECT cand.a_id, cand.b_id,
        |    CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS common,
        |    sa.n AS na, sb.n AS nb
@@ -401,11 +449,16 @@ object ApproxDedup {
     * native codegen expression over the per-shingle md5 hashes (see
     * [[org.apache.spark.sql.graftbridge.MinHashSignature]]). The md5 of
     * each shingle is computed exactly once. */
-  def signature(shingles: Column): Column = {
+  def signature(shingles: Column): Column = signature(shingles, permA, permB)
+
+  /** [[signature]] over an arbitrary permutation family — the
+    * containment builder's 256-perm variant rides the same native
+    * kernel with [[permAC]]/[[permBC]]. */
+  def signature(shingles: Column, pa: Seq[Long], pb: Seq[Long]): Column = {
     import org.apache.spark.sql.graftbridge.{ColumnBridge, MinHashSignature}
     val hs = transform(shingles, s => hMod(s))
     ColumnBridge.column(
-      MinHashSignature(ColumnBridge.expression(hs), permA, permB, P))
+      MinHashSignature(ColumnBridge.expression(hs), pa, pb, P))
   }
 
   /** Interpreted HOF formulation of [[signature]] (one fold, elementwise

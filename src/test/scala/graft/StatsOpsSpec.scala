@@ -184,6 +184,36 @@ class StatsOpsSpec extends SparkTestBase {
     assert(blocked((1L, 3L))._3 == 1.0 && blocked((3L, 1L))._3 == 1.0)
   }
 
+  test("q215 LSH-ensemble recall: planted 4x and 8x inclusions recalled at >= 0.8") {
+    // 50 independent inclusions per ratio; tokens are pair-unique so no
+    // cross-pair shingles exist. Quote = 40 words (38 shingles, bucket 5);
+    // 4x container = 160 words (158 shingles, bucket 7, d=2, J=0.24);
+    // 8x container = 320 words (318 shingles, bucket 8, d=3, J=0.12).
+    // Deterministic: fixed ids/text + seeded permutations -> recall is a
+    // constant of the geometry, not a sample. Expected detection
+    // 1-(1-J^2)^128: ~0.9995 at 4x, ~0.84 at 8x (round 9's single 64x2
+    // cut measured ~0.24 at 4x and ~0 at 8x).
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val pairs4 = (0 until 50).map { i =>
+      (Seq((1000L + i, words(s"a${i}q", 40)),
+        (2000L + i, words(s"a${i}q", 40) + " " + words(s"a${i}f", 120))),
+        (1000L + i, 2000L + i))
+    }
+    val pairs8 = (0 until 50).map { i =>
+      (Seq((3000L + i, words(s"b${i}q", 40)),
+        (4000L + i, words(s"b${i}q", 40) + " " + words(s"b${i}f", 280))),
+        (3000L + i, 4000L + i))
+    }
+    val docs = (pairs4 ++ pairs8).flatMap(_._1).toDF("doc_id", "text")
+    val found = ApproxDedup.containmentBlocked(docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val r4 = pairs4.count(p => found.contains(p._2)) / 50.0
+    val r8 = pairs8.count(p => found.contains(p._2)) / 50.0
+    info(s"planted recall: 4x=$r4 8x=$r8")
+    assert(r4 >= 0.8, s"4x inclusion recall $r4 below 0.8")
+    assert(r8 >= 0.8, s"8x inclusion recall $r8 below 0.8")
+  }
+
   test("q215 on the corpus: banded recall matches the exact twin at test scale") {
     val docs = graft.Tables.documents(spark, sfDir)
     val exact = ApproxDedup.containmentPairs(docs)
