@@ -563,7 +563,12 @@ object Cluster {
       .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
       .distinct()
-      .localCheckpoint() // both self-join arms read it
+      // both self-join arms + the support stats read it. DISK_ONLY
+      // (round 10): 60M slim rows at 100× the bench SF — cached in
+      // memory they lock the storage half of the unified pool and the
+      // distinct-item stats aggregate dies with AGGREGATE_OUT_OF_MEMORY
+      // (same failure mode as q189's r9c flake, same fix)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // density-scaled support (two cheap aggregates on the checkpoint)
     val st = li.agg(count(lit(1)).as("nr"),
       countDistinct(col("item")).as("ni")).first()

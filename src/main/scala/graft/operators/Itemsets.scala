@@ -87,8 +87,14 @@ object Itemsets {
       .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
       .distinct()
       // four consumers (basket total, frequent-1, both self-join arms)
-      // — materialized so the fact scan + distinct shuffle run ONCE
-      .localCheckpoint()
+      // — materialized so the fact scan + distinct shuffle run ONCE.
+      // DISK_ONLY (round 10): at 100× the bench SF this frame is ~57M
+      // rows; cached in memory it locks the storage half of the unified
+      // pool and starves the self-join's aggregates into
+      // AGGREGATE_OUT_OF_MEMORY (the r9c build-pass flake, reproduced
+      // isolated this round). Sequential disk re-reads of a slim frame
+      // are cheap; execution memory is the scarce resource here.
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // density-scaled support (two cheap aggregates on the checkpoint)
     val st = items.agg(count(lit(1)).as("nr"),
       countDistinct(col("item")).as("ni")).first()
