@@ -31,7 +31,8 @@ object BandingRecallAudit {
       // non-negative (60 bits), so % mod has no abs(Long.MinValue)
       // exclusion hole and the draw replays verbatim in DuckDB SQL.
       val docs = graft.Tables.documents(spark, dir)
-        .filter(graft.operators.TextAnalysis.md5Long(col("doc_id")) % mod === 0L)
+        .filter(graft.operators.TextAnalysis.md5Long(
+          col("doc_id").cast("string")) % mod === 0L)
         .localCheckpoint()
       val nDocs = docs.count()
       // exact within-sample τ-pairs via the exact-complete prefix path
