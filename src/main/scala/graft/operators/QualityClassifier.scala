@@ -113,7 +113,11 @@ object QualityClassifier {
       .localCheckpoint() // R gradient passes read it
     val nTr = tr.count()
     val w = Array.fill(B + 1)(0L)
-    for (_ <- 0 until Rounds) {
+    // zero-row corpus: no gradients exist, weights stay 0 and scoring
+    // emits the empty frame (the oracle's round chain agrees: its SUM
+    // aggregates are NULL-guarded only by never being applied — the
+    // final SELECT joins x, which is empty)
+    for (_ <- 0 until (if (nTr == 0) 0 else Rounds)) {
       val g = tr
         .withColumn("z", expr(zSql(w)))
         .withColumn("err",
