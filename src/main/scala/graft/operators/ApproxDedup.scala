@@ -309,6 +309,23 @@ object ApproxDedup {
   val CFarHits = 1
   val CMaxBucketDist = 3
 
+  /** Pairing cap per (band, band_key) bucket — the LSH-book "skip hot
+    * buckets" rule, and what keeps the candidate volume CORPUS-LINEAR:
+    * measured at sf10, vocabulary-hot band keys (two common trigrams'
+    * minhash minima shared corpus-wide) grew their buckets ∝ corpus and
+    * the far-floor then admitted 27.3M candidates of which 1,048
+    * verified (0.004% yield, 174 s of exact verify — the n² wall in
+    * slow motion). A band bucket with more than this many docs is not a
+    * pairwise-inclusion witness, it is BOILERPLATE — a phrase stamped
+    * across >64 documents is exactly q216's substring-dedup regime
+    * (which detects it exactly, per occurrence, corpus-linearly), and a
+    * genuine inclusion pair's shared content is pair-specific, so its
+    * matching bands land in cluster-sized buckets far below the cap.
+    * Dropped-bucket volume is Σ min(c, cap)² ≈ linear in corpus where
+    * uncapped it is Σ c² ≈ quadratic. Replayed verbatim in the oracle
+    * (bucket-count CTE, BETWEEN 2 AND cap). */
+  val CBucketCap = 64
+
   /** q215: one-sided-signature blocked containment — the oracle-gated
     * SCALE path of q79 (which stays the exact-complete twin, its
     * A-prefix × B-full-postings candidates being Σ prefix-df(t)·df(t)
@@ -329,7 +346,7 @@ object ApproxDedup {
     val path = graft.ArtifactStore.ensureCurrent(s, "contain_pairs_v2",
       Tables.dirFingerprint(s, dir,
         s"containment;bands=$CBands;rows=$CRows;near=$CNearHits;" +
-          s"far=$CFarHits;dist=$CMaxBucketDist;tau=$TauC")) { staging =>
+          s"far=$CFarHits;dist=$CMaxBucketDist;cap=$CBucketCap;tau=$TauC")) { staging =>
       containmentBlockedPairs(Tables.documents(s, dir))
         .write.parquet(staging)
     }
@@ -358,9 +375,21 @@ object ApproxDedup {
           b => concat_ws(",", slice(col("sig"), b * CRows + 1, lit(CRows))
             .cast("array<string>")))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val a = banded.select(col("doc_id").as("a_id"), col("k").as("ka"),
+    // pairable buckets: ≥2 docs (a singleton can't witness a pair) and
+    // ≤ CBucketCap (hot = boilerplate, q216's regime — see the cap's
+    // doc). Deliberately NOT broadcast-hinted: the pairable list grows
+    // with the corpus (a ~100 MB forced broadcast flaked once at sf10
+    // under the 8 g heap), and the un-hinted shuffle join over the slim
+    // (band, key) rows is linear and memory-safe — AQE still broadcasts
+    // it when it is actually small.
+    val pairable = banded.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") >= 2L && col("__bc") <= CBucketCap.toLong)
+      .select(col("band"), col("band_key"))
+    val kept = banded.join(pairable, Seq("band", "band_key"))
+    val a = kept.select(col("doc_id").as("a_id"), col("k").as("ka"),
       col("band"), col("band_key"))
-    val b = banded.select(col("doc_id").as("b_id"), col("k").as("kb"),
+    val b = kept.select(col("doc_id").as("b_id"), col("k").as("kb"),
       col("band"), col("band_key"))
     val cand = a.join(b, Seq("band", "band_key"))
       .filter(col("a_id") < col("b_id") &&
@@ -371,11 +400,19 @@ object ApproxDedup {
       .filter(col("__hits") >= when(col("__d") <= 1L, CNearHits.toLong)
         .otherwise(CFarHits.toLong))
       .select("a_id", "b_id")
+    // shuffle_hash, not sort-merge: SMJ SORTS both inputs WITH their
+    // payloads, and at 100× the bench SF that means sort-spilling
+    // ~kilobyte shingle arrays for every far-floor candidate (the
+    // round-9 disk death in slow motion); SHJ builds a per-partition
+    // map of the corpus side and STREAMS the slim candidate side, so
+    // the arrays only ever flow through the pipelined join output
     val ver = cand
-      .join(sized.select(col("doc_id").as("a_id"), col("shingles").as("sa"),
-        col("n").as("na")), Seq("a_id"))
-      .join(sized.select(col("doc_id").as("b_id"), col("shingles").as("sb"),
-        col("n").as("nb")), Seq("b_id"))
+      .join(sized.hint("shuffle_hash")
+        .select(col("doc_id").as("a_id"), col("shingles").as("sa"),
+          col("n").as("na")), Seq("a_id"))
+      .join(sized.hint("shuffle_hash")
+        .select(col("doc_id").as("b_id"), col("shingles").as("sb"),
+          col("n").as("nb")), Seq("b_id"))
       .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .select("a_id", "b_id", "common", "na", "nb")
     val fwd = ver.select(col("a_id"), col("b_id"), col("common"), col("na"),
@@ -408,9 +445,12 @@ object ApproxDedup {
        |        list_transform(hl, h -> (pc.pa[i]*h + pc.pb[i]) % $P)),
        |        (x,y) -> least(x,y))) AS sig
        |  FROM hs CROSS JOIN pc),
-       |bd AS (SELECT doc_id, k, t.b AS band,
+       |bd0 AS (SELECT doc_id, k, t.b AS band,
        |    array_to_string(sig[t.b*$CRows+1 : t.b*$CRows+$CRows], ',') AS band_key
        |  FROM sg CROSS JOIN range(0, $CBands) t(b)),
+       |bsz AS (SELECT band, band_key FROM bd0 GROUP BY 1, 2
+       |  HAVING COUNT(*) BETWEEN 2 AND $CBucketCap),
+       |bd AS (SELECT bd0.* FROM bd0 JOIN bsz USING (band, band_key)),
        |cand AS (SELECT a_id, b_id FROM (
        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, abs(a.k - b.k) AS d
        |    FROM bd a JOIN bd b ON a.band = b.band AND a.band_key = b.band_key
