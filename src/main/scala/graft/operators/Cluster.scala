@@ -509,15 +509,6 @@ object Cluster {
       |SELECT id AS doc_id, CAST(MIN(hop) AS BIGINT) AS hop
       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Support threshold for [[commonNeighbors]]' co-purchase edges is
-    * the DENSITY-SCALED ladder shared with q189
-    * ([[Itemsets.scaledMinSup]]): incidental single co-occurrences are
-    * never relationships (base 2), and on a fixed catalog where orders
-    * keep arriving the threshold doubles with basket-memberships per
-    * item, so |E| stays bounded instead of densifying toward items².
-    * On TPC-H-shaped growth (catalog ∝ facts, density ~30 rows/item)
-    * the ladder stays at 2 — gate values are SF-stable. */
-
   /** q208: common-neighbor link prediction (Newman 2001; Liben-Nowell
     * & Kleinberg 2003's strongest cheap predictor) over the part
     * co-purchase graph: for every NON-adjacent part pair sharing ≥1
@@ -544,7 +535,14 @@ object Cluster {
     * shape — distinct (order, part) is checkpointed once, the pair
     * self-join is co-partitioned on the basket key (baskets are
     * order-sized, so pair volume is Σ basket² ≈ |lineitem|·avg_basket,
-    * never corpus²), and the ≥[[Itemsets.scaledMinSup]] filter bounds |E|.
+    * never corpus²), and the ≥[[Itemsets.scaledMinSup]] filter bounds
+    * |E| with the DENSITY-SCALED ladder shared with q189: incidental
+    * single co-occurrences are never relationships (base 2), and on a
+    * fixed catalog where orders keep arriving the threshold doubles
+    * with basket-memberships per item, so |E| stays bounded instead of
+    * densifying toward items². On TPC-H-shaped growth (catalog ∝
+    * facts, density ~30 rows/item) the ladder stays at 2 — gate values
+    * are SF-stable.
     * Wedge enumeration is then one self-join of the undirected edge
     * frame on the shared MIDDLE vertex, an |wedge|-row count
     * aggregate, one anti-join against the edge set (drops pairs

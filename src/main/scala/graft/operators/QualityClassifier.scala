@@ -23,9 +23,11 @@ import graft.Tables
   *    combined aggregate — corpus-linear at any scale.
   *  - LABELS: a deterministic source-quality rule (even numeric source
   *    suffix = curated, the stand-in for "reference corpus vs crawl" —
-  *    DCLM's positive/negative construction), replayed via TRY_CAST in
-  *    the oracle so malformed suffixes land in the negative class in
-  *    both engines.
+  *    DCLM's positive/negative construction). Both engines gate the
+  *    suffix behind the SAME anchored digits-only regex (1–18 digits,
+  *    so the cast can never overflow or parse '1.5'/'1e3'/19-digit
+  *    strings differently) before casting — malformed suffixes land in
+  *    the negative class identically in Spark and DuckDB.
   *  - TRAINING: [[Rounds]] full-batch gradient rounds on an md5-strided
   *    doc sample (≤ ~[[TrainTarget]] rows via the power-of-two ladder
   *    [[trainMod]] — the q65 FAISS-style sampled-training stance, which
@@ -82,7 +84,8 @@ object QualityClassifier {
     val base = docs
       .filter(col("text").isNotNull && col("source").isNotNull)
       .select(col("doc_id"),
-        when(expr("try_cast(substring(source, 4, 18) AS LONG)") % 2 === 0,
+        when(expr("substring(source, 4)").rlike("^[0-9]{1,18}$") &&
+            expr("try_cast(substring(source, 4) AS LONG)") % 2 === 0,
           1000000L).otherwise(0L).as("y"),
         col("text"))
     val wb = base
@@ -113,10 +116,10 @@ object QualityClassifier {
       .localCheckpoint() // R gradient passes read it
     val nTr = tr.count()
     val w = Array.fill(B + 1)(0L)
-    // zero-row corpus: no gradients exist, weights stay 0 and scoring
-    // emits the empty frame (the oracle's round chain agrees: its SUM
-    // aggregates are NULL-guarded only by never being applied — the
-    // final SELECT joins x, which is empty)
+    // nTr == 0 (zero-row corpus, or a stride that selects no rows on a
+    // >TrainTarget corpus): no gradients exist, weights stay 0 and every
+    // scored row gets z = 0 → score 500000. The oracle's round chain
+    // agrees: its weight update is CASE-guarded on g.n = 0.
     for (_ <- 0 until (if (nTr == 0) 0 else Rounds)) {
       val g = tr
         .withColumn("z", expr(zSql(w)))
@@ -157,8 +160,11 @@ object QualityClassifier {
     val rounds = (1 to Rounds).map { r =>
       val gcols = (0 to B).map(i =>
         s"CAST(SUM(err * x$i) AS BIGINT) AS g$i").mkString(", ")
+      // g.n = 0 guard: an empty training stride leaves the weights
+      // unchanged (NULL-safe), mirroring the Spark-side nTr == 0 skip
       val wcols = (0 to B).map(i =>
-        s"w.w$i - $Lr * (g.g$i // (g.n * 1000000)) AS w$i").mkString(",\n    ")
+        s"CASE WHEN g.n = 0 THEN w.w$i ELSE w.w$i - $Lr * (g.g$i // (g.n * 1000000)) END AS w$i")
+        .mkString(",\n    ")
       s"""g$r AS (SELECT COUNT(*) AS n, $gcols FROM (
          |  SELECT t.*, (500000 + (z * 500000) // (1000000 + abs(z))) - t.y AS err
          |  FROM (SELECT t.*, ${zOf("w", "t")} AS z
@@ -168,7 +174,8 @@ object QualityClassifier {
          |  FROM w${r - 1} w CROSS JOIN g$r g)""".stripMargin
     }.mkString(",\n")
     s"""WITH d AS (SELECT doc_id,
-       |    CAST(CASE WHEN TRY_CAST(substr(source, 4) AS BIGINT) % 2 = 0
+       |    CAST(CASE WHEN regexp_full_match(substr(source, 4), '[0-9]{1,18}')
+       |      AND TRY_CAST(substr(source, 4) AS BIGINT) % 2 = 0
        |      THEN 1000000 ELSE 0 END AS BIGINT) AS y, text
        |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
        |wb AS (SELECT doc_id, y,

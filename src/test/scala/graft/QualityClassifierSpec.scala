@@ -47,11 +47,22 @@ class QualityClassifierSpec extends SparkTestBase {
       (3L, "a b c", "weird"),  // non-numeric suffix -> 0
       (4L, "a b c", "s"),      // too short -> 0
       (5L, null.asInstanceOf[String], "src0"), // dropped
-      (6L, "a b c", null.asInstanceOf[String]) // dropped
+      (6L, "a b c", null.asInstanceOf[String]), // dropped
+      // the round-10 ADVICE divergence suffixes: decimal, scientific,
+      // 19-digit, negative — the digits-only {1,18} regex rejects all
+      // four IDENTICALLY in both engines (DuckDB would lenient-parse
+      // '1.5'->2 and '1e3'->1000; Spark's old 18-char substring would
+      // truncate the 19-digit one); leading zeros still parse
+      (7L, "a b c", "src1.5"),
+      (8L, "a b c", "src1e3"),
+      (9L, "a b c", "src1000000000000000000"), // 19 digits, even
+      (10L, "a b c", "src-2"),
+      (11L, "a b c", "src0012") // leading zeros, 12 -> even -> 1
     ).toDF("doc_id", "text", "source")
     val out = QualityClassifier.trainScore(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("label")).toMap
-    assert(out == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    assert(out == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      7L -> 0L, 8L -> 0L, 9L -> 0L, 10L -> 0L, 11L -> 1L))
   }
 
   test("q217: train stride ladder is bounded and matches its SQL twin") {
