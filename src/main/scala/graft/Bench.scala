@@ -19,7 +19,11 @@ import org.apache.spark.sql.SparkSession
   *
   * A query that throws is NOT silently timed: it is recorded as -1 in
   * `queries`, listed in `failed`, excluded from totals, and the process
-  * exits nonzero so a broken query can't masquerade as a speedup. */
+  * exits nonzero so a broken query can't masquerade as a speedup.
+  *
+  * SPARK_GRAFT_REPEAT=K turns the warm pass into per-query
+  * median-of-K (spread in bench_detail.json's `queries_warm_stats`);
+  * `total_warm` is then the total-of-medians. */
 object Bench {
 
   val IsolatedN = 10
@@ -40,6 +44,14 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
     val coldOnly = sys.env.get("SPARK_GRAFT_COLD_ONLY").contains("1")
+    // REPEAT=K (K ≥ 2): the steady-state (warm) pass runs each query K
+    // times back-to-back and reports the per-query MEDIAN, with
+    // {median,min,max} spread in bench_detail.json. Round 10 lost a day
+    // to ±25 % machine variance (205.6/252.1/174.8 s on identical
+    // code+data); medians-of-K make real regressions attributable
+    // again. Unset (driver runs) → single-pass behavior unchanged.
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ >= 2)
     val benchQueries = SparkEntry.queries
       .filterNot { case (n, _) => skip(n) }
       .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -95,15 +107,43 @@ object Bench {
       (times, failed.reverse)
     }
 
+    /** K back-to-back timings per query (repeat mode). A query that
+      * fails ANY of its K runs is failed outright (-1 for all runs) —
+      * a flake must not hide inside a median. */
+    def measureK(s: SparkSession, k: Int)
+        : (Map[String, Seq[Double]], List[String]) = {
+      var failed = List.empty[String]
+      val times = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val runs = (0 until k).map(_ => timeOne(s, name, fn, _ => ()))
+        if (runs.exists(_ < 0)) { failed ::= name; name -> Seq.fill(k)(-1.0) }
+        else name -> runs
+      }.toMap
+      (times, failed.reverse)
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+
     val (cold, failedCold) = measure(spark)
     // fresh session between passes: keeps JIT warm but drops accumulated
     // block-manager/broadcast state, so warm isolates PLAN cost
     spark.stop()
+    // repeat mode: per-query K runs in the steady-state pass; warm =
+    // the per-query MEDIANS, spread kept for the detail dump
+    var warmRuns = Map.empty[String, Seq[Double]]
     val (warm, failedWarm) =
       if (coldOnly) (cold, List.empty[String])
       else {
         spark = newSession()
-        val w = measure(spark)
+        val w = repeat match {
+          case Some(k) =>
+            val (runs, f) = measureK(spark, k)
+            warmRuns = runs
+            (runs.map { case (n, xs) =>
+              n -> (if (xs.head < 0) -1.0 else median(xs)) }, f)
+          case None => measure(spark)
+        }
         spark.stop()
         w
       }
@@ -150,10 +190,18 @@ object Bench {
         java.nio.file.Files.createDirectories(out.getParent)
         java.nio.file.Files.write(out, content.getBytes("UTF-8"))
       } catch { case _: Throwable => () } // detail dumps are best-effort
+    // repeat mode: per-query {median,min,max} so the campaign JSON
+    // carries the spread (VERDICT r10 item 1)
+    val statsJson = repeat.map { k =>
+      val entries = warmRuns.toSeq.sortBy(_._1).map { case (n, xs) =>
+        s""""$n":{"median":${r3(median(xs))},"min":${r3(xs.min)},"max":${r3(xs.max)}}"""
+      }.mkString("{", ",", "}")
+      s""","repeat":$k,"queries_warm_stats":$entries"""
+    }.getOrElse("")
     dump("bench_detail.json",
       s"""{"metric":"total","value":${total(cold)},"unit":"sec"""" +
       s""","queries":${fullMap(cold.toSeq)},"queries_warm":${fullMap(warm.toSeq)}""" +
-      s""","total_warm":${total(warm)},"failed":$failedJson,"sf":"$sfDir"}""")
+      s""","total_warm":${total(warm)},"failed":$failedJson,"sf":"$sfDir"$statsJson}""")
     dump("bench_isolated.json",
       s"""{"note":"top-$IsolatedN cold queries re-run on a fresh session each"""" +
       s""","sf":"$sfDir","queries_isolated":${fullMap(isolated)}}""")
