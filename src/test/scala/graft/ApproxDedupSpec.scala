@@ -192,6 +192,29 @@ class ApproxDedupSpec extends SparkTestBase {
     assert(r.getAs[Long]("max_abs_err") === 0L)
   }
 
+  test("q187: a planted mid-J pair lands in its exact-J bucket with bounded error") {
+    import spark.implicits._
+    // A = {abc,bcd,cde}, B = {abc,bcd,cdz}: common 2, union 4 — exact
+    // J = 0.5 ⇒ ex_micro = 500000, bucket 5. The pair must surface as a
+    // BAND candidate (≥1 of the 32 four-row bands colliding — the
+    // round-10 ADVICE scenario exercised only at J = 1.0 before) and
+    // its 128-perm estimate must sit within 3σ = 0.133 of the truth.
+    val d = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d z"),
+      (3L, "totally different words here now"))
+      .toDF("doc_id", "text")
+    val out = ApproxDedup.minhashCalibration(d).collect()
+    assert(out.length === 1, "the mid-J pair must be a band candidate")
+    val r = out.head
+    assert(r.getAs[Long]("j_bucket") === 5L)
+    assert(r.getAs[Long]("n_pairs") === 1L)
+    assert(r.getAs[Long]("sum_exact") === 500000L)
+    assert(r.getAs[Long]("max_abs_err") <= 133000L,
+      s"estimate off truth by ${r.getAs[Long]("max_abs_err")} > 3σ")
+    assert(r.getAs[Long]("sum_est") === 500000L + r.getAs[Long]("sum_err"))
+  }
+
   test("q187 on the corpus: the 128-perm estimator is tightly calibrated") {
     val out = ApproxDedup.minhashCalibration(spark, sfDir).collect()
     assert(out.nonEmpty)
