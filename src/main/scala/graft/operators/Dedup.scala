@@ -130,19 +130,30 @@ object Dedup {
   }
 
   /** LSH-blocked ≥τ cosine pairs: identical scoring join but restricted
-    * to same-sign-LSH-bucket pairs — the 100 TB path (each bucket holds
-    * ~n/2^bits vectors, so pairwise work drops by ~4^bits while near-dups
-    * at τ≈0.97 almost never straddle a plane). Output ⊆ the exact pairs;
-    * the spec pins planted near-dups to survive blocking. */
+    * to pairs sharing ≥1 of their [[Similarity.LshTables]] sign-LSH
+    * buckets — the 100 TB path (per-table work n²/2^bits; the OR over
+    * tables holds recall as the bit ladder grows with the corpus —
+    * see [[Similarity.LshTables]], the round-11 audit). Candidates
+    * dedupe on (a, b) before the payload join so a pair colliding in
+    * several tables scores once. Output ⊆ the exact pairs; the spec
+    * pins planted near-dups to survive blocking. */
   def nearDupPairsBlocked(s: SparkSession, dir: String, tau: Double, bits: Int): DataFrame =
     nearDupPairsBlocked(Tables.embeddings(s, dir), tau, bits)
 
-  def nearDupPairsBlocked(embeddings: DataFrame, tau: Double, bits: Int): DataFrame = {
-    val planes = Similarity.hyperplanesFor(bits)
-    val v = normalized(embeddings).withColumn("bucket", Similarity.lshBucket(col("e"), planes))
-    val a = v.select(col("vec_id").as("a_id"), col("e").as("ea"), col("nrm").as("na"), col("bucket"))
-    val b = v.select(col("vec_id").as("b_id"), col("e").as("eb"), col("nrm").as("nb"), col("bucket"))
-    a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+  def nearDupPairsBlocked(embeddings: DataFrame, tau: Double, bits: Int,
+      tables: Int = Similarity.LshTables): DataFrame = {
+    val v = normalized(embeddings)
+    val slim = Similarity.multiBucketRows(v, bits, tables)
+    val cand = slim.select(col("vec_id").as("a_id"), col("tbl"), col("bucket"))
+      .join(slim.select(col("vec_id").as("b_id"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    cand
+      .join(v.select(col("vec_id").as("a_id"), col("e").as("ea"),
+        col("nrm").as("na")), Seq("a_id"))
+      .join(v.select(col("vec_id").as("b_id"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         cosinePre(col("ea"), col("eb"), col("na"), col("nb")).as("sim"))
       .filter(col("sim") >= tau)
@@ -155,14 +166,16 @@ object Dedup {
 
   /** q40: the oracle-gated blocked near-dup scale path —
     * [[nearDupPairsBlocked]] pairs at τ=0.35 within corpus-scaled
-    * sign-LSH buckets ([[Similarity.scaledBits]] from [[BlockedBits]] —
-    * the sf10 lesson: 16 fixed buckets cost 58 s at 100× data). The
-    * DuckDB oracle bakes the same hyperplanes in AND re-derives the
-    * same bit count from the same row count, so the bucket restriction
-    * and the sizing ladder are both value-checked. */
+    * multi-table sign-LSH buckets ([[Similarity.multiTableBits]] from
+    * [[BlockedBits]] — the sf10 lesson: 16 fixed buckets cost 58 s at
+    * 100× data; the [[Similarity.LshTables]]-way OR holds recall as
+    * the ladder grows). The DuckDB oracle bakes the same hyperplanes
+    * in AND re-derives the same bit count from the same row count, so
+    * the bucket restriction and the sizing ladder are both
+    * value-checked. */
   def embeddingBlockedPairs(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val bits = Similarity.scaledBits(
+    val bits = Similarity.multiTableBits(
       Tables.cachedCount(s, dir, "emb_nonnull")(normalized(emb).count()),
       BlockedBits)
     nearDupPairsBlocked(emb, BlockedTau, bits)
@@ -170,21 +183,26 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** Generated DuckDB oracle for q40 (same planes → same buckets,
-    * same count → same bit count). */
+  /** Generated DuckDB oracle for q40 (same planes → same L per-table
+    * buckets, same count → same bit count; the OR-join pairs each
+    * candidate once, mirroring the Spark side's dropDuplicates). */
   def embeddingBlockedOracleSql: String = {
-    val bucketExpr =
-      Similarity.scaledBucketSqlExpr("(SELECT COUNT(*) FROM v)", BlockedBits)
+    val bitsExpr =
+      Similarity.multiTableBitsSql("(SELECT COUNT(*) FROM v)", BlockedBits)
+    val bcols = (0 until Similarity.LshTables).map(t =>
+      s"${Similarity.tableBucketSqlExpr(t, bitsExpr)} AS b$t").mkString(",\n  ")
+    val orCond = (0 until Similarity.LshTables)
+      .map(t => s"a.b$t = b.b$t").mkString(" OR ")
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE embedding IS NOT NULL),
        |n AS (SELECT vec_id, e,
        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm,
-       |  $bucketExpr AS bucket FROM v),
+       |  $bcols FROM v),
        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i])), (x,y) -> x+y)
        |   / (a.nrm * b.nrm) AS sim
-       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id AND ($orCond))
        |SELECT a_id, b_id, ROUND(sim, 9) AS sim_r
        |FROM p WHERE sim >= $BlockedTau ORDER BY a_id, b_id""".stripMargin
   }
@@ -202,38 +220,50 @@ object Dedup {
     * canonical. "Best" = highest similarity, ties to the lowest corpus id
     * — deterministic, unlike the reference's greedy first-match scan.
     *
-    * Scale shape: corpus and batch meet on sign-LSH buckets (an equi-join
-    * — no pairwise scan of the corpus), then a bounded-heap top-1 per
-    * batch vector; at 100 TB the corpus side is the big one and the
-    * bucket key keeps the shuffle balanced. */
+    * Scale shape: corpus and batch meet on slim (table, bucket) sign-LSH
+    * rows (an equi-join — no pairwise scan of the corpus, and the
+    * [[Similarity.LshTables]]-way OR holds match recall as the bit
+    * ladder grows), then a bounded-heap top-1 per batch vector; at
+    * 100 TB the corpus side is the big one and the bucket key keeps the
+    * shuffle balanced. */
   def dedupIncremental(corpus: DataFrame, batch: DataFrame, tau: Double,
       bits: Int, dim: Int = Similarity.Dim): DataFrame =
     dedupIncrementalPre(corpusSideEmb(corpus, bits, dim), batch, tau, bits, dim)
 
-  /** The derived corpus-side table (__cand_id, ec, nc, bucket) the
+  /** The derived corpus-side table (__cand_id, ec, nc, bkts) the
     * incremental join probes — the piece worth PERSISTING: at
     * daily-ingest scale the validated corpus is huge and append-mostly,
     * so recomputing its norms and LSH buckets per batch run is the
-    * dominant wasted cost. Everything in it is deterministic doubles/
+    * dominant wasted cost. `bkts` is the [[Similarity.LshTables]]-slot
+    * per-table bucket array (stored once per vector; the probe join
+    * explodes it to slim rows so the vector payload never rides the
+    * candidate shuffle). Everything in it is deterministic doubles/
     * ints, so a parquet round-trip is value-exact. */
   def corpusSideEmb(corpus: DataFrame, bits: Int,
-      dim: Int = Similarity.Dim): DataFrame = {
-    val planes = Similarity.hyperplanesFor(bits, dim)
+      dim: Int = Similarity.Dim): DataFrame =
     normalized(corpus)
-      .withColumn("bucket", Similarity.lshBucket(col("e"), planes))
+      .withColumn("bkts", Similarity.multiBuckets(col("e"), bits, dim = dim))
       .select(col("vec_id").as("__cand_id"), col("e").as("ec"), col("nrm").as("nc"),
-        col("bucket"))
-  }
+        col("bkts"))
 
   /** [[dedupIncremental]] against an already-derived (possibly
-    * artifact-stored) corpus side. */
+    * artifact-stored) corpus side. Candidates meet on slim
+    * (tbl, bucket) rows from BOTH sides' bucket arrays and dedupe on
+    * (vec_id, __cand_id) before the payload joins, so a pair colliding
+    * in several tables scores once. */
   def dedupIncrementalPre(c: DataFrame, batch: DataFrame, tau: Double,
       bits: Int, dim: Int = Similarity.Dim): DataFrame = {
-    val planes = Similarity.hyperplanesFor(bits, dim)
     val b = normalized(batch)
-      .withColumn("bucket", Similarity.lshBucket(col("e"), planes))
-      .select(col("vec_id"), col("e").as("eb"), col("nrm").as("nb"), col("bucket"))
-    val matches = b.join(c, Seq("bucket"))
+      .withColumn("bkts", Similarity.multiBuckets(col("e"), bits, dim = dim))
+      .select(col("vec_id"), col("e").as("eb"), col("nrm").as("nb"), col("bkts"))
+    def slim(df: DataFrame, id: String) = df
+      .select(col(id), posexplode(col("bkts")))
+      .select(col(id), col("pos").as("tbl"), col("col").as("bucket"))
+    val cand = slim(b, "vec_id").join(slim(c, "__cand_id"), Seq("tbl", "bucket"))
+      .select("vec_id", "__cand_id").dropDuplicates("vec_id", "__cand_id")
+    val matches = cand
+      .join(b.select(col("vec_id"), col("eb"), col("nb")), Seq("vec_id"))
+      .join(c.select(col("__cand_id"), col("ec"), col("nc")), Seq("__cand_id"))
       .select(col("vec_id"), col("__cand_id"),
         cosinePre(col("eb"), col("ec"), col("nb"), col("nc")).as("sim"))
       .filter(col("sim") >= tau)
@@ -260,11 +290,12 @@ object Dedup {
     // 109 s at 100× data); the batch side MUST hash with the corpus's
     // bit count, so bits derive from the corpus row count — the same
     // count the oracle re-derives in SQL
-    val bits = Similarity.scaledBits(
+    val bits = Similarity.multiTableBits(
       Tables.cachedCount(s, dir, "emb_nonnull_mod5ne0")(
         normalized(corpusRaw).count()),
       IncrementalBits)
-    val corpusPath = graft.ArtifactStore.ensureCurrent(s, "inc_corpus_emb_v2",
+    // v3: the corpus side carries the LshTables-slot bucket array
+    val corpusPath = graft.ArtifactStore.ensureCurrent(s, "inc_corpus_emb_v3",
       Tables.dirFingerprint(s, dir)) { staging =>
       corpusSideEmb(corpusRaw, bits)
         .write.mode("overwrite").parquet(staging)
@@ -273,21 +304,26 @@ object Dedup {
       emb.filter(col("vec_id") % 5 === 0), IncrementalTau, bits)
   }
 
-  /** Generated DuckDB oracle for q42 (same planes, same split, same
-    * corpus count → same corpus-scaled bit count on both sides). */
+  /** Generated DuckDB oracle for q42 (same planes → same L per-table
+    * buckets, same split, same corpus count → same corpus-scaled bit
+    * count on both sides; the OR-join admits each candidate once). */
   def dedupIncrementalOracleSql: String = {
-    val bucketExpr = Similarity.scaledBucketSqlExpr(
+    val bitsExpr = Similarity.multiTableBitsSql(
       "(SELECT COUNT(*) FROM v WHERE vec_id % 5 <> 0)", IncrementalBits)
+    val bcols = (0 until Similarity.LshTables).map(t =>
+      s"${Similarity.tableBucketSqlExpr(t, bitsExpr)} AS b$t").mkString(",\n  ")
+    val orCond = (0 until Similarity.LshTables)
+      .map(t => s"bt.b$t = c.b$t").mkString(" OR ")
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE embedding IS NOT NULL),
        |n AS (SELECT vec_id, e,
        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm,
-       |  $bucketExpr AS bucket FROM v),
+       |  $bcols FROM v),
        |p AS (SELECT bt.vec_id AS vec_id, c.vec_id AS cand_id,
        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(range(1, len(bt.e)+1), i -> bt.e[i]*c.e[i])), (x,y) -> x+y)
        |   / (bt.nrm * c.nrm) AS sim
-       |  FROM n bt JOIN n c ON bt.bucket = c.bucket
+       |  FROM n bt JOIN n c ON ($orCond)
        |  WHERE bt.vec_id % 5 = 0 AND c.vec_id % 5 <> 0),
        |m AS (SELECT vec_id, cand_id, sim,
        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cand_id) AS rn

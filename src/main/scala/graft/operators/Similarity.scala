@@ -132,6 +132,60 @@ object Similarity {
     s"(${bucketSqlExpr(hyperplanesFor(MaxLshBits))}) % " +
       s"(CAST(1 AS BIGINT) << ${scaledBitsSql(nExpr, minBits)})"
 
+  /** OR-amplified multi-table sign-LSH (round 11). One bucket table
+    * retains a cosine-τ pair with probability p^bits (p = 1 − θ/π), and
+    * the corpus-scaled ladder RAISES bits with n — so single-table
+    * recall DECAYS as the corpus grows. The round-11 sampled audit
+    * (tools/BlockedRecallAudit) measured exactly that: q40's τ=0.35
+    * pair recall fell from 0.17 at sf0.1 (bits 4, p⁴ ≈ 0.14 predicted)
+    * to 0.06 at sf1 (bits 6, p⁶ ≈ 0.054 predicted), and at the
+    * production near-dup point (τ ≈ 0.97) the 100 TB ladder's 12 bits
+    * would hold only p¹² ≈ 0.38. The standard amplification (LSH-book
+    * banding applied to sign-LSH): [[LshTables]] independent tables, a
+    * pair is a candidate when it collides in ANY of them — survival
+    * 1 − (1 − p^b)^L, e.g. ≈ 0.98 at τ=0.97 with b=12, L=8. Per-table
+    * bits ride the SAME ladder plus one ([[multiTableBits]] — halving
+    * per-table buckets keeps total candidate volume ≈ L/2 × the old
+    * single-table volume instead of L×), so the whole schedule stays an
+    * integer function of the corpus count that the oracles replay. Used
+    * by the q40/q41/q42 blocked-dedup family; the serving-side q28/q54
+    * keep single-table + multiprobe (query-time probing is their
+    * recovery path — a self-join can't multiprobe without L× rows,
+    * which is exactly what the tables are). */
+  val LshTables = 8
+
+  def multiTableBits(n: Long, minBits: Int = LshBits): Int =
+    math.min(MaxLshBits, scaledBits(n, minBits) + 1)
+
+  /** SQL twin of [[multiTableBits]]. */
+  def multiTableBitsSql(nExpr: String, minBits: Int = LshBits): String =
+    s"LEAST($MaxLshBits, ${scaledBitsSql(nExpr, minBits)} + 1)"
+
+  /** Table t's plane slice: ONE fixed-seed stream of planes, table t
+    * owning [t·MaxLshBits, t·MaxLshBits + bits) — table 0 is
+    * bit-identical to the single-table [[lshBucket]] stack, and every
+    * table's ladder masking stays prefix-consistent (the
+    * [[scaledBucketSqlExpr]] argument, per table). */
+  def tablePlanes(t: Int, bits: Int, dim: Int = Dim): Seq[Seq[Double]] =
+    hyperplanesFor(t * MaxLshBits + bits, dim).drop(t * MaxLshBits)
+
+  /** Array of the L per-table bucket ids of a (unit-agnostic) vector. */
+  def multiBuckets(e: org.apache.spark.sql.Column, bits: Int,
+      tables: Int = LshTables, dim: Int = Dim): org.apache.spark.sql.Column =
+    array((0 until tables).map(t => lshBucket(e, tablePlanes(t, bits, dim))): _*)
+
+  /** Slim (vec_id, tbl, bucket) candidate rows — L per vector. The id
+    * column of `v` must be `vec_id` and the vector column `e`. */
+  private[operators] def multiBucketRows(v: DataFrame, bits: Int,
+      tables: Int = LshTables, dim: Int = Dim): DataFrame =
+    v.select(col("vec_id"), posexplode(multiBuckets(col("e"), bits, tables, dim)))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
+
+  /** SQL twin of table t's masked bucket (bitsExpr = the ladder SQL). */
+  def tableBucketSqlExpr(t: Int, bitsExpr: String, dim: Int = Dim): String =
+    s"(${bucketSqlExpr(tablePlanes(t, MaxLshBits, dim))}) % " +
+      s"(CAST(1 AS BIGINT) << ($bitsExpr))"
+
   /** Sign-LSH bucket id of an array<double> column. */
   def lshBucket(e: org.apache.spark.sql.Column,
       planes: Seq[Seq[Double]] = hyperplanes): org.apache.spark.sql.Column =
@@ -659,32 +713,42 @@ object Similarity {
       .orderBy("src_id", "rank")
   }
 
-  /** q41: LSH-cell-blocked approximate k-NN self-join — the oracle-gated
-    * q29 scale path. Every vector scores only the others in its sign-LSH
-    * bucket, so pairwise work drops from n² to Σ|bucket|² ≈ n²/2^bits
-    * (and, unlike the k-means cells of [[knnJoinBlocked]], the blocking
-    * is a pure function of the fixed hyperplanes — reproducible in any
-    * engine, which is what lets the DuckDB oracle check it exactly).
-    * Vectors alone in their bucket emit no rows; the approximation trade
-    * is identical to q28's and multiprobe recovers recall the same way.
-    * The bit count is corpus-scaled ([[scaledBits]] — the sf10 lesson:
-    * 4 fixed bits cost 406 s at 100× data; the ladder keeps expected
-    * bucket size ≤ [[TargetBucket]] and the oracle derives the same
-    * count, so the gate checks the sizing too). */
+  /** q41: LSH-blocked approximate k-NN self-join — the oracle-gated
+    * q29 scale path. Every vector scores only the others sharing ≥1 of
+    * its [[LshTables]] sign-LSH buckets, so pairwise work drops from n²
+    * to L·Σ|bucket|² ≈ L·n²/2^bits (and, unlike the k-means cells of
+    * [[knnJoinBlocked]], the blocking is a pure function of the fixed
+    * hyperplanes — reproducible in any engine, which is what lets the
+    * DuckDB oracle check it exactly). Vectors colliding with nobody
+    * emit no rows. The bit count is corpus-scaled ([[multiTableBits]] —
+    * the sf10 lesson: 4 fixed bits cost 406 s at 100× data; the ladder
+    * keeps expected per-table bucket size bounded and the oracle
+    * derives the same count, so the gate checks the sizing too), and
+    * the OR over tables is what keeps neighbor recall from decaying as
+    * the ladder grows with the corpus (see [[LshTables]] — the
+    * round-11 audit measured 0.06 single-table edge survival at sf1). */
   def knnJoinLshBlocked(s: SparkSession, dir: String): DataFrame = {
     val n = graft.Tables.cachedCount(s, dir, "emb_nonnull")(
       Dedup.normalized(graft.Tables.embeddings(s, dir)).count())
-    knnJoinLshBlocked(graft.Tables.embeddings(s, dir), bits = scaledBits(n))
+    knnJoinLshBlocked(graft.Tables.embeddings(s, dir), bits = multiTableBits(n))
   }
 
-  def knnJoinLshBlocked(embeddings: DataFrame, k: Int = 3, bits: Int = LshBits): DataFrame = {
-    val planes = hyperplanesFor(bits)
-    val v = Dedup.normalized(embeddings).withColumn("bucket", lshBucket(col("e"), planes))
-    val a = v.select(col("vec_id").as("src_id"), col("e").as("ea"),
-      col("nrm").as("na"), col("bucket"))
-    val b = v.select(col("vec_id").as("__cand_id"), col("e").as("eb"),
-      col("nrm").as("nb"), col("bucket"))
-    val scored = a.join(b, Seq("bucket")).filter(col("src_id") =!= col("__cand_id"))
+  def knnJoinLshBlocked(embeddings: DataFrame, k: Int = 3, bits: Int = LshBits,
+      tables: Int = LshTables): DataFrame = {
+    val v = Dedup.normalized(embeddings)
+    val slim = multiBucketRows(v, bits, tables)
+    // dedupe candidates BEFORE scoring: a pair colliding in several
+    // tables must score once, not occupy two top-k slots
+    val cand = slim.select(col("vec_id").as("src_id"), col("tbl"), col("bucket"))
+      .join(slim.select(col("vec_id").as("__cand_id"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("src_id") =!= col("__cand_id"))
+      .select("src_id", "__cand_id").dropDuplicates("src_id", "__cand_id")
+    val scored = cand
+      .join(v.select(col("vec_id").as("src_id"), col("e").as("ea"),
+        col("nrm").as("na")), Seq("src_id"))
+      .join(v.select(col("vec_id").as("__cand_id"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("__cand_id"))
       .select(col("src_id"), col("__cand_id"),
         cosinePre(col("ea"), col("eb"), col("na"), col("nb")).as("sim"))
     explodeTopK(scored, "src_id", "nbr_id", k)
@@ -692,22 +756,28 @@ object Similarity {
   }
 
   /** Generated DuckDB oracle for q41: same hyperplane constants → same
-    * buckets → same candidate set; the corpus-scaled bit count is
-    * re-derived IN SQL from the same row count and applied as a low-bit
-    * mask of the full [[MaxLshBits]]-plane bucket; ranking replayed as
-    * a window. */
+    * L per-table buckets → same candidate set (the OR over table
+    * columns is exactly "collides in ≥1 table", and an OR-join pairs
+    * each candidate once — the SQL mirror of the Spark side's
+    * dropDuplicates); the corpus-scaled bit count is re-derived IN SQL
+    * from the same row count and applied as a low-bit mask of each
+    * table's [[MaxLshBits]]-plane bucket; ranking replayed as a
+    * window. */
   def knnJoinLshOracleSql(k: Int = 3): String = {
-    val bucketExpr = scaledBucketSqlExpr("(SELECT COUNT(*) FROM v)")
+    val bitsExpr = multiTableBitsSql("(SELECT COUNT(*) FROM v)")
+    val bcols = (0 until LshTables).map(t =>
+      s"${tableBucketSqlExpr(t, bitsExpr)} AS b$t").mkString(",\n  ")
+    val orCond = (0 until LshTables).map(t => s"a.b$t = b.b$t").mkString(" OR ")
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE embedding IS NOT NULL),
        |n AS (SELECT vec_id, e,
        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm,
-       |  $bucketExpr AS bucket FROM v),
+       |  $bcols FROM v),
        |p AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i])), (x,y) -> x+y)
        |   / (a.nrm * b.nrm) AS sim
-       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id AND ($orCond)),
        |r AS (SELECT src_id, nbr_id, sim,
        |  ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY sim DESC, nbr_id) AS rank
        |  FROM p)

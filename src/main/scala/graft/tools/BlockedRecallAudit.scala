@@ -1,0 +1,160 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{ApproxDedup, Dedup, Similarity, TextAnalysis}
+
+/** At-scale sampled recall audits for the BLOCKED scale paths that are
+  * not covered by [[BandingRecallAudit]] (which proved the jpairs LSH
+  * banding at sf0.1/1/10): the sign-LSH embedding blocks behind
+  * q40/q41/q42 and the q215 containment banding. Until round 11 these
+  * were proven blocked == exact only at gated test scale plus planted
+  * fixtures; this tool turns their at-scale recall into a measured
+  * NUMBER the same way the jpairs audit did.
+  *
+  * Method (identical sampling stance to [[BandingRecallAudit]]): draw a
+  * deterministic md5Long(id) % mod == 0 sample — unbiased w.r.t. id
+  * layout — compute the EXACT truth within the sample (cheap: the
+  * quadratic exact twins cost sample², not corpus²), and measure how
+  * much of it the blocking at FULL-CORPUS granularity retains. A sample
+  * pair is a uniform draw of true pairs with both endpoints sampled, so
+  * recovered/exact estimates corpus-wide blocking recall.
+  *
+  *  - q40 (τ=0.35 blocked near-dup pairs): exact = all-pairs cosine ≥ τ
+  *    within the vector sample; recovered = those pairs present in the
+  *    FULL corpus `embeddingBlockedPairs` output (end-to-end: the
+  *    production frame itself, which also bakes in the corpus-scaled
+  *    bit count).
+  *  - q41 (LSH-blocked 3-NN self-join): exact = top-3 edges within the
+  *    sample; survived = edges whose endpoints share a sign-LSH bucket
+  *    at the FULL-corpus-scaled bit count. Edge survival is the right
+  *    metric here — an out-of-bucket true neighbor is unreachable at
+  *    any k, while the full top-3 output is not sample-comparable (its
+  *    candidates rank against the whole corpus).
+  *  - q42 (incremental batch-vs-corpus dedup, τ=0.30): exact = all
+  *    τ-matches between the sampled batch (vec_id % 5 == 0) and sampled
+  *    corpus sides; survived = matches sharing a bucket at the
+  *    corpus-scaled bit count; plus matched-vector retention (a batch
+  *    vector flips to "new" only if ALL its matches are out-of-bucket —
+  *    the user-visible failure).
+  *  - q215 (blocked containment): exact = q79's `containmentPairs` on
+  *    the document sample; recovered = those ordered pairs present in
+  *    the FULL corpus `containmentBlocked` artifact (end-to-end: bucket
+  *    caps and hit floors act on full-corpus band buckets, so only the
+  *    production table measures them honestly).
+  *
+  * Usage:
+  *   sbt "runMain graft.tools.BlockedRecallAudit <sfDir> [mod] [families]"
+  * families = comma list of q40,q41,q42,q215 (default: all four).
+  * Prints one JSON line per family:
+  *   {"metric":"blocked_recall","family":…,"sample_n":…,"exact":…,
+  *    "recovered":…,"recall_r":…}  (q42 adds matched-vector retention).
+  * A zero `exact` is an honest null (raise the density via mod), as in
+  * the round-9 jpairs runs. */
+object BlockedRecallAudit {
+
+  private def recallR(exact: Long, rec: Long): Double =
+    if (exact == 0) 1.0 else math.rint(rec.toDouble / exact * 1e6) / 1e6
+
+  private def sampleIds(df: DataFrame, idCol: String, mod: Int): DataFrame =
+    df.filter(TextAnalysis.md5Long(col(idCol).cast("string")) % mod === 0L)
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val mod = if (args.length > 1) args(1).toInt else 16
+    val families: Set[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).toSet
+      else Set("q40", "q41", "q42", "q215")
+    val spark = graft.GraftSession.builder().getOrCreate()
+    try {
+      val emb = Tables.embeddings(spark, dir)
+      lazy val fullN = Dedup.normalized(emb).count()
+      lazy val sampleEmb = sampleIds(emb, "vec_id", mod).localCheckpoint()
+
+      def emit(family: String, n: Long, exact: Long, rec: Long,
+          extra: String = ""): Unit =
+        println(s"""{"metric":"blocked_recall","family":"$family",""" +
+          s""""mod":$mod,"sample_n":$n,"exact":$exact,"recovered":$rec,""" +
+          s""""recall_r":${recallR(exact, rec)}$extra}""")
+
+      if (families("q40")) {
+        val nS = sampleEmb.count()
+        val exact = Dedup.nearDupPairs(sampleEmb, Dedup.BlockedTau)
+          .select("a_id", "b_id").localCheckpoint()
+        val nExact = exact.count()
+        val rec = exact.join(
+          Dedup.embeddingBlockedPairs(spark, dir).select("a_id", "b_id"),
+          Seq("a_id", "b_id")).count()
+        emit("q40", nS, nExact, rec)
+      }
+
+      if (families("q41")) {
+        val nS = sampleEmb.count()
+        val bits = Similarity.multiTableBits(fullN)
+        val buckets = Dedup.normalized(sampleEmb)
+          .select(col("vec_id"),
+            Similarity.multiBuckets(col("e"), bits).as("bkts"))
+          .localCheckpoint()
+        val edges = Similarity.knnJoin(sampleEmb).select("src_id", "nbr_id")
+          .localCheckpoint()
+        val nEdges = edges.count()
+        // survival = collides in ≥1 of the L tables
+        val survived = edges
+          .join(buckets.select(col("vec_id").as("src_id"), col("bkts").as("ba")),
+            Seq("src_id"))
+          .join(buckets.select(col("vec_id").as("nbr_id"), col("bkts").as("bb")),
+            Seq("nbr_id"))
+          .filter(exists(zip_with(col("ba"), col("bb"), (x, y) => x === y),
+            b => b)).count()
+        emit("q41", nS, nEdges, survived, s""","bits":$bits""")
+      }
+
+      if (families("q42")) {
+        // bit count derives from the FULL validated-corpus count,
+        // exactly as dedupIncrementalQ computes it
+        val corpusN = Dedup.normalized(emb.filter(col("vec_id") % 5 =!= 0)).count()
+        val bits = Similarity.multiTableBits(corpusN, Dedup.IncrementalBits)
+        def side(f: DataFrame) = Dedup.normalized(f)
+          .withColumn("bkts", Similarity.multiBuckets(col("e"), bits))
+        val bS = side(sampleEmb.filter(col("vec_id") % 5 === 0)).localCheckpoint()
+        val cS = side(sampleEmb.filter(col("vec_id") % 5 =!= 0)).localCheckpoint()
+        val nB = bS.count()
+        val matches = bS.select(col("vec_id"), col("e").as("eb"),
+            col("nrm").as("nb"), col("bkts").as("ba"))
+          .crossJoin(cS.select(col("vec_id").as("cand_id"), col("e").as("ec"),
+            col("nrm").as("nc"), col("bkts").as("bb")))
+          .withColumn("sim", graft.functions.VectorOps.cosinePre(
+            col("eb"), col("ec"), col("nb"), col("nc")))
+          .filter(col("sim") >= Dedup.IncrementalTau)
+          .select(col("vec_id"), col("cand_id"),
+            exists(zip_with(col("ba"), col("bb"), (x, y) => x === y),
+              b => b).as("inb"))
+          .localCheckpoint()
+        val nExact = matches.count()
+        val rec = matches.filter(col("inb")).count()
+        val vecsMatched = matches.select("vec_id").distinct().count()
+        val vecsRetained = matches.filter(col("inb"))
+          .select("vec_id").distinct().count()
+        emit("q42", nB, nExact, rec,
+          s""","bits":$bits,"vecs_matched":$vecsMatched""" +
+            s""","vecs_retained":$vecsRetained""" +
+            s""","vec_recall_r":${recallR(vecsMatched, vecsRetained)}""")
+      }
+
+      if (families("q215")) {
+        val docs = sampleIds(Tables.documents(spark, dir), "doc_id", mod)
+          .localCheckpoint()
+        val nS = docs.count()
+        val exact = ApproxDedup.containmentPairs(docs)
+          .select("a_id", "b_id").localCheckpoint()
+        val nExact = exact.count()
+        val rec = exact.join(
+          ApproxDedup.containmentBlocked(spark, dir).select("a_id", "b_id"),
+          Seq("a_id", "b_id")).count()
+        emit("q215", nS, nExact, rec)
+      }
+    } finally spark.stop()
+  }
+}

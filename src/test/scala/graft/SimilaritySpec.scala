@@ -227,11 +227,18 @@ class SimilaritySpec extends SparkTestBase {
     val perSrc = out.groupBy(_.getAs[Long]("src_id"))
     assert(perSrc.forall(_._2.length <= 3))
     assert(perSrc.nonEmpty)
-    val bucketOf = Dedup.normalized(em)
-      .withColumn("bucket", Similarity.lshBucket(col("e")))
-      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    // multi-table blocking: a reported pair must share ≥1 of its
+    // LshTables per-table buckets (default entry: bits = LshBits)
+    val bucketsOf = Dedup.normalized(em)
+      .select(col("vec_id"),
+        Similarity.multiBuckets(col("e"), Similarity.LshBits).as("bkts"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1).toIndexedSeq).toMap
     out.foreach { r =>
-      assert(bucketOf(r.getAs[Long]("src_id")) === bucketOf(r.getAs[Long]("nbr_id")))
+      val (s0, n0) = (bucketsOf(r.getAs[Long]("src_id")),
+        bucketsOf(r.getAs[Long]("nbr_id")))
+      assert(s0.indices.exists(t => s0(t) == n0(t)),
+        "reported pair collides in no table")
     }
     // within a bucket the ranking is the exact ranking: rank-1 neighbor's
     // sim must be >= every other reported sim for that source
