@@ -82,12 +82,66 @@ object BlockedRecallAudit {
       if (families("q40")) {
         val nS = sampleEmb.count()
         val exact = Dedup.nearDupPairs(sampleEmb, Dedup.BlockedTau)
-          .select("a_id", "b_id").localCheckpoint()
+          .select("a_id", "b_id", "sim").localCheckpoint()
         val nExact = exact.count()
-        val rec = exact.join(
-          Dedup.embeddingBlockedPairs(spark, dir).select("a_id", "b_id"),
-          Seq("a_id", "b_id")).count()
+        val hit = exact.join(
+          Dedup.embeddingBlockedPairs(spark, dir)
+            .select(col("a_id"), col("b_id"), lit(1L).as("__hit")),
+          Seq("a_id", "b_id"), "left")
+          .select(col("sim"), coalesce(col("__hit"), lit(0L)).as("h"))
+          .localCheckpoint()
+        val rec = hit.filter(col("h") === 1L).count()
         emit("q40", nS, nExact, rec)
+        // recall BY SIM DECILE: blocking recall is an S-curve in the
+        // pair angle, so the overall number mixes the regime that
+        // matters (true near-dups, sim ≥ 0.9) with the barely-similar
+        // tail; this is the per-band readout
+        hit.groupBy(floor(col("sim") * 10).cast("long").as("sim_decile"))
+          .agg(count(lit(1)).as("n"), sum(col("h")).as("rec"))
+          .orderBy("sim_decile").collect()
+          .foreach { r =>
+            val (d, n2, r2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+            println(s"""{"metric":"blocked_recall_band","family":"q40",""" +
+              s""""sim_decile":$d,"exact":$n2,"recovered":$r2,""" +
+              s""""recall_r":${recallR(n2, r2)}}""")
+          }
+      }
+
+      if (families("q40plant")) {
+        // The test corpus has NO high-sim pairs (max exact cosine ≈ 0.6
+        // at sf10), so the regime that matters in production — true
+        // near-dups — can't be measured from corpus pairs. Plant them:
+        // for the 500 md5-lowest vec_ids, inject a perturbed copy at
+        // cos ≈ 0.97 under a fresh id, run the SAME blocked pair path
+        // at the corpus-scaled schedule, and measure planted-pair
+        // recovery. This is the at-scale version of the spec's planted
+        // fixture, at the REAL sf10 bit count.
+        val v = Dedup.normalized(emb).localCheckpoint()
+        val maxId = v.agg(max(col("vec_id"))).first().getLong(0)
+        val seed = v.orderBy(TextAnalysis.md5Long(col("vec_id").cast("string")))
+          .limit(500).localCheckpoint()
+        val planes0 = Similarity.hyperplanesFor(1).head // fixed direction
+        val pl = array(planes0.map(lit): _*)
+        val planted = seed.select(
+          (col("vec_id") + maxId + 1L).as("vec_id"),
+          zip_with(col("e"), pl,
+            (x, h) => x + h * col("nrm") * 0.0313).as("embedding"))
+        val union = v.select(col("vec_id"), col("e").as("embedding"))
+          .unionByName(planted).localCheckpoint()
+        val n = union.count()
+        // honest denominator: planted pairs whose EXACT cosine ≥ 0.9
+        val np = Dedup.normalized(planted)
+        val nExact = seed.select(col("vec_id"), col("e").as("ea"), col("nrm").as("na"))
+          .join(np.select((col("vec_id") - maxId - 1L).as("vec_id"),
+            col("e").as("eb"), col("nrm").as("nb")), Seq("vec_id"))
+          .filter(graft.functions.VectorOps.cosinePre(col("ea"), col("eb"),
+            col("na"), col("nb")) >= 0.9)
+          .count()
+        val bits = Similarity.multiTableBits(n, Dedup.BlockedBits)
+        val rec = Dedup.nearDupPairsBlocked(union, 0.9, bits)
+          .filter(col("b_id") > maxId && col("a_id") === col("b_id") - maxId - 1L)
+          .count()
+        emit("q40plant", n, nExact, rec, s""","bits":$bits""")
       }
 
       if (families("q41")) {
