@@ -142,21 +142,31 @@ object Dedup {
 
   def nearDupPairsBlocked(embeddings: DataFrame, tau: Double, bits: Int,
       tables: Int = Similarity.LshTables): DataFrame = {
+    // payloads ride the EXPLODED (tbl, bucket) rows — L slim copies of
+    // each vector (L·n rows) — so scoring happens INSIDE the pipelined
+    // collision join and no pair row ever carries an array through an
+    // exchange. The first multi-table cut materialized candidate pairs
+    // and fetched payloads after: the second fetch shuffled |pairs| ×
+    // 544 B ≈ 31 GB at sf10 (q40 measured 99 s isolated); this shape
+    // shuffles L·|corpus| × 544 B ≈ 0.9 GB and the 57M cosines are
+    // codegen-pipelined. Dedup runs on the τ-FILTERED output (sim is a
+    // pure function of the pair, so post-filter dropDuplicates is
+    // value-identical to pre-scoring dedup and operates on ~2 % of the
+    // rows).
     val v = normalized(embeddings)
-    val slim = Similarity.multiBucketRows(v, bits, tables)
-    val cand = slim.select(col("vec_id").as("a_id"), col("tbl"), col("bucket"))
-      .join(slim.select(col("vec_id").as("b_id"), col("tbl"), col("bucket")),
-        Seq("tbl", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
-    cand
-      .join(v.select(col("vec_id").as("a_id"), col("e").as("ea"),
-        col("nrm").as("na")), Seq("a_id"))
-      .join(v.select(col("vec_id").as("b_id"), col("e").as("eb"),
-        col("nrm").as("nb")), Seq("b_id"))
+    val w = v.select(col("vec_id"), col("e"), col("nrm"),
+        posexplode(Similarity.multiBuckets(col("e"), bits, tables)))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        col("pos").as("tbl"), col("col").as("bucket"))
+    val a = w.select(col("vec_id").as("a_id"), col("e").as("ea"),
+      col("nrm").as("na"), col("tbl"), col("bucket"))
+    val b = w.select(col("vec_id").as("b_id"), col("e").as("eb"),
+      col("nrm").as("nb"), col("tbl"), col("bucket"))
+    a.join(b, Seq("tbl", "bucket")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         cosinePre(col("ea"), col("eb"), col("na"), col("nb")).as("sim"))
       .filter(col("sim") >= tau)
+      .dropDuplicates("a_id", "b_id")
   }
 
   /** q40 parameters: τ low enough that the test corpus (near-random
@@ -247,26 +257,29 @@ object Dedup {
         col("bkts"))
 
   /** [[dedupIncremental]] against an already-derived (possibly
-    * artifact-stored) corpus side. Candidates meet on slim
-    * (tbl, bucket) rows from BOTH sides' bucket arrays and dedupe on
-    * (vec_id, __cand_id) before the payload joins, so a pair colliding
-    * in several tables scores once. */
+    * artifact-stored) corpus side. Both sides explode to L
+    * payload-carrying (tbl, bucket) rows so scoring is pipelined
+    * inside the collision join (the q40 round-11 lesson: fetching
+    * payloads per candidate pair shuffles |pairs|·544 B); the
+    * τ-filtered matches dedupe on (vec_id, __cand_id) — sim is
+    * pair-pure, so post-scoring dedup is value-identical — before the
+    * top-1 heap. */
   def dedupIncrementalPre(c: DataFrame, batch: DataFrame, tau: Double,
       bits: Int, dim: Int = Similarity.Dim): DataFrame = {
     val b = normalized(batch)
-      .withColumn("bkts", Similarity.multiBuckets(col("e"), bits, dim = dim))
-      .select(col("vec_id"), col("e").as("eb"), col("nrm").as("nb"), col("bkts"))
-    def slim(df: DataFrame, id: String) = df
-      .select(col(id), posexplode(col("bkts")))
-      .select(col(id), col("pos").as("tbl"), col("col").as("bucket"))
-    val cand = slim(b, "vec_id").join(slim(c, "__cand_id"), Seq("tbl", "bucket"))
-      .select("vec_id", "__cand_id").dropDuplicates("vec_id", "__cand_id")
-    val matches = cand
-      .join(b.select(col("vec_id"), col("eb"), col("nb")), Seq("vec_id"))
-      .join(c.select(col("__cand_id"), col("ec"), col("nc")), Seq("__cand_id"))
+      .select(col("vec_id"), col("e").as("eb"), col("nrm").as("nb"),
+        posexplode(Similarity.multiBuckets(col("e"), bits, dim = dim)))
+      .select(col("vec_id"), col("eb"), col("nb"),
+        col("pos").as("tbl"), col("col").as("bucket"))
+    val cSlim = c.select(col("__cand_id"), col("ec"), col("nc"),
+        posexplode(col("bkts")))
+      .select(col("__cand_id"), col("ec"), col("nc"),
+        col("pos").as("tbl"), col("col").as("bucket"))
+    val matches = b.join(cSlim, Seq("tbl", "bucket"))
       .select(col("vec_id"), col("__cand_id"),
         cosinePre(col("eb"), col("ec"), col("nb"), col("nc")).as("sim"))
       .filter(col("sim") >= tau)
+      .dropDuplicates("vec_id", "__cand_id")
     val best = Similarity.explodeTopKPerGroup(matches, "vec_id", "match_id", 1)
     batch.select(col("vec_id"))
       .join(best, Seq("vec_id"), "left")
@@ -294,9 +307,12 @@ object Dedup {
       Tables.cachedCount(s, dir, "emb_nonnull_mod5ne0")(
         normalized(corpusRaw).count()),
       IncrementalBits)
-    // v3: the corpus side carries the LshTables-slot bucket array
+    // v3: the corpus side carries the LshTables-slot bucket array; the
+    // schedule rides the fingerprint so a bits/tables change can never
+    // serve a stale bucketing
     val corpusPath = graft.ArtifactStore.ensureCurrent(s, "inc_corpus_emb_v3",
-      Tables.dirFingerprint(s, dir)) { staging =>
+      Tables.dirFingerprint(s, dir,
+        s"incdedup;bits=$bits;tables=${Similarity.LshTables}")) { staging =>
       corpusSideEmb(corpusRaw, bits)
         .write.mode("overwrite").parquet(staging)
     }

@@ -76,32 +76,43 @@ object QualityClassifier {
     s"(CASE $arms ELSE ${1L << 41} END)"
   }
 
-  private val B = TextAnalysis.FhBuckets // 16 hashed buckets + bias
+  private[operators] val B = TextAnalysis.FhBuckets // 16 hashed buckets + bias
+
+  /** Per-doc micro feature row for any label column: input must carry
+    * (doc_id, <labels...>, text); output is (doc_id, <labels...>,
+    * x0 (bias), x1..x16) — the q89 hashed bag-of-words as micro
+    * frequencies, label columns riding the one map-side-combined
+    * aggregate for free. Shared by q217 and the q218 one-vs-rest
+    * langid classifier. */
+  private[operators] def featureFrameWith(base: DataFrame,
+      labelCols: Seq[String]): DataFrame = {
+    val labels = labelCols.map(col)
+    val wb = base
+      .select(col("doc_id") +: labels :+
+        explode(TextAnalysis.words(col("text"))).as("w"): _*)
+      .select(col("doc_id") +: labels :+
+        (TextAnalysis.md5Long(concat_ws(":", lit("fh"), col("w"))) % B).as("b"): _*)
+    val aggs = (0 until B).map(i =>
+      sum(when(col("b") === i, 1L).otherwise(0L)).as(s"c$i")) :+
+      count(lit(1)).as("nw")
+    val counts = wb.groupBy(col("doc_id") +: labels: _*).agg(aggs.head, aggs.tail: _*)
+    val xs = (0 until B).map(i => expr(s"c$i * 1000000 div nw").as(s"x${i + 1}"))
+    counts.select(col("doc_id") +: labels ++:
+      lit(1000000L).as("x0") +: xs: _*)
+  }
 
   /** Per-doc micro feature row: doc_id, y (micro label), x0 (bias) ..
     * x16. Same bucket hash as q89's featureHash. */
-  private[operators] def featureFrame(docs: DataFrame): DataFrame = {
-    val base = docs
+  private[operators] def featureFrame(docs: DataFrame): DataFrame =
+    featureFrameWith(docs
       .filter(col("text").isNotNull && col("source").isNotNull)
       .select(col("doc_id"),
         when(expr("substring(source, 4)").rlike("^[0-9]{1,18}$") &&
             expr("try_cast(substring(source, 4) AS LONG)") % 2 === 0,
           1000000L).otherwise(0L).as("y"),
-        col("text"))
-    val wb = base
-      .select(col("doc_id"), col("y"),
-        explode(TextAnalysis.words(col("text"))).as("w"))
-      .select(col("doc_id"), col("y"),
-        (TextAnalysis.md5Long(concat_ws(":", lit("fh"), col("w"))) % B).as("b"))
-    val aggs = (0 until B).map(i =>
-      sum(when(col("b") === i, 1L).otherwise(0L)).as(s"c$i")) :+
-      count(lit(1)).as("nw")
-    val counts = wb.groupBy(col("doc_id"), col("y")).agg(aggs.head, aggs.tail: _*)
-    val xs = (0 until B).map(i => expr(s"c$i * 1000000 div nw").as(s"x${i + 1}"))
-    counts.select(col("doc_id") +: col("y") +: lit(1000000L).as("x0") +: xs: _*)
-  }
+        col("text")), Seq("y"))
 
-  private def zSql(w: Array[Long], prefix: String = ""): String =
+  private[operators] def zSql(w: Array[Long], prefix: String = ""): String =
     "(" + (0 to B).map(i => s"${w(i)}L * ${prefix}x$i").mkString(" + ") +
       ") div 1000000"
 

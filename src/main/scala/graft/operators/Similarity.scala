@@ -144,22 +144,29 @@ object Similarity {
     * banding applied to sign-LSH): [[LshTables]] independent tables, a
     * pair is a candidate when it collides in ANY of them — survival
     * 1 − (1 − p^b)^L, e.g. ≈ 0.98 at τ=0.97 with b=12, L=8. Per-table
-    * bits ride the SAME ladder plus one ([[multiTableBits]] — halving
-    * per-table buckets keeps total candidate volume ≈ L/2 × the old
-    * single-table volume instead of L×), so the whole schedule stays an
-    * integer function of the corpus count that the oracles replay. Used
-    * by the q40/q41/q42 blocked-dedup family; the serving-side q28/q54
-    * keep single-table + multiprobe (query-time probing is their
-    * recovery path — a self-join can't multiprobe without L× rows,
-    * which is exactly what the tables are). */
+    * bits ride the SAME ladder plus log₂ L ([[multiTableBits]]): each
+    * table's buckets are 8× smaller, so the EIGHT tables together emit
+    * the same aggregate candidate volume as the old single table —
+    * recall is re-bought with hash diversity at equal cost, not with
+    * more pairs (measured at sf10: the +1 variant's 156M collision
+    * rows cost q40 348 s; the +3 schedule pays the old ~20M for
+    * planted-near-dup recall 0.48 → ~0.99). The whole schedule stays
+    * an integer function of the corpus count that the oracles replay.
+    * Used by the q40/q41/q42 blocked-dedup family; the serving-side
+    * q28/q54 keep single-table + multiprobe (query-time probing is
+    * their recovery path — a self-join can't multiprobe without L×
+    * rows, which is exactly what the tables are). The [[MaxLshBits]]
+    * cap binds at ~2M vectors; beyond it per-table buckets grow ∝ n
+    * again — the documented hand-off point to the IVF family (q65/
+    * q72/q188), whose nlist ladder keeps scaling. */
   val LshTables = 8
 
   def multiTableBits(n: Long, minBits: Int = LshBits): Int =
-    math.min(MaxLshBits, scaledBits(n, minBits) + 1)
+    math.min(MaxLshBits, scaledBits(n, minBits) + 3)
 
   /** SQL twin of [[multiTableBits]]. */
   def multiTableBitsSql(nExpr: String, minBits: Int = LshBits): String =
-    s"LEAST($MaxLshBits, ${scaledBitsSql(nExpr, minBits)} + 1)"
+    s"LEAST($MaxLshBits, ${scaledBitsSql(nExpr, minBits)} + 3)"
 
   /** Table t's plane slice: ONE fixed-seed stream of planes, table t
     * owning [t·MaxLshBits, t·MaxLshBits + bits) — table 0 is
@@ -169,14 +176,22 @@ object Similarity {
   def tablePlanes(t: Int, bits: Int, dim: Int = Dim): Seq[Seq[Double]] =
     hyperplanesFor(t * MaxLshBits + bits, dim).drop(t * MaxLshBits)
 
-  /** Array of the L per-table bucket ids of a (unit-agnostic) vector. */
+  /** Array of the L per-table bucket ids of a (unit-agnostic) vector —
+    * the native [[org.apache.spark.sql.graftbridge.SignLshBuckets]]
+    * kernel: the Column-expression form (L·bits CASE WHEN dots in a
+    * CreateArray) fell out of whole-stage codegen at L=8 × 12 planes
+    * and its interpreted evaluation was 70 s of q40's 72 s at sf10. */
   def multiBuckets(e: org.apache.spark.sql.Column, bits: Int,
-      tables: Int = LshTables, dim: Int = Dim): org.apache.spark.sql.Column =
-    array((0 until tables).map(t => lshBucket(e, tablePlanes(t, bits, dim))): _*)
+      tables: Int = LshTables, dim: Int = Dim): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, SignLshBuckets}
+    ColumnBridge.column(SignLshBuckets(ColumnBridge.expression(e),
+      hyperplanesFor((tables - 1) * MaxLshBits + bits, dim),
+      bits, MaxLshBits, tables))
+  }
 
   /** Slim (vec_id, tbl, bucket) candidate rows — L per vector. The id
     * column of `v` must be `vec_id` and the vector column `e`. */
-  private[operators] def multiBucketRows(v: DataFrame, bits: Int,
+  private[graft] def multiBucketRows(v: DataFrame, bits: Int,
       tables: Int = LshTables, dim: Int = Dim): DataFrame =
     v.select(col("vec_id"), posexplode(multiBuckets(col("e"), bits, tables, dim)))
       .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
@@ -735,22 +750,28 @@ object Similarity {
 
   def knnJoinLshBlocked(embeddings: DataFrame, k: Int = 3, bits: Int = LshBits,
       tables: Int = LshTables): DataFrame = {
+    // payloads ride the exploded (tbl, bucket) rows (L·n slim copies)
+    // so scoring is pipelined inside the collision join — no pair row
+    // carries an array through an exchange (the q40 round-11 lesson:
+    // fetching payloads per candidate pair shuffled |pairs|·544 B).
+    // Dedup runs on the SCORED slim rows (sim is pair-pure, so
+    // post-scoring dropDuplicates is value-identical to candidate
+    // dedup) BEFORE the top-k heap, so a pair colliding in several
+    // tables can't occupy two top-k slots.
     val v = Dedup.normalized(embeddings)
-    val slim = multiBucketRows(v, bits, tables)
-    // dedupe candidates BEFORE scoring: a pair colliding in several
-    // tables must score once, not occupy two top-k slots
-    val cand = slim.select(col("vec_id").as("src_id"), col("tbl"), col("bucket"))
-      .join(slim.select(col("vec_id").as("__cand_id"), col("tbl"), col("bucket")),
-        Seq("tbl", "bucket"))
+    val w = v.select(col("vec_id"), col("e"), col("nrm"),
+        posexplode(multiBuckets(col("e"), bits, tables)))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        col("pos").as("tbl"), col("col").as("bucket"))
+    val a = w.select(col("vec_id").as("src_id"), col("e").as("ea"),
+      col("nrm").as("na"), col("tbl"), col("bucket"))
+    val b = w.select(col("vec_id").as("__cand_id"), col("e").as("eb"),
+      col("nrm").as("nb"), col("tbl"), col("bucket"))
+    val scored = a.join(b, Seq("tbl", "bucket"))
       .filter(col("src_id") =!= col("__cand_id"))
-      .select("src_id", "__cand_id").dropDuplicates("src_id", "__cand_id")
-    val scored = cand
-      .join(v.select(col("vec_id").as("src_id"), col("e").as("ea"),
-        col("nrm").as("na")), Seq("src_id"))
-      .join(v.select(col("vec_id").as("__cand_id"), col("e").as("eb"),
-        col("nrm").as("nb")), Seq("__cand_id"))
       .select(col("src_id"), col("__cand_id"),
         cosinePre(col("ea"), col("eb"), col("na"), col("nb")).as("sim"))
+      .dropDuplicates("src_id", "__cand_id")
     explodeTopK(scored, "src_id", "nbr_id", k)
       .orderBy("src_id", "rank")
   }
