@@ -279,8 +279,10 @@ object Dedup {
       .select(col("vec_id"), col("__cand_id"),
         cosinePre(col("eb"), col("ec"), col("nb"), col("nc")).as("sim"))
       .filter(col("sim") >= tau)
-      .dropDuplicates("vec_id", "__cand_id")
-    val best = Similarity.explodeTopKPerGroup(matches, "vec_id", "match_id", 1)
+    // multi-table duplicates dedupe INSIDE the top-1 heap (sim is
+    // pair-pure) — no dropDuplicates exchange before the aggregate
+    val best = Similarity.explodeTopKPerGroup(matches, "vec_id", "match_id", 1,
+      distinctIds = true)
     batch.select(col("vec_id"))
       .join(best, Seq("vec_id"), "left")
       .select(col("vec_id"),

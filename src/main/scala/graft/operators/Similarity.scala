@@ -21,12 +21,16 @@ import graft.functions.VectorOps._
 object Similarity {
 
   /** Bounded-heap top-k aggregate column (score desc, id asc); see
-    * [[org.apache.spark.sql.graftbridge.TopKSimId]]. */
+    * [[org.apache.spark.sql.graftbridge.TopKSimId]]. `distinctIds`
+    * dedupes ids INSIDE the heap — value-identical to a dropDuplicates
+    * before the aggregate when duplicate ids always carry the same
+    * score (pair-pure similarity), without the dedup exchange. */
   private[operators] def topKAgg(sim: org.apache.spark.sql.Column,
-      id: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+      id: org.apache.spark.sql.Column, k: Int,
+      distinctIds: Boolean = false): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftbridge.{ColumnBridge, TopKSimId}
     ColumnBridge.column(TopKSimId(
-      ColumnBridge.expression(sim), ColumnBridge.expression(id), k)
+      ColumnBridge.expression(sim), ColumnBridge.expression(id), k, distinctIds)
       .toAggregateExpression())
   }
 
@@ -34,12 +38,13 @@ object Similarity {
     * ranks. Map-side partial aggregation ships ≤ k pairs per (partition,
     * group) into the shuffle, vs the window-rank idiom's full pair sort. */
   private[operators] def explodeTopKPerGroup(scored: DataFrame, group: String,
-      outId: String, k: Int): DataFrame = explodeTopK(scored, group, outId, k)
+      outId: String, k: Int, distinctIds: Boolean = false): DataFrame =
+    explodeTopK(scored, group, outId, k, distinctIds)
 
   private def explodeTopK(scored: DataFrame, group: String, outId: String,
-      k: Int): DataFrame =
+      k: Int, distinctIds: Boolean = false): DataFrame =
     scored.groupBy(col(group))
-      .agg(topKAgg(col("sim"), col("__cand_id"), k).as("tk"))
+      .agg(topKAgg(col("sim"), col("__cand_id"), k, distinctIds).as("tk"))
       .select(col(group), posexplode(col("tk")))
       // rank as long: DuckDB ROW_NUMBER() is BIGINT and the driver's
       // comparator hashes pandas dtypes, so an int32 here is a gate FAIL
@@ -50,9 +55,10 @@ object Similarity {
 
   /** Test hook: raw (g, sim, __cand_id) frame → top-k per g with raw sim
     * (no rounding), for property-testing TopKSimId against a model. */
-  private[graft] def topKExplodedForTest(scored: DataFrame, k: Int): DataFrame =
+  private[graft] def topKExplodedForTest(scored: DataFrame, k: Int,
+      distinctIds: Boolean = false): DataFrame =
     scored.groupBy(col("g"))
-      .agg(topKAgg(col("sim"), col("__cand_id"), k).as("tk"))
+      .agg(topKAgg(col("sim"), col("__cand_id"), k, distinctIds).as("tk"))
       .select(col("g"), posexplode(col("tk")))
       .select(col("g"), col("col.id").as("id"), (col("pos") + 1).as("rank"),
         col("col.sim").as("sim"))
@@ -754,10 +760,12 @@ object Similarity {
     // so scoring is pipelined inside the collision join — no pair row
     // carries an array through an exchange (the q40 round-11 lesson:
     // fetching payloads per candidate pair shuffled |pairs|·544 B).
-    // Dedup runs on the SCORED slim rows (sim is pair-pure, so
-    // post-scoring dropDuplicates is value-identical to candidate
-    // dedup) BEFORE the top-k heap, so a pair colliding in several
-    // tables can't occupy two top-k slots.
+    // Multi-table duplicates (a pair colliding in several tables) are
+    // deduped INSIDE the bounded top-k heap (distinctIds — sim is
+    // pair-pure, so in-heap id-dedup is value-identical to a
+    // dropDuplicates), which deletes the only full-pair-volume
+    // exchange in the plan: the scored rows partial-aggregate map-side
+    // straight off the collision join.
     val v = Dedup.normalized(embeddings)
     val w = v.select(col("vec_id"), col("e"), col("nrm"),
         posexplode(multiBuckets(col("e"), bits, tables)))
@@ -771,8 +779,7 @@ object Similarity {
       .filter(col("src_id") =!= col("__cand_id"))
       .select(col("src_id"), col("__cand_id"),
         cosinePre(col("ea"), col("eb"), col("na"), col("nb")).as("sim"))
-      .dropDuplicates("src_id", "__cand_id")
-    explodeTopK(scored, "src_id", "nbr_id", k)
+    explodeTopK(scored, "src_id", "nbr_id", k, distinctIds = true)
       .orderBy("src_id", "rank")
   }
 

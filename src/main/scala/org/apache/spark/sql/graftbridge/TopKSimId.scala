@@ -27,11 +27,23 @@ import org.apache.spark.sql.types._
   * rank would instead emit them last. None of graft's scoring paths
   * produce null sims (null/ragged embeddings are filtered or nulled
   * out before pairing), so the two formulations agree on every gated
-  * query. */
+  * query.
+  *
+  * `distinctIds = true` makes the heap id-UNIQUE: an incoming id
+  * already retained is skipped (an O(k) scan, and only on the
+  * would-insert path — the fast-path reject never pays it). This is
+  * value-identical to dropDuplicates-then-top-k whenever duplicate ids
+  * always carry the SAME score (true for every pair-pure similarity:
+  * the same (group, id) pair scores identically however many LSH
+  * tables it collides in), and it deletes the dedup EXCHANGE that a
+  * dropDuplicates before the aggregate would shuffle — at q41's sf10
+  * volume, 57M scored rows that instead partial-aggregate map-side to
+  * ≤ k rows per (partition, group). */
 case class TopKSimId(
     scoreExpr: Expression,
     idExpr: Expression,
     k: Int,
+    distinctIds: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
@@ -67,12 +79,13 @@ case class TopKSimId(
       // vast majority of an n² pair stream. The inlined compare is
       // exactly worstFirst: Double.TotalOrdering (= j.l.Double.compare)
       // reversed on score, then id ascending.
-      if (buf.size < k) buf.enqueue((sd, id))
-      else {
+      if (buf.size < k) {
+        if (!(distinctIds && buf.exists(_._2 == id))) buf.enqueue((sd, id))
+      } else {
         val (hs, hi) = buf.head
         val c0 = java.lang.Double.compare(hs, sd) // reversed score order
         val c = if (c0 != 0) c0 else java.lang.Long.compare(id, hi)
-        if (c < 0) {
+        if (c < 0 && !(distinctIds && buf.exists(_._2 == id))) {
           buf.enqueue((sd, id))
           buf.dequeue()
         }
@@ -84,8 +97,10 @@ case class TopKSimId(
   override def merge(buf: mutable.PriorityQueue[(Double, Long)],
       other: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
     other.foreach { p =>
-      if (buf.size < k) buf.enqueue(p)
-      else if (worstFirst.compare(p, buf.head) < 0) {
+      if (buf.size < k) {
+        if (!(distinctIds && buf.exists(_._2 == p._2))) buf.enqueue(p)
+      } else if (worstFirst.compare(p, buf.head) < 0 &&
+          !(distinctIds && buf.exists(_._2 == p._2))) {
         buf.enqueue(p)
         buf.dequeue()
       }

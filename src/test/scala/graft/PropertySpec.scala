@@ -116,6 +116,29 @@ class PropertySpec extends SparkTestBase {
     model.foreach { case (g, expect) => assert(got(g) === expect, s"group $g") }
   }
 
+  test("TopKSimId distinctIds equals dropDuplicates-then-top-k when dup ids share a score") {
+    // the multi-table LSH contract: the same (group, id) pair may arrive
+    // once per colliding table, always with the SAME pair-pure score —
+    // in-heap id-dedup must match dedup-then-rank exactly
+    val pair = Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 40L),
+      Gen.chooseNum(1, 4))
+    val rows = samples(Gen.listOfN(60, pair), 5).flatten
+      // score derived from (g, id) so duplicates are value-identical
+      .flatMap { case (g, id, dups) =>
+        Seq.fill(dups)((g, math.sin(g * 37.0 + id).abs, id)) }
+    val df = rows.toDF("g", "sim", "__cand_id")
+    val model = rows.distinct.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.sortBy { case (_, s, i) => (-s, i) }.take(3).map(t => (t._3, t._2)).toSeq
+    }
+    val got = graft.operators.Similarity
+      .topKExplodedForTest(df.repartition(7), 3, distinctIds = true).collect()
+      .groupBy(_.getLong(0)).map { case (g, rs) =>
+        g -> rs.sortBy(_.getAs[Int]("rank")).map(r => (r.getLong(1), r.getAs[Double]("sim"))).toSeq
+      }
+    assert(model.nonEmpty)
+    model.foreach { case (g, expect) => assert(got(g) === expect, s"group $g") }
+  }
+
   test("TopKSimId ranks NaN scores first, consistent with heap retention and DuckDB DESC") {
     val df = Seq((0L, 0.9, 1L), (0L, Double.NaN, 2L), (0L, 0.5, 3L), (0L, 0.7, 4L))
       .toDF("g", "sim", "__cand_id")
