@@ -109,13 +109,17 @@ object Bench {
 
     /** K back-to-back timings per query (repeat mode). A query that
       * fails ANY of its K runs is failed outright (-1 for all runs) —
-      * a flake must not hide inside a median. */
+      * a flake must not hide inside a median — and the remaining
+      * repetitions are skipped: the result is already determined, so a
+      * consistently failing query costs one run, not K. */
     def measureK(s: SparkSession, k: Int)
         : (Map[String, Seq[Double]], List[String]) = {
       var failed = List.empty[String]
       val times = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val runs = (0 until k).map(_ => timeOne(s, name, fn, _ => ()))
-        if (runs.exists(_ < 0)) { failed ::= name; name -> Seq.fill(k)(-1.0) }
+        val runs = Iterator.range(0, k)
+          .map(_ => timeOne(s, name, fn, _ => ()))
+          .takeWhile(_ >= 0).toSeq
+        if (runs.size < k) { failed ::= name; name -> Seq.fill(k)(-1.0) }
         else name -> runs
       }.toMap
       (times, failed.reverse)

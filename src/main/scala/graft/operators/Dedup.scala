@@ -133,10 +133,12 @@ object Dedup {
     * to pairs sharing ≥1 of their [[Similarity.LshTables]] sign-LSH
     * buckets — the 100 TB path (per-table work n²/2^bits; the OR over
     * tables holds recall as the bit ladder grows with the corpus —
-    * see [[Similarity.LshTables]], the round-11 audit). Candidates
-    * dedupe on (a, b) before the payload join so a pair colliding in
-    * several tables scores once. Output ⊆ the exact pairs; the spec
-    * pins planted near-dups to survive blocking. */
+    * see [[Similarity.LshTables]], the round-11 audit). A pair
+    * colliding in several tables scores once per colliding table and
+    * dedupes on (a_id, b_id) AFTER the τ filter — sim is pair-pure, so
+    * post-filter dedup is value-identical and runs on ~2 % of the rows
+    * (the inner comment). Output ⊆ the exact pairs; the spec pins
+    * planted near-dups to survive blocking. */
   def nearDupPairsBlocked(s: SparkSession, dir: String, tau: Double, bits: Int): DataFrame =
     nearDupPairsBlocked(Tables.embeddings(s, dir), tau, bits)
 
@@ -257,20 +259,35 @@ object Dedup {
         col("bkts"))
 
   /** [[dedupIncremental]] against an already-derived (possibly
-    * artifact-stored) corpus side. Both sides explode to L
+    * artifact-stored) corpus side. Both sides explode to
     * payload-carrying (tbl, bucket) rows so scoring is pipelined
     * inside the collision join (the q40 round-11 lesson: fetching
     * payloads per candidate pair shuffles |pairs|·544 B); the
     * τ-filtered matches dedupe on (vec_id, __cand_id) — sim is
     * pair-pure, so post-scoring dedup is value-identical — before the
-    * top-1 heap. */
+    * top-1 heap.
+    *
+    * The BATCH side additionally probes each table's weakest-margin
+    * flip bucket ([[Similarity.multiProbeBuckets]], 2L rows per batch
+    * vector vs the corpus's L) — the round-12 retention fix: at τ
+    * well below the near-dup point a match's planes disagree often,
+    * and the single most-likely disagreement is the batch vector's
+    * lowest-|margin| plane; probing it roughly doubles candidate
+    * volume (batch side only — the cheap side at daily-ingest scale)
+    * and lifted matched-vector retention from 0.72/0.89/0.79 to
+    * 1.0/1.0/0.996 at sf0.1/1/10 in tools/BlockedRecallAudit (densest
+    * audited samples; 0.91/0.99/0.95 at the sparser round-11 sampling
+    * schedule — sampled retention is a LOWER bound on production
+    * retention, since the full corpus match set is a superset of any
+    * sample's). Measured candidate volume 1.98× base at every SF. */
   def dedupIncrementalPre(c: DataFrame, batch: DataFrame, tau: Double,
       bits: Int, dim: Int = Similarity.Dim): DataFrame = {
+    val tables = Similarity.LshTables
     val b = normalized(batch)
       .select(col("vec_id"), col("e").as("eb"), col("nrm").as("nb"),
-        posexplode(Similarity.multiBuckets(col("e"), bits, dim = dim)))
+        posexplode(Similarity.multiProbeBuckets(col("e"), bits, dim = dim)))
       .select(col("vec_id"), col("eb"), col("nb"),
-        col("pos").as("tbl"), col("col").as("bucket"))
+        (col("pos") % tables).as("tbl"), col("col").as("bucket"))
     val cSlim = c.select(col("__cand_id"), col("ec"), col("nc"),
         posexplode(col("bkts")))
       .select(col("__cand_id"), col("ec"), col("nc"),
@@ -324,25 +341,36 @@ object Dedup {
 
   /** Generated DuckDB oracle for q42 (same planes → same L per-table
     * buckets, same split, same corpus count → same corpus-scaled bit
-    * count on both sides; the OR-join admits each candidate once). */
+    * count on both sides, same margins → same batch-side probe buckets;
+    * the OR-join admits each candidate once). The ladder materializes
+    * in the 1-row `bb` CTE because the probe argmin captures the bit
+    * count inside a list lambda, where a scalar subquery can't go. */
   def dedupIncrementalOracleSql: String = {
     val bitsExpr = Similarity.multiTableBitsSql(
       "(SELECT COUNT(*) FROM v WHERE vec_id % 5 <> 0)", IncrementalBits)
     val bcols = (0 until Similarity.LshTables).map(t =>
-      s"${Similarity.tableBucketSqlExpr(t, bitsExpr)} AS b$t").mkString(",\n  ")
+      s"${Similarity.tableBucketSqlExpr(t, "nb")} AS b$t").mkString(",\n  ")
+    val pcols = (0 until Similarity.LshTables).map(t =>
+      s"${Similarity.tableProbeBucketSqlExpr(t, "nb", s"b$t")} AS p$t")
+      .mkString(",\n  ")
     val orCond = (0 until Similarity.LshTables)
-      .map(t => s"bt.b$t = c.b$t").mkString(" OR ")
+      .map(t => s"bt.b$t = c.b$t OR bt.p$t = c.b$t").mkString(" OR ")
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE embedding IS NOT NULL),
+       |bb AS (SELECT $bitsExpr AS nb),
        |n AS (SELECT vec_id, e,
        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(range(1, len(e)+1), i -> e[i]*e[i])), (x,y) -> x+y)) AS nrm,
-       |  $bcols FROM v),
+       |  nb,
+       |  $bcols FROM v, bb),
+       |q AS (SELECT vec_id, e, nrm,
+       |  ${(0 until Similarity.LshTables).map(t => s"b$t").mkString(", ")},
+       |  $pcols FROM n WHERE vec_id % 5 = 0),
        |p AS (SELECT bt.vec_id AS vec_id, c.vec_id AS cand_id,
        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(range(1, len(bt.e)+1), i -> bt.e[i]*c.e[i])), (x,y) -> x+y)
        |   / (bt.nrm * c.nrm) AS sim
-       |  FROM n bt JOIN n c ON ($orCond)
-       |  WHERE bt.vec_id % 5 = 0 AND c.vec_id % 5 <> 0),
+       |  FROM q bt JOIN n c ON ($orCond)
+       |  WHERE c.vec_id % 5 <> 0),
        |m AS (SELECT vec_id, cand_id, sim,
        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cand_id) AS rn
        |  FROM p WHERE sim >= $IncrementalTau),

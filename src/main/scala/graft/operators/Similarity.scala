@@ -207,6 +207,41 @@ object Similarity {
     s"(${bucketSqlExpr(tablePlanes(t, MaxLshBits, dim))}) % " +
       s"(CAST(1 AS BIGINT) << ($bitsExpr))"
 
+  /** [[multiBuckets]] plus one weakest-margin probe bucket per table —
+    * the `2·tables`-slot array of the native
+    * [[org.apache.spark.sql.graftbridge.SignLshProbeBuckets]] kernel
+    * (slots [0, L) = base buckets, [L, 2L) = per-table probes; a
+    * consumer exploding it keys the table as `pos % tables`). Probing
+    * only the SMALL side of an asymmetric bucket join (q42's batch)
+    * buys the q54 margin-flip recall recovery at ~2× that side's rows
+    * while the big corpus side stays at L rows per vector. */
+  def multiProbeBuckets(e: org.apache.spark.sql.Column, bits: Int,
+      tables: Int = LshTables, dim: Int = Dim): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, SignLshProbeBuckets}
+    ColumnBridge.column(SignLshProbeBuckets(ColumnBridge.expression(e),
+      hyperplanesFor((tables - 1) * MaxLshBits + bits, dim),
+      bits, MaxLshBits, tables))
+  }
+
+  /** SQL twin of table t's weakest-margin probe bucket: `bucketCol`
+    * (table t's masked bucket) with its lowest-|dot| plane bit among
+    * the first `bitsCol` planes flipped. `bitsCol` must be a plain
+    * COLUMN reference (not a scalar-subquery expression — it is
+    * captured inside a list lambda), so the oracle materializes the
+    * ladder once in a 1-row CTE and cross-joins it. Margin dots use
+    * [[dotSqlExpr]]'s strict left-to-right accumulation — bit-identical
+    * to the native kernel — and `list_sort` on {'m','i'} structs
+    * resolves margin ties to the lowest plane index, as the kernel's
+    * strict `<` scan does. */
+  def tableProbeBucketSqlExpr(t: Int, bitsCol: String, bucketCol: String,
+      dim: Int = Dim): String = {
+    val structs = tablePlanes(t, MaxLshBits, dim).zipWithIndex
+      .map { case (p, i) => s"{'m': abs(${dotSqlExpr(p)}), 'i': $i}" }
+      .mkString("[", ", ", "]")
+    s"xor($bucketCol, CAST(1 AS BIGINT) << CAST(list_sort(" +
+      s"list_filter($structs, s -> s.i < $bitsCol))[1].i AS INTEGER))"
+  }
+
   /** Sign-LSH bucket id of an array<double> column. */
   def lshBucket(e: org.apache.spark.sql.Column,
       planes: Seq[Seq[Double]] = hyperplanes): org.apache.spark.sql.Column =
@@ -291,7 +326,7 @@ object Similarity {
   /** Strict left-to-right dot product of `e` with a plane constant —
     * the SQL twin of the native DotProductDouble accumulation order, so
     * margins (and thus probe order) are bit-identical. */
-  private def dotSqlExpr(p: Seq[Double]): String = {
+  private[operators] def dotSqlExpr(p: Seq[Double]): String = {
     val lst = p.mkString("[", ",", "]")
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |  list_transform(range(1, ${p.size + 1}), d -> e[d] * ($lst)[d])), (x,y) -> x+y)""".stripMargin

@@ -35,10 +35,13 @@ import graft.operators.{ApproxDedup, Dedup, Similarity, TextAnalysis}
   *    candidates rank against the whole corpus).
   *  - q42 (incremental batch-vs-corpus dedup, τ=0.30): exact = all
   *    τ-matches between the sampled batch (vec_id % 5 == 0) and sampled
-  *    corpus sides; survived = matches sharing a bucket at the
-  *    corpus-scaled bit count; plus matched-vector retention (a batch
-  *    vector flips to "new" only if ALL its matches are out-of-bucket —
-  *    the user-visible failure).
+  *    corpus sides; survived = matches colliding in some table on the
+  *    base bucket OR the batch side's weakest-margin probe (the
+  *    round-12 production shape) at the corpus-scaled bit count; plus
+  *    matched-vector retention (a batch vector flips to "new" only if
+  *    ALL its matches are out-of-bucket — the user-visible failure)
+  *    and the full-corpus candidate-volume counts base vs probed (the
+  *    ≤2× budget evidence).
   *  - q215 (blocked containment): exact = q79's `containmentPairs` on
   *    the document sample; recovered = those ordered pairs present in
   *    the FULL corpus `containmentBlocked` artifact (end-to-end: bucket
@@ -47,16 +50,23 @@ import graft.operators.{ApproxDedup, Dedup, Similarity, TextAnalysis}
   *
   * Usage:
   *   sbt "runMain graft.tools.BlockedRecallAudit <sfDir> [mod] [families]"
-  * families = comma list of q40,q41,q42,q215 (default: all four).
+  * families = comma list of q40,q41,q42,q215 (default: all four);
+  * q40plant (opt-in, not in the default set) plants cos≈0.97 near-dup
+  * copies and measures their recovery at the corpus-scaled schedule —
+  * the production-regime number that motivated the LshTables OR.
   * Prints one JSON line per family:
   *   {"metric":"blocked_recall","family":…,"sample_n":…,"exact":…,
   *    "recovered":…,"recall_r":…}  (q42 adds matched-vector retention).
-  * A zero `exact` is an honest null (raise the density via mod), as in
-  * the round-9 jpairs runs. */
+  * A zero `exact` emits "recall_r":null — an honest null, not a
+  * measured 1.0 (raise the density via mod), as in the round-9 jpairs
+  * runs. */
 object BlockedRecallAudit {
 
-  private def recallR(exact: Long, rec: Long): Double =
-    if (exact == 0) 1.0 else math.rint(rec.toDouble / exact * 1e6) / 1e6
+  /** JSON value for recovered/exact: "null" when the denominator is
+    * empty (a too-sparse sample must not print as perfect recall). */
+  private def recallR(exact: Long, rec: Long): String =
+    if (exact == 0) "null"
+    else (math.rint(rec.toDouble / exact * 1e6) / 1e6).toString
 
   private def sampleIds(df: DataFrame, idCol: String, mod: Int): DataFrame =
     df.filter(TextAnalysis.md5Long(col(idCol).cast("string")) % mod === 0L)
@@ -168,13 +178,23 @@ object BlockedRecallAudit {
       if (families("q42")) {
         // bit count derives from the FULL validated-corpus count,
         // exactly as dedupIncrementalQ computes it
+        val L = Similarity.LshTables
         val corpusN = Dedup.normalized(emb.filter(col("vec_id") % 5 =!= 0)).count()
         val bits = Similarity.multiTableBits(corpusN, Dedup.IncrementalBits)
-        def side(f: DataFrame) = Dedup.normalized(f)
+        // batch side carries the 2L-slot probed array (the production
+        // shape since round 12); corpus side the L-slot base array
+        val bS = Dedup.normalized(sampleEmb.filter(col("vec_id") % 5 === 0))
+          .withColumn("bkts", Similarity.multiProbeBuckets(col("e"), bits))
+          .localCheckpoint()
+        val cS = Dedup.normalized(sampleEmb.filter(col("vec_id") % 5 =!= 0))
           .withColumn("bkts", Similarity.multiBuckets(col("e"), bits))
-        val bS = side(sampleEmb.filter(col("vec_id") % 5 === 0)).localCheckpoint()
-        val cS = side(sampleEmb.filter(col("vec_id") % 5 =!= 0)).localCheckpoint()
+          .localCheckpoint()
         val nB = bS.count()
+        // survival = some table t collides on the base bucket OR the
+        // batch vector's weakest-margin probe of table t
+        val survives = exists(sequence(lit(0), lit(L - 1)), t =>
+          element_at(col("ba"), t + 1) === element_at(col("bb"), t + 1) ||
+            element_at(col("ba"), t + lit(L + 1)) === element_at(col("bb"), t + 1))
         val matches = bS.select(col("vec_id"), col("e").as("eb"),
             col("nrm").as("nb"), col("bkts").as("ba"))
           .crossJoin(cS.select(col("vec_id").as("cand_id"), col("e").as("ec"),
@@ -182,19 +202,38 @@ object BlockedRecallAudit {
           .withColumn("sim", graft.functions.VectorOps.cosinePre(
             col("eb"), col("ec"), col("nb"), col("nc")))
           .filter(col("sim") >= Dedup.IncrementalTau)
-          .select(col("vec_id"), col("cand_id"),
-            exists(zip_with(col("ba"), col("bb"), (x, y) => x === y),
-              b => b).as("inb"))
+          .select(col("vec_id"), col("cand_id"), survives.as("inb"))
           .localCheckpoint()
         val nExact = matches.count()
         val rec = matches.filter(col("inb")).count()
         val vecsMatched = matches.select("vec_id").distinct().count()
         val vecsRetained = matches.filter(col("inb"))
           .select("vec_id").distinct().count()
+        // candidate-volume evidence at FULL corpus granularity: the
+        // production bucket-join row count with the probed batch side
+        // vs the base-only batch side (the ≤2× budget check)
+        val cSlim = Similarity.multiBucketRows(
+          Dedup.normalized(emb.filter(col("vec_id") % 5 =!= 0)), bits)
+        def batchRows(probed: Boolean) = {
+          val arr = if (probed)
+            Similarity.multiProbeBuckets(col("e"), bits)
+          else Similarity.multiBuckets(col("e"), bits)
+          Dedup.normalized(emb.filter(col("vec_id") % 5 === 0))
+            .select(col("vec_id"), posexplode(arr))
+            .select(col("vec_id"), (col("pos") % L).as("tbl"),
+              col("col").as("bucket"))
+        }
+        val candBase = batchRows(probed = false)
+          .join(cSlim.withColumnRenamed("vec_id", "cand_id"),
+            Seq("tbl", "bucket")).count()
+        val candProbe = batchRows(probed = true)
+          .join(cSlim.withColumnRenamed("vec_id", "cand_id"),
+            Seq("tbl", "bucket")).count()
         emit("q42", nB, nExact, rec,
           s""","bits":$bits,"vecs_matched":$vecsMatched""" +
             s""","vecs_retained":$vecsRetained""" +
-            s""","vec_recall_r":${recallR(vecsMatched, vecsRetained)}""")
+            s""","vec_recall_r":${recallR(vecsMatched, vecsRetained)}""" +
+            s""","cand_base":$candBase,"cand_probe":$candProbe""")
       }
 
       if (families("q215")) {

@@ -387,4 +387,44 @@ class SimilaritySpec extends SparkTestBase {
       assert(r.getAs[Long]("rank") >= 1L && r.getAs[Long]("rank") <= 10L)
     }
   }
+
+  test("SignLshProbeBuckets: base half == multiBuckets, probe flips the weakest-margin bit") {
+    val L = Similarity.LshTables
+    val bits = 6
+    val rows = Dedup.normalized(graft.Tables.embeddings(spark, sfDir).limit(32))
+      .select(col("vec_id"), col("e"),
+        Similarity.multiBuckets(col("e"), bits).as("base"),
+        Similarity.multiProbeBuckets(col("e"), bits).as("probed"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getSeq[Double](1).toArray
+      val base = r.getSeq[Long](2)
+      val probed = r.getSeq[Long](3)
+      assert(probed.length === 2 * L)
+      assert(probed.take(L) === base)
+      (0 until L).foreach { t =>
+        // independent margin computation: strict left-to-right dot per
+        // plane, first-minimum tie-break — the kernel's contract
+        val planes = Similarity.tablePlanes(t, Similarity.MaxLshBits)
+        val margins = (0 until bits).map { i =>
+          var s = 0.0
+          var d = 0
+          while (d < e.length) { s += e(d) * planes(i)(d); d += 1 }
+          math.abs(s)
+        }
+        val expFlip = margins.indexOf(margins.min)
+        assert(probed(L + t) === (base(t) ^ (1L << expFlip)),
+          s"table $t: probe slot is not the weakest-margin flip")
+      }
+    }
+  }
+
+  test("SignLshProbeBuckets: wrong-dim vector yields zeros in BOTH halves") {
+    val df = Seq((1L, Array(1.0, 2.0, 3.0))).toDF("vec_id", "e")
+    val out = df.select(Similarity.multiProbeBuckets(col("e"), 4).as("p"))
+      .collect()(0).getSeq[Long](0)
+    assert(out.length === 2 * Similarity.LshTables)
+    assert(out.forall(_ === 0L))
+  }
 }
