@@ -50,10 +50,15 @@ import graft.operators.{ApproxDedup, Dedup, Similarity, TextAnalysis}
   *
   * Usage:
   *   sbt "runMain graft.tools.BlockedRecallAudit <sfDir> [mod] [families]"
-  * families = comma list of q40,q41,q42,q215 (default: all four);
-  * q40plant (opt-in, not in the default set) plants cos≈0.97 near-dup
-  * copies and measures their recovery at the corpus-scaled schedule —
-  * the production-regime number that motivated the LshTables OR.
+  * families = comma list of q40,q41,q42,q215 (default: all four).
+  * Opt-in families outside the default set: q40plant plants cos≈0.97
+  * near-dup copies and measures their recovery at the corpus-scaled
+  * schedule — the production-regime number that motivated the LshTables
+  * OR; q71 measures the incremental TEXT dedup's natural batch-vs-
+  * corpus τ-match banding survival (plus matched-DOC retention, the
+  * q42-style user-visible number); q71plant plants a J≈0.85 perturbed
+  * batch copy of every corpus doc and runs it end-to-end through
+  * dedupIncrementalTextPre.
   * Prints one JSON line per family:
   *   {"metric":"blocked_recall","family":…,"sample_n":…,"exact":…,
   *    "recovered":…,"recall_r":…}  (q42 adds matched-vector retention).
@@ -247,6 +252,108 @@ object BlockedRecallAudit {
           ApproxDedup.containmentBlocked(spark, dir).select("a_id", "b_id"),
           Seq("a_id", "b_id")).count()
         emit("q215", nS, nExact, rec)
+      }
+
+      if (families("q71") || families("q71plant")) {
+        // shared corpus side: the production split's validated corpus
+        // (doc_id < IncrementalCorpusMax — small and FIXED, so the
+        // corpus side is exact-complete, not sampled) with its
+        // production shingle sets and MinHash band rows
+        val docs = Tables.documents(spark, dir)
+        val cmax = ApproxDedup.IncrementalCorpusMax
+        val shc = ApproxDedup.shingleSets(docs.filter(col("doc_id") < cmax))
+          .filter(size(col("shingles")) > 0).localCheckpoint()
+        val corBands = ApproxDedup
+          .bandRows(shc, ApproxDedup.Bands, ApproxDedup.Rows)
+          .select(col("doc_id").as("c_id"), col("band"), col("band_key"))
+          .localCheckpoint()
+
+        if (families("q71")) {
+          // natural pairs: exact J ≥ τ matches between the SAMPLED
+          // batch and the full corpus side, vs band-key survival.
+          // Unlike q42's corpus-scaled bit ladder, the 32×4 banding
+          // geometry is FIXED, so survival depends only on J — this
+          // audit measures that the incremental path inherits the
+          // jpairs banding recall rather than assuming it.
+          val shb = ApproxDedup.shingleSets(
+              sampleIds(docs.filter(col("doc_id") >= cmax), "doc_id", mod))
+            .filter(size(col("shingles")) > 0).localCheckpoint()
+          val nB = shb.count()
+          // |intersection| via explode-join (shingle sets are distinct)
+          // — scales as matching-shingle volume, not batch × corpus
+          val common = shb
+            .select(col("doc_id").as("b_id"), explode(col("shingles")).as("sh"))
+            .join(shc.select(col("doc_id").as("c_id"),
+              explode(col("shingles")).as("sh")), Seq("sh"))
+            .groupBy("b_id", "c_id").agg(count(lit(1)).as("common"))
+          val exact = common
+            .join(shb.select(col("doc_id").as("b_id"),
+              size(col("shingles")).as("nb")), Seq("b_id"))
+            .join(shc.select(col("doc_id").as("c_id"),
+              size(col("shingles")).as("nc")), Seq("c_id"))
+            .filter(col("common").cast("double") /
+              (col("nb") + col("nc") - col("common")).cast("double")
+              >= ApproxDedup.Tau)
+            .select("b_id", "c_id").localCheckpoint()
+          val nExact = exact.count()
+          val collide = ApproxDedup
+            .bandRows(shb, ApproxDedup.Bands, ApproxDedup.Rows)
+            .select(col("doc_id").as("b_id"), col("band"), col("band_key"))
+            .join(corBands, Seq("band", "band_key"))
+            .select("b_id", "c_id").dropDuplicates("b_id", "c_id")
+          val hit = exact
+            .join(collide.withColumn("__hit", lit(1L)), Seq("b_id", "c_id"), "left")
+            .select(col("b_id"), coalesce(col("__hit"), lit(0L)).as("h"))
+            .localCheckpoint()
+          val rec = hit.filter(col("h") === 1L).count()
+          val docsMatched = hit.select("b_id").distinct().count()
+          val docsRetained = hit.filter(col("h") === 1L)
+            .select("b_id").distinct().count()
+          emit("q71", nB, nExact, rec,
+            s""","docs_matched":$docsMatched,"docs_retained":$docsRetained""" +
+              s""","doc_recall_r":${recallR(docsMatched, docsRetained)}""")
+        }
+
+        if (families("q71plant")) {
+          // end-to-end production-regime check: plant a perturbed batch
+          // copy of EVERY corpus doc (each word dropped when a
+          // deterministic per-(doc, position) hash % 20 == 0 → ~5 % of
+          // words gone → trigram J ≈ 0.85, just above τ = 0.8) and push
+          // the planted batch through dedupIncrementalTextPre itself.
+          // Retained = the planted doc deduplicates (matched = true);
+          // src_match additionally pins canonical_id to the source doc.
+          val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+          val base = maxId + 1L
+          val planted = docs.filter(col("doc_id") < cmax)
+            .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
+            .select((col("doc_id") + base).as("doc_id"), concat_ws(" ",
+              filter(col("ws"), (w, i) => TextAnalysis.md5Long(
+                concat(col("doc_id").cast("string"), lit("_"),
+                  i.cast("string"))) % 20 =!= 0L)).as("text"))
+            .localCheckpoint()
+          val nP = planted.count()
+          // honest denominator: planted docs whose EXACT J vs source ≥ τ
+          val jexact = ApproxDedup.shingleSets(planted)
+            .filter(size(col("shingles")) > 0)
+            .select((col("doc_id") - base).as("doc_id"), col("shingles").as("sp"))
+            .join(shc.select(col("doc_id"), col("shingles").as("sc0")),
+              Seq("doc_id"))
+            .withColumn("common",
+              size(array_intersect(col("sp"), col("sc0"))).cast("double"))
+            .filter(col("common") /
+              (size(col("sp")) + size(col("sc0")) - col("common")).cast("double")
+              >= ApproxDedup.Tau)
+            .select((col("doc_id") + base).as("doc_id")).localCheckpoint()
+          val nExact = jexact.count()
+          val out = ApproxDedup.dedupIncrementalTextPre(corBands,
+              shc.select(col("doc_id").as("c_id"), col("shingles").as("sc")),
+              planted, cmax)
+            .join(jexact, Seq("doc_id"), "left_semi").localCheckpoint()
+          val rec = out.filter(col("matched")).count()
+          val srcMatch = out.filter(col("matched") &&
+            col("canonical_id") === col("doc_id") - base).count()
+          emit("q71plant", nP, nExact, rec, s""","src_match":$srcMatch""")
+        }
       }
     } finally spark.stop()
   }
