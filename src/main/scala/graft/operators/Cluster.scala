@@ -557,28 +557,37 @@ object Cluster {
     * The undirected frame is checkpointed once and reused by all
     * three arms. */
   def commonNeighbors(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
-      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
-      .distinct()
-      // both self-join arms + the support stats read it. DISK_ONLY
-      // (round 10): 60M slim rows at 100× the bench SF — cached in
-      // memory they lock the storage half of the unified pool and the
-      // distinct-item stats aggregate dies with AGGREGATE_OUT_OF_MEMORY
-      // (same failure mode as q189's r9c flake, same fix)
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    // density-scaled support (two cheap aggregates on the checkpoint)
-    val st = li.agg(count(lit(1)).as("nr"),
-      countDistinct(col("item")).as("ni")).first()
-    val minSup = Itemsets.scaledMinSup(st.getLong(0), st.getLong(1))
-    val edges = li.select(col("basket"), col("item").as("a_id"))
-      .join(li.select(col("basket"), col("item").as("b_id")), Seq("basket"))
-      .where(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("support"))
-      .where(col("support") >= minSup.toLong)
-      .select(col("a_id"), col("b_id"))
-    commonNeighborsGraph(edges)
+    // Two build-once artifacts (round 12, verdict item 3). The distinct
+    // (basket, item) frame is shared with q189 (Itemsets.basketItemsPath
+    // — both paid the same fact scan + distinct at sf10); the
+    // support-filtered co-purchase EDGE set on top of it is this
+    // query's own derived table, so steady-state runs jump straight to
+    // the graph stage. The support ladder's constants ride in the
+    // artifact NAME (the round-11 fingerprint lesson: dirFingerprint
+    // alone cannot see a derivation-constant change), and the
+    // density-derived minSup itself is a pure function of the
+    // fingerprinted data + those constants. Filtering nulls after the
+    // shared artifact's distinct is set-identical to the old
+    // filter-before-distinct.
+    val path = graft.ArtifactStore.ensureCurrent(s,
+      s"basket_edges_v1b${Itemsets.BaseSup}d${Itemsets.SupDensity}" +
+        s"m${Itemsets.MaxSup}",
+      Tables.dirFingerprint(s, dir)) { staging =>
+      val li = s.read.parquet(Itemsets.basketItemsPath(s, dir))
+        .filter(col("basket").isNotNull && col("item").isNotNull)
+      val st = li.agg(count(lit(1)).as("nr"),
+        countDistinct(col("item")).as("ni")).first()
+      val minSup = Itemsets.scaledMinSup(st.getLong(0), st.getLong(1))
+      li.select(col("basket"), col("item").as("a_id"))
+        .join(li.select(col("basket"), col("item").as("b_id")), Seq("basket"))
+        .where(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= minSup.toLong)
+        .select(col("a_id"), col("b_id"))
+        .write.mode("overwrite").parquet(staging)
+    }
+    commonNeighborsGraph(s.read.parquet(path))
   }
 
   /** Wedge-enumeration degree cap for hub middle vertices — 256 keeps

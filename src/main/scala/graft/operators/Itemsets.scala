@@ -74,28 +74,77 @@ object Itemsets {
     s"(CASE $arms ELSE $MaxSup END)"
   }
 
-  /** q189: all frequent brand pairs with support, directional
-    * confidences, and lift. */
-  def brandAffinity(s: SparkSession, dir: String): DataFrame =
-    brandAffinity(Tables.lineitem(s, dir), Tables.part(s, dir))
+  /** Build-once distinct (basket = l_orderkey, item = l_partkey) frame
+    * shared by q189 (brand affinity, after a broadcast brand remap) and
+    * q208 (common neighbors) — round-11 verdict item 3: both paid the
+    * same ~60M-row fact scan + distinct shuffle at sf10 (~14 % of the
+    * campaign) twice. The artifact is SUPPORT-FREE (each consumer
+    * derives its own [[scaledMinSup]] ladder from the frame's own
+    * stats), so the fingerprint is the source-dir fingerprint alone —
+    * no derivation constants can change its contents. NULL baskets and
+    * items are PRESERVED: each consumer filters or joins them away
+    * exactly where its oracle does, so engine results stay
+    * bit-identical on the null-injected fixtures. */
+  def basketItemsPath(s: SparkSession, dir: String): String =
+    graft.ArtifactStore.ensureCurrent(s, "basket_items_v1",
+      Tables.dirFingerprint(s, dir)) { staging =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+        .distinct()
+        .write.mode("overwrite").parquet(staging)
+    }
 
-  def brandAffinity(lineitem: DataFrame, part: DataFrame): DataFrame = {
-    val items = lineitem.select(col("l_orderkey"), col("l_partkey"))
-      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
-        col("l_partkey") === col("p_partkey"))
-      .where(col("p_brand").isNotNull)
-      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
-      .distinct()
-      // four consumers (basket total, frequent-1, both self-join arms)
-      // — materialized so the fact scan + distinct shuffle run ONCE.
-      // DISK_ONLY (round 10): at 100× the bench SF this frame is ~57M
-      // rows; cached in memory it locks the storage half of the unified
-      // pool and starves the self-join's aggregates into
-      // AGGREGATE_OUT_OF_MEMORY (the r9c build-pass flake, reproduced
-      // isolated this round). Sequential disk re-reads of a slim frame
-      // are cheap; execution memory is the scarce resource here.
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    // density-scaled support (two cheap aggregates on the checkpoint)
+  /** Brand-level distinct (basket, item = p_brand) frame derived from
+    * [[basketItemsPath]] — q189's four-consumer input, materialized
+    * once per source dir. Brand-free of derivation constants (the
+    * support ladder applies downstream), so the source-dir fingerprint
+    * suffices. The parquet artifact plays the old DISK_ONLY
+    * checkpoint's role: each consumer re-scans the slim columnar frame
+    * instead of locking the storage half of the unified pool. */
+  def brandItemsPath(s: SparkSession, dir: String): String =
+    graft.ArtifactStore.ensureCurrent(s, "brand_items_v1",
+      Tables.dirFingerprint(s, dir)) { staging =>
+      s.read.parquet(basketItemsPath(s, dir))
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("item") === col("p_partkey"))
+        .where(col("p_brand").isNotNull)
+        .select(col("basket"), col("p_brand").as("item"))
+        .distinct()
+        .write.mode("overwrite").parquet(staging)
+    }
+
+  /** q189: all frequent brand pairs with support, directional
+    * confidences, and lift. The (s, dir) entry reads the shared
+    * [[brandItemsPath]] artifact — steady-state daily runs skip the
+    * fact scan, brand remap, and both distinct shuffles entirely. */
+  def brandAffinity(s: SparkSession, dir: String): DataFrame =
+    affinityChain(s.read.parquet(brandItemsPath(s, dir)))
+
+  def brandAffinity(lineitem: DataFrame, part: DataFrame): DataFrame =
+    affinityChain(
+      lineitem.select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .where(col("p_brand").isNotNull)
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+        .distinct()
+        // four consumers (basket total, frequent-1, both self-join
+        // arms) — materialized so the fact scan + distinct shuffle run
+        // ONCE. DISK_ONLY (round 10): at 100× the bench SF this frame
+        // is ~57M rows; cached in memory it locks the storage half of
+        // the unified pool and starves the self-join's aggregates into
+        // AGGREGATE_OUT_OF_MEMORY (the r9c build-pass flake, reproduced
+        // isolated that round). Sequential disk re-reads of a slim
+        // frame are cheap; execution memory is the scarce resource.
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY))
+
+  /** The staged a-priori chain over a materialized distinct
+    * (basket, item) frame: frequent-1 prune → co-partitioned basket
+    * self-join → map-combined pair counts. */
+  private def affinityChain(items: DataFrame): DataFrame = {
+    // density-scaled support (two cheap aggregates on the materialized
+    // frame)
     val st = items.agg(count(lit(1)).as("nr"),
       countDistinct(col("item")).as("ni")).first()
     val minSup = scaledMinSup(st.getLong(0), st.getLong(1))

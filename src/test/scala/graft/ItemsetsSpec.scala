@@ -83,4 +83,12 @@ class ItemsetsSpec extends SparkTestBase {
     assert(keys == keys.sorted)
     assert(keys.forall { case (a, b) => a < b })
   }
+
+  test("artifact-backed entry equals the frame-built chain") {
+    val viaArtifact = Itemsets.brandAffinity(spark, sfDir).collect().toSeq
+    val direct = Itemsets.brandAffinity(
+      graft.Tables.lineitem(spark, sfDir), graft.Tables.part(spark, sfDir))
+      .collect().toSeq
+    assert(viaArtifact == direct)
+  }
 }
