@@ -1077,13 +1077,27 @@ object Analytics {
     loneLateSupplier(Tables.lineitem(s, dir), Tables.supplier(s, dir))
 
   def loneLateSupplier(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
-    val li = lineitem
+    // Round 12 (the 7× sf10 growth attribution): the two-countDistinct
+    // formulation compiled to an Expand that TRIPLED the fact scan into
+    // a high-cardinality partial aggregate — 180M expanded rows whose
+    // (orderkey, gid, suppkey) keys barely combine map-side, then two
+    // more aggregate exchanges (36 s at sf10). Pre-deduping to
+    // (order, supplier) pairs needs no Expand, and ONE raw repartition
+    // on the order key serves both aggregates: hash(l_orderkey)
+    // clusters (l_orderkey, l_suppkey) groups too, so the pair dedup
+    // and the per-order rollup are in-partition — one exchange of 60M
+    // slim rows total. count(col) (non-null) mirrors countDistinct's
+    // null handling; max(late) over a pair is "any late line".
+    val pairs = lineitem
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_returnflag") === "R").as("late"))
-    val perOrder = li.groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
-        min(when(col("late"), col("l_suppkey"))).as("late_supp"))
+      .repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("late_any"))
+    val perOrder = pairs.groupBy(col("l_orderkey"))
+      .agg(count(col("l_suppkey")).as("n_supp"),
+        count(when(col("late_any"), col("l_suppkey"))).as("n_late"),
+        min(when(col("late_any"), col("l_suppkey"))).as("late_supp"))
       .where(col("n_supp") > 1 && col("n_late") === 1)
     val sup = supplier.select(col("s_suppkey"), col("s_name"))
     perOrder.groupBy(col("late_supp"))
@@ -1270,12 +1284,20 @@ object Analytics {
     dominantSupplier(Tables.lineitem(s, dir), Tables.supplier(s, dir))
 
   def dominantSupplier(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
-    val li = lineitem.select(col("l_partkey"), col("l_suppkey"),
-      col("l_quantity").cast("long").as("qty"))
-    val perPair = li.groupBy(col("l_partkey"), col("l_suppkey"))
+    // Round 12 (same family as q116's growth fix): the per-part rollup
+    // derives FROM the pair aggregate instead of re-scanning the fact
+    // table — sum of pair sums is the part total, and counting the
+    // (already-distinct) non-null supplier groups replaces the
+    // countDistinct whose Expand doubled the second scan. One
+    // repartition on the part key serves the pair aggregate, the
+    // derived rollup, AND the pair⋈part join's left side.
+    val perPair = lineitem.select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"))
+      .repartition(col("l_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("qty")).as("q"))
-    val perPart = li.groupBy(col("l_partkey"))
-      .agg(sum(col("qty")).as("t"), countDistinct(col("l_suppkey")).as("ns"))
+    val perPart = perPair.groupBy(col("l_partkey"))
+      .agg(sum(col("q")).as("t"), count(col("l_suppkey")).as("ns"))
     perPair.join(perPart, Seq("l_partkey"))
       .where(col("q") * col("ns") > col("t") * lit(2L))
       .groupBy(col("l_suppkey"))
