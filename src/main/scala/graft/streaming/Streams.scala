@@ -318,6 +318,39 @@ object Streams {
         .reduceOption(_ unionByName _)
     }
 
+  /** q42's daily-ingest loop under Structured Streaming — the
+    * reference's qdrant-deduplicator batch loop
+    * (deduplicate_from_qdrant.py:224-310) as a stream. Each micro-batch
+    * of embedding rows (vec_id, embedding) is scored against the FIXED
+    * validated-corpus side (the persisted frame q42 serves from —
+    * [[graft.operators.Dedup.corpusSideEmb]], artifact-stored by
+    * `dedupIncrementalQ`) via `dedupIncrementalPre`, and the per-vector
+    * verdicts (vec_id, canonical_id, matched, best_sim_r) MERGE into
+    * the bucketed versioned snapshot at `path` keyed by vec_id — the
+    * canonical-mapping registry the reference's loop maintains, with
+    * [[mergeBucketedBatch]]'s replay-idempotent publish protocol.
+    *
+    * Batch ≡ stream under ANY micro-batch split by construction: the
+    * corpus side is constant for the run and batch vectors never
+    * canonicalize each other (the reference's pending-vs-validated
+    * rule), so each vector's verdict depends only on (vector, corpus) —
+    * StreamingSpec proves equality under 1/2/3-way splits. A
+    * redelivered vec_id upserts its identical verdict (idempotent). At
+    * scale the per-trigger cost is the batch-side bucket probe join
+    * (O(batch · corpus / 2^bits) candidate rows) plus a rewrite of only
+    * the snapshot buckets the batch touches. */
+  def dedupIncrementalStream(stream: DataFrame, corpusPre: DataFrame,
+      path: String, tau: Double, bits: Int,
+      dim: Int = graft.operators.Similarity.Dim, numBuckets: Int = 16):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      mergeBucketedBatch(
+        graft.operators.Dedup.dedupIncrementalPre(
+          corpusPre, batch, tau, bits, dim),
+        path, Seq("vec_id"), numBuckets, batchId)
+      ()
+    }
+
   /** `_commits`-driven retention for [[upsertSinkBucketed]] tables:
     * deletes version dirs that (a) are not referenced by the LATEST
     * committed manifest, (b) are MORE than `retainVersions` behind it —

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.streaming.Streams
 
 case class E(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class V(vec_id: Long, embedding: Array[Float])
 
 class StreamingSpec extends SparkTestBase {
 
@@ -655,6 +656,55 @@ class StreamingSpec extends SparkTestBase {
           .map(r => (r.getAs[Long]("purchase_event_id"), r.getAs[Long]("click_event_id"),
             r.getAs[Long]("n_clicks"), r.getAs[Double]("purchase_value"))).toSet
         assert(streamed === batch, s"split $split diverged from batch")
+      } finally q.stop()
+    }
+  }
+
+  test("q42 incremental dedup streamed under 1/2/3 micro-batch splits equals batch; " +
+      "redelivery is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Dedup
+    // planted corpus (validated) + batch: 1 ≈ 0 and 4 ≈ 2 inherit, 3/5
+    // mint new, 6 ≈ 7 inherits — same geometry as the SimilaritySpec
+    // q42 fixture plus a third corpus direction
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (7L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val batchRows = Seq(
+      V(1L, Array(0.999f, 0.001f, 0.0f, 0.0f)),
+      V(3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+      V(4L, Array(0.0f, 0.999f, 0.001f, 0.0f)),
+      V(5L, Array(-0.999f, -0.001f, 0.0f, 0.0f)),
+      V(6L, Array(0.0f, 0.0f, 0.97f, 0.2f)))
+    // the persisted corpus-side frame the daily loop serves from
+    val corpusPre = Dedup.corpusSideEmb(corpus, bits = 2, dim = 4).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "canonical_id", "matched", "best_sim_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val expected = rows(Dedup.dedupIncrementalPre(
+      corpusPre, batchRows.toDF(), tau = 0.9, bits = 2, dim = 4))
+    assert(expected.size === 5)
+    val splits: Seq[Seq[Seq[V]]] = Seq(
+      Seq(batchRows),
+      Seq(batchRows.take(2), batchRows.drop(2)),
+      Seq(batchRows.take(2), batchRows.slice(2, 4), batchRows.drop(4)))
+    splits.zipWithIndex.foreach { case (bs, i) =>
+      val dir = "file://" +
+        java.nio.file.Files.createTempDirectory(s"graft_incdedup$i").toString
+      val src = MemoryStream[V]
+      val q = Streams.dedupIncrementalStream(src.toDF(), corpusPre, dir,
+        tau = 0.9, bits = 2, dim = 4).start()
+      try {
+        bs.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+        assert(rows(Streams.currentSnapshotBucketed(spark, dir).get) === expected,
+          s"split $i diverged from batch")
+        // a redelivered batch upserts identical verdicts — no change
+        src.addData(bs.head: _*)
+        q.processAllAvailable()
+        assert(rows(Streams.currentSnapshotBucketed(spark, dir).get) === expected,
+          s"split $i: redelivery changed the snapshot")
       } finally q.stop()
     }
   }
