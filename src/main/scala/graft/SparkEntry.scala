@@ -236,6 +236,7 @@ object SparkEntry {
     "q216_substring_dedup"         -> (SubstringDedup.duplicatedRegions _),
     "q217_quality_classifier"      -> ((s: SparkSession, d: String) => QualityClassifier.trainScore(s, d)),
     "q218_langid_classifier"       -> ((s: SparkSession, d: String) => LangClassifier.trainScore(s, d)),
+    "q219_acceptance_report"       -> ((s: SparkSession, d: String) => Eval.acceptanceReport(s, d)),
   )
 
   /** Shared CTE block computing blocked 3-gram Jaccard candidate pairs
@@ -930,6 +931,7 @@ object SparkEntry {
     "q216_substring_dedup" -> SubstringDedup.duplicatedRegionsOracleSql,
     "q217_quality_classifier" -> QualityClassifier.trainScoreOracleSql,
     "q218_langid_classifier" -> LangClassifier.trainScoreOracleSql,
+    "q219_acceptance_report" -> Eval.acceptanceReportOracleSql,
     "q83_heavy_hitters" ->
       """WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
         |  COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

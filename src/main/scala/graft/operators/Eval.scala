@@ -314,4 +314,146 @@ object Eval {
       |  ROUND(CAST(CAST(sum_sq AS VARCHAR) AS DOUBLE) /
       |    (CAST(n AS DOUBLE) * 1.0e12), 9) AS brier_r
       |FROM g ORDER BY bin""".stripMargin
+
+  /** q219: classifier ACCEPTANCE report (round 12, the second
+    * trained-member consolidation) — the readout a curation-threshold
+    * rollout signs off on before swapping the q31 heuristic filter for
+    * the q217 trained classifier: both scorers' decile gains tables
+    * side by side over the SAME documents and the SAME ground truth
+    * (q217's digit-rule label), so "the trained top decile captures X %
+    * of the positives vs the heuristic's Y %" is one frame. This is the
+    * DCLM/FineWeb-Edu rollout decision (heuristic → trained quality
+    * filter) expressed as a gated query, reusing q217's training chain,
+    * q31's feature stack, and q193's two-pass rank machinery unchanged.
+    *
+    * Engine-exact: the trained score is q217's integer micro-sigmoid
+    * (div 1000 → milli); the heuristic score is q31's gate-proven
+    * bit-identical double, floored to milli — both integers, so the
+    * per-scorer distinct-score profile stays bounded (≤ ~10³ keys) and
+    * the q193 rank decomposition (offset window over the profile +
+    * in-tie row_number by doc_id) replays the identical total order in
+    * both engines with no corpus-wide sort. Deciles are the explicit
+    * ((rank−1)·10 div n)+1; counts exact BIGINTs; each ratio one
+    * rounded division.
+    *
+    * Scale notes: q217's training cost (bounded stride, 17-long
+    * driver state) + two corpus-scan scorers + profile-sized windows
+    * partitioned by scorer; nothing corpus-sized sorts on one
+    * reducer. The heuristic arm joins the trained frame's (doc_id,
+    * label) so both rankings cover the identical row universe
+    * (trainScore's text/source non-null filter). */
+  def acceptanceReport(s: SparkSession, dir: String): DataFrame =
+    acceptanceReport(Tables.documents(s, dir))
+
+  def acceptanceReport(docs: DataFrame): DataFrame = {
+    val trained = QualityClassifier.trainScore(docs)
+      .select(col("doc_id"), col("label").as("is_pos"),
+        expr("score_micro div 1000").as("x"))
+      .localCheckpoint() // the whole training chain — run it once
+    val heur = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"),
+        floor(col("quality") * lit(1e3)).cast("long").as("x"))
+    val both = trained
+      .select(lit("trained").as("scorer"), col("doc_id"), col("x"), col("is_pos"))
+      .unionByName(heur
+        .join(trained.select(col("doc_id"), col("is_pos")), Seq("doc_id"))
+        .select(lit("heuristic").as("scorer"), col("doc_id"), col("x"),
+          col("is_pos")))
+    val prof = both.groupBy(col("scorer"), col("x")).agg(count(lit(1)).as("tot"))
+      .localCheckpoint()
+    val offs = prof.withColumn("off", coalesce(sum(col("tot")).over(
+      Window.partitionBy(col("scorer")).orderBy(col("x").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val n = prof.groupBy(col("scorer")).agg(sum(col("tot")).as("n_all"))
+    val ranked = both
+      .join(offs.select(col("scorer"), col("x"), col("off")), Seq("scorer", "x"))
+      .withColumn("rn_in", row_number().over(
+        Window.partitionBy(col("scorer"), col("x")).orderBy(col("doc_id")))
+        .cast("long"))
+      .join(broadcast(n), Seq("scorer"))
+      .withColumn("decile", expr("((off + rn_in - 1) * 10) div n_all + 1"))
+    val g = ranked.groupBy(col("scorer"), col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("is_pos")).as("n_pos"),
+        first(col("n_all")).as("n_all"))
+    val wc = Window.partitionBy(col("scorer")).orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wa = Window.partitionBy(col("scorer"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("cum_pos", sum(col("n_pos")).over(wc))
+      .withColumn("total_pos", sum(col("n_pos")).over(wa))
+      .select(col("scorer"), col("decile"), col("n"), col("n_pos"), col("cum_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 9)
+          .as("pos_rate_r"),
+        round(col("cum_pos").cast("double") /
+          when(col("total_pos") === 0L, lit(null))
+            .otherwise(col("total_pos").cast("double")), 9).as("cum_capture_r"),
+        round((col("n_pos").cast("double") / col("n").cast("double")) /
+          when(col("total_pos") === 0L, lit(null))
+            .otherwise(col("total_pos").cast("double") / col("n_all").cast("double")),
+          9).as("lift_r"))
+      .orderBy(col("scorer"), col("decile"))
+  }
+
+  /** q219 oracle: q217's full round chain and q31's feature stack as
+    * derived-table CTEs (DuckDB allows WITH inside a subquery), then
+    * the identical partitioned two-pass rank and decile rollup. */
+  def acceptanceReportOracleSql: String =
+    s"""WITH q217 AS (SELECT * FROM (${QualityClassifier.trainScoreOracleSql}) t),
+       |heur AS (SELECT doc_id, CAST(FLOOR(quality * 1e3) AS BIGINT) AS x FROM (
+       |  WITH f AS (SELECT doc_id,
+       |    CAST(length(text) AS DOUBLE) AS n_chars_f,
+       |    CAST(len(list_filter(string_split(text,' '), w -> w <> '')) AS DOUBLE) AS n_words,
+       |    CAST(len(list_distinct(list_filter(string_split(text,' '), w -> w <> ''))) AS DOUBLE) AS n_uniq,
+       |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS n_punct,
+       |    CAST(len(list_filter(string_split(lower(text),' '), w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE) AS n_stop
+       |   FROM documents),
+       |  r AS (SELECT doc_id,
+       |    CASE WHEN n_words > 0 THEN n_uniq / n_words ELSE 0.0 END AS uniq_ratio,
+       |    CASE WHEN n_chars_f > 0 THEN n_punct / n_chars_f ELSE 0.0 END AS punct_ratio,
+       |    CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END AS stop_ratio,
+       |    n_words FROM f)
+       |  SELECT doc_id,
+       |    0.3 * least(n_words / 200.0, 1.0) + 0.3 * uniq_ratio
+       |    + 0.2 * (1.0 - punct_ratio) + 0.2 * least(stop_ratio * 5.0, 1.0) AS quality
+       |  FROM r) h),
+       |uni AS (
+       |  SELECT 'trained' AS scorer, doc_id, score_micro // 1000 AS x,
+       |    CAST(label AS BIGINT) AS is_pos FROM q217
+       |  UNION ALL
+       |  SELECT 'heuristic', h.doc_id, h.x, CAST(q.label AS BIGINT)
+       |  FROM heur h JOIN q217 q USING (doc_id)),
+       |prof AS (SELECT scorer, x, CAST(COUNT(*) AS BIGINT) AS tot
+       |  FROM uni GROUP BY 1, 2),
+       |offs AS (SELECT scorer, x,
+       |    CAST(COALESCE(SUM(tot) OVER (PARTITION BY scorer ORDER BY x DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM prof),
+       |nn AS (SELECT scorer, CAST(SUM(tot) AS BIGINT) AS n_all
+       |  FROM prof GROUP BY 1),
+       |r2 AS (SELECT b.scorer, b.is_pos, n.n_all,
+       |    o.off + CAST(ROW_NUMBER() OVER (PARTITION BY b.scorer, b.x
+       |      ORDER BY b.doc_id) AS BIGINT) AS rnk
+       |  FROM uni b
+       |  JOIN offs o ON b.scorer = o.scorer AND b.x = o.x
+       |  JOIN nn n ON n.scorer = b.scorer),
+       |b2 AS (SELECT scorer, ((rnk - 1) * 10) // n_all + 1 AS decile,
+       |    is_pos, n_all FROM r2),
+       |g AS (SELECT scorer, decile, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(is_pos) AS BIGINT) AS n_pos, MAX(n_all) AS n_all
+       |  FROM b2 GROUP BY 1, 2),
+       |c AS (SELECT *,
+       |    CAST(SUM(n_pos) OVER (PARTITION BY scorer ORDER BY decile
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+       |    CAST(SUM(n_pos) OVER (PARTITION BY scorer) AS BIGINT) AS total_pos
+       |  FROM g)
+       |SELECT scorer, decile, n, n_pos, cum_pos,
+       |  ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 9) AS pos_rate_r,
+       |  ROUND(CAST(cum_pos AS DOUBLE) /
+       |    (CASE WHEN total_pos = 0 THEN NULL ELSE CAST(total_pos AS DOUBLE) END),
+       |    9) AS cum_capture_r,
+       |  ROUND((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) /
+       |    (CASE WHEN total_pos = 0 THEN NULL
+       |     ELSE CAST(total_pos AS DOUBLE) / CAST(n_all AS DOUBLE) END),
+       |    9) AS lift_r
+       |FROM c ORDER BY scorer, decile""".stripMargin
 }

@@ -159,4 +159,52 @@ class EvalSpec extends SparkTestBase {
       .collect()
     assert(out.length == 1 && out(0).getAs[Long]("n") == 1L)
   }
+
+  test("q219 acceptance report: 2 scorers x 10 deciles over the corpus, " +
+      "monotone capture, full capture at decile 10, identical row universe") {
+    val out = Eval.acceptanceReport(spark, sfDir).collect()
+    val byScorer = out.groupBy(_.getAs[String]("scorer"))
+    assert(byScorer.keySet === Set("trained", "heuristic"))
+    byScorer.foreach { case (scorer, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("decile"))
+      assert(sorted.map(_.getAs[Long]("decile")).toSeq === (1L to 10L),
+        s"$scorer: deciles not 1..10")
+      // equal-frequency deciles: sizes differ by at most 1
+      val ns = sorted.map(_.getAs[Long]("n"))
+      assert(ns.max - ns.min <= 1L, s"$scorer: deciles not equal-frequency")
+      val caps = sorted.map(_.getAs[Double]("cum_capture_r"))
+      assert(caps.zip(caps.tail).forall { case (a, b) => a <= b },
+        s"$scorer: cumulative capture not monotone")
+      assert(caps.last === 1.0, s"$scorer: decile 10 must capture all positives")
+    }
+    // both scorers rank the SAME documents with the SAME ground truth
+    def tot(s: String, c: String) =
+      byScorer(s).map(_.getAs[Long](c)).sum
+    assert(tot("trained", "n") === tot("heuristic", "n"))
+    assert(tot("trained", "n_pos") === tot("heuristic", "n_pos"))
+  }
+
+  test("q219 acceptance report: a perfectly separable planted corpus gives the " +
+      "trained scorer front-loaded capture") {
+    import graft.operators.QualityClassifier
+    // the q217 digit rule labels doc_id-derived sources; plant texts the
+    // trained classifier can separate (positives share a marker token)
+    // while the heuristic sees near-identical quality features
+    val docs = (0L until 40L).map { i =>
+      val even = i % 2 == 0
+      val marker = if (even) "alpha" else "beta"
+      (i, s"doc$i", s"the quick brown fox $marker jumps over the lazy dog " * 3,
+        s"so:$i")
+    }.toDF("doc_id", "title", "text", "source")
+    val out = Eval.acceptanceReport(docs).collect()
+    val trained = out.filter(_.getAs[String]("scorer") == "trained")
+      .sortBy(_.getAs[Long]("decile"))
+    assert(trained.nonEmpty)
+    // separable fixture: the top half of the trained ranking captures
+    // every positive (labels = even doc_ids = the alpha-marked half)
+    val cap5 = trained.filter(_.getAs[Long]("decile") <= 5L)
+      .map(_.getAs[Long]("n_pos")).sum
+    assert(cap5 === trained.map(_.getAs[Long]("n_pos")).sum,
+      "trained ranking failed to front-load the separable positives")
+  }
 }
