@@ -322,9 +322,17 @@ object Analytics {
       qs: Seq[(String, Double)]): (DataFrame, DataFrame) = {
     val spark = ev.sparkSession
     import spark.implicits._
+    // materialized eagerly: the stats frame (≤ one row per group) is read
+    // by THREE plan branches (the bucket map, the target-rank join, and
+    // the caller's final select) and each branch would otherwise re-run
+    // the full group aggregate over the corpus — at scale that is two
+    // extra corpus passes, and under AQE each duplicated subtree also
+    // re-executes as its own chain of per-exchange jobs (q154 measured
+    // 41 jobs for a 5-row result before this barrier)
     val stats = ev.groupBy(col("gkey"))
       .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"),
         count(lit(1)).as("n"))
+      .localCheckpoint()
     val bucketed = ev.join(broadcast(stats), Seq("gkey"))
       .withColumn("bucket", bucketOf(col("value")))
     val targets = bucketCum(bucketed)
@@ -417,9 +425,12 @@ object Analytics {
     val d = docs.filter(col("n_chars").isNotNull)
       .select(coalesce(col("lang"), lit(NullKey)).as("gkey"),
         col("doc_id"), col("n_chars"))
+    // same eager barrier as bucketRankSelect: stats is broadcast into
+    // both the bucket map and (via bucketed) the prefix aggregate
     val stats = d.groupBy(col("gkey"))
       .agg(min(col("n_chars")).as("vmin"), max(col("n_chars")).as("vmax"),
         count(lit(1)).as("n"))
+      .localCheckpoint()
     val bucketed = d.join(broadcast(stats), Seq("gkey"))
       .withColumn("bucket", bucketOf(col("n_chars")))
     val prefix = bucketCum(bucketed).select(col("gkey"), col("bucket"), col("prev"))
@@ -687,7 +698,13 @@ object Analytics {
     // materialization each read re-runs the events scan + filter
     val kv = keyedEventValues(events).localCheckpoint()
     val (stats, medPicked) = bucketRankSelect(kv, Seq(("med", 0.5)))
+    // med and mad (≤ one row per group) are each read by three plan
+    // branches (dev/fences/final for med, fences/final and the second
+    // rank-select for mad); materialized eagerly so the branch reads
+    // don't re-run the whole selection chain per use (same rationale as
+    // the stats barrier in bucketRankSelect)
     val med = medPicked.groupBy(col("gkey")).agg(max(col("value")).as("med"))
+      .localCheckpoint()
     // same story for the derived deviations: the second rank-select
     // pass reads them three times (stats, bucketing, candidate pick)
     val dev = kv.join(broadcast(med), Seq("gkey"))
@@ -695,6 +712,7 @@ object Analytics {
       .localCheckpoint()
     val (_, madPicked) = bucketRankSelect(dev, Seq(("mad", 0.5)))
     val mad = madPicked.groupBy(col("gkey")).agg(max(col("value")).as("mad"))
+      .localCheckpoint()
     val fences = kv.join(broadcast(med), Seq("gkey")).join(broadcast(mad), Seq("gkey"))
       .groupBy(col("gkey"))
       .agg(sum(when(abs(col("value") - col("med")) > lit(4.4478) * col("mad"), 1L)
