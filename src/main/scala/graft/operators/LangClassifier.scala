@@ -55,10 +55,14 @@ object LangClassifier {
   val Rounds = 8
   val Lr = 64L
 
+  /** One scan: q30's inline argmax cascade labels the same projection
+    * that feeds the feature build — no doc_id self-join, no q30 global
+    * sort (values identical: [[TextAnalysis.predLangCol]] IS q30's
+    * pred_lang expression). */
   private def labeled(docs: DataFrame): DataFrame =
-    TextAnalysis.langId(docs.filter(col("text").isNotNull))
-      .select(col("doc_id"), col("pred_lang").as("heur_lang"))
-      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextAnalysis.predLangCol(col("text")).as("heur_lang"), col("text"))
 
   def trainScore(s: SparkSession, dir: String): DataFrame =
     trainScore(Tables.documents(s, dir))
@@ -71,28 +75,36 @@ object LangClassifier {
         concat_ws(":", lit("lc"), col("doc_id"))) % mod === 0L)
       .localCheckpoint()
     val nTr = tr.count()
-    // per-class integer weight chains (q217's loop, one per class);
+    // per-class integer weight chains (q217's loop), with each round's
+    // FOUR independent per-class gradients fused into ONE aggregate over
+    // the stride: the classes share the training rows and only differ in
+    // weights/targets, so one 4·17-column map-combined agg replaces four
+    // 17-column aggs — Rounds jobs instead of Classes·Rounds (32 -> 8),
+    // same integer arithmetic per class, bit-identical weights.
     // nTr == 0 -> all weights stay 0, every score is 500000, argmax
     // abstains to 'unknown' (the oracle's CASE-guarded update agrees)
-    val ws: Map[String, Array[Long]] = Classes.map { c =>
-      val w = Array.fill(B + 1)(0L)
-      for (_ <- 0 until (if (nTr == 0) 0 else Rounds)) {
-        val g = tr
-          .withColumn("z", expr(zSql(w)))
-          .withColumn("err",
-            expr("(500000 + (z * 500000) div (1000000 + abs(z)))") -
+    val ws: Map[String, Array[Long]] =
+      Classes.map(c => c -> Array.fill(B + 1)(0L)).toMap
+    for (_ <- 0 until (if (nTr == 0) 0 else Rounds)) {
+      val withErr = Classes.foldLeft(tr) { (df, c) =>
+        df.withColumn(s"z_$c", expr(zSql(ws(c))))
+          .withColumn(s"err_$c",
+            expr(s"(500000 + (z_$c * 500000) div (1000000 + abs(z_$c)))") -
               when(col("heur_lang") === c, 1000000L).otherwise(0L))
-          .agg(sum(expr("err * x0")).as("g0"),
-            (1 to B).map(i => sum(expr(s"err * x$i")).as(s"g$i")): _*)
-          .first()
+      }
+      val aggs = Classes.flatMap(c =>
+        (0 to B).map(i => sum(expr(s"err_$c * x$i")).as(s"g_${c}_$i")))
+      val g = withErr.agg(aggs.head, aggs.tail: _*).first()
+      var idx = 0
+      Classes.foreach { c =>
+        val w = ws(c)
         var i = 0
         while (i <= B) {
-          w(i) -= Lr * (g.getLong(i) / (nTr * 1000000L))
-          i += 1
+          w(i) -= Lr * (g.getLong(idx) / (nTr * 1000000L))
+          i += 1; idx += 1
         }
       }
-      c -> w
-    }.toMap
+    }
     val scored = Classes.foldLeft(x) { (df, c) =>
       df.withColumn(s"z_$c", expr(zSql(ws(c))))
         .withColumn(s"s_$c",

@@ -49,6 +49,21 @@ object TextAnalysis {
   private def profileScore(ws: Column, profile: Seq[String]): Column =
     size(filter(ws, w => array_contains(array(profile.map(lit): _*), w))).cast("long")
 
+  /** q30's pred_lang as ONE inline column expression (profile scores +
+    * argmax cascade) — shared with the q218 label chain so producer and
+    * distilled trainee can never drift, and so q218 labels in the same
+    * scan that feeds its features instead of joining q30's output back
+    * on doc_id. Value-identical to [[langId]]'s pred_lang column. */
+  private[operators] def predLangCol(text: Column): Column = {
+    val ws = words(lower(text))
+    val Seq(en, es, de, fr) = profiles.map { case (_, p) => profileScore(ws, p) }
+    when(en === 0 && es === 0 && de === 0 && fr === 0, "unknown")
+      .when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
   /** q30: n-gram/function-word language ID — per-language stopword hit
     * counts + deterministic argmax (profile order breaks ties). */
   def langId(s: SparkSession, dir: String): DataFrame = langId(Tables.documents(s, dir))
