@@ -71,19 +71,39 @@ object QDigest {
     * entry point: [[qdigest]] scans the corpus ONCE and feeds the same
     * checkpointed profile to both the sketch and the exact arm. */
   private def sketchFromProfile(prof: DataFrame, t: Long): DataFrame = {
-    var cur = prof.select(col("x").as("node"), col("cnt"))
-    var kept: DataFrame = null
-    for (l <- 0 until QdLevels) {
-      cur = cur.localCheckpoint()
-      val keep = cur.filter(col("cnt") > t)
-        .select(lit(l.toLong).as("level"), col("node"), col("cnt"))
-      kept = if (kept == null) keep else kept.unionByName(keep)
-      cur = cur.filter(col("cnt") <= t)
-        .select(expr("node div 2").as("node"), col("cnt"))
-        .groupBy(col("node")).agg(sum(col("cnt")).as("cnt"))
-    }
-    kept.unionByName(cur.filter(col("cnt") > 0)
-      .select(lit(QdLevels.toLong).as("level"), col("node"), col("cnt")))
+    val spark = prof.sparkSession
+    import spark.implicits._
+    // All QdLevels bottom-up rounds in ONE single-task pass: the profile
+    // is bounded by the VALUE DOMAIN (≤ 2^QdLevels rows at any corpus
+    // size), so the former per-level distributed filter/groupBy loop paid
+    // 20 sequential jobs + 20 localCheckpoints of scheduling latency for
+    // data one core folds in milliseconds. The fold applies the identical
+    // integer rule per level — cnt > t keeps (level, node, cnt), cnt ≤ t
+    // pushes the count to node div 2 — so the kept multiset is
+    // bit-identical (spec-checked against a level-by-level reference).
+    prof.select(col("x").cast("long"), col("cnt").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        var cur = scala.collection.mutable.LongMap.empty[Long]
+        it.foreach { case (x, c) => cur(x) = cur.getOrElse(x, 0L) + c }
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var level = 0
+        while (level < QdLevels) {
+          val next = scala.collection.mutable.LongMap.empty[Long]
+          cur.foreach { case (node, cnt) =>
+            if (cnt > t) kept += ((level.toLong, node, cnt))
+            else { val p = node / 2; next(p) = next.getOrElse(p, 0L) + cnt }
+          }
+          cur = next
+          level += 1
+        }
+        cur.foreach { case (node, cnt) =>
+          if (cnt > 0) kept += ((QdLevels.toLong, node, cnt))
+        }
+        kept.iterator
+      }
+      .toDF("level", "node", "cnt")
   }
 
   /** q203: quantile audit — sketch estimate vs exact, per target rank. */

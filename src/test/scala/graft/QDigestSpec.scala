@@ -65,6 +65,30 @@ class QDigestSpec extends SparkTestBase {
     assert(merged === whole)
   }
 
+  test("single-pass compression matches the level-by-level reference rule") {
+    // pseudo-random skewed profile; reference replays the distributed
+    // loop's exact per-level rule (cnt > t keep, else push to node div 2)
+    val values = (1 to 4000).map(i => ((i * 2654435761L) % 1500).toDouble / 3.0)
+    val n = values.size.toLong
+    val t = n / QDigest.QdK
+    val sk = QDigest.sketch(ev(values)).collect()
+      .map(r => (r.getAs[Long]("level"), r.getAs[Long]("node")) -> r.getAs[Long]("cnt"))
+      .toMap
+    var cur: Map[Long, Long] = values
+      .map(v => math.min(math.max(math.floor(v * 1e3).toLong, 0L), QDigest.QdU - 1L))
+      .groupBy(identity).map { case (x, xs) => x -> xs.size.toLong }
+    var ref = Map.empty[(Long, Long), Long]
+    for (l <- 0 until QDigest.QdLevels) {
+      val (keep, push) = cur.partition(_._2 > t)
+      ref ++= keep.map { case (node, cnt) => (l.toLong, node) -> cnt }
+      cur = push.toSeq.groupBy(_._1 / 2)
+        .map { case (p, xs) => p -> xs.map(_._2).sum }
+    }
+    ref ++= cur.filter(_._2 > 0)
+      .map { case (node, cnt) => (QDigest.QdLevels.toLong, node) -> cnt }
+    assert(sk === ref)
+  }
+
   test("clamping: negatives land at 0, huge values at the domain edge") {
     val out = QDigest.qdigest(ev(Seq(-5.0, -1.0, 2.0e9, 3.0e9)))
       .collect()
