@@ -346,19 +346,27 @@ object Eval {
     acceptanceReport(Tables.documents(s, dir))
 
   def acceptanceReport(docs: DataFrame): DataFrame = {
-    val trained = QualityClassifier.trainScore(docs)
+    // trainScoreRaw: q217's chain minus its presentation sort — the
+    // scores feed joins/groupBys here, and behind the checkpoint barrier
+    // below the sort would actually execute (EliminateSorts can't see
+    // through it). The frame is a cheap projection over q217's own
+    // internal checkpoint, so it needs no barrier of its own.
+    val trained = QualityClassifier.trainScoreRaw(docs)
       .select(col("doc_id"), col("label").as("is_pos"),
         expr("score_micro div 1000").as("x"))
-      .localCheckpoint() // the whole training chain — run it once
     val heur = TextAnalysis.qualityScore(docs)
       .select(col("doc_id"),
         floor(col("quality") * lit(1e3)).cast("long").as("x"))
+    // materialized once: read by the profile aggregate AND the rank
+    // join, which would otherwise each re-run the heuristic scan and
+    // the is_pos join (the q191 shared-frame idiom)
     val both = trained
       .select(lit("trained").as("scorer"), col("doc_id"), col("x"), col("is_pos"))
       .unionByName(heur
         .join(trained.select(col("doc_id"), col("is_pos")), Seq("doc_id"))
         .select(lit("heuristic").as("scorer"), col("doc_id"), col("x"),
           col("is_pos")))
+      .localCheckpoint()
     val prof = both.groupBy(col("scorer"), col("x")).agg(count(lit(1)).as("tot"))
       .localCheckpoint()
     val offs = prof.withColumn("off", coalesce(sum(col("tot")).over(

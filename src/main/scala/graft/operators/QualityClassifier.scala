@@ -119,7 +119,16 @@ object QualityClassifier {
   def trainScore(s: SparkSession, dir: String): DataFrame =
     trainScore(Tables.documents(s, dir))
 
-  def trainScore(docs: DataFrame): DataFrame = {
+  /** q217's gated surface: the raw chain plus its presentation sort. */
+  def trainScore(docs: DataFrame): DataFrame =
+    trainScoreRaw(docs).orderBy("doc_id")
+
+  /** The train+score chain WITHOUT the final global sort — q219 consumes
+    * the scores into joins/aggregates where the sort is pure waste (it
+    * sits behind a localCheckpoint barrier there, so Catalyst's
+    * EliminateSorts cannot remove it). Values identical to
+    * [[trainScore]] modulo row order. */
+  private[operators] def trainScoreRaw(docs: DataFrame): DataFrame = {
     val x = featureFrame(docs).localCheckpoint() // scored once, trained R×
     val mod = trainMod(x.count())
     val tr = x.filter(TextAnalysis.md5Long(
@@ -153,7 +162,6 @@ object QualityClassifier {
         expr("y div 1000000").as("label"),
         col("score_micro"),
         when(col("score_micro") >= 500000L, 1L).otherwise(0L).as("pred"))
-      .orderBy("doc_id")
   }
 
   /** q217 oracle: the identical feature build, stride, and
