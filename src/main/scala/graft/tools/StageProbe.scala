@@ -5,10 +5,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Ad-hoc stage timer for optimization work: runs a query twice on a
   * fresh session (cold + warm) and prints per-run wall clock, with the
   * noop sink so the timing covers every column of every row (guide
-  * §1.4). Usage: runMain graft.tools.StageProbe <query> [sfDir] [runs]. */
+  * §1.4). Usage: runMain graft.tools.StageProbe <query>[,query…] [sfDir]
+  * [runs]. */
 object StageProbe {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -31,15 +32,17 @@ object StageProbe {
         taskMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
       }
     })
-    val fn = graft.SparkEntry.queries(name)
-    for (i <- 1 to runs) {
-      jobs.set(0); stages.set(0); taskMs.set(0)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      System.gc()
-      val t0 = System.nanoTime()
-      fn(spark, dir).write.format("noop").mode("overwrite").save()
-      println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-        f"jobs=${jobs.get} stages=${stages.get} taskTime=${taskMs.get / 1e3}%.2f s")
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      for (i <- 1 to runs) {
+        jobs.set(0); stages.set(0); taskMs.set(0)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        System.gc()
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          f"jobs=${jobs.get} stages=${stages.get} taskTime=${taskMs.get / 1e3}%.2f s")
+      }
     }
     spark.stop()
   }
