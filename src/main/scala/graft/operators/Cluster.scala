@@ -22,6 +22,18 @@ import graft.Tables
   */
 object Cluster {
 
+  /** Below this undirected-edge count the min-label fixpoint runs as ONE
+    * single-task union-find instead of the distributed join loop: on a
+    * small pair graph the per-round joins/checkpoints are pure scheduling
+    * latency (q46 measured 35 jobs for a graph of a few thousand edges),
+    * and the fixpoint — every node labeled with the minimum reachable
+    * id — is UNIQUE, so both paths return identical labels
+    * (spec-checked). 2^22 edge rows ≈ 64 MB of longs in the one task;
+    * near-dup pair graphs stay far below this at any corpus size
+    * (candidates track true pair volume), while a genuinely huge graph
+    * keeps the proven loop. */
+  val SmallGraphEdges = 1L << 22
+
   /** Labels each node with the minimum node id reachable through `edges`
     * (undirected). `nodes`: one `id` column; `edges`: `a_id`, `b_id`.
     * Returns (id, label).
@@ -33,7 +45,7 @@ object Cluster {
     * 100 TB table. Edge-free nodes are singleton components and get
     * label = id through one final left join. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, smallGraphMax: Long = SmallGraphEdges): DataFrame = {
     // undirected adjacency, materialized once — every round re-reads it.
     // Pre-partitioned by dst before the checkpoint: LogicalRDD keeps the
     // partitioning, so the per-round neighbor join never re-shuffles the
@@ -43,6 +55,41 @@ object Cluster {
       .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .repartition(col("dst"))
       .localCheckpoint()
+    if (und.count() <= smallGraphMax) {
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val labels = und
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          // union-find with path halving; union attaches the LARGER root
+          // under the smaller, so each tree's root is the component's
+          // minimum id — the same fixpoint the join loop converges to
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x0: Long): Long = {
+            var x = x0
+            while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+            x
+          }
+          it.foreach { case (a, b) =>
+            if (!parent.contains(a)) parent(a) = a
+            if (!parent.contains(b)) parent(b) = b
+            val ra = find(a); val rb = find(b)
+            if (ra < rb) parent(rb) = ra
+            else if (rb < ra) parent(ra) = rb
+          }
+          // snapshot the keys BEFORE resolving: find() path-halves (it
+          // mutates parent), and mutating a LongMap mid-iteration is
+          // undefined
+          val keys = parent.keysIterator.toArray
+          keys.iterator.map(k => (k, find(k)))
+        }
+        .toDF("id", "label")
+      return nodes.join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    }
     var labels = und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")).localCheckpoint()
     var iter = 0

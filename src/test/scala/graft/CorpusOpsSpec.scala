@@ -108,6 +108,22 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out.select("label").distinct().collect().map(_.getLong(0)).toSeq === Seq(0L))
   }
 
+  test("union-find fast path and distributed loop label identically") {
+    // pseudo-random graph mixing chains, a clique, and singletons; the
+    // min-reachable-id fixpoint is unique, so the two paths must agree
+    // exactly (smallGraphMax = 0 forces the join loop)
+    val ids = (0 until 60).map(_.toLong)
+    val edges = (ids.indices.collect {
+      case i if i % 3 != 0 => (ids(i), ids((i * 7) % 60))
+    } ++ Seq((50L, 51L), (51L, 52L), (52L, 50L))).toDF("a_id", "b_id")
+    val nodes = ids.toDF("id")
+    val fast = Cluster.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = Cluster.connectedComponents(nodes, edges, smallGraphMax = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === loop)
+  }
+
   test("q46 clusters equal the transitive closure of the q23 pair set") {
     val docs = Tables.documents(spark, sfDir)
     val pairs = operators.ApproxDedup.ngramJaccard(docs)

@@ -72,7 +72,10 @@ class PlanSpec extends SparkTestBase {
     val docs = Tables.documents(spark, sfDir)
     val edges = graft.operators.ApproxDedup.ngramJaccardPairs(docs).select("a_id", "b_id")
     val nodes = docs.select(col("doc_id").as("id"))
-    val p = plan(graft.operators.Cluster.connectedComponents(nodes, edges, maxIter = 2))
+    // smallGraphMax = 0 forces the distributed loop (the shape this
+    // asserts on); small graphs take the single-task union-find path
+    val p = plan(graft.operators.Cluster.connectedComponents(nodes, edges,
+      maxIter = 2, smallGraphMax = 0))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"CC round degenerated to a pairwise scan:\n$p")
   }
