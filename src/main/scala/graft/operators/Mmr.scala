@@ -56,9 +56,14 @@ object Mmr {
     val cand = Similarity.explodeTopKPerGroup(scored, "query_id", "cand_id", CandK)
       .select(col("query_id"), col("cand_id"), col("sim_r").as("rel"))
 
+    // materialized once: the shortlist feeds the pair build twice (both
+    // self-join arms) and the greedy fold — without the barrier the
+    // corpus-side retrieval re-evaluates per consumer
+    val candCp = cand.localCheckpoint()
+
     // pairwise similarities inside each query's shortlist (≤ CandK² rows
     // per probe) — the redundancy term
-    val cv = cand.select(col("query_id"), col("cand_id"))
+    val cv = candCp.select(col("query_id"), col("cand_id"))
       .join(v.select(col("vec_id").as("cand_id"), col("e"), col("nrm")), Seq("cand_id"))
     val a = cv.select(col("query_id"), col("cand_id").as("cid"),
       col("e").as("ea"), col("nrm").as("na"))
@@ -67,45 +72,55 @@ object Mmr {
     val pairs = a.join(b, Seq("query_id")).filter(col("cid") =!= col("other"))
       .select(col("query_id"), col("cid"), col("other"),
         round(cosinePre(col("ea"), col("eb"), col("na"), col("nb")), 9).as("psim"))
-      .localCheckpoint()
 
-    // checkpointed: `state` feeds BOTH the winner argmax and the update
-    // join each round — without cutting lineage the upstream shortlist
-    // retrieval re-evaluates 2^SelK times (the BpeTrain lesson)
-    var state = cand
-      .withColumn("msim", lit(0.0))
-      .withColumn("mmr_step", lit(0L))
-      .withColumn("score", lit(null).cast("double"))
-      .localCheckpoint()
-    for (k <- 1 to SelK) {
-      val wRank = Window.partitionBy(col("query_id"))
-        .orderBy(col("s").desc, col("cand_id"))
-      val winner = state.filter(col("mmr_step") === 0L)
-        .withColumn("s", col("rel") - col("msim"))
-        .withColumn("rn", row_number().over(wRank))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("cand_id").as("w_cand"), col("s").as("w_score"))
-      state = state
-        .join(broadcast(winner), Seq("query_id"), "left")
-        // explicit broadcast: the checkpointed pair table's stats are
-        // opaque to the planner (LogicalRDD), which otherwise falls back
-        // to a per-round sort-merge join on a probes·k² frame
-        .join(broadcast(pairs.withColumnRenamed("cid", "cand_id")
-            .withColumnRenamed("other", "w_cand")),
-          Seq("query_id", "cand_id", "w_cand"), "left")
-        .select(col("query_id"), col("cand_id"), col("rel"),
-          when(col("mmr_step") === 0L && col("cand_id") =!= col("w_cand") &&
-              col("psim").isNotNull, greatest(col("msim"), col("psim")))
-            .otherwise(col("msim")).as("msim"),
-          when(col("mmr_step") === 0L && col("cand_id") === col("w_cand"),
-            lit(k.toLong)).otherwise(col("mmr_step")).as("mmr_step"),
-          when(col("mmr_step") === 0L && col("cand_id") === col("w_cand"),
-            col("w_score")).otherwise(col("score")).as("score"))
-        .localCheckpoint()
+    // The SelK greedy rounds fold PER QUERY in one cogroup pass: state is
+    // ≤ CandK rows and the pair table ≤ CandK² rows per probe BY
+    // CONSTRUCTION (cost is a function of k, not corpus size), so the
+    // former per-round window + two joins + localCheckpoint chain
+    // (~25 jobs of scheduling latency at sf0.1) is replaced by one
+    // shuffle of each bounded frame. The fold replays the exact same
+    // arithmetic: s = rel − msim (one IEEE subtraction of the rounded-9
+    // doubles), winner = max s with ties to the lower cand_id, losers
+    // take msim = max(msim, psim(cid, winner)) — spec-checked against
+    // the oracle's unrolled recursion.
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val candDs = candCp.select(col("query_id").cast("long"),
+      col("cand_id").cast("long"), col("rel").cast("double"))
+      .as[(Long, Long, Double)].groupByKey(_._1)
+    val pairDs = pairs.select(col("query_id").cast("long"),
+      col("cid").cast("long"), col("other").cast("long"),
+      col("psim").cast("double"))
+      .as[(Long, Long, Long, Double)].groupByKey(_._1)
+    val picked = candDs.cogroup(pairDs) { (qid, cs, ps) =>
+      val cands = cs.map { case (_, id, rel) => (id, rel) }.toArray
+      val psim = ps.map { case (_, cid, other, s) => (cid, other) -> s }.toMap
+      val msim = scala.collection.mutable.LongMap
+        .empty[Double].withDefaultValue(0.0)
+      val done = scala.collection.mutable.LongMap.empty[(Long, Double)]
+      var k = 1
+      while (k <= SelK && done.size < cands.length) {
+        var wId = -1L; var wScore = 0.0
+        cands.foreach { case (id, rel) =>
+          if (!done.contains(id)) {
+            val s = rel - msim(id)
+            if (wId < 0 || s > wScore || (s == wScore && id < wId)) {
+              wId = id; wScore = s
+            }
+          }
+        }
+        done(wId) = (k.toLong, wScore)
+        cands.foreach { case (id, _) =>
+          if (!done.contains(id))
+            psim.get((id, wId)).foreach(p => msim(id) = math.max(msim(id), p))
+        }
+        k += 1
+      }
+      cands.iterator.flatMap { case (id, rel) =>
+        done.get(id).map { case (step, score) => (qid, id, step, rel, score) }
+      }
     }
-    state.filter(col("mmr_step") > 0L)
-      .select(col("query_id"), col("cand_id"), col("mmr_step"),
-        col("rel").as("rel_r"), col("score").as("mmr_margin"))
+    picked.toDF("query_id", "cand_id", "mmr_step", "rel_r", "mmr_margin")
       .orderBy("query_id", "mmr_step")
   }
 

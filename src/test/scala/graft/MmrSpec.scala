@@ -24,6 +24,23 @@ class MmrSpec extends SparkTestBase {
     assert(out.toSeq === Seq((1L, 1L), (2L, 3L), (3L, 2L)))
   }
 
+  test("q168 mmr: equal-score ties break on the LOWER cand_id") {
+    // c1 and c2 are the same vector (identical rel to the query, and
+    // psim(c1,c2)=1): step 1 must take cand_id 1, and after the winner
+    // saturates the twin's msim the diverse c3 must precede it
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.3f, 0.0f)),
+      (1L, Array(0.9f, 0.3f, 0.0f)),
+      (3L, Array(0.85f, 0.0f, 0.4f))
+    ).toDF("vec_id", "embedding")
+    val out = Mmr.mmrDiversify(vecs)
+      .filter(col("query_id") === 0L).collect()
+      .sortBy(_.getAs[Long]("mmr_step"))
+      .map(r => (r.getAs[Long]("mmr_step"), r.getAs[Long]("cand_id")))
+    assert(out.toSeq === Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+  }
+
   test("q168 mmr: step 1 is the relevance argmax; picks are distinct (corpus)") {
     val out = Mmr.mmrDiversify(spark, sfDir).collect()
     assert(out.nonEmpty)
