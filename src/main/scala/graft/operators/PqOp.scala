@@ -498,9 +498,22 @@ object PqOp {
     * the output at all. */
   def pqRecall(s: SparkSession, dir: String): DataFrame = {
     val truth = exactTruthTopK(Tables.embeddings(s, dir))
-    val adc = pqAdcTopK(s, dir)
+    // ONE indexed ADC pass feeds BOTH audit arms — q111's ranking and
+    // q112's rerank previously each re-collected the codebooks and
+    // queries and re-scanned the codes artifact; the scored frame
+    // (NQ·corpus rows of 3 scalars) is materialized once for the two
+    // consumers. Same rankings as the gated q111/q112 entries (shared
+    // adcRank/rerankChain).
+    val (adcTk, rrTk) = adcScoredIndexed(s, dir) match {
+      case None => (emptyResult(s, "dist_r"), emptyResult(s, "sim_r"))
+      case Some(scored0) =>
+        val scored = scored0.localCheckpoint()
+        (adcRank(scored),
+          rerankChain(scored, Tables.embeddings(s, dir), ShortlistK))
+    }
+    val adc = adcTk
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit_adc"))
-    val rr = pqRerankTopK(s, dir)
+    val rr = rrTk
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit_rerank"))
     truth.join(adc, Seq("query_id", "neighbor_id"), "left")
       .join(rr, Seq("query_id", "neighbor_id"), "left")
