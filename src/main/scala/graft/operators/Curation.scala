@@ -1042,14 +1042,24 @@ object Curation {
           ColumnBridge.expression(col("text")), 2, distinct = false))).as("gram"))
       .select(col("doc_id"), col("lang"),
         (TextAnalysis.md5Long(concat(lit("ds:"), col("gram"))) % DsirBuckets).as("b"))
-    val rb = occ.groupBy(col("b")).agg(count(lit(1)).as("rb"))
-    val tb = occ.filter(col("lang") === DsirTargetLang)
-      .groupBy(col("b")).agg(count(lit(1)).as("tb"))
-    val totals = rb.agg(sum(col("rb")).as("rtot"))
-      .crossJoin(tb.agg(sum(col("tb")).as("ttot")))
+    // ONE bucket aggregate carries both sides (raw count + target-lang
+    // count as a conditional sum) — previously rb and tb were separate
+    // aggregates and the totals re-aggregated each of them, so the
+    // occurrence explode + per-gram md5 ran FIVE times over the corpus
+    // (rb broadcast, tb broadcast, two total aggs, scoring scan); now it
+    // runs twice (model build + scoring), the DSIR floor. The ≤B-row
+    // table is materialized once for the totals and the broadcast.
+    val byB = occ.groupBy(col("b")).agg(count(lit(1)).as("rb"),
+        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("tb"))
+      .localCheckpoint()
+    // ttot: the separate tb table summed to NULL on a target-free corpus
+    // (empty aggregate); the fused conditional sum yields 0 there — map
+    // it back to NULL so the smoothing terms stay value-identical
+    val totals = byB.agg(sum(col("rb")).as("rtot"),
+      when(sum(col("tb")) === 0L, lit(null).cast("long"))
+        .otherwise(sum(col("tb"))).as("ttot"))
     val scored = occ
-      .join(broadcast(rb), Seq("b"))
-      .join(broadcast(tb), Seq("b"), "left")
+      .join(broadcast(byB), Seq("b"))
       .crossJoin(broadcast(totals))
       .select(col("doc_id"), col("rtot"), col("ttot"),
         (d38(coalesce(col("tb"), lit(0L)) + 1L) * d38(col("rtot") + DsirBuckets)

@@ -339,6 +339,21 @@ class CurationSpec extends SparkTestBase {
     out.values.foreach { case (w, k) => assert(!w.isNaN && (k === 1L) === (w > 0.0)) }
   }
 
+  test("q174: a target-free corpus yields NULL weights (empty target aggregate)") {
+    // no doc carries the target lang: ttot is the sum of an empty
+    // aggregate (NULL), so every smoothing term — and the weight — is
+    // NULL, and keep falls to 0; the fused single-aggregate bucket
+    // build must preserve that (a 0 would silently flip the sign math)
+    val d = Seq((1L, "alpha beta gamma", "xx"), (2L, "beta gamma delta", "yy"))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.dsirWeights(d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("weight_ppm_r")))
+      assert(r.getAs[Long]("keep") === 0L)
+    }
+  }
+
   test("q174 on the corpus: weights finite, keep = positive weight, feature counts = bigram counts") {
     val out = Curation.dsirWeights(spark, sfDir).collect()
     assert(out.nonEmpty)
