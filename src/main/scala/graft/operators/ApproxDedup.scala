@@ -552,7 +552,14 @@ object ApproxDedup {
     * pairsTable). Recall is value-gated, not assumed: q23/q24 compare
     * this output to the exact-SQL oracle at every gated SF. */
   def minhashLshPairs(docs: DataFrame): DataFrame = {
+    // materialized once: the shingle frame feeds the band build AND both
+    // verify-join sides, each of which otherwise re-runs the tokenize +
+    // shingle + distinct chain over the corpus (three text passes → one).
+    // DISK_ONLY for the same reason as the q189 basket frame: the arrays
+    // are the big payload, and sequential disk re-reads are cheaper than
+    // locking the storage half of the unified pool at 100× scale.
     val sh = shingleSets(docs).filter(size(col("shingles")) > 0)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val banded = bandRows(sh)
     val a = banded.select(col("doc_id").as("a_id"), col("band"), col("band_key"))
     val b = banded.select(col("doc_id").as("b_id"), col("band"), col("band_key"))
@@ -594,7 +601,10 @@ object ApproxDedup {
     minhashCalibration(Tables.documents(s, dir))
 
   def minhashCalibration(docs: DataFrame): DataFrame = {
+    // same one-pass shingle barrier as minhashLshPairs: read by the band
+    // build, the signature frame, and both exact-verify join sides
     val sh = shingleSets(docs).filter(size(col("shingles")) > 0)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val sig = sh.select(col("doc_id"), signature(col("shingles")).as("sig"))
       .repartition(col("doc_id")) // same CollapseProject barrier as bandRows
     val banded = bandRows(sh)
