@@ -164,7 +164,7 @@ object IvfPq {
     val rqv =
       if (cents.isEmpty) qv // empty corpus: nothing to residualize
       else residualized(qv, cents)
-    val books = (0 until PqOp.M).map(m => PqOp.trainSub(rqv, m))
+    val books = PqOp.trainSubs(rqv)
     spark.createDataFrame(cents.map { case (id, c) => (id, c) })
       .toDF("cell", "c")
       .coalesce(1).write.parquet(s"$staging/cells.parquet")
@@ -311,7 +311,7 @@ object IvfPq {
     val enc =
       if (byResidual) residualized(qv, cents)
       else KMeansOp.assign(qv, cents).withColumnRenamed("cell", "gcell")
-    val books = (0 until PqOp.M).map(m => PqOp.trainSub(enc, m))
+    val books = PqOp.trainSubs(enc)
     if (books.exists(_.isEmpty))
       return PqOp.emptyResult(embeddings.sparkSession, "dist_r")
     val codes = PqOp.encode(enc, books)

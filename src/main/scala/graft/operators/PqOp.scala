@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorOps.cosinePre
+import graft.functions.VectorOps.{cosinePre, dot}
 
 /** Product quantization (Jégou et al. 2011, "Product Quantization for
   * Nearest Neighbor Search") — the vector-compression half of the
@@ -98,6 +98,72 @@ object PqOp {
     cents
   }
 
+  /** Argmin cell for a sub-slice column against one codebook — the
+    * exact [[KMeansOp.assign]]/[[KMeansOp.dist2]] expressions applied to
+    * the slice (same dot fold, same cc fold, same lowest-cell
+    * tie-break), so assignments match the per-subspace path bitwise. */
+  private def cellCol(sub: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+    val qq = dot(sub, sub)
+    val dists = array(cents.map { case (_, c) =>
+      val cLit = array(c.map(lit): _*)
+      val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+      qq - lit(2.0) * dot(sub, cLit) + lit(cc)
+    }: _*)
+    val ids = array(cents.map { case (id, _) => lit(id) }: _*)
+    element_at(ids, array_position(dists, array_min(dists)).cast("int"))
+  }
+
+  /** All [[M]] subspace codebooks in one fused pass per round. The
+    * per-subspace loop ([[trainSub]] × M) paid M seed collects plus
+    * M·[[Rounds]] assign+recenter round-trips over the same checkpointed
+    * frame (24 driver jobs per build at M=8, Rounds=2); this trains all
+    * eight from ONE seed collect (sliced driver-side) and ONE exploded
+    * (m, cell) map-combined aggregate per round. The recenter sums are
+    * the identical exact integral-double sums per (m, cell), so the
+    * books are bit-identical to the per-subspace path (spec-checked);
+    * [[trainSub]] stays as the reference semantics. */
+  private[graft] def trainSubs(qv: DataFrame): Seq[Seq[(Long, Seq[Double])]] = {
+    val seeds = qv.filter(col("vec_id") < Ks).orderBy("vec_id")
+      .select(col("vec_id"), col("q")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    var books: Seq[Seq[(Long, Seq[Double])]] = (0 until M).map { m =>
+      seeds.map { case (id, q) => id -> q.slice(m * SubDim, (m + 1) * SubDim) }
+    }
+    if (seeds.isEmpty) return books
+    // slices materialized ONCE behind a checkpoint barrier: inlining
+    // subSlice(q, m) into the argmin would let CollapseProject recreate
+    // the slice array per distance term (the q190 lesson — measured 40%
+    // slower than the per-subspace loop), while here every term reads a
+    // concrete 8-slot array attribute
+    val sliced = qv.select(col("vec_id") +:
+      (0 until M).map(m => subSlice(col("q"), m).as(s"q$m")): _*)
+      .localCheckpoint()
+    for (_ <- 1 to Rounds) {
+      val entries = (0 until M).map { m =>
+        val sub = col(s"q$m")
+        struct(lit(m).as("m") +: cellCol(sub, books(m)).as("cell") +:
+          (1 to SubDim).map(i => element_at(sub, i).as(s"x$i")): _*)
+      }
+      val sums = (1 to SubDim).map(i => sum(col(s"e.x$i")).as(s"s$i"))
+      val rows = sliced.select(explode(array(entries: _*)).as("e"))
+        .groupBy(col("e.m").as("m"), col("e.cell").as("cell"))
+        .agg(count(lit(1)).cast("double").as("n"), sums: _*)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) ->
+          (r.getDouble(2), (0 until SubDim).map(i => r.getDouble(3 + i))))
+        .toMap
+      books = books.zipWithIndex.map { case (b, m) =>
+        b.map { case (id, c) =>
+          rows.get((m, id)) match {
+            case Some((n, s)) => id -> s.map(_ / n)
+            case None => id -> c
+          }
+        }
+      }
+    }
+    books
+  }
+
   /** PQ-encode: adds code0..code{M−1} (assigned cell per subspace) to
     * the quantized frame — M narrow argmin projections, no shuffle. */
   private[graft] def encode(qv: DataFrame,
@@ -179,7 +245,7 @@ object PqOp {
     * (s, dir) path serves the persisted artifact instead. */
   private def adcScored(embeddings: DataFrame): Option[DataFrame] = {
     val qv = unitQuantized(embeddings).localCheckpoint()
-    val books = (0 until M).map(m => trainSub(qv, m))
+    val books = trainSubs(qv)
     val queries: Seq[(Long, Seq[Double])] =
       qv.filter(col("vec_id") < NQ).orderBy("vec_id").collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
@@ -222,7 +288,7 @@ object PqOp {
   private[graft] def buildPq(embeddings: DataFrame, staging: String): Unit = {
     val spark = embeddings.sparkSession
     val qv = unitQuantized(embeddings).localCheckpoint()
-    val books = (0 until M).map(m => trainSub(qv, m))
+    val books = trainSubs(qv)
     val bookRows = books.zipWithIndex.flatMap { case (b, m) =>
       b.map { case (cell, c) => (m, cell, c) } }
     spark.createDataFrame(bookRows).toDF("m", "cell", "c")

@@ -27,6 +27,18 @@ class PqSpec extends SparkTestBase {
     (head ++ clusterA ++ clusterB).toDF("vec_id", "embedding")
   }
 
+  test("fused trainSubs equals the per-subspace trainSub reference bitwise") {
+    // the fused one-aggregate-per-round trainer must reproduce the M
+    // independent Lloyd chains exactly (same seeds, same assignments,
+    // same recenter sums) on the planted corpus AND the real one
+    for (em <- Seq(planted, Tables.embeddings(spark, sfDir))) {
+      val qv = PqOp.unitQuantized(em).localCheckpoint()
+      val fused = PqOp.trainSubs(qv)
+      val ref = (0 until PqOp.M).map(m => PqOp.trainSub(qv, m))
+      assert(fused === ref)
+    }
+  }
+
   test("q111 ADC: exact twin ranks first; same-axis cluster beats far cluster") {
     val out = PqOp.pqAdcTopK(planted).collect()
     // query 0 is axis-0: its candidates at rank 1..k must all be axis-0
