@@ -76,22 +76,36 @@ object RandomProjection {
     val qmat = KMeansOp.quantized(embeddings).localCheckpoint()
     // Materialized again after projecting: both join sides below read
     // pr, and without the barrier the corpus projection runs twice.
-    val pr = qmat
+    // Norms ride along from here — each row's self-dots (na/pna) were
+    // previously re-folded PER PAIR on both join sides (4 of the 6
+    // unrolled folds in the pair projection); computing them once per
+    // row before the join halves the per-pair work and the expressions
+    // are the identical unrolled left folds, so the doubles match
+    // bitwise.
+    // nq folds over the CHECKPOINTED q attribute inside the same
+    // projection (cheap slot reads); np is added in a projection ABOVE
+    // the checkpoint, where p is a concrete array — folding it inside
+    // the p-building projection would let SimplifyExtractValueOps
+    // re-expand each element_at(p, i) back into the full 64-term
+    // projection sum (the same CollapseProject trap as `q`).
+    val pr0 = qmat
       .select(col("vec_id"), col("q"),
-        array((0 until R).map(j => projCol(col("q"), j)): _*).as("p"))
+        array((0 until R).map(j => projCol(col("q"), j)): _*).as("p"),
+        sqrt(dotCol(col("q"), col("q"), Dim)).as("nq"))
       .localCheckpoint()
+    val pr = pr0.select(col("vec_id"), col("q"), col("p"), col("nq"),
+      sqrt(dotCol(col("p"), col("p"), R)).as("np"))
     val a = pr.select(col("vec_id").as("vec_id_a"), col("q").as("qa"),
-      col("p").as("pa"))
+      col("p").as("pa"), col("nq").as("na"), col("np").as("pna"))
     val b = pr.select((col("vec_id") - 1).as("vec_id_a"),
-      col("vec_id").as("vec_id_b"), col("q").as("qb"), col("p").as("pb"))
+      col("vec_id").as("vec_id_b"), col("q").as("qb"), col("p").as("pb"),
+      col("nq").as("nb"), col("np").as("pnb"))
     a.join(b, Seq("vec_id_a"))
       .select(col("vec_id_a"), col("vec_id_b"),
         dotCol(col("qa"), col("qb"), Dim).as("dq"),
-        sqrt(dotCol(col("qa"), col("qa"), Dim)).as("na"),
-        sqrt(dotCol(col("qb"), col("qb"), Dim)).as("nb"),
+        col("na"), col("nb"),
         dotCol(col("pa"), col("pb"), R).as("dp"),
-        sqrt(dotCol(col("pa"), col("pa"), R)).as("pna"),
-        sqrt(dotCol(col("pb"), col("pb"), R)).as("pnb"))
+        col("pna"), col("pnb"))
       .where(col("na") > 0 && col("nb") > 0 && col("pna") > 0 && col("pnb") > 0)
       .select(col("vec_id_a"), col("vec_id_b"),
         round(col("dq") / (col("na") * col("nb")), 9).as("cos_orig_r"),
