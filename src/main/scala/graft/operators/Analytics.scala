@@ -693,32 +693,37 @@ object Analytics {
     madOutliers(Tables.events(s, dir))
 
   def madOutliers(events: DataFrame): DataFrame = {
-    // checkpoint the keyed values: the chain below reads them ~6 times
+    // checkpoint the keyed values: the chain below reads them ~4 times
     // (two bucketRankSelect passes + the fence count), and without the
     // materialization each read re-runs the events scan + filter
     val kv = keyedEventValues(events).localCheckpoint()
     val (stats, medPicked) = bucketRankSelect(kv, Seq(("med", 0.5)))
-    // med and mad (≤ one row per group) are each read by three plan
-    // branches (dev/fences/final for med, fences/final and the second
-    // rank-select for mad); materialized eagerly so the branch reads
-    // don't re-run the whole selection chain per use (same rationale as
-    // the stats barrier in bucketRankSelect)
+    // round-13 barrier cut (the r12 eager checkpoints were correct but
+    // over-applied): med and mad are ≤ one row per group, and each used
+    // to be checkpointed and re-joined by 2-3 downstream branches —
+    // three sequential materialization barriers. Instead med RIDES the
+    // dev checkpoint (dev is its only remaining consumer's input: the
+    // fence compare needs |x − med|, which IS dev.value, and the final
+    // readout takes the group-constant med back out of the fences
+    // aggregate), and mad is inlined into the fences plan the same way —
+    // 6 barriers → 4, two joins fewer, identical values per group.
     val med = medPicked.groupBy(col("gkey")).agg(max(col("value")).as("med"))
-      .localCheckpoint()
-    // same story for the derived deviations: the second rank-select
-    // pass reads them three times (stats, bucketing, candidate pick)
+    // the derived deviations: the second rank-select pass reads them
+    // three times (stats, bucketing, candidate pick); med rides along
+    // as a group-constant column
     val dev = kv.join(broadcast(med), Seq("gkey"))
-      .select(col("gkey"), abs(col("value") - col("med")).as("value"), col("tb"))
+      .select(col("gkey"), abs(col("value") - col("med")).as("value"),
+        col("tb"), col("med"))
       .localCheckpoint()
     val (_, madPicked) = bucketRankSelect(dev, Seq(("mad", 0.5)))
     val mad = madPicked.groupBy(col("gkey")).agg(max(col("value")).as("mad"))
-      .localCheckpoint()
-    val fences = kv.join(broadcast(med), Seq("gkey")).join(broadcast(mad), Seq("gkey"))
+    val fences = dev.join(broadcast(mad), Seq("gkey"))
       .groupBy(col("gkey"))
-      .agg(sum(when(abs(col("value") - col("med")) > lit(4.4478) * col("mad"), 1L)
-        .otherwise(0L)).as("n_outliers"))
+      .agg(sum(when(col("value") > lit(4.4478) * col("mad"), 1L)
+        .otherwise(0L)).as("n_outliers"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"))
     stats.select(col("gkey"), col("n").as("n_events"))
-      .join(med, Seq("gkey")).join(mad, Seq("gkey")).join(fences, Seq("gkey"))
+      .join(fences, Seq("gkey"))
       .select(unkey(col("gkey")).as("event_type"), col("n_events"),
         col("med"), col("mad"), col("n_outliers"))
       .orderBy(col("event_type").asc_nulls_last)

@@ -267,7 +267,11 @@ object KMeansOp {
 
   def kmeans(embeddings: DataFrame): DataFrame = {
     val (qv, cents) = trainCents(embeddings)
+    // the final assignment feeds BOTH the sizes aggregate and the join's
+    // left side — materialized once (16 bytes/row) so the K×64 distance
+    // argmin runs one corpus pass, not two (round-13, guide §2.4)
     val fin = assignAuto(qv, cents).select(col("vec_id"), col("cell"))
+      .localCheckpoint()
     val sizes = fin.groupBy(col("cell")).agg(count(lit(1)).as("cell_size"))
     fin.join(sizes, Seq("cell"))
       .select(col("vec_id"), col("cell"), col("cell_size"))

@@ -71,35 +71,41 @@ object LangClassifier {
     val x = QualityClassifier.featureFrameWith(labeled(docs), Seq("heur_lang"))
       .localCheckpoint()
     val mod = trainMod(x.count())
-    val tr = x.filter(TextAnalysis.md5Long(
+    // mod == 1 keeps EVERY row, so the stride frame IS x — reuse its
+    // checkpoint instead of re-materializing the same rows (round-13)
+    val tr = if (mod == 1L) x
+      else x.filter(TextAnalysis.md5Long(
         concat_ws(":", lit("lc"), col("doc_id"))) % mod === 0L)
-      .localCheckpoint()
-    val nTr = tr.count()
+        .localCheckpoint()
     // per-class integer weight chains (q217's loop), with each round's
     // FOUR independent per-class gradients fused into ONE aggregate over
     // the stride: the classes share the training rows and only differ in
     // weights/targets, so one 4·17-column map-combined agg replaces four
     // 17-column aggs — Rounds jobs instead of Classes·Rounds (32 -> 8),
-    // same integer arithmetic per class, bit-identical weights.
-    // nTr == 0 -> all weights stay 0, every score is 500000, argmax
-    // abstains to 'unknown' (the oracle's CASE-guarded update agrees)
+    // same integer arithmetic per class, bit-identical weights. The
+    // stride row count rides that aggregate (no separate count job);
+    // nTr == 0 -> sums are NULL, all weights stay 0, every score is
+    // 500000, argmax abstains to 'unknown' (the oracle's CASE-guarded
+    // update agrees)
     val ws: Map[String, Array[Long]] =
       Classes.map(c => c -> Array.fill(B + 1)(0L)).toMap
-    for (_ <- 0 until (if (nTr == 0) 0 else Rounds)) {
+    var nTr = -1L
+    for (_ <- 0 until Rounds if nTr != 0L) {
       val withErr = Classes.foldLeft(tr) { (df, c) =>
         df.withColumn(s"z_$c", expr(zSql(ws(c))))
           .withColumn(s"err_$c",
             expr(s"(500000 + (z_$c * 500000) div (1000000 + abs(z_$c)))") -
               when(col("heur_lang") === c, 1000000L).otherwise(0L))
       }
-      val aggs = Classes.flatMap(c =>
+      val aggs = count(lit(1)).as("n") +: Classes.flatMap(c =>
         (0 to B).map(i => sum(expr(s"err_$c * x$i")).as(s"g_${c}_$i")))
       val g = withErr.agg(aggs.head, aggs.tail: _*).first()
-      var idx = 0
+      nTr = g.getLong(0)
+      var idx = 1
       Classes.foreach { c =>
         val w = ws(c)
         var i = 0
-        while (i <= B) {
+        while (i <= B && nTr != 0L) {
           w(i) -= Lr * (g.getLong(idx) / (nTr * 1000000L))
           i += 1; idx += 1
         }

@@ -131,27 +131,35 @@ object QualityClassifier {
   private[operators] def trainScoreRaw(docs: DataFrame): DataFrame = {
     val x = featureFrame(docs).localCheckpoint() // scored once, trained R×
     val mod = trainMod(x.count())
-    val tr = x.filter(TextAnalysis.md5Long(
+    // mod == 1 keeps EVERY row (md5 % 1 = 0 identically), so the stride
+    // frame IS x — reuse the existing checkpoint instead of paying a
+    // second materialization of the same rows (round-13; the filter
+    // only exists past TrainTarget docs)
+    val tr = if (mod == 1L) x
+      else x.filter(TextAnalysis.md5Long(
         concat_ws(":", lit("qc"), col("doc_id"))) % mod === 0L)
-      .localCheckpoint() // R gradient passes read it
-    val nTr = tr.count()
+        .localCheckpoint() // R gradient passes read it
     val w = Array.fill(B + 1)(0L)
-    // nTr == 0 (zero-row corpus, or a stride that selects no rows on a
-    // >TrainTarget corpus): no gradients exist, weights stay 0 and every
-    // scored row gets z = 0 → score 500000. The oracle's round chain
-    // agrees: its weight update is CASE-guarded on g.n = 0.
-    for (_ <- 0 until (if (nTr == 0) 0 else Rounds)) {
+    // the stride row count rides the first gradient aggregate (one job
+    // instead of a separate count + R aggs). nTr == 0 (zero-row corpus,
+    // or a stride that selects no rows on a >TrainTarget corpus): no
+    // gradients exist — the sums come back NULL, weights stay 0 and
+    // every scored row gets z = 0 → score 500000. The oracle's round
+    // chain agrees: its weight update is CASE-guarded on g.n = 0.
+    var nTr = -1L
+    for (_ <- 0 until Rounds if nTr != 0L) {
       val g = tr
         .withColumn("z", expr(zSql(w)))
         .withColumn("err",
           expr("(500000 + (z * 500000) div (1000000 + abs(z))) - y"))
-        .agg(sum(expr("err * x0")).as("g0"),
-          (1 to B).map(i => sum(expr(s"err * x$i")).as(s"g$i")): _*)
+        .agg(count(lit(1)).as("n"),
+          (0 to B).map(i => sum(expr(s"err * x$i")).as(s"g$i")): _*)
         .first()
+      nTr = g.getLong(0)
       var i = 0
-      while (i <= B) {
+      while (i <= B && nTr != 0L) {
         // Scala / truncates toward zero, same as Spark div / DuckDB //
-        w(i) -= Lr * (g.getLong(i) / (nTr * 1000000L))
+        w(i) -= Lr * (g.getLong(i + 1) / (nTr * 1000000L))
         i += 1
       }
     }
