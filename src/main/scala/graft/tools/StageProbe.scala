@@ -24,24 +24,31 @@ object StageProbe {
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
     val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val peakMem = new java.util.concurrent.atomic.AtomicLong // max over stages
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
       override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         taskMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
+        peakMem.getAndAccumulate(s.stageInfo.taskMetrics.peakExecutionMemory,
+          math.max(_, _))
       }
     })
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       for (i <- 1 to runs) {
-        jobs.set(0); stages.set(0); taskMs.set(0)
+        jobs.set(0); stages.set(0); taskMs.set(0); peakMem.set(0)
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         System.gc()
+        def heapUsed = Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
+        val heap0 = heapUsed
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-          f"jobs=${jobs.get} stages=${stages.get} taskTime=${taskMs.get / 1e3}%.2f s")
+          f"jobs=${jobs.get} stages=${stages.get} taskTime=${taskMs.get / 1e3}%.2f s " +
+          f"peakExecMem=${peakMem.get / 1048576.0}%.0f MB " +
+          f"heapDelta=${(heapUsed - heap0) / 1048576.0}%.0f MB")
       }
     }
     spark.stop()
